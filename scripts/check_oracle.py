@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result) and runs the
+matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views
+over <sfDir>/*.parquet.  Compares: columns sorted by name, rows sorted
+by all columns, exact cell equality.  Prints PASS/FAIL per query.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            cur = con.execute(sql)
+            o_cols = [d[0] for d in cur.description]
+            o_rows = cur.fetchall()
+            cur = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            s_cols = [d[0] for d in cur.description]
+            s_rows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        oc, orows = canon(o_rows, o_cols)
+        sc, srows = canon(s_rows, s_cols)
+        if oc != sc:
+            print(f"FAIL {name}: columns differ oracle={oc} spark={sc}")
+            n_fail += 1
+        elif len(orows) != len(srows):
+            print(f"FAIL {name}: rowcount oracle={len(orows)} "
+                  f"spark={len(srows)}")
+            n_fail += 1
+        elif orows != srows:
+            bad = next(i for i, (a, b) in enumerate(zip(orows, srows))
+                       if a != b)
+            print(f"FAIL {name}: first diff at sorted-row {bad}:\n"
+                  f"  oracle: {orows[bad]}\n  spark:  {srows[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Core relational operators from SURVEY.md §2 re-expressed over the
+  * driver testdata tables. Each query name carries the §2 operator id.
+  *
+  * Money aggregates are computed on DECIMAL(18,4) (exact, partition-order
+  * independent) and cast back to double after rounding, so results are
+  * bit-identical across Spark runs AND vs the DuckDB oracle.
+  */
+object CoreRelational {
+
+  private val dec = DecimalType(18, 4)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A1/A5-restored analytics: TPC-H Q1-shaped pricing summary.
+    * Ref behavior: groupBy aggregations restored per SURVEY §2.5 note
+    * (the reference's missing SparkAnalyse layer).
+    */
+  val q1Agg: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity".cast(dec)), 2).cast("double").as("sum_qty"),
+        round(sum($"l_extendedprice".cast(dec)), 2).cast("double").as("sum_base_price"),
+        round(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec))), 2)
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** J1: multi-way left equi-join fact→dims with broadcast dims
+    * (ref: articles⟕topics⟕date⟕publishers, DB/ETL.ipynb c41).
+    */
+  val j1FactDims: Q = (s, dir) => {
+    import s.implicits._
+    val orders   = Tables.load(s, dir, "orders")
+    val customer = Tables.load(s, dir, "customer")
+    val nation   = Tables.load(s, dir, "nation")
+    val region   = Tables.load(s, dir, "region")
+    orders
+      .join(broadcast(customer), $"o_custkey" === $"c_custkey", "left")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey", "left")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey", "left")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast(dec)), 2).cast("double").as("total_price"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val j1FactDimsSql: String =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+      |FROM orders
+      |LEFT JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN nation ON c_nationkey = n_nationkey
+      |LEFT JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** A2: distinct (row dedup) of a projected dimension
+    * (ref: publishers/topics/dates dedup, DB/ETL.ipynb c31/c35/c37). */
+  val a2Distinct: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "customer")
+      .select($"c_mktsegment", $"c_nationkey")
+      .distinct()
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  val a2DistinctSql: String =
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  /** A3: deterministic surrogate-key assignment — row_number over the
+    * natural key, replacing the reference's nondeterministic
+    * monotonically_increasing_id (DB/ETL.ipynb c33/c35/c37/c39; SURVEY §7
+    * hazard 3). */
+  val a3SurrogateIds: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "nation")
+      .select($"n_name")
+      .distinct()
+      .withColumn("nation_id", row_number().over(Window.orderBy($"n_name")) - 1)
+      .select($"nation_id", $"n_name")
+      .orderBy($"nation_id")
+  }
+
+  val a3SurrogateIdsSql: String =
+    """SELECT row_number() OVER (ORDER BY n_name) - 1 AS nation_id, n_name
+      |FROM (SELECT DISTINCT n_name FROM nation)
+      |ORDER BY nation_id""".stripMargin
+
+  /** F4: date parse + derive — the reference round-trips "d MMMM yyyy"
+    * display strings into day/month-name/year (IEEE/IEEE.py:299-305). */
+  val f4DateDerive: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .withColumn("date_str", date_format($"o_orderdate", "d MMMM yyyy"))
+      .withColumn("d", to_date($"date_str", "d MMMM yyyy"))
+      .select(
+        $"o_orderkey",
+        $"date_str",
+        dayofmonth($"d").as("day"),
+        date_format($"d", "MMMM").as("month_name"),
+        year($"d").as("yr"))
+      .orderBy($"o_orderkey")
+  }
+
+  val f4DateDeriveSql: String =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%-d %B %Y') AS date_str,
+      |  day(strptime(strftime(o_orderdate, '%-d %B %Y'), '%d %B %Y')) AS day,
+      |  monthname(strptime(strftime(o_orderdate, '%-d %B %Y'), '%d %B %Y')) AS month_name,
+      |  year(strptime(strftime(o_orderdate, '%-d %B %Y'), '%d %B %Y')) AS yr
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** G1: explode array<string> — word frequency over documents (ref:
+    * explode(keywords), DB/ETL.ipynb c33/c45; the top-keyword analytic). */
+  val g1ExplodeWords: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+  }
+
+  val g1ExplodeWordsSql: String =
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> ''
+      |GROUP BY word
+      |ORDER BY n DESC, word""".stripMargin
+
+  /** U1: EXCEPT DISTINCT (ref: subtract of bad-date rows,
+    * DB/ETL.ipynb c14). */
+  val u1Except: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
+    o.except(o.filter($"o_orderstatus" === "F"))
+      .orderBy($"o_orderkey")
+  }
+
+  val u1ExceptSql: String =
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |EXCEPT
+      |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** P2: sentinel-value filter with isin (ref: "<X> not found" sentinel
+    * removal, DB/ETL.ipynb c14). */
+  val p2SentinelFilter: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .filter(!$"o_orderpriority".isin("3-MEDIUM", "4-NOT SPECIFIED") && $"o_orderstatus" =!= "F")
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+  }
+
+  val p2SentinelFilterSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_orderstatus
+      |FROM orders
+      |WHERE o_orderpriority NOT IN ('3-MEDIUM', '4-NOT SPECIFIED') AND o_orderstatus <> 'F'
+      |ORDER BY o_orderkey""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q1_agg"            -> q1Agg,
+    "j1_fact_dims"      -> j1FactDims,
+    "a2_distinct"       -> a2Distinct,
+    "a3_surrogate_ids"  -> a3SurrogateIds,
+    "f4_date_derive"    -> f4DateDerive,
+    "g1_explode_words"  -> g1ExplodeWords,
+    "u1_except"         -> u1Except,
+    "p2_sentinel_filter" -> p2SentinelFilter,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg"            -> q1AggSql,
+    "j1_fact_dims"      -> j1FactDimsSql,
+    "a2_distinct"       -> a2DistinctSql,
+    "a3_surrogate_ids"  -> a3SurrogateIdsSql,
+    "f4_date_derive"    -> f4DateDeriveSql,
+    "g1_explode_words"  -> g1ExplodeWordsSql,
+    "u1_except"         -> u1ExceptSql,
+    "p2_sentinel_filter" -> p2SentinelFilterSql,
+  )
+}
