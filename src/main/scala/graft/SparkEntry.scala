@@ -8,9 +8,11 @@ object SparkEntry {
     CoreRelational.q1Agg(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreRelational.defs
+    CoreRelational.defs ++ FilterProject.defs ++ ScalarFuncs.defs ++
+      EventQueries.defs ++ StarSchemaQueries.defs ++ TextPipeline.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreRelational.oracle
+    CoreRelational.oracle ++ FilterProject.oracle ++ ScalarFuncs.oracle ++
+      EventQueries.oracle ++ StarSchemaQueries.oracle ++ TextPipeline.oracle
 }

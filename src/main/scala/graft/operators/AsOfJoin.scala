@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Left as-of join: for each left row, attach the single right row with
+  * the greatest `rightTime <= leftTime`, matching on equi-keys.
+  *
+  * Re-expresses the reference's per-row "greatest year <= article year
+  * within 10 back" quartile lookup (SD_Upd.py:89-98, IEEE_Upd.py:88-97)
+  * as a distributed operator. Spark has no native as-of join; the naive
+  * encoding (range join + window top-1) materializes every (left, right)
+  * pair per key before pruning — O(n·m) per key, which dies at scale on
+  * skewed keys.
+  *
+  * This implementation is the scalable union-merge form:
+  *   1. tag left and right rows, union them (right payload nulled on
+  *      left rows),
+  *   2. one shuffle: window partitioned by key, ordered by
+  *      (time, isRight desc, tieBreaker),
+  *   3. last(payload, ignoreNulls) carries the most recent right payload
+  *      forward onto each left row.
+  *
+  * Cost: a single hash partition + sort per side — the same as any
+  * sort-merge join — independent of how many right rows precede a left
+  * row. Ties: right rows at the same timestamp as a left row ARE
+  * visible (<= semantics); among equal right timestamps the greatest
+  * `tieBreaker` wins.
+  */
+object AsOfJoin {
+
+  /** @param left         left (probe) side
+    * @param right        right (reference) side
+    * @param keys         equi-join column names present on both sides
+    * @param leftTime     event-time column on `left`
+    * @param rightTime    event-time column on `right`
+    * @param payloadCols  right columns to attach (aliased as-is)
+    * @param tieBreaker   right column breaking equal-timestamp ties
+    *                     (greatest wins); must be one of payloadCols or
+    *                     rightTime
+    */
+  def leftAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      tieBreaker: String): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    require(!payloadCols.exists(leftCols.contains),
+      s"payload columns ${payloadCols.intersect(leftCols)} collide with left side")
+    val passthrough = leftCols.filterNot(c => keys.contains(c) || c == leftTime)
+
+    val taggedRight = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(1).as("__isRight"),
+            col(tieBreaker).as("__tie")) ++
+        payloadCols.map(col) ++
+        passthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val taggedLeft = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(0).as("__isRight"),
+            lit(null).cast(right.schema(tieBreaker).dataType).as("__tie")) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        passthrough.map(col): _*)
+
+    // Right rows sort before left rows at the same timestamp so that a
+    // right row with rightTime == leftTime is visible (<= semantics).
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__isRight").desc, col("__tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = payloadCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
+      case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+
+    carried
+      .filter(col("__isRight") === 0)
+      .drop("__isRight", "__tie")
+      .withColumnRenamed("__t", leftTime)
+  }
+}

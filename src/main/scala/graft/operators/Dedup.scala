@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for training-data pipelines.
+  *
+  * All hashing is derived from md5 hex prefixes with FIXED seeds, not
+  * from JVM-runtime randomness, for two reasons: (a) results are
+  * reproducible across runs/cluster sizes — a hard requirement for
+  * incremental 100 TB dedup; (b) the identical algorithm is expressible
+  * in ANSI SQL, so every stage is oracle-checkable.
+  *
+  * Scale design: every stage is a hash-partitioned groupBy/join on
+  * bounded keys (shingle, band bucket); no stage ever materializes the
+  * O(n²) pair space — candidate pairs come only from LSH bucket
+  * collisions, and verification joins are restricted to candidate docs
+  * first (semi-join) before the shingle-intersection join.
+  */
+object Dedup {
+
+  val NumHashes = 12
+  val Bands = 3
+  val RowsPerBand = 4 // NumHashes / Bands
+
+  /** 60-bit deterministic hash of a string (md5 hex prefix → long). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct k-word shingles per document: (doc_id, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', slice(w, i, $k)))"))
+          .as("shingle"))
+      .distinct()
+
+  /** MinHash signature rows: (doc_id, seed, mh) for seed in [0, NumHashes). */
+  def minhashSignature(sh: DataFrame): DataFrame =
+    sh
+      .select(col("doc_id"), explode(sequence(lit(0), lit(NumHashes - 1))).as("seed"), col("shingle"))
+      .select(col("doc_id"), col("seed"),
+        hash60(concat(col("seed").cast("string"), lit(":"), col("shingle"))).as("h"))
+      .groupBy("doc_id", "seed")
+      .agg(min(col("h")).as("mh"))
+
+  /** One row per doc with a bucket id per LSH band:
+    * (doc_id, band0..band{Bands-1}). */
+  def lshBuckets(sig: DataFrame): DataFrame = {
+    val pivoted = sig.groupBy("doc_id").agg(
+      max(when(col("seed") === 0, col("mh"))).as("mh0"),
+      (1 until NumHashes).map(s => max(when(col("seed") === s, col("mh"))).as(s"mh$s")): _*)
+    pivoted.select(
+      col("doc_id") +:
+        (0 until Bands).map { b =>
+          md5(concat_ws(",", (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*))
+            .as(s"band$b")
+        }: _*)
+  }
+
+  /** Distinct candidate pairs (d1 < d2) colliding in at least one band.
+    * Per-band equi-self-join — never an O(n²) cross product. */
+  def candidatePairs(buckets: DataFrame): DataFrame =
+    (0 until Bands)
+      .map { b =>
+        val l = buckets.select(col("doc_id").as("d1"), col(s"band$b").as("bk"))
+        val r = buckets.select(col("doc_id").as("d2"), col(s"band$b").as("bk"))
+        l.join(r, "bk").filter(col("d1") < col("d2")).select("d1", "d2")
+      }
+      .reduce(_ unionByName _)
+      .distinct()
+
+  /** Exact Jaccard over the shingle sets of candidate pairs only.
+    * Returns (d1, d2, jaccard) with jaccard rounded to 4 decimals,
+    * filtered to >= threshold. */
+  def jaccardVerify(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    val docsIn = cand.select(col("d1").as("doc_id"))
+      .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+    val shc = sh.join(docsIn, "doc_id") // semi-restrict before pair join
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val x = shc.select(col("doc_id").as("d1"), col("shingle"))
+    val y = shc.select(col("doc_id").as("d2"), col("shingle"))
+    val inter = x.join(y, "shingle").filter(col("d1") < col("d2"))
+      .join(cand, Seq("d1", "d2")) // only LSH candidates
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Full MinHash+LSH near-dup pipeline. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, k)
+    jaccardVerify(sh, candidatePairs(lshBuckets(minhashSignature(sh))), threshold)
+  }
+
+  /** Exact-duplicate groups by canonical fingerprint: one row per
+    * duplicated fingerprint with the surviving (min) id and group size. */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** 60-bit SimHash signature per document, term-frequency weighted.
+    * (doc_id, simhash: long). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), hash60(col("word")).as("h"), col("cnt"))
+    terms
+      .select(col("doc_id"), col("h"), col("cnt"),
+        explode(sequence(lit(0), lit(59))).as("bit"))
+      .groupBy("doc_id", "bit")
+      .agg(sum(expr("CASE WHEN shiftright(h, bit) & 1 = 1 THEN cnt ELSE -cnt END")).as("w"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END"))
+        .as("simhash"))
+  }
+
+  /** Character n-gram Jaccard near-dups with blocking: pairs are only
+    * considered within the same `blockCol` value (the cheap LSH-ish
+    * prefilter that keeps the pair space linear-ish at scale). */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int = 4, threshold: Double = 0.7): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), col(blockCol).as("blk"), col(textCol).as("t"))
+      .filter(length(col("t")) >= n)
+      .select(col("doc_id"), col("blk"),
+        explode(expr(s"transform(sequence(1, length(t) - ${n - 1}), i -> substring(t, i, $n))"))
+          .as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val x = grams.select(col("blk"), col("doc_id").as("d1"), col("gram"))
+    val y = grams.select(col("blk"), col("doc_id").as("d2"), col("gram"))
+    val inter = x.join(y, Seq("blk", "gram")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

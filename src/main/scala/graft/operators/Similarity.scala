@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>), for similarity dedup / retrieval over training
+  * corpora.
+  *
+  * - `cosineTopK` is the exact brute-force baseline: broadcast the
+  *   (small) query set, score every candidate, per-query top-k via
+  *   window. Linear in candidates, no shuffle of the big side beyond
+  *   the final top-k — the right shape when queries ≪ candidates.
+  * - `ivfTopK` is the scale path: coarse-quantize candidates into
+  *   cells (here: the precomputed `label` column or any partitioner),
+  *   probe only the nProbe nearest cells per query. At 100 TB the cell
+  *   id becomes the partition key, so a probe touches only matching
+  *   partitions instead of the full corpus.
+  *
+  * Scores are computed on doubles with a deterministic left-to-right
+  * fold (`aggregate`), rounded to 6 decimals so results are
+  * engine-comparable.
+  */
+object Similarity {
+
+  /** dot(a, b) over array<double> columns, deterministic fold order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (qid, vec_id, cos), k rows per query, ranked by rounded
+    * cosine desc then vec_id (fully deterministic). */
+  def cosineTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cand = candidates.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+    val scored = cand
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** IVF-style ANN: mean centroid per cell (from `cellCol`), probe the
+    * nProbe nearest cells per query, exact rank within probed cells. */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, cellCol: String,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val cand = candidates.select(col("vec_id"), col(cellCol).as("cell"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qv"))
+
+    // centroid per cell: element-wise mean via posexplode + re-assemble
+    val centroids = cand
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), expr("transform(pm, p -> p.m)").as("cv"))
+
+    val probes = centroids
+      .join(broadcast(q), lit(true))
+      .select(col("qid"), col("cell"), col("qv"), cosine(col("qv"), col("cv")).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell").asc)))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cell"), col("qv"))
+
+    cand
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+}

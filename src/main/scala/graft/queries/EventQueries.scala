@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Temporal operators over the events table: the as-of join (SURVEY §2.4
+  * J4 — the quartile "greatest year <= article year" lookup), event-time
+  * windowed aggregation, and gap-based sessionization (the batch form of
+  * the streaming state operators in graft.streaming).
+  */
+object EventQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dec = DecimalType(18, 4)
+
+  /** J4: left as-of join — for each click event, the most recent error
+    * event of the same user at or before its timestamp. Implemented with
+    * the union-merge AsOfJoin operator (single shuffle; no range-join
+    * pair blowup), verified against the naive range-join+top-1 oracle. */
+  val j4AsOf: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts".as("err_ts"), $"event_id".as("err_id"), $"value".as("err_value"))
+    AsOfJoin.leftAsOf(clicks, errors,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "err_ts",
+        payloadCols = Seq("err_id", "err_value"), tieBreaker = "err_id")
+      .select($"event_id", $"user_id", $"err_id", $"err_value")
+      .orderBy($"event_id")
+  }
+
+  val j4AsOfSql: String =
+    """SELECT c.event_id, c.user_id, e.event_id AS err_id, e.value AS err_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON c.user_id = e.user_id AND e.ts <= c.ts
+      |QUALIFY row_number() OVER (PARTITION BY c.event_id
+      |                           ORDER BY e.ts DESC, e.event_id DESC) = 1
+      |ORDER BY c.event_id""".stripMargin
+
+  /** E1: event-time tumbling-window aggregation (Structured Streaming's
+    * windowed agg, run on the same data in batch; SURVEY §2.9). */
+  val e1WindowAgg: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value".cast(dec)), 2).cast("double").as("total_value"))
+      .select(unix_micros($"w.start").as("hour_start"), $"event_type", $"n", $"total_value")
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  val e1WindowAggSql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS hour_start, event_type,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_start, event_type""".stripMargin
+
+  /** E2: gap-based sessionization (30-min inactivity gap) via
+    * lag + running sum — the batch equivalent of
+    * flatMapGroupsWithState sessionizing (graft.streaming). */
+  val e2Sessionize: Q = (s, dir) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.load(s, dir, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum($"is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_no")
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_micros(min($"ts")).as("session_start"),
+        unix_micros(max($"ts")).as("session_end"),
+        round(sum($"value".cast(dec)), 2).cast("double").as("session_value"))
+      .orderBy($"user_id", $"session_no")
+  }
+
+  val e2SessionizeSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM marked)
+      |SELECT user_id, session_no, count(*) AS n_events,
+      |  epoch_us(min(ts)) AS session_start,
+      |  epoch_us(max(ts)) AS session_end,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS session_value
+      |FROM sessions
+      |GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "j4_asof_join"  -> j4AsOf,
+    "e1_window_agg" -> e1WindowAgg,
+    "e2_sessionize" -> e2Sessionize,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "j4_asof_join"  -> j4AsOfSql,
+    "e1_window_agg" -> e1WindowAggSql,
+    "e2_sessionize" -> e2SessionizeSql,
+  )
+}

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Star-schema build operators (SURVEY §2.4 J2/J3, §2.8 U2) and the
+  * restored analytics layer (§2.5 note): explode+join bridge tables with
+  * properly deduped dimensions (fixing the reference's 27,317/7,336
+  * keyword-dim fanout), union-by-name multi-source merge, and the
+  * groupBy/top-k/ntile analytics the gitignored SparkAnalyse.py held.
+  */
+object StarSchemaQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dec = DecimalType(18, 4)
+
+  /** J2: explode + dim join bridge — documents' words as the "keywords":
+    * dim deduped on the natural key BEFORE id assignment (the §7 fix),
+    * bridge = (doc_id, word_id) distinct. */
+  val j2WordBridge: Q = (s, dir) => {
+    import s.implicits._
+    val words = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+    val dim = words.select($"word").distinct()
+      .withColumn("word_id", row_number().over(Window.orderBy($"word")) - 1)
+    words.distinct()
+      .join(dim, "word")
+      .select($"doc_id", $"word_id")
+      .orderBy($"doc_id", $"word_id")
+  }
+
+  val j2WordBridgeSql: String =
+    """WITH w AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+      |dim AS (
+      |  SELECT word, row_number() OVER (ORDER BY word) - 1 AS word_id
+      |  FROM (SELECT DISTINCT word FROM w2))
+      |SELECT doc_id, word_id FROM w2 JOIN dim USING (word)
+      |ORDER BY doc_id, word_id""".stripMargin
+
+  /** J3: second bridge shape — part.p_type tokens joined to a token dim,
+    * emitting (p_partkey, token_id) like the author bridge (c43). */
+  val j3TypeBridge: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Tables.load(s, dir, "part")
+      .select($"p_partkey", explode(split($"p_type", " ")).as("tok"))
+    val dim = toks.select($"tok").distinct()
+      .withColumn("tok_id", row_number().over(Window.orderBy($"tok")) - 1)
+    toks.distinct()
+      .join(dim, "tok")
+      .select($"p_partkey", $"tok_id")
+      .orderBy($"p_partkey", $"tok_id")
+  }
+
+  val j3TypeBridgeSql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT p_partkey, unnest(string_split(p_type, ' ')) AS tok
+      |  FROM part),
+      |dim AS (
+      |  SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS tok_id
+      |  FROM (SELECT DISTINCT tok FROM t))
+      |SELECT p_partkey, tok_id FROM t JOIN dim USING (tok)
+      |ORDER BY p_partkey, tok_id""".stripMargin
+
+  /** U2: unionByName across schema variants (the 11-raw-file merge that
+    * replaced MongoDB; SURVEY §2.8) — two projections with different
+    * column orders and a missing column. */
+  val u2UnionByName: Q = (s, dir) => {
+    import s.implicits._
+    val a = Tables.load(s, dir, "customer")
+      .select($"c_name".as("name"), $"c_acctbal".as("bal"), lit("customer").as("src"))
+    val b = Tables.load(s, dir, "supplier")
+      .select(lit("supplier").as("src"), $"s_name".as("name"))
+      .withColumn("bal", lit(null).cast("double"))
+    a.unionByName(b.select($"name", $"bal", $"src"), allowMissingColumns = true)
+      .groupBy($"src")
+      .agg(count(lit(1)).as("n"),
+        round(sum(coalesce($"bal", lit(0.0)).cast(dec)), 2).cast("double").as("total_bal"))
+      .orderBy($"src")
+  }
+
+  val u2UnionByNameSql: String =
+    """WITH u AS (
+      |  SELECT c_name AS name, c_acctbal AS bal, 'customer' AS src FROM customer
+      |  UNION ALL BY NAME
+      |  SELECT 'supplier' AS src, s_name AS name, NULL::DOUBLE AS bal FROM supplier)
+      |SELECT src, count(*) AS n,
+      |  CAST(round(sum(CAST(coalesce(bal, 0.0) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+      |FROM u GROUP BY src ORDER BY src""".stripMargin
+
+  /** AN1: the canonical star query — articles per topic per year, desc
+    * (orders per priority per year here). */
+  val an1TopicYear: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .groupBy($"o_orderpriority".as("topic"), year($"o_orderdate").as("yr"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n_orders".desc, $"topic", $"yr")
+  }
+
+  val an1TopicYearSql: String =
+    """SELECT o_orderpriority AS topic, year(o_orderdate) AS yr, count(*) AS n_orders
+      |FROM orders GROUP BY 1, 2
+      |ORDER BY n_orders DESC, topic, yr""".stripMargin
+
+  /** AN2: top-k per group via window rank — top 3 parts by revenue per
+    * return flag (the "top keywords per topic" analytic). */
+  val an2TopKPerGroup: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    li.groupBy($"l_returnflag", $"l_partkey")
+      .agg(round(sum($"l_extendedprice".cast(dec)), 2).as("rev"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"l_returnflag").orderBy($"rev".desc, $"l_partkey")))
+      .filter($"rk" <= 3)
+      .select($"l_returnflag", $"l_partkey", $"rev".cast("double").as("revenue"), $"rk")
+      .orderBy($"l_returnflag", $"rk")
+  }
+
+  val an2TopKPerGroupSql: String =
+    """WITH agg AS (
+      |  SELECT l_returnflag, l_partkey,
+      |    round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS rev
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, l_partkey, CAST(rev AS DOUBLE) AS revenue,
+      |  row_number() OVER (PARTITION BY l_returnflag ORDER BY rev DESC, l_partkey) AS rk
+      |FROM agg
+      |QUALIFY rk <= 3
+      |ORDER BY l_returnflag, rk""".stripMargin
+
+  /** AN3: quartile bucketing with ntile — account-balance quartiles per
+    * nation (the SCImago "Quartile" analytic re-expressed). */
+  val an3Ntile: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "customer")
+      .withColumn("q", ntile(4).over(Window.orderBy($"c_acctbal", $"c_custkey")))
+      .groupBy($"q")
+      .agg(count(lit(1)).as("n"),
+        round(min($"c_acctbal").cast(dec), 2).cast("double").as("min_bal"),
+        round(max($"c_acctbal").cast(dec), 2).cast("double").as("max_bal"))
+      .orderBy($"q")
+  }
+
+  val an3NtileSql: String =
+    """WITH t AS (
+      |  SELECT c_acctbal, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS q
+      |  FROM customer)
+      |SELECT q, count(*) AS n,
+      |  CAST(round(CAST(min(c_acctbal) AS DECIMAL(18,4)), 2) AS DOUBLE) AS min_bal,
+      |  CAST(round(CAST(max(c_acctbal) AS DECIMAL(18,4)), 2) AS DOUBLE) AS max_bal
+      |FROM t GROUP BY q ORDER BY q""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "j2_word_bridge"    -> j2WordBridge,
+    "j3_type_bridge"    -> j3TypeBridge,
+    "u2_union_by_name"  -> u2UnionByName,
+    "an1_topic_year"    -> an1TopicYear,
+    "an2_topk_per_group" -> an2TopKPerGroup,
+    "an3_ntile"         -> an3Ntile,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "j2_word_bridge"    -> j2WordBridgeSql,
+    "j3_type_bridge"    -> j3TypeBridgeSql,
+    "u2_union_by_name"  -> u2UnionByNameSql,
+    "an1_topic_year"    -> an1TopicYearSql,
+    "an2_topk_per_group" -> an2TopKPerGroupSql,
+    "an3_ntile"         -> an3NtileSql,
+  )
+}

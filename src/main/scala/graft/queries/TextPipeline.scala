@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data-pipeline operators over documents/embeddings: text
+  * analysis, exact & near dedup, similarity search, multimodal binary
+  * plumbing. Every oracle replays the identical fixed-seed algorithm in
+  * SQL, so these are exact checks, not smoke tests.
+  */
+object TextPipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- text analysis -----------------------------------------------
+
+  /** T1: heuristic language ID via stopword hits. */
+  val t1LangId: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", TextFunctions.langId($"text").as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+
+  val t1LangIdSql: String = {
+    val hits = Seq("en", "fr", "de", "es")
+      .map(l => s"len(regexp_extract_all(lower(text), '${TextFunctions.langStopwords(l)}')) AS $l")
+      .mkString(", ")
+    s"""WITH h AS (SELECT doc_id, $hits FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN greatest(en, fr, de, es) = 0 THEN 'und'
+       |       WHEN en = greatest(en, fr, de, es) THEN 'en'
+       |       WHEN fr = greatest(en, fr, de, es) THEN 'fr'
+       |       WHEN de = greatest(en, fr, de, es) THEN 'de'
+       |       ELSE 'es' END AS pred_lang
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** T2: quality scoring — length/alpha/stopword blend (exact integer
+    * arithmetic; see TextFunctions.qualityScore). */
+  val t2Quality: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", TextFunctions.qualityScore($"text").as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  val t2QualitySql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    least(length(text), 500)::BIGINT AS a,
+      |    500::BIGINT AS b,
+      |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS c,
+      |    greatest(length(text), 1)::BIGINT AS d,
+      |    least(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) * 10,
+      |          len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS e,
+      |    greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)::BIGINT AS f
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ((a*d*f + c*b*f + e*b*d) * 10000) // (3*b*d*f) AS quality
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** T3: token counting — whitespace and BPE-ish pre-tokenizer counts. */
+  val t3Tokens: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        TextFunctions.wsTokens($"text").as("ws_tokens"),
+        TextFunctions.bpeishTokens($"text").as("bpeish_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val t3TokensSql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpeish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** T4: canonical fingerprint (md5 of normalized text). */
+  val t4Fingerprint: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val t4FingerprintSql: String =
+    """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- dedup -------------------------------------------------------
+
+  /** Documents plus deterministic injected near-dups (same construction
+    * in the oracle), so near-dup detection has true positives to find. */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents")
+    d.select($"doc_id", $"text", $"source")
+      .unionByName(
+        d.filter($"doc_id" % 97 === 0)
+          .select(($"doc_id" + 1000000).as("doc_id"),
+            concat($"text", lit(" near dup tail")).as("text"), $"source"))
+  }
+
+  private val docsWithDupsSql =
+    """SELECT doc_id, text, source FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, text || ' near dup tail', source
+      |FROM documents WHERE doc_id % 97 = 0""".stripMargin
+
+  /** D1: exact-duplicate groups by canonical fingerprint. Exact dups are
+    * injected (identical canonical text under punctuation noise). */
+  val d1ExactDedup: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents")
+    val noisy = d.select($"doc_id", $"text")
+      .unionByName(d.filter($"doc_id" % 61 === 0)
+        .select(($"doc_id" + 500000).as("doc_id"),
+          concat(lit("  "), upper($"text"), lit("!!")).as("text")))
+    Dedup.exactDupGroups(noisy, "doc_id", "text")
+      .filter($"n_dups" > 1)
+      .orderBy($"canonical_id")
+  }
+
+  val d1ExactDedupSql: String =
+    """WITH noisy AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 500000, '  ' || upper(text) || '!!'
+      |  FROM documents WHERE doc_id % 61 = 0),
+      |fps AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      |  FROM noisy)
+      |SELECT fp, min(doc_id) AS canonical_id, count(*) AS n_dups
+      |FROM fps GROUP BY fp HAVING count(*) > 1
+      |ORDER BY canonical_id""".stripMargin
+
+  /** D2: MinHash+LSH near-dup pairs (12 hashes, 3 bands × 4 rows,
+    * 3-word shingles), LSH candidates verified by exact Jaccard ≥ 0.5. */
+  val d2Minhash: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.minhashNearDups(docsWithDups(s, dir), "doc_id", "text")
+      .orderBy($"d1", $"d2")
+  }
+
+  val d2MinhashSql: String = {
+    val mhCols = (0 until Dedup.NumHashes)
+      .map(i => s"max(CASE WHEN seed = $i THEN mh END) AS mh$i").mkString(", ")
+    val bands = (0 until Dedup.Bands)
+      .map { b =>
+        val cols = (0 until Dedup.RowsPerBand).map(r => s"mh${b * 4 + r}").mkString(", ")
+        s"md5(concat_ws(',', $cols)) AS band$b"
+      }.mkString(", ")
+    val bandEq = (0 until Dedup.Bands).map(b => s"a.band$b = b.band$b").mkString(" OR ")
+    s"""WITH docs AS ($docsWithDupsSql),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle
+       |  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM w WHERE len(l) >= 3)),
+       |hashes AS (
+       |  SELECT doc_id, seed, min(('0x' || substr(md5(seed || ':' || shingle), 1, 15))::BIGINT) AS mh
+       |  FROM (SELECT doc_id, shingle, unnest(range(${Dedup.NumHashes})) AS seed FROM sh)
+       |  GROUP BY doc_id, seed),
+       |sig AS (SELECT doc_id, $mhCols FROM hashes GROUP BY doc_id),
+       |buckets AS (SELECT doc_id, $bands FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM buckets a JOIN buckets b ON a.doc_id < b.doc_id AND ($bandEq)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  JOIN cand c ON c.d1 = x.doc_id AND c.d2 = y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |  round(i::DOUBLE / (n1.n + n2.n - i)::DOUBLE, 4) AS jaccard
+       |FROM inter
+       |JOIN sizes n1 ON n1.doc_id = d1
+       |JOIN sizes n2 ON n2.doc_id = d2
+       |WHERE round(i::DOUBLE / (n1.n + n2.n - i)::DOUBLE, 4) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  /** D3: SimHash signatures (60-bit, term-frequency weighted). */
+  val d3Simhash: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  val d3SimhashSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, word, count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> ''
+      |  GROUP BY doc_id, word),
+      |hashed AS (
+      |  SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h, cnt
+      |  FROM terms),
+      |bits AS (
+      |  SELECT doc_id, bit,
+      |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+      |  FROM (SELECT doc_id, h, cnt, unnest(range(60)) AS bit FROM hashed)
+      |  GROUP BY doc_id, bit)
+      |SELECT doc_id,
+      |  sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** D4: character-4-gram Jaccard near-dups, blocked by source. */
+  val d4NgramJaccard: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.ngramJaccard(docsWithDups(s, dir), "doc_id", "text", "source")
+      .orderBy($"d1", $"d2")
+  }
+
+  val d4NgramJaccardSql: String =
+    s"""WITH docs AS ($docsWithDupsSql),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, source AS blk, substr(t, i, 4) AS gram
+       |  FROM (SELECT doc_id, source, text AS t, unnest(range(1, length(text) - 2)) AS i
+       |        FROM docs WHERE length(text) >= 4)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
+       |  FROM grams x JOIN grams y
+       |    ON x.blk = y.blk AND x.gram = y.gram AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, round(i::DOUBLE / (n1.n + n2.n - i)::DOUBLE, 4) AS jaccard
+       |FROM inter JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
+       |WHERE round(i::DOUBLE / (n1.n + n2.n - i)::DOUBLE, 4) >= 0.7
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---- similarity search -------------------------------------------
+
+  /** N1: brute-force cosine top-10 for query vectors (vec_id < 5). */
+  val n1CosineTopK: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.cosineTopK(emb, emb.filter($"vec_id" < 5), k = 10)
+      .orderBy($"qid", $"cos".desc, $"vec_id")
+  }
+
+  val n1CosineTopKSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid, e.vec_id,
+      |    round(list_dot_product(q.qv, e.v) /
+      |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6)
+      |      AS cos
+      |  FROM q, e WHERE e.vec_id <> q.qid)
+      |SELECT qid, vec_id, cos FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10
+      |ORDER BY qid, cos DESC, vec_id""".stripMargin
+
+  // ---- multimodal plumbing -----------------------------------------
+
+  /** M1: opaque-binary column plumbing — text encoded to a binary
+    * payload column; byte length, content digest, and a deterministic
+    * "decode stub" (hex of the first 8 bytes) computed without leaving
+    * codegen. The real decode would be a library call at this exact
+    * seam (see graft.operators.Multimodal). */
+  val m1BinaryMeta: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .withColumn("payload", encode($"text", "UTF-8"))
+      .select(
+        $"doc_id",
+        length($"payload").as("n_bytes"),
+        sha2($"payload", 256).as("digest"),
+        hex(encode(substring($"text", 1, 8), "UTF-8")).as("header_hex"))
+      .orderBy($"doc_id")
+  }
+
+  val m1BinaryMetaSql: String =
+    """SELECT doc_id,
+      |  octet_length(text::BLOB) AS n_bytes,
+      |  sha256(text) AS digest,
+      |  hex(encode(substr(text, 1, 8))) AS header_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "t1_lang_id"       -> t1LangId,
+    "t2_quality_score" -> t2Quality,
+    "t3_token_count"   -> t3Tokens,
+    "t4_fingerprint"   -> t4Fingerprint,
+    "d1_exact_dedup"   -> d1ExactDedup,
+    "d2_minhash_lsh"   -> d2Minhash,
+    "d3_simhash"       -> d3Simhash,
+    "d4_ngram_jaccard" -> d4NgramJaccard,
+    "n1_cosine_topk"   -> n1CosineTopK,
+    "m1_binary_meta"   -> m1BinaryMeta,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t1_lang_id"       -> t1LangIdSql,
+    "t2_quality_score" -> t2QualitySql,
+    "t3_token_count"   -> t3TokensSql,
+    "t4_fingerprint"   -> t4FingerprintSql,
+    "d1_exact_dedup"   -> d1ExactDedupSql,
+    "d2_minhash_lsh"   -> d2MinhashSql,
+    "d3_simhash"       -> d3SimhashSql,
+    "d4_ngram_jaccard" -> d4NgramJaccardSql,
+    "n1_cosine_topk"   -> n1CosineTopKSql,
+    "m1_binary_meta"   -> m1BinaryMetaSql,
+  )
+}
