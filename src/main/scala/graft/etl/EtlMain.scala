@@ -1,0 +1,51 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point: the reference's whole pipeline (ingest → clean →
+  * star schema → sinks) over a set of scraper JSON-array files.
+  *
+  *   runMain graft.etl.EtlMain <out-dir> <input.json>...
+  *
+  * Prints per-table row counts; writes CSV + JSONL + INSERT scripts
+  * under <out-dir> — the same artifact set as DB/Tables + DB/queries.
+  */
+object EtlMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: EtlMain <out-dir> <input.json>...")
+    val outDir = args.head
+    val inputs = args.tail.toSeq
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-etl")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val merged = Ingest.readMerged(spark, inputs)
+    val clean = Clean(merged)
+    val star = StarSchema.build(clean)
+
+    val tables = Seq(
+      "articles" -> star.articles,
+      "publishers" -> star.publishers,
+      "keywords" -> star.keywords,
+      "topics" -> star.topics,
+      "dates" -> star.dates,
+      "authors" -> star.authors,
+      "author_article_mapping" -> star.authorArticle,
+      "keywords_articles_mapping" -> star.keywordArticle)
+
+    println(s"[etl] merged=${merged.count()} clean=${clean.count()}")
+    tables.foreach { case (name, df) =>
+      Writers.writeCsv(df, s"$outDir/csv/$name", singleFile = true)
+      Writers.writeInsertScript(df, name, s"$outDir/sql/$name")
+      println(s"[etl] $name=${df.count()}")
+    }
+    Writers.writeJsonl(clean, s"$outDir/clean_jsonl")
+    spark.stop()
+  }
+}

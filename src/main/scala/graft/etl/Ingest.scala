@@ -1,0 +1,62 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingest stage (SURVEY §2.1 S1/S7, §2.8 U2).
+  *
+  * The reference stages scraper JSON through MongoDB and re-exports it
+  * (DB/MongoDB.py:36-41, DB/ETL.ipynb c4); here the landing directory
+  * of JSON-array files IS the source of record and the multi-source
+  * merge is a unionByName — no staging database, no driver round-trip.
+  *
+  * Every read uses the explicit permissive schema (Schemas.articleSchema)
+  * — inference is never on the data path, which at 100 TB also saves a
+  * full pre-pass over the input.
+  */
+object Ingest {
+
+  /** S1: one JSON-array file (the scraper's append format,
+    * ScienceDirect/ScienceDirect.py:457-488) or a directory of them. */
+  def readArticles(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(Schemas.articleSchema)
+      .option("multiLine", true)       // whole-file JSON arrays, not JSONL
+      .json(path)
+
+  /** JSONL variant for engine-native round-trips. */
+  def readArticlesJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.articleSchema).json(path)
+
+  /** U2 + variant normalization: merge any mix of the four raw-file
+    * shapes into the canonical merged-article schema (SURVEY §1.2):
+    *  - raw variants carry journal_name (+ IEEE: top-level ISSN); fold
+    *    them into a publisher struct with empty Quartile so the
+    *    cleaning-stage publisher filter (P1) treats them exactly like
+    *    the reference's un-enriched rows;
+    *  - upd variants already carry publisher; passthrough.
+    * Dedup on doi at ingest (P10 — the scraper's visited-URL set),
+    * keeping the enriched row over the raw one when both exist.
+    */
+  def normalize(merged: DataFrame): DataFrame = {
+    val withPublisher = merged.withColumn("publisher",
+      when(col("publisher").isNotNull, col("publisher"))
+        .otherwise(struct(
+          col("ISSN").as("ISSN"),
+          lit("").as("Quartile"),
+          col("journal_name").as("name"))))
+      .drop("journal_name", "ISSN", "_id")
+    // prefer rows with a quartile (enriched) per doi, then stable doc order
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doi")).orderBy(
+      when(col("publisher.Quartile") =!= "", 0).otherwise(1),
+      col("website"))
+    withPublisher
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  def readMerged(spark: SparkSession, paths: Seq[String]): DataFrame =
+    normalize(paths.map(readArticles(spark, _)).reduce(_.unionByName(_)))
+}

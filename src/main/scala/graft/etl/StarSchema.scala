@@ -1,0 +1,129 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Star-schema transform (DB/ETL.ipynb c31–c45): fact `articles`, dims
+  * `publishers/keywords/topics/dates/authors`, bridges
+  * `author_article_mapping`/`keywords_articles_mapping`.
+  *
+  * Deliberate deviations from the reference, per SURVEY §7 hazard 2
+  * (each is the evident intent; the reference numbers are recorded in
+  * BASELINE.md):
+  *  - surrogate keys are row_number over the natural key — dense,
+  *    deterministic, repartition-stable — not
+  *    monotonically_increasing_id (whose partition-dependence produced
+  *    AuthorID 51,539,611,706 and made c39's late distinct() a no-op);
+  *  - dims are deduped on the natural key BEFORE id assignment
+  *    (keywords: 27,317 rows → 7,336 distinct in the reference);
+  *  - bridges join on the deduped dim and emit distinct pairs
+  *    (author bridge: 42,595 rows vs 34,281 distinct pairs there).
+  *
+  * Scale note: dims here are orders of magnitude smaller than the fact
+  * table, so the global row_number sort is bounded by dim size; fact
+  * and bridge builds broadcast the dims — no fact-side shuffle at all.
+  */
+object StarSchema {
+
+  private def withId(df: DataFrame, idCol: String, orderCols: Seq[String]): DataFrame =
+    df.withColumn(idCol,
+      (row_number().over(Window.orderBy(orderCols.map(col): _*)) - 1).cast("long"))
+
+  /** publishers dim (c31): natural key ISSN. */
+  def publishers(clean: DataFrame): DataFrame =
+    clean.select(
+        col("publisher.ISSN").as("ISSN"),
+        col("publisher.name").as("Name"),
+        col("publisher.Quartile").as("Quartile"))
+      .groupBy("ISSN")
+      .agg(min("Name").as("Name"), min("Quartile").as("Quartile"))
+
+  /** keywords dim (c33), deduped on the keyword string. */
+  def keywords(clean: DataFrame): DataFrame =
+    withId(
+      clean.select(explode(col("keywords")).as("Keyword"))
+        .filter(col("Keyword") =!= "").distinct(),
+      "KeywordID", Seq("Keyword"))
+      .select("KeywordID", "Keyword")
+
+  /** topics dim (c35). */
+  def topics(clean: DataFrame): DataFrame =
+    withId(clean.select(col("topic").as("Topic")).distinct(), "TopicID", Seq("Topic"))
+      .select("TopicID", "Topic")
+
+  /** dates dim (c37): natural key the display date string. */
+  def dates(clean: DataFrame): DataFrame =
+    withId(
+      clean.select(
+        col("Date").as("PublicationDate"),
+        col("Day"), col("Month"), col("Year")).distinct(),
+      "DateID", Seq("PublicationDate", "Day", "Month", "Year"))
+      .select("DateID", "PublicationDate", "Day", "Month", "Year")
+
+  /** authors dim (c39): natural key (FullName, Country, University) —
+    * deduped BEFORE the id, fixing the 19,967-vs-17,696 drift. */
+  def authors(clean: DataFrame): DataFrame =
+    withId(
+      clean.select(explode(col("authors_with_affiliations")).as("a"))
+        .select(
+          col("a.author").as("FullName"),
+          col("a.country").as("Country"),
+          col("a.university").as("University"))
+        .distinct(),
+      "AuthorID", Seq("FullName", "Country", "University"))
+      .select("AuthorID", "FullName", "Country", "University")
+
+  /** articles fact (c41): 3-way left join to tiny dims → broadcast. */
+  def articles(clean: DataFrame, topicsDim: DataFrame, datesDim: DataFrame): DataFrame =
+    clean
+      .join(broadcast(topicsDim), clean("topic") === topicsDim("Topic"), "left")
+      .join(broadcast(datesDim), clean("Date") === datesDim("PublicationDate"), "left")
+      .select(
+        col("doi").as("DOI"),
+        col("title").as("Title"),
+        col("abstract").as("Abstract"),
+        col("citations").as("Citations"),
+        col("publisher.ISSN").as("ISSN"),
+        col("DateID"),
+        col("website").as("Website"),
+        col("TopicID"))
+
+  /** author bridge (c43): distinct (DOI, AuthorID) via the natural key. */
+  def authorBridge(clean: DataFrame, authorsDim: DataFrame): DataFrame =
+    clean.select(col("doi").as("DOI"), explode(col("authors_with_affiliations")).as("a"))
+      .select(col("DOI"),
+        col("a.author").as("FullName"),
+        col("a.country").as("Country"),
+        col("a.university").as("University"))
+      .distinct()
+      .join(broadcast(authorsDim), Seq("FullName", "Country", "University"))
+      .select("DOI", "AuthorID")
+      .distinct()
+
+  /** keyword bridge (c45). */
+  def keywordBridge(clean: DataFrame, keywordsDim: DataFrame): DataFrame =
+    clean.select(col("doi").as("DOI"), explode(col("keywords")).as("Keyword"))
+      .filter(col("Keyword") =!= "")
+      .distinct()
+      .join(broadcast(keywordsDim), Seq("Keyword"))
+      .select("DOI", "KeywordID")
+      .distinct()
+
+  /** All eight tables in one pass. */
+  case class Star(
+      articles: DataFrame, publishers: DataFrame, keywords: DataFrame,
+      topics: DataFrame, dates: DataFrame, authors: DataFrame,
+      authorArticle: DataFrame, keywordArticle: DataFrame)
+
+  def build(clean: DataFrame): Star = {
+    val t = topics(clean); val d = dates(clean)
+    val k = keywords(clean); val a = authors(clean)
+    Star(
+      articles = articles(clean, t, d),
+      publishers = publishers(clean),
+      keywords = k, topics = t, dates = d, authors = a,
+      authorArticle = authorBridge(clean, a),
+      keywordArticle = keywordBridge(clean, k))
+  }
+}

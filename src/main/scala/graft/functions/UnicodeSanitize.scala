@@ -37,7 +37,22 @@ object UnicodeSanitize {
     if (repaired eq str) s else UTF8String.fromString(repaired)
   }
 
+  /** Iterate single-pass repair to a fixpoint (bounded): real scraped
+    * corpora contain double-encoded mojibake ("ÃÂ©" → "Ã©" → "é"),
+    * which one pass only half-fixes. */
   def repair(s: String): String = {
+    var cur = s
+    var i = 0
+    while (i < 4) {
+      val next = repairOnce(cur)
+      if (next eq cur) return cur
+      cur = next
+      i += 1
+    }
+    cur
+  }
+
+  def repairOnce(s: String): String = {
     var i = 0
     var hasHigh = false
     while (i < s.length) {

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.etl.Schemas
+
+/** Structured Streaming layer (SURVEY §2.9): the reference's only
+  * "streaming" is the scrapers' per-article JSON append with
+  * corrupt-file recovery (ScienceDirect.py:457-488). Its exactly-once
+  * upgrade is a file-source stream over the landing directory; windowed
+  * aggregation and stateful sessionization cover the event-analytics
+  * surface the batch queries (e1/e2) expose, with identical semantics.
+  */
+object Streams {
+
+  /** Exactly-once incremental article ingest: JSONL landing dir →
+    * stream with the explicit article schema. */
+  def articleStream(spark: SparkSession, landingDir: String): DataFrame =
+    spark.readStream
+      .schema(Schemas.articleSchema)
+      .json(landingDir)
+
+  /** e1's streaming form: event-time tumbling window with watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
+
+  // ---- stateful sessionization (e2's streaming form) ---------------
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  case class Session(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, session_value: Double)
+
+  val gapMicros: Long = 1800L * 1000000L
+
+  /** flatMapGroupsWithState sessionizer: emits a session when a gap
+    * exceeds 30 minutes (or on timeout in a real stream). Processing
+    * order within a group follows event time because the upstream
+    * micro-batch is sorted per user in tests; production use pairs this
+    * with a watermark + event-time timeout. */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime * 1000L // micros
+            cur match {
+              case Some(s) if t - s.last <= gapMicros =>
+                cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+              case Some(s) =>
+                out += Session(uid, s.start, s.last, s.n, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Drain a file-source stream to a memory sink synchronously (test /
+    * AvailableNow harness). Aggregations need Complete — in Append a
+    * watermarked window only emits after the watermark passes it,
+    * which a single static batch never does. */
+  def runOnce(df: DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Append): Unit = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,147 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** End-to-end pipeline over FIXTURES.md-shaped files: the four raw-file
+  * variants with sentinels, mixed Day/Year types, mojibake, emails in
+  * countries, empty arrays and null citations — the reference's mess.
+  */
+class EtlPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def write(dir: Path, name: String, content: String): String = {
+    val p = dir.resolve(name)
+    Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  lazy val dir: Path = Files.createTempDirectory("graft-fixtures")
+
+  // SD raw: journal_name, no publisher; A2 carries date sentinels
+  lazy val sdRaw = write(dir, "sd_raw.json",
+    """[
+      |{"title": "Alpha Paper", "authors": ["Ann A"], "authors_with_affiliations": [{"author": "Ann A", "university": "Uni X", "country": "France", "location": "Uni X, France"}], "universities": ["Uni X"], "countries": ["France"], "Date": "19 July 2024", "Month": "July", "Day": 19, "Year": 2024, "abstract": "An abstract.", "doi": "https://doi.org/10.1016/a1", "citations": 3, "type": "RESEARCH-ARTICLE", "keywords": ["ai", "ml"], "topic": "AI", "website": "Science Direct", "journal_name": "Journal A"},
+      |{"title": "Title not found", "authors": ["Bob B"], "authors_with_affiliations": [{"author": "Bob B", "university": "Uni Y", "country": "Spain", "location": "Uni Y, Spain"}], "universities": ["Uni Y"], "countries": ["Spain"], "Date": "Date not found", "Month": "Month not found", "Day": "Day not found", "Year": "Year not found", "abstract": "Sentinel row.", "doi": "https://doi.org/10.1016/a2", "citations": 1, "type": "RESEARCH-ARTICLE", "keywords": ["iot"], "topic": "IoT", "website": "Science Direct", "journal_name": "Journal S"}
+      |]""".stripMargin)
+
+  // SD upd: publisher struct; A1 enriched (dedup must prefer this row),
+  // A3 good, A4 has ISSN N/A (P1 drops it)
+  lazy val sdUpd = write(dir, "sd_upd.json",
+    """[
+      |{"title": "Alpha Paper", "authors": ["Ann A"], "authors_with_affiliations": [{"author": "Ann A", "university": "Uni X", "country": "France", "location": "Uni X, France"}], "universities": ["Uni X"], "countries": ["France"], "Date": "19 July 2024", "Month": "July", "Day": 19, "Year": 2024, "abstract": "An abstract.", "doi": "https://doi.org/10.1016/a1", "citations": 3, "type": "RESEARCH-ARTICLE", "keywords": ["ai", "ml"], "topic": "AI", "website": "Science Direct", "publisher": {"name": "Journal A", "ISSN": "11112222", "Quartile": "Q1"}},
+      |{"title": "Gamma Study", "authors": ["Cara C", "Dan D"], "authors_with_affiliations": [{"author": "Cara C", "university": "Uni Z", "country": "USA", "location": "Uni Z, USA"}, {"author": "Dan D", "university": "Uni Z", "country": "USA", "location": "Uni Z, USA"}], "universities": ["Uni Z"], "countries": ["USA"], "Date": "2 March 2023", "Month": "March", "Day": 2, "Year": 2023, "abstract": "Gamma text.", "doi": "https://doi.org/10.1016/a3", "citations": 0, "type": "RESEARCH-ARTICLE", "keywords": ["ai"], "topic": "AI", "website": "Science Direct", "publisher": {"name": "Journal G", "ISSN": "33334444", "Quartile": "Q2"}},
+      |{"title": "Delta Note", "authors": ["Eve E"], "authors_with_affiliations": [{"author": "Eve E", "university": "Uni W", "country": "UK", "location": "Uni W, UK"}], "universities": ["Uni W"], "countries": ["UK"], "Date": "5 May 2022", "Month": "May", "Day": 5, "Year": 2022, "abstract": "Delta text.", "doi": "https://doi.org/10.1016/a4", "citations": 2, "type": "RESEARCH-ARTICLE", "keywords": ["crypto"], "topic": "Cryptography", "website": "Science Direct", "publisher": {"name": "Journal D", "ISSN": "N/A", "Quartile": "Q3"}}
+      |]""".stripMargin)
+
+  // IEEE raw: top-level ISSN + locations, int Day/Year
+  lazy val ieeeRaw = write(dir, "ieee_raw.json",
+    """[
+      |{"title": "Beta Method", "authors": ["Flo F"], "authors_with_affiliations": [{"author": "Flo F", "university": "Inst Q", "country": "PRC", "location": "Inst Q, PRC"}], "universities": ["Inst Q"], "countries": ["PRC"], "locations": ["Inst Q, PRC"], "Date": "1 January 2021", "Month": "January", "Day": 1, "Year": 2021, "abstract": "Beta text.", "doi": "https://doi.org/10.1109/b1", "citations": 7, "type": "RESEARCH-ARTICLE", "keywords": ["big data"], "topic": "Big Data", "website": "IEEE Xplore", "journal_name": "IEEE Trans B", "ISSN": "55556666"}
+      |]""".stripMargin)
+
+  // IEEE upd: B1 enriched; B2 null citations; B3 empty authors;
+  // B4 mojibake + email artifacts + apostrophes/quotes
+  lazy val ieeeUpd = write(dir, "ieee_upd.json",
+    """[
+      |{"title": "Beta Method", "authors": ["Flo F"], "authors_with_affiliations": [{"author": "Flo F", "university": "Inst Q", "country": "PRC", "location": "Inst Q, PRC"}], "universities": ["Inst Q"], "countries": ["PRC"], "locations": ["Inst Q, PRC"], "Date": "1 January 2021", "Month": "January", "Day": 1, "Year": 2021, "abstract": "Beta text.", "doi": "https://doi.org/10.1109/b1", "citations": 7, "type": "RESEARCH-ARTICLE", "keywords": ["big data"], "topic": "Big Data", "website": "IEEE Xplore", "publisher": {"name": "IEEE Trans B", "ISSN": "55556666", "Quartile": "Q1"}},
+      |{"title": "No Citations", "authors": ["Gil G"], "authors_with_affiliations": [{"author": "Gil G", "university": "Inst R", "country": "Japan", "location": "Inst R, Japan"}], "universities": ["Inst R"], "countries": ["Japan"], "locations": [], "Date": "9 June 2020", "Month": "June", "Day": 9, "Year": 2020, "abstract": "x", "doi": "https://doi.org/10.1109/b2", "citations": null, "type": "RESEARCH-ARTICLE", "keywords": ["devops"], "topic": "DevOps", "website": "IEEE Xplore", "publisher": {"name": "IEEE Trans B", "ISSN": "55556666", "Quartile": "Q1"}},
+      |{"title": "Empty Authors", "authors": [], "authors_with_affiliations": [], "universities": [], "countries": [], "locations": [], "Date": "9 June 2020", "Month": "June", "Day": 9, "Year": 2020, "abstract": "y", "doi": "https://doi.org/10.1109/b3", "citations": 4, "type": "RESEARCH-ARTICLE", "keywords": ["devops"], "topic": "DevOps", "website": "IEEE Xplore", "publisher": {"name": "IEEE Trans B", "ISSN": "55556666", "Quartile": "Q1"}},
+      |{"title": "Hal's \"Grand\" Theory", "authors": ["Hal H"], "authors_with_affiliations": [{"author": "Hal H", "university": "Inst S", "country": "h.h@inst.edu", "location": "x"}, {"author": "Hal H", "university": "Inst S", "country": "Republic of Korea", "location": "Inst S, Korea"}], "universities": ["Inst S"], "countries": ["Republic of Korea", "h.h@inst.edu"], "locations": [], "Date": "20 February 2024", "Month": "February", "Day": 20, "Year": 2024, "abstract": "CafÃ© rÃ©sumÃ© text.", "doi": "https://doi.org/10.1109/b4", "citations": 11, "type": "RESEARCH-ARTICLE", "keywords": ["blockchain", "ai"], "topic": "Blockchain", "website": "IEEE Xplore", "publisher": {"name": "IEEE Trans C", "ISSN": "77778888", "Quartile": "Q2"}}
+      |]""".stripMargin)
+
+  lazy val merged = Ingest.readMerged(spark, Seq(sdRaw, sdUpd, ieeeRaw, ieeeUpd))
+  lazy val clean = Clean(merged)
+  lazy val star = StarSchema.build(clean)
+
+  test("ingest merges the four variants and dedups doi preferring enriched rows") {
+    assert(merged.count() === 8) // 10 raw rows, a1 + b1 deduped
+    val a1 = merged.filter(merged("doi") === "https://doi.org/10.1016/a1")
+      .select("publisher.Quartile").collect()
+    assert(a1.map(_.getString(0)).toSeq === Seq("Q1")) // upd row won
+    assert(!merged.columns.contains("journal_name"))
+  }
+
+  test("cleaning keeps exactly the well-formed rows") {
+    val dois = clean.select("doi").collect().map(_.getString(0)).sorted
+    // a2 sentinel+unenriched, a4 N/A ISSN, b2 null citations, b3 empty authors drop;
+    // doi URLs lose ':/' etc to the F8 whitelist — compare on suffix
+    assert(dois.length === 4)
+    assert(dois.exists(_.endsWith("a1")) && dois.exists(_.endsWith("a3")) &&
+      dois.exists(_.endsWith("b1")) && dois.exists(_.endsWith("b4")))
+  }
+
+  test("country canonicalization + email filters applied") {
+    val b4 = clean.filter(clean("doi").endsWith("b4")).collect().head
+    val countries = b4.getAs[scala.collection.Seq[String]]("countries").toSeq
+    assert(countries === Seq("South Korea")) // alias mapped, email removed
+    val affs = b4.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("authors_with_affiliations")
+    assert(affs.length === 1) // email-country affiliation removed
+    assert(affs.head.getAs[String]("country") === "South Korea")
+  }
+
+  test("unicode repair + whitelist clean on text columns") {
+    val b4 = clean.filter(clean("doi").endsWith("b4")).collect().head
+    assert(b4.getAs[String]("abstract") === "Café résumé text")
+    // double quotes stripped by F8, apostrophe kept
+    assert(b4.getAs[String]("title") === "Hal's Grand Theory")
+  }
+
+  test("star schema: dense deterministic keys, deduped dims, distinct bridges") {
+    val authorIds = star.authors.select("AuthorID").collect().map(_.getLong(0)).sorted
+    assert(authorIds === authorIds.indices.map(_.toLong).toArray.toSeq) // dense 0..n-1
+    // Cara C + Dan D + Ann A + Eve(dropped a4) ... count distinct natural keys
+    assert(star.authors.count() === star.authors.dropDuplicates("FullName", "Country", "University").count())
+    assert(star.keywords.count() === star.keywords.dropDuplicates("Keyword").count())
+    assert(star.authorArticle.count() === star.authorArticle.distinct().count())
+    // FK integrity: every fact TopicID resolves
+    assert(star.articles.filter(star.articles("TopicID").isNull).count() === 0)
+    assert(star.articles.count() === 4)
+  }
+
+  test("star schema keys are stable under repartition") {
+    val k1 = star.keywords.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val k2 = StarSchema.keywords(clean.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(k1 === k2)
+  }
+
+  test("insert generator escaping matches the reference semantics") {
+    import spark.implicits._
+    val df = Seq(("O'Brien", Some(2.5)), ("Plain", None))
+      .toDF("FullName", "Score")
+    val stmts = Writers.insertStatements(df, "authors")
+      .collect().map(_.getString(0)).sorted
+    assert(stmts.contains("INSERT INTO authors (FullName, Score) VALUES ('O''Brien', 2.5);"))
+    assert(stmts.contains("INSERT INTO authors (FullName, Score) VALUES ('Plain', NULL);"))
+  }
+
+  test("json array file writer round-trips through the ingest reader") {
+    val out = dir.resolve("roundtrip.json").toString
+    Writers.writeJsonArrayFile(clean.select("doi", "title", "topic"), out)
+    val back = spark.read.option("multiLine", true).json(out)
+    assert(back.count() === 4)
+  }
+
+  test("quartile as-of enrichment: fallback, exact, out-of-range") {
+    import spark.implicits._
+    val quartiles = Seq(
+      ("Journal A", "11112222", 2015, "Q4"),
+      ("Journal A", "11112222", 2020, "Q2"),
+      ("Journal G", "33334444", 2010, "Q1"))
+      .toDF("journal", "ISSN", "year", "quartile")
+    val enriched = Quartiles.enrich(clean, quartiles)
+    val q = enriched.select(col("doi"), col("publisher.Quartile"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    def byDoi(suffix: String) = q.find(_._1.endsWith(suffix)).get._2
+    assert(byDoi("a1") === "Q2")  // 2024 → as-of 2020 (4 back)
+    assert(byDoi("a3") === "")    // 2023 vs 2010: 13 back → out of range
+    assert(byDoi("b1") === "")    // journal not in lookup
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+}

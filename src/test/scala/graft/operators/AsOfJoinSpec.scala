@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("as-of picks the greatest right time <= left time, with <= visible") {
+    val left = Seq((1L, 10L, "l10"), (1L, 20L, "l20"), (1L, 5L, "l5"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (1L, 7L, "r7"))
+      .toDF("k", "rt", "payload")
+    val got = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt",
+        Seq("payload"), "payload")
+      .select("tag", "payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("l5") === None)          // nothing at or before 5
+    assert(got("l10") === Some("r10"))  // equal timestamp IS visible
+    assert(got("l20") === Some("r15"))
+  }
+
+  test("equal right timestamps: greatest tie-breaker wins") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 10L, "a"), (1L, 10L, "b"), (1L, 9L, "z"))
+      .toDF("k", "rt", "payload")
+    val got = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt",
+      Seq("payload"), "payload").select("payload").collect().head.getString(0)
+    assert(got === "b")
+  }
+
+  test("keys never mix and unmatched keys yield nulls") {
+    val left = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 1L, "one"), (2L, 2L, "two")).toDF("k", "rt", "payload")
+    val got = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt",
+        Seq("payload"), "payload")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got === Map(1L -> Some("one"), 2L -> Some("two"), 3L -> None))
+  }
+
+  test("matches the naive range-join + top-1 on random data") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 300).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = (1 to 200).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))
+      .toDF("k", "rt", "rid")
+    val fast = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt", Seq("rid"), "rid")
+      .select("lid", "rid").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val naive = left.join(right, Seq("k"), "left")
+      .filter(col("rt").isNull || col("rt") <= col("t"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lid").orderBy(col("rt").desc_nulls_last, col("rid").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select("lid", "rid").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // naive keeps a left row only when SOME right row for the key passed
+    // the filter; rebuild the full map with None for dropped lids
+    val lids = left.select("lid").collect().map(_.getLong(0))
+    val naiveFull = lids.map(l => l -> naive.getOrElse(l, None)).toMap
+    assert(fast === naiveFull)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different words about spark catalyst optimizer and shuffle plans"),
+    (4L, "THE QUICK BROWN FOX jumps over the lazy dog near the river bank today!!"), // exact-dup of 1 after canon
+    (5L, "another unrelated document discussing parquet column pruning and pushdown")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/punctuation variants") {
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .filter($"n_dups" > 1).collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("canonical_id") === 1L)
+    assert(groups.head.getAs[Long]("n_dups") === 2L)
+  }
+
+  test("minhash LSH finds the near-dup pair and nothing else") {
+    val pairs = Dedup.minhashNearDups(docs.filter($"doc_id" =!= 4), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash: near-dups are close in hamming distance, unrelated far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < 12)
+    assert(ham(sh(1L), sh(3L)) > 15)
+    assert(sh(1L) === sh(4L).ensuring(_ => true) || ham(sh(1L), sh(4L)) < 12)
+  }
+
+  test("ngram jaccard with blocking only pairs within a block") {
+    val blocked = docs.withColumn("src",
+      org.apache.spark.sql.functions.when($"doc_id" <= 2, "A").otherwise("B"))
+    val pairs = Dedup.ngramJaccard(blocked, "doc_id", "text", "src", n = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L))) // 1-4 would match but sit in different blocks
+  }
+
+  test("ivf ANN recall vs brute force on real embeddings") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.cosineTopK(emb, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact search: self excluded, k results per query
+    assert(exact.size === 100)
+    val nCells = emb.select("label").distinct().count().toInt
+    // probing every cell must reduce to brute force exactly
+    val full = Similarity.ivfTopK(emb, queries, "label", 10, nProbe = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
+    // partial probe trades recall for cost but must stay useful
+    val approx = Similarity.ivfTopK(emb, queries, "label", 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 2.0 / nCells * 0.7,
+      s"IVF recall $recall below the $nCells-cell floor")
+  }
+}

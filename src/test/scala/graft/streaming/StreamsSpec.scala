@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class StreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("article file stream ingests incrementally with the explicit schema") {
+    val dir = Files.createTempDirectory("graft-stream")
+    def land(name: String, lines: String*): Unit =
+      Files.write(dir.resolve(name),
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    land("batch1.json",
+      """{"title": "S1", "doi": "d1", "topic": "AI", "citations": 1}""",
+      """{"title": "S2", "doi": "d2", "topic": "IoT", "citations": 2}""")
+    val stream = Streams.articleStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    Streams.runOnce(stream.select("doi", "topic", "citations"), "arts1")
+    assert(spark.sql("SELECT count(*) FROM arts1").collect().head.getLong(0) === 2)
+    // second file lands → incremental pickup, no reprocessing
+    land("batch2.json",
+      """{"title": "S3", "doi": "d3", "topic": "AI", "citations": 3}""")
+    Streams.runOnce(stream.select("doi"), "arts2")
+    assert(spark.sql("SELECT count(*) FROM arts2").collect().head.getLong(0) === 3)
+  }
+
+  test("stateful sessionization matches hand-computed sessions") {
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val events = Seq(
+      Streams.Event(1L, ts(0), 1.0),
+      Streams.Event(1L, ts(10), 2.0),   // same session (gap 10m)
+      Streams.Event(1L, ts(50), 3.0),   // new session (gap 40m)
+      Streams.Event(2L, ts(5), 5.0)     // other user
+    ).toDS()
+    val sessions = Streams.sessionize(events).collect()
+      .map(s => (s.user_id, s.n_events, s.session_value)).toSet
+    // NoTimeout + batch: the still-open session per user is held in
+    // state, so only CLOSED sessions are emitted
+    assert(sessions === Set((1L, 2L, 3.0)))
+  }
+
+  test("windowed streaming agg equals the batch window query") {
+    val dir = Files.createTempDirectory("graft-ev")
+    val batch = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select($"ts", $"event_type", $"value")
+    batch.write.mode("overwrite").parquet(dir.toString + "/pq")
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.toString + "/pq")
+    Streams.runOnce(Streams.windowedCounts(stream), "winagg",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    val streamed = spark.sql("SELECT hour_start, event_type, n FROM winagg")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // batch path: same aggregation expressed in batch mode
+    val batchAgg = batch
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"), $"event_type")
+      .count()
+      .select($"window.start".as("hour_start"), $"event_type", $"count")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batchAgg)
+  }
+}
