@@ -9,10 +9,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreRelational.defs ++ FilterProject.defs ++ ScalarFuncs.defs ++
-      EventQueries.defs ++ StarSchemaQueries.defs ++ TextPipeline.defs
+      EventQueries.defs ++ StarSchemaQueries.defs ++ TextPipeline.defs ++
+      SourceQueries.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreRelational.oracle ++ FilterProject.oracle ++ ScalarFuncs.oracle ++
-      EventQueries.oracle ++ StarSchemaQueries.oracle ++ TextPipeline.oracle
+      EventQueries.oracle ++ StarSchemaQueries.oracle ++ TextPipeline.oracle ++
+      SourceQueries.oracle
 }

@@ -19,39 +19,56 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // 4 bands × 3 rows: the LSH s-curve crosses ~(1/4)^(1/3) ≈ 0.63,
+  // the right knee for a 0.5 near-dup threshold (3 bands × 4 rows puts
+  // it at 0.71 and misses true pairs around 0.8 too often).
   val NumHashes = 12
-  val Bands = 3
-  val RowsPerBand = 4 // NumHashes / Bands
+  val Bands = 4
+  val RowsPerBand = 3 // NumHashes / Bands
 
   /** 60-bit deterministic hash of a string (md5 hex prefix → long). */
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Distinct k-word shingles per document: (doc_id, shingle). */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
-    docs
+  /** 40-bit base hash — one md5 per value; the per-seed family below
+    * derives NumHashes hashes from it with pure int64 arithmetic, so
+    * hashing cost is 1× md5 instead of NumHashes×. */
+  def hash40(c: Column): Column =
+    conv(substring(md5(c), 1, 10), 16, 10).cast("long")
+
+  /** Universal-hash family over the 40-bit base: (A_s·h + B_s) mod P.
+    * A_s ≤ ~1.3e6 keeps A·h < 1.5e18 < 2^63 — no int64 overflow in any
+    * engine. */
+  val HashP: Long = 1099511627689L // largest prime < 2^40
+  def hashA(s: Int): Long = 1000003L + 24690L * s // odd, < 2^20
+  def hashB(s: Int): Long = 12345L + 777777L * s
+  def seedHash(h: Column, s: Int): Column =
+    (h * hashA(s) + hashB(s)) % HashP
+
+  /** k-word shingles per document: (doc_id, shingle). `distinct=false`
+    * keeps the raw multiset — sufficient for MinHash (min over a
+    * multiset equals min over its set) and skips a full shuffle. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int = 3,
+      distinct: Boolean = true): DataFrame = {
+    val raw = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', slice(w, i, $k)))"))
           .as("shingle"))
-      .distinct()
+    if (distinct) raw.distinct() else raw
+  }
 
-  /** MinHash signature rows: (doc_id, seed, mh) for seed in [0, NumHashes). */
-  def minhashSignature(sh: DataFrame): DataFrame =
-    sh
-      .select(col("doc_id"), explode(sequence(lit(0), lit(NumHashes - 1))).as("seed"), col("shingle"))
-      .select(col("doc_id"), col("seed"),
-        hash60(concat(col("seed").cast("string"), lit(":"), col("shingle"))).as("h"))
-      .groupBy("doc_id", "seed")
-      .agg(min(col("h")).as("mh"))
-
-  /** One row per doc with a bucket id per LSH band:
-    * (doc_id, band0..band{Bands-1}). */
-  def lshBuckets(sig: DataFrame): DataFrame = {
-    val pivoted = sig.groupBy("doc_id").agg(
-      max(when(col("seed") === 0, col("mh"))).as("mh0"),
-      (1 until NumHashes).map(s => max(when(col("seed") === s, col("mh"))).as(s"mh$s")): _*)
+  /** One row per doc with a bucket id per LSH band, computed WITHOUT the
+    * NumHashes× row explosion: ONE md5 base-hash per shingle, NumHashes
+    * universal-hash derivations (int ops), min-aggregated in one
+    * map-side-combined groupBy — the shuffle carries one row per doc,
+    * not per (doc, seed, shingle).
+    */
+  def lshBuckets(sh: DataFrame): DataFrame = {
+    val base = sh.select(col("doc_id"), hash40(col("shingle")).as("h"))
+    val mins = (0 until NumHashes).map(s => min(seedHash(col("h"), s)).as(s"mh$s"))
+    val pivoted = base.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     pivoted.select(
       col("doc_id") +:
         (0 until Bands).map { b =>
@@ -61,16 +78,17 @@ object Dedup {
   }
 
   /** Distinct candidate pairs (d1 < d2) colliding in at least one band.
-    * Per-band equi-self-join — never an O(n²) cross product. */
-  def candidatePairs(buckets: DataFrame): DataFrame =
-    (0 until Bands)
-      .map { b =>
-        val l = buckets.select(col("doc_id").as("d1"), col(s"band$b").as("bk"))
-        val r = buckets.select(col("doc_id").as("d2"), col(s"band$b").as("bk"))
-        l.join(r, "bk").filter(col("d1") < col("d2")).select("d1", "d2")
-      }
-      .reduce(_ unionByName _)
-      .distinct()
+    * Bands go long-format first so ONE self-join covers all bands (the
+    * shuffled signature subplan is identical on both sides → AQE
+    * exchange reuse evaluates it once); never an O(n²) cross product. */
+  def candidatePairs(buckets: DataFrame): DataFrame = {
+    val long = buckets.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band", "bk")))
+    val l = long.select(col("doc_id").as("d1"), col("band"), col("bk"))
+    val r = long.select(col("doc_id").as("d2"), col("band"), col("bk"))
+    l.join(r, Seq("band", "bk")).filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
 
   /** Exact Jaccard over the shingle sets of candidate pairs only.
     * Returns (d1, d2, jaccard) with jaccard rounded to 4 decimals,
@@ -78,7 +96,9 @@ object Dedup {
   def jaccardVerify(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val docsIn = cand.select(col("d1").as("doc_id"))
       .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
-    val shc = sh.join(docsIn, "doc_id") // semi-restrict before pair join
+    // semi-restrict BEFORE set-ifying: the distinct shuffle only ever
+    // sees candidate docs, not the whole corpus
+    val shc = sh.join(docsIn, "doc_id").distinct()
     val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val x = shc.select(col("doc_id").as("d1"), col("shingle"))
     val y = shc.select(col("doc_id").as("d2"), col("shingle"))
@@ -94,11 +114,13 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Full MinHash+LSH near-dup pipeline. */
+  /** Full MinHash+LSH near-dup pipeline. Signatures run on the raw
+    * shingle multiset (no global distinct); only the candidate docs are
+    * set-ified for exact-Jaccard verification. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, k)
-    jaccardVerify(sh, candidatePairs(lshBuckets(minhashSignature(sh))), threshold)
+    val shRaw = shingles(docs, idCol, textCol, k, distinct = false)
+    jaccardVerify(shRaw, candidatePairs(lshBuckets(shRaw)), threshold)
   }
 
   /** Exact-duplicate groups by canonical fingerprint: one row per

@@ -33,13 +33,17 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (qid, vec_id, cos), k rows per query, ranked by rounded
-    * cosine desc then vec_id (fully deterministic). */
+    * cosine desc then vec_id (fully deterministic). Norms are computed
+    * once per row BEFORE the |queries|× fan-out join, not per pair. */
   def cosineTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val cand = candidates.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
     val scored = cand
       .join(broadcast(q), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6).as("cos"))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))

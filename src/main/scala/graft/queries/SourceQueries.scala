@@ -1,0 +1,90 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Source operators (SURVEY §2.1): the engine's readers exercised as
+  * round-trips — parquet → format → explicit-schema read back — so the
+  * oracle (reading the original parquet) checks the reader end-to-end.
+  */
+object SourceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** S1: JSON read with explicit schema (the merged-articles reader,
+    * DB/ETL.ipynb c5 — but schema-first, never inferred). */
+  val s1JsonRead: Q = (s, dir) => {
+    import s.implicits._
+    val out = tmp("graft-s1") + "/docs"
+    Tables.load(s, dir, "documents").write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).json(out)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val s1JsonReadSql: String =
+    "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"
+
+  /** S7: CSV read with header + explicit schema (the star-table reader,
+    * DB/iqueries generator.py:97). */
+  val s7CsvRead: Q = (s, dir) => {
+    import s.implicits._
+    val out = tmp("graft-s7") + "/nation"
+    Tables.load(s, dir, "nation").write.mode("overwrite")
+      .option("header", true).csv(out)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.option("header", true).schema(schema).csv(out)
+      .orderBy($"n_nationkey")
+  }
+
+  val s7CsvReadSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  /** A1: the count-audit operator (ref: before/after cleaning counts,
+    * DB/ETL.ipynb c13/c27) as one relation of named counts. */
+  val a1CountAudit: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+    o.select(
+        count(lit(1)).as("total"),
+        count(when($"o_orderstatus" === "F", 1)).as("finished"),
+        count(when($"o_totalprice" > 100000.0, 1)).as("big"))
+      .select(expr("stack(3, 'total', total, 'finished', finished, 'big', big) AS (step, n)"))
+      .orderBy($"step")
+  }
+
+  val a1CountAuditSql: String =
+    """SELECT 'big' AS step, count(*) FILTER (o_totalprice > 100000.0) AS n FROM orders
+      |UNION ALL
+      |SELECT 'finished', count(*) FILTER (o_orderstatus = 'F') FROM orders
+      |UNION ALL
+      |SELECT 'total', count(*) FROM orders
+      |ORDER BY step""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "s1_json_read"  -> s1JsonRead,
+    "s7_csv_read"   -> s7CsvRead,
+    "a1_count_audit" -> a1CountAudit,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s1_json_read"  -> s1JsonReadSql,
+    "s7_csv_read"   -> s7CsvReadSql,
+    "a1_count_audit" -> a1CountAuditSql,
+  )
+}

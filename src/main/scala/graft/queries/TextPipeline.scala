@@ -150,10 +150,12 @@ object TextPipeline {
 
   val d2MinhashSql: String = {
     val mhCols = (0 until Dedup.NumHashes)
-      .map(i => s"max(CASE WHEN seed = $i THEN mh END) AS mh$i").mkString(", ")
+      .map(s => s"min((h * ${Dedup.hashA(s)} + ${Dedup.hashB(s)}) % ${Dedup.HashP}) AS mh$s")
+      .mkString(", ")
     val bands = (0 until Dedup.Bands)
       .map { b =>
-        val cols = (0 until Dedup.RowsPerBand).map(r => s"mh${b * 4 + r}").mkString(", ")
+        val cols = (0 until Dedup.RowsPerBand)
+          .map(r => s"mh${b * Dedup.RowsPerBand + r}").mkString(", ")
         s"md5(concat_ws(',', $cols)) AS band$b"
       }.mkString(", ")
     val bandEq = (0 until Dedup.Bands).map(b => s"a.band$b = b.band$b").mkString(" OR ")
@@ -162,11 +164,9 @@ object TextPipeline {
        |sh AS (
        |  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle
        |  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM w WHERE len(l) >= 3)),
-       |hashes AS (
-       |  SELECT doc_id, seed, min(('0x' || substr(md5(seed || ':' || shingle), 1, 15))::BIGINT) AS mh
-       |  FROM (SELECT doc_id, shingle, unnest(range(${Dedup.NumHashes})) AS seed FROM sh)
-       |  GROUP BY doc_id, seed),
-       |sig AS (SELECT doc_id, $mhCols FROM hashes GROUP BY doc_id),
+       |base AS (
+       |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 10))::BIGINT AS h FROM sh),
+       |sig AS (SELECT doc_id, $mhCols FROM base GROUP BY doc_id),
        |buckets AS (SELECT doc_id, $bands FROM sig),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
