@@ -231,7 +231,59 @@ object ScalarFuncs {
       |    AS total_citations
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  private def canonCaseSql(x: String): String =
+    "CASE " + graft.etl.Clean.countryAliases.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN $x = '$k' THEN '$v'" }.mkString(" ") +
+      s" ELSE $x END"
+
+  /** F9: country canonicalization over an array via broadcast alias map
+    * + transform HOF — the replacement for the reference's pycountry
+    * Python UDF (DB/ETL.ipynb c20). */
+  val f9CountryCanon: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "customer")
+      .join(Tables.load(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+      .withColumn("countries", array($"n_name", lit("USA"), lit("Republic of Korea")))
+      .select($"c_custkey",
+        array_join(transform($"countries", graft.etl.Clean.canonCountry(_)), "|").as("canon"))
+      .orderBy($"c_custkey")
+  }
+
+  val f9CountryCanonSql: String =
+    s"""SELECT c_custkey,
+       |  array_to_string(list_transform([n_name, 'USA', 'Republic of Korea'],
+       |                                 x -> ${canonCaseSql("x")}), '|') AS canon
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |ORDER BY c_custkey""".stripMargin
+
+  /** F10: the same canonicalization INSIDE an array<struct>, preserving
+    * the 4-field struct (the reference's second UDF, c21) — verified by
+    * exploding the transformed structs back to scalars. */
+  val f10StructCanon: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "customer")
+      .join(Tables.load(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+      .withColumn("affs", array(struct(
+        $"c_name".as("author"), lit("PRC").as("country"),
+        lit("loc").as("location"), $"n_name".as("university"))))
+      .withColumn("affs", transform($"affs", a => struct(
+        a.getField("author").as("author"),
+        graft.etl.Clean.canonCountry(a.getField("country")).as("country"),
+        a.getField("location").as("location"),
+        a.getField("university").as("university"))))
+      .select($"c_custkey", explode($"affs").as("a"))
+      .select($"c_custkey", $"a.author", $"a.country", $"a.university")
+      .orderBy($"c_custkey")
+  }
+
+  val f10StructCanonSql: String =
+    """SELECT c_custkey, c_name AS author, 'China' AS country, n_name AS university
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "f9_country_canon"  -> f9CountryCanon,
+    "f10_struct_canon"  -> f10StructCanon,
     "f1_affiliation_split" -> f1AffiliationSplit,
     "f2_split_last"        -> f2SplitLast,
     "f3_extract_nth"       -> f3ExtractNth,
@@ -245,6 +297,8 @@ object ScalarFuncs {
   )
 
   val oracle: Map[String, String] = Map(
+    "f9_country_canon"  -> f9CountryCanonSql,
+    "f10_struct_canon"  -> f10StructCanonSql,
     "f1_affiliation_split" -> f1AffiliationSplitSql,
     "f2_split_last"        -> f2SplitLastSql,
     "f3_extract_nth"       -> f3ExtractNthSql,

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{StarSchema, Writers}
+
+/** Property-style tests (SURVEY §5.2 #3) with ScalaCheck generators but
+  * batched evaluation — one Spark job per property, not one per sample.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[List[A]]): List[A] =
+    g.apply(Gen.Parameters.default, Seed(42L)).get
+
+  test("SQL-literal escaping round-trips any printable string") {
+    val strings = samples(Gen.listOfN(300,
+      Gen.asciiPrintableStr.map(_.take(40)))).distinct
+    val df = strings.zipWithIndex.map(_.swap).toDF("id", "s")
+    val stmts = Writers.insertStatements(df, "t")
+      .collect().map(_.getString(0))
+    // parse back: INSERT INTO t (id, s) VALUES (<id>, '<escaped>');
+    val re = """INSERT INTO t \(id, s\) VALUES \((\d+), '(.*)'\);""".r
+    val parsed = stmts.map {
+      case re(id, esc) => id.toInt -> esc.replace("''", "'")
+    }.toMap
+    strings.zipWithIndex.foreach { case (s, i) =>
+      assert(parsed(i) === s, s"round-trip failed for ${s.map(_.toInt)}")
+    }
+  }
+
+  test("surrogate keys are dense, unique, and partition-invariant") {
+    val words = samples(Gen.listOfN(500, Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(6)), Gen.const("dup")))).filter(_.nonEmpty)
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (w, i) => (i.toLong, w.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+      .withColumn("keywords", org.apache.spark.sql.functions.split($"text", " "))
+      .withColumnRenamed("text", "abstract")
+    def dim(partitions: Int) =
+      StarSchema.keywords(docs.repartition(partitions))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val d1 = dim(1); val d7 = dim(7)
+    assert(d1 === d7) // repartition-stable
+    val ids = d1.map(_._1).toSeq.sorted
+    assert(ids === ids.indices.map(_.toLong)) // dense 0..n-1
+    assert(d1.map(_._2).size === d1.size) // natural key unique
+  }
+}
