@@ -51,6 +51,21 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (v1 < v2) pairs within
+    * the same block whose cosine ≥ threshold. Blocking (a cluster id, a
+    * coarse LSH cell, a source partition) is what keeps the pair space
+    * linear-ish — the unblocked form is O(n²) and intentionally not
+    * offered. */
+  def nearDupPairs(emb: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col(blockCol).as("blk"),
+      col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("blk"), col("vec_id").as("v1"), col("v").as("va"))
+    val b = e.select(col("blk"), col("vec_id").as("v2"), col("v").as("vb"))
+    a.join(b, Seq("blk")).filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** IVF-style ANN: mean centroid per cell (from `cellCol`), probe the
     * nProbe nearest cells per query, exact rank within probed cells. */
   def ivfTopK(candidates: DataFrame, queries: DataFrame, cellCol: String,

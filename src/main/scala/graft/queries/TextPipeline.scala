@@ -140,7 +140,7 @@ object TextPipeline {
       |FROM fps GROUP BY fp HAVING count(*) > 1
       |ORDER BY canonical_id""".stripMargin
 
-  /** D2: MinHash+LSH near-dup pairs (12 hashes, 3 bands × 4 rows,
+  /** D2: MinHash+LSH near-dup pairs (12 hashes, 4 bands × 3 rows,
     * 3-word shingles), LSH candidates verified by exact Jaccard ≥ 0.5. */
   val d2Minhash: Q = (s, dir) => {
     import s.implicits._
@@ -258,6 +258,77 @@ object TextPipeline {
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10
       |ORDER BY qid, cos DESC, vec_id""".stripMargin
 
+  /** D5: embedding-cosine near-dup pairs, label-blocked, with injected
+    * exact copies so true positives exist (same construction in the
+    * oracle). */
+  val d5EmbeddingNearDup: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+    val withCopies = e.unionByName(
+      e.filter($"vec_id" % 83 === 0)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label"))
+    Similarity.nearDupPairs(withCopies, "label", 0.99)
+      .orderBy($"v1", $"v2")
+  }
+
+  val d5EmbeddingNearDupSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, embedding::DOUBLE[], label
+      |  FROM embeddings WHERE vec_id % 83 = 0),
+      |scored AS (
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |    round(list_dot_product(a.v, b.v) /
+      |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      |      AS cos
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT v1, v2, cos FROM scored WHERE cos >= 0.99
+      |ORDER BY v1, v2""".stripMargin
+
+  /** G2: posexplode — explode with element position (the typed flatMap
+    * alternative to the reference's struct-array explode, c39/c43). */
+  val g2Posexplode: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+      .filter($"word" =!= "")
+      .select($"doc_id", ($"pos" + 1).as("pos"), $"word")
+      .orderBy($"doc_id", $"pos")
+  }
+
+  val g2PosexplodeSql: String =
+    """SELECT doc_id, pos, word FROM (
+      |  SELECT doc_id,
+      |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+      |    unnest(string_split(text, ' ')) AS word
+      |  FROM documents)
+      |WHERE word <> ''
+      |ORDER BY doc_id, pos""".stripMargin
+
+  /** A4: per-column type/cardinality profiling (the reference's pandas
+    * value_counts audit, c8 — as one relation). */
+  val a4Profile: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents")
+    val one = (c: String) => d.select(
+      lit(c).as("col_name"),
+      count(lit(1)).as("n"),
+      count(col(c)).as("n_nonnull"),
+      countDistinct(col(c)).as("n_distinct"))
+    one("lang").unionByName(one("source")).unionByName(one("n_chars"))
+      .orderBy($"col_name")
+  }
+
+  val a4ProfileSql: String =
+    """SELECT 'lang' AS col_name, count(*) AS n, count(lang) AS n_nonnull,
+      |       count(DISTINCT lang) AS n_distinct FROM documents
+      |UNION ALL
+      |SELECT 'source', count(*), count(source), count(DISTINCT source) FROM documents
+      |UNION ALL
+      |SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars) FROM documents
+      |ORDER BY col_name""".stripMargin
+
   // ---- multimodal plumbing -----------------------------------------
 
   /** M1: opaque-binary column plumbing — text encoded to a binary
@@ -293,6 +364,9 @@ object TextPipeline {
     "d2_minhash_lsh"   -> d2Minhash,
     "d3_simhash"       -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d5_embedding_neardup" -> d5EmbeddingNearDup,
+    "g2_posexplode"    -> g2Posexplode,
+    "a4_profile"       -> a4Profile,
     "n1_cosine_topk"   -> n1CosineTopK,
     "m1_binary_meta"   -> m1BinaryMeta,
   )
@@ -306,6 +380,9 @@ object TextPipeline {
     "d2_minhash_lsh"   -> d2MinhashSql,
     "d3_simhash"       -> d3SimhashSql,
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
+    "d5_embedding_neardup" -> d5EmbeddingNearDupSql,
+    "g2_posexplode"    -> g2PosexplodeSql,
+    "a4_profile"       -> a4ProfileSql,
     "n1_cosine_topk"   -> n1CosineTopKSql,
     "m1_binary_meta"   -> m1BinaryMetaSql,
   )
