@@ -5,16 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** CLI entry point: the reference's whole pipeline (ingest → clean →
   * star schema → sinks) over a set of scraper JSON-array files.
   *
-  *   runMain graft.etl.EtlMain <out-dir> <input.json>...
+  *   runMain graft.etl.EtlMain [--compat] <out-dir> <input.json>...
   *
   * Prints per-table row counts; writes CSV + JSONL + INSERT scripts
   * under <out-dir> — the same artifact set as DB/Tables + DB/queries.
+  * `--compat` swaps in the reference-parity dimension builders
+  * (per-instance keyword rows, sparse monotonic author ids).
   */
 object EtlMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: EtlMain <out-dir> <input.json>...")
-    val outDir = args.head
-    val inputs = args.tail.toSeq
+    val compat = args.contains("--compat")
+    val rest = args.filterNot(_ == "--compat")
+    require(rest.length >= 2, "usage: EtlMain [--compat] <out-dir> <input.json>...")
+    val outDir = rest.head
+    val inputs = rest.tail.toSeq
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-etl")
@@ -28,14 +32,18 @@ object EtlMain {
     val merged = Ingest.readMerged(spark, inputs)
     val clean = Clean(merged)
     val star = StarSchema.build(clean)
+    val keywordsDim =
+      if (compat) StarSchema.keywordsCompat(clean) else star.keywords
+    val authorsDim =
+      if (compat) StarSchema.authorsCompat(clean) else star.authors
 
     val tables = Seq(
       "articles" -> star.articles,
       "publishers" -> star.publishers,
-      "keywords" -> star.keywords,
+      "keywords" -> keywordsDim,
       "topics" -> star.topics,
       "dates" -> star.dates,
-      "authors" -> star.authors,
+      "authors" -> authorsDim,
       "author_article_mapping" -> star.authorArticle,
       "keywords_articles_mapping" -> star.keywordArticle)
 

@@ -110,6 +110,34 @@ object StarSchema {
       .select("DOI", "KeywordID")
       .distinct()
 
+  // ---- CompatMode: byte-faithful reference quirks ------------------
+  //
+  // The default build fixes the reference's dimension bugs (SURVEY §7
+  // hazard 2). These variants reproduce the measured reference
+  // behavior instead, for users who need drop-in numeric parity with
+  // DB/Tables/*.csv:
+
+  /** keywords dim exactly as c33: one row PER INSTANCE (27,317 rows vs
+    * 7,336 distinct strings in the reference), ids assigned by
+    * monotonically_increasing_id — partition-dependent, sparse. */
+  def keywordsCompat(clean: DataFrame): DataFrame =
+    clean.select(explode(col("keywords")).as("Keyword"))
+      .withColumn("KeywordID", monotonically_increasing_id())
+      .select("KeywordID", "Keyword")
+
+  /** authors dim exactly as c39: id BEFORE distinct — the distinct can
+    * never collapse natural-key duplicates (19,967 vs 17,696 in the
+    * reference). */
+  def authorsCompat(clean: DataFrame): DataFrame =
+    clean.select(explode(col("authors_with_affiliations")).as("a"))
+      .select(
+        col("a.author").as("FullName"),
+        col("a.country").as("Country"),
+        col("a.university").as("University"))
+      .withColumn("AuthorID", monotonically_increasing_id())
+      .distinct()
+      .select("AuthorID", "FullName", "Country", "University")
+
   /** All eight tables in one pass. */
   case class Star(
       articles: DataFrame, publishers: DataFrame, keywords: DataFrame,

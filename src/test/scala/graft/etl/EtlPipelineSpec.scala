@@ -103,6 +103,21 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(star.articles.count() === 4)
   }
 
+  test("compat mode reproduces the reference's dimension quirks") {
+    // keyword dim keeps one row per instance (the reference's
+    // 27,317-vs-7,336 behavior)
+    val inst = clean.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.col("keywords"))).count()
+    assert(StarSchema.keywordsCompat(clean).count() === inst)
+    assert(StarSchema.keywords(clean).count() <= inst)
+    // author compat ids are sparse (partition-encoded), not dense
+    val maxId = StarSchema.authorsCompat(clean.repartition(4))
+      .agg(org.apache.spark.sql.functions.max("AuthorID"))
+      .collect().head.getLong(0)
+    val n = StarSchema.authorsCompat(clean).count()
+    assert(maxId >= n - 1)
+  }
+
   test("star schema keys are stable under repartition") {
     val k1 = star.keywords.collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val k2 = StarSchema.keywords(clean.repartition(7)).collect()
