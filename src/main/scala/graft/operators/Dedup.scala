@@ -116,7 +116,10 @@ object Dedup {
 
   /** Full MinHash+LSH near-dup pipeline. Signatures run on the raw
     * shingle multiset (no global distinct); only the candidate docs are
-    * set-ified for exact-Jaccard verification. */
+    * set-ified for exact-Jaccard verification. (Re-shingling just the
+    * candidate docs was measured slower here — the candidate subplan
+    * gets re-evaluated across branches — so the verify path filters the
+    * one shared shingle stream instead.) */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val shRaw = shingles(docs, idCol, textCol, k, distinct = false)
