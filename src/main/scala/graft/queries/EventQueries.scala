@@ -109,15 +109,57 @@ object EventQueries {
       |GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin
 
+  /** E3: sliding event-time windows (1 h length, 30 min slide) — each
+    * event lands in two windows; the oracle enumerates the two aligned
+    * starts per event. */
+  val e3SlidingWindow: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros($"w.start").as("win_start"), $"event_type", $"n")
+      .orderBy($"win_start", $"event_type")
+  }
+
+  val e3SlidingWindowSql: String =
+    """WITH placed AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) // 1800000000) * 1800000000 - off AS win_start,
+      |    epoch_us(ts) AS t
+      |  FROM events, (SELECT unnest([0, 1800000000]) AS off))
+      |SELECT win_start, event_type, count(*) AS n
+      |FROM placed
+      |WHERE t >= win_start AND t < win_start + 3600000000
+      |GROUP BY 1, 2
+      |ORDER BY win_start, event_type""".stripMargin
+
+  /** AN4: HLL profiling — approx_count_distinct per group (the sketch
+    * path for 100 TB cardinality audits). Not ANSI-replicable, so no
+    * oracle: the driver records a rows-only check, and the ScalaTest
+    * suite bounds the relative error against exact counts. */
+  val an4ApproxDistinct: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_orderkey").as("approx_orders"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Map[String, Q] = Map(
     "j4_asof_join"  -> j4AsOf,
     "e1_window_agg" -> e1WindowAgg,
     "e2_sessionize" -> e2Sessionize,
+    "e3_sliding_window" -> e3SlidingWindow,
+    "an4_approx_distinct" -> an4ApproxDistinct,
   )
 
   val oracle: Map[String, String] = Map(
     "j4_asof_join"  -> j4AsOfSql,
     "e1_window_agg" -> e1WindowAggSql,
     "e2_sessionize" -> e2SessionizeSql,
+    "e3_sliding_window" -> e3SlidingWindowSql,
+    // an4_approx_distinct: intentionally omitted (sketch, rows-only check)
   )
 }

@@ -32,6 +32,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("approx_count_distinct stays within HLL error of exact counts") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val rows = li.groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx"),
+        countDistinct($"l_partkey").as("exact"))
+      .collect()
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e < 0.1, s"HLL error too large: $a vs $e")
+    }
+  }
+
   test("surrogate keys are dense, unique, and partition-invariant") {
     val words = samples(Gen.listOfN(500, Gen.oneOf(
       Gen.alphaLowerStr.map(_.take(6)), Gen.const("dup")))).filter(_.nonEmpty)
