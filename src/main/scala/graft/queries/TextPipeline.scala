@@ -329,6 +329,17 @@ object TextPipeline {
       |SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars) FROM documents
       |ORDER BY col_name""".stripMargin
 
+  /** N2: IVF-style ANN — the 100 TB scale path (probe the nProbe
+    * nearest cells only). Centroid means are float-order dependent, so
+    * this is a rows-only check (no oracle); SimilaritySpec pins
+    * nProbe=all ≡ brute force and the partial-probe recall floor. */
+  val n2AnnIvf: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter($"vec_id" < 5), "label", k = 10, nProbe = 2)
+      .orderBy($"qid", $"cos".desc, $"vec_id")
+  }
+
   // ---- multimodal plumbing -----------------------------------------
 
   /** M1: opaque-binary column plumbing — text encoded to a binary
@@ -368,9 +379,11 @@ object TextPipeline {
     "g2_posexplode"    -> g2Posexplode,
     "a4_profile"       -> a4Profile,
     "n1_cosine_topk"   -> n1CosineTopK,
+    "n2_ann_ivf"       -> n2AnnIvf,
     "m1_binary_meta"   -> m1BinaryMeta,
   )
 
+  // n2_ann_ivf intentionally absent from the oracle map (rows-only)
   val oracle: Map[String, String] = Map(
     "t1_lang_id"       -> t1LangIdSql,
     "t2_quality_score" -> t2QualitySql,
