@@ -59,14 +59,35 @@ object Dedup {
     if (distinct) raw.distinct() else raw
   }
 
+  /** Word-combination constants for arithmetic shingle hashing:
+    * base(i) = (hw(i)·K1 + hw(i+1)·K2 + hw(i+2)) mod P.
+    * hw < 2^40 and K < 2^20 keep every product < 2^60. */
+  val ShingleK1 = 1048573L
+  val ShingleK2 = 4093L
+
+  /** (doc_id, h) base hashes for every k-word shingle, WITHOUT building
+    * shingle strings: one md5 per word instance, then the k-word window
+    * combines word hashes arithmetically. Identical formula in the SQL
+    * oracle. (k is fixed to 3 here — the combination constants are a
+    * 3-term family.) */
+  def shingleBaseHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), expr(
+        s"""transform(w, x -> CAST(conv(substring(md5(x), 1, 10), 16, 10) AS BIGINT))"""
+      ).as("hw"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(hw) - 2), i -> (hw[i-1] * $ShingleK1 + hw[i] * $ShingleK2 + hw[i+1]) % $HashP)"
+      )).as("h"))
+
   /** One row per doc with a bucket id per LSH band, computed WITHOUT the
-    * NumHashes× row explosion: ONE md5 base-hash per shingle, NumHashes
-    * universal-hash derivations (int ops), min-aggregated in one
-    * map-side-combined groupBy — the shuffle carries one row per doc,
-    * not per (doc, seed, shingle).
+    * NumHashes× row explosion: per-word md5 base hashes combined
+    * arithmetically per shingle, NumHashes universal-hash derivations
+    * (int ops), min-aggregated in one map-side-combined groupBy — the
+    * shuffle carries one row per doc, not per (doc, seed, shingle).
     */
-  def lshBuckets(sh: DataFrame): DataFrame = {
-    val base = sh.select(col("doc_id"), hash40(col("shingle")).as("h"))
+  def lshBuckets(base: DataFrame): DataFrame = {
     val mins = (0 until NumHashes).map(s => min(seedHash(col("h"), s)).as(s"mh$s"))
     val pivoted = base.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     pivoted.select(
@@ -122,8 +143,9 @@ object Dedup {
     * one shared shingle stream instead.) */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val shRaw = shingles(docs, idCol, textCol, k, distinct = false)
-    jaccardVerify(shRaw, candidatePairs(lshBuckets(shRaw)), threshold)
+    require(k == 3, "arithmetic shingle hashing is a 3-term family")
+    val cand = candidatePairs(lshBuckets(shingleBaseHashes(docs, idCol, textCol)))
+    jaccardVerify(shingles(docs, idCol, textCol, k, distinct = false), cand, threshold)
   }
 
   /** Exact-duplicate groups by canonical fingerprint: one row per

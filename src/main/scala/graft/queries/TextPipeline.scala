@@ -164,8 +164,16 @@ object TextPipeline {
        |sh AS (
        |  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle
        |  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM w WHERE len(l) >= 3)),
+       |wh AS (
+       |  SELECT doc_id,
+       |    list_transform(l, x -> ('0x' || substr(md5(x), 1, 10))::BIGINT) AS hw
+       |  FROM w WHERE len(l) >= 3),
        |base AS (
-       |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 10))::BIGINT AS h FROM sh),
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(hw) - 1),
+       |      i -> (hw[i] * ${Dedup.ShingleK1} + hw[i+1] * ${Dedup.ShingleK2} + hw[i+2]) % ${Dedup.HashP}))
+       |      AS h
+       |  FROM wh),
        |sig AS (SELECT doc_id, $mhCols FROM base GROUP BY doc_id),
        |buckets AS (SELECT doc_id, $bands FROM sig),
        |cand AS (
