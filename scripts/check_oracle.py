@@ -37,6 +37,23 @@ def norm(v):
     return v
 
 
+def type_key(arrow_type):
+    """Normalize an arrow type for driver-equivalent strictness: the
+    driver's hash compare tolerates int width differences (int32 vs
+    int64 both passed round 1) but NOT decimal-vs-int (DuckDB HUGEINT
+    sums surfaced as decimal128 and hash-mismatched round 1)."""
+    s = str(arrow_type)
+    if s.startswith(("int", "uint")):
+        return "int"
+    if s in ("float", "double", "halffloat"):
+        return "float"
+    if s.startswith("list<") or s.startswith("large_list<"):
+        return "list"
+    if s in ("string", "large_string"):
+        return "string"
+    return s
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -48,21 +65,32 @@ def main():
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
+        spark_sql = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
         try:
-            cur = con.execute(sql)
-            o_cols = [d[0] for d in cur.description]
-            o_rows = cur.fetchall()
-            cur = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            s_cols = [d[0] for d in cur.description]
-            s_rows = cur.fetchall()
+            # NOTE: re-execute per consumption — duckdb re-uses one
+            # result set per connection, so interleaving .arrow() and
+            # .fetchall() on the same execute() silently yields []
+            o_schema = con.execute(sql).arrow().schema
+            o_cols = list(o_schema.names)
+            o_types = {f.name: type_key(f.type) for f in o_schema}
+            o_rows = con.execute(sql).fetchall()
+            s_schema = con.execute(spark_sql).arrow().schema
+            s_cols = list(s_schema.names)
+            s_types = {f.name: type_key(f.type) for f in s_schema}
+            s_rows = con.execute(spark_sql).fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: error {e}")
             n_fail += 1
             continue
         oc, orows = canon(o_rows, o_cols)
         sc, srows = canon(s_rows, s_cols)
-        if oc != sc:
+        tdiff = {k: (o_types.get(k), s_types.get(k))
+                 for k in set(o_types) | set(s_types)
+                 if o_types.get(k) != s_types.get(k)}
+        if tdiff:
+            print(f"FAIL {name}: types differ {tdiff}")
+            n_fail += 1
+        elif oc != sc:
             print(f"FAIL {name}: columns differ oracle={oc} spark={sc}")
             n_fail += 1
         elif len(orows) != len(srows):

@@ -25,16 +25,19 @@ object Bench {
     // untimed warm-up: JIT + codegen + parquet footer caches
     Tables.load(spark, sfDir, "lineitem").count()
     val qs = headline.filter(SparkEntry.queries.contains)
+    // a query that throws reports the sentinel -1, not its time-to-failure
     val results = qs.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

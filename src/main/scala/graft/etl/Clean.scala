@@ -100,13 +100,17 @@ object Clean {
 
   /** F8: schema-driven whitelist clean over every top-level string
     * column (c25) — regexp_replace folded across the schema, exactly
-    * the reference's loop but codegen'd. */
+    * the reference's loop but codegen'd. Byte parity with
+    * clean_and_encode_string (ETL.ipynb c25): the whitelist keeps all
+    * whitespace (the `\s` class), THEN '\n' alone is deleted with no
+    * joining space — adjacent words merge, and '\r'/'\t' survive,
+    * exactly as the reference's str.replace('\n','') behaves. */
   def cleanStrings(df: DataFrame): DataFrame = {
     val pattern = "[^A-Za-zÀ-ÿ0-9\\s'-]"
     df.schema.fields.collect {
       case f if f.dataType == StringType => f.name
     }.foldLeft(df)((d, c) =>
-      d.withColumn(c, regexp_replace(regexp_replace(col(c), "[\\r\\n]", " "), pattern, "")))
+      d.withColumn(c, regexp_replace(regexp_replace(col(c), pattern, ""), "\\n", "")))
   }
 
   /** The full c13–c26 cleaning pipeline. */

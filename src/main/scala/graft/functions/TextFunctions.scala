@@ -54,22 +54,27 @@ object TextFunctions {
     * density — the classic cheap pre-filter for web-scraped corpora.
     * Pure integer/decimal arithmetic so it is engine-exact. */
   /** Returns basis points in [0, 10000] as a long. Pure integer
-    * arithmetic end-to-end (rational mean floor-divided at the end), so
-    * any engine computes the identical value — float rounding at a
-    * half-ulp boundary cannot flip the result. */
+    * arithmetic end-to-end, so any engine computes the identical value —
+    * float rounding at a half-ulp boundary cannot flip the result.
+    *
+    * Each of the three ratios is floor-divided to basis points
+    * SEPARATELY before averaging, keeping every intermediate below
+    * ~2^45 even for multi-GB documents (a single common-denominator
+    * rational would overflow int64 once length·wsTokens > ~6e10, i.e.
+    * any multi-MB doc — exactly the inputs a 100 TB corpus contains). */
   def qualityScore(text: Column): Column = {
-    val a = least(length(text), lit(500)).cast("long")          // length score num
-    val b = lit(500L)                                           //   ... den
-    val c = length(regexp_replace(text, "[^A-Za-z]", "")).cast("long") // alpha num
-    val d = greatest(length(text), lit(1)).cast("long")         //   ... den
-    val e = least(stopwordHits(text, "en") * 10, wsTokens(text)).cast("long")
-    val f = greatest(wsTokens(text), lit(1)).cast("long")
-    val num = a * d * f + c * b * f + e * b * d
-    val den = lit(3L) * b * d * f
     // exact integer floor-division: subtract the remainder first, so the
     // final double division is between exact multiples (lossless < 2^53)
-    val scaled = num * lit(10000L)
-    ((scaled - pmod(scaled, den)) / den).cast("long")
+    def fdiv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    val lenBp = least(length(text), lit(500)).cast("long") * lit(20L)
+    val alphaNum = length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+    val alphaDen = greatest(length(text), lit(1)).cast("long")
+    val stopNum = least(stopwordHits(text, "en") * 10, wsTokens(text)).cast("long")
+    val stopDen = greatest(wsTokens(text), lit(1)).cast("long")
+    val alphaBp = fdiv(alphaNum * lit(10000L), alphaDen)
+    val stopBp = fdiv(stopNum * lit(10000L), stopDen)
+    fdiv(lenBp + alphaBp + stopBp, lit(3L))
   }
 
   /** Canonical-form fingerprint: md5 over lowercased text with

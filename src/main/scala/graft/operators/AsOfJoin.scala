@@ -22,6 +22,12 @@ import org.apache.spark.sql.expressions.Window
   *   3. last(payload, ignoreNulls) carries the most recent right payload
   *      forward onto each left row.
   *
+  * The payload travels as ONE struct column (null on left rows, non-null
+  * on every right row even when all its fields are null), so a single
+  * `last(struct, ignoreNulls)` carries all fields atomically from the
+  * same right row. Carrying each column independently would back-fill a
+  * NULL field from an older right row, silently mixing rows.
+  *
   * Cost: a single hash partition + sort per side — the same as any
   * sort-merge join — independent of how many right rows precede a left
   * row. Ties: right rows at the same timestamp as a left row ARE
@@ -54,18 +60,21 @@ object AsOfJoin {
       s"payload columns ${payloadCols.intersect(leftCols)} collide with left side")
     val passthrough = leftCols.filterNot(c => keys.contains(c) || c == leftTime)
 
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c).copy(name = c)))
+
     val taggedRight = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as("__t"), lit(1).as("__isRight"),
-            col(tieBreaker).as("__tie")) ++
-        payloadCols.map(col) ++
+            col(tieBreaker).as("__tie"),
+            struct(payloadCols.map(col): _*).as("__payload")) ++
         passthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val taggedLeft = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("__t"), lit(0).as("__isRight"),
-            lit(null).cast(right.schema(tieBreaker).dataType).as("__tie")) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+            lit(null).cast(right.schema(tieBreaker).dataType).as("__tie"),
+            lit(null).cast(payloadType).as("__payload")) ++
         passthrough.map(col): _*)
 
     // Right rows sort before left rows at the same timestamp so that a
@@ -75,13 +84,15 @@ object AsOfJoin {
       .orderBy(col("__t").asc, col("__isRight").desc, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payloadCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = taggedRight.unionByName(taggedLeft)
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
 
     carried
       .filter(col("__isRight") === 0)
-      .drop("__isRight", "__tie")
-      .withColumnRenamed("__t", leftTime)
+      .select(
+        keys.map(col) ++
+          Seq(col("__t").as(leftTime)) ++
+          payloadCols.map(c => col("__payload").getField(c).as(c)) ++
+          passthrough.map(col): _*)
   }
 }

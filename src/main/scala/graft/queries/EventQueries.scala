@@ -101,7 +101,7 @@ object EventQueries {
       |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                              ROWS UNBOUNDED PRECEDING) AS session_no
       |  FROM marked)
-      |SELECT user_id, session_no, count(*) AS n_events,
+      |SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
       |  epoch_us(min(ts)) AS session_start,
       |  epoch_us(max(ts)) AS session_end,
       |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS session_value

@@ -227,7 +227,7 @@ object ScalarFuncs {
 
   val a5CitationParseSql: String =
     """SELECT l_returnflag,
-      |  sum(CAST(regexp_extract('Cited by (' || l_linenumber || ')', '\((\d+)\)', 1) AS BIGINT))
+      |  CAST(sum(CAST(regexp_extract('Cited by (' || l_linenumber || ')', '\((\d+)\)', 1) AS BIGINT)) AS BIGINT)
       |    AS total_citations
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 

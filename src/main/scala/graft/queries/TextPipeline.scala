@@ -53,16 +53,14 @@ object TextPipeline {
   val t2QualitySql: String =
     """WITH m AS (
       |  SELECT doc_id,
-      |    least(length(text), 500)::BIGINT AS a,
-      |    500::BIGINT AS b,
-      |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS c,
-      |    greatest(length(text), 1)::BIGINT AS d,
-      |    least(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) * 10,
-      |          len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS e,
-      |    greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)::BIGINT AS f
+      |    least(length(text), 500)::BIGINT * 20 AS len_bp,
+      |    (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT * 10000)
+      |      // greatest(length(text), 1)::BIGINT AS alpha_bp,
+      |    (least(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) * 10,
+      |           len(regexp_split_to_array(trim(text), '\s+')))::BIGINT * 10000)
+      |      // greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)::BIGINT AS stop_bp
       |  FROM documents)
-      |SELECT doc_id,
-      |  ((a*d*f + c*b*f + e*b*d) * 10000) // (3*b*d*f) AS quality
+      |SELECT doc_id, (len_bp + alpha_bp + stop_bp) // 3 AS quality
       |FROM m ORDER BY doc_id""".stripMargin
 
   /** T3: token counting — whitespace and BPE-ish pre-tokenizer counts. */
@@ -216,7 +214,7 @@ object TextPipeline {
       |  FROM (SELECT doc_id, h, cnt, unnest(range(60)) AS bit FROM hashed)
       |  GROUP BY doc_id, bit)
       |SELECT doc_id,
-      |  sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+      |  CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** D4: character-4-gram Jaccard near-dups, blocked by source. */

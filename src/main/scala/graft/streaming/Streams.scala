@@ -41,11 +41,11 @@ object Streams {
 
   val gapMicros: Long = 1800L * 1000000L
 
-  /** flatMapGroupsWithState sessionizer: emits a session when a gap
-    * exceeds 30 minutes (or on timeout in a real stream). Processing
-    * order within a group follows event time because the upstream
-    * micro-batch is sorted per user in tests; production use pairs this
-    * with a watermark + event-time timeout. */
+  /** Batch-harness sessionizer: emits a session when a gap exceeds 30
+    * minutes; the final open session per user stays in state (single
+    * batch, no timeout fires). Production streams use
+    * [[sessionizeStream]], which flushes open sessions via watermark +
+    * event-time timeout and bounds state. */
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
@@ -70,6 +70,60 @@ object Streams {
           }
           cur.foreach(state.update)
           out.iterator
+      }
+  }
+
+  /** Production sessionizer: watermark + EventTimeTimeout, so the final
+    * open session per user IS emitted (once the watermark passes
+    * last-event + gap) and state is dropped — bounded memory on an
+    * unbounded stream.
+    *
+    * Ordering is guarded inside the group, not assumed from upstream:
+    * each micro-batch is sorted by event time, and an event that
+    * arrives late-but-within-watermark at `t <= state.last` still folds
+    * into the open session (extending n/total, keeping last = max)
+    * rather than corrupting the gap logic. Events later than the
+    * watermark are dropped by Spark before the function runs. */
+  def sessionizeStream(events: Dataset[Event],
+      watermarkDelay: String = "30 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: nothing can extend this
+            // session any more — flush it and clear state
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, s.start, s.last, s.n, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime * 1000L // micros
+              cur match {
+                case Some(s) if t <= s.last => // late within watermark
+                  cur = Some(s.copy(n = s.n + 1, total = s.total + e.value))
+                case Some(s) if t - s.last <= gapMicros =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  out += Session(uid, s.start, s.last, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // flush once the watermark passes the session's close
+              state.setTimeoutTimestamp(s.last / 1000L + gapMicros / 1000L)
+            }
+            out.iterator
+          }
       }
   }
 

@@ -91,6 +91,15 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(b4.getAs[String]("title") === "Hal's Grand Theory")
   }
 
+  test("cleanStrings deletes newlines with no joining space (reference byte parity)") {
+    import spark.implicits._
+    // ETL.ipynb c25: whitelist keeps \s, then replace('\n','') merges
+    // adjacent words; \r and \t survive untouched
+    val got = Clean.cleanStrings(Seq("line one\nline two\t(x)\r!").toDF("s"))
+      .collect().head.getString(0)
+    assert(got === "line oneline two\tx\r")
+  }
+
   test("star schema: dense deterministic keys, deduped dims, distinct bridges") {
     val authorIds = star.authors.select("AuthorID").collect().map(_.getLong(0)).sorted
     assert(authorIds === authorIds.indices.map(_.toLong).toArray.toSeq) // dense 0..n-1

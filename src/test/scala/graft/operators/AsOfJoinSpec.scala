@@ -40,6 +40,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got === Map(1L -> Some("one"), 2L -> Some("two"), 3L -> None))
   }
 
+  test("payload fields come atomically from the same right row") {
+    // the most recent right row has a NULL in one payload column; that
+    // NULL must NOT be back-filled from the older right row
+    val left = Seq((1L, 20L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 5L, Option("old_a"), Option("old_b")),
+      (1L, 10L, Option("new_a"), Option.empty[String])
+    ).toDF("k", "rt", "pa", "pb")
+    val row = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt",
+      Seq("pa", "pb"), "rt").select("pa", "pb").collect().head
+    assert(row.getString(0) === "new_a")
+    assert(row.isNullAt(1), "pb must be the matched row's NULL, not old_b")
+  }
+
   test("matches the naive range-join + top-1 on random data") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

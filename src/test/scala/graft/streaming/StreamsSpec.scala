@@ -46,6 +46,39 @@ class StreamsSpec extends AnyFunSuite {
     assert(sessions === Set((1L, 2L, 3.0)))
   }
 
+  test("event-time-timeout sessionizer flushes open sessions and drops state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // offset from epoch 0 so the initial watermark (0) can't clip events
+    def ts(min: Long) = new Timestamp((1000 + min) * 60000L)
+    val src = MemoryStream[Streams.Event]
+    val q = Streams.sessionizeStream(src.toDS(), "10 minutes").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("sess").start()
+    // batch 1: user 1 gets two sessions' worth; user 2 one event
+    src.addData(
+      Streams.Event(1L, ts(0), 1.0),
+      Streams.Event(1L, ts(10), 2.0),
+      Streams.Event(2L, ts(5), 5.0))
+    q.processAllAvailable()
+    // batch 2: gap > 30m closes user 1's first session inline; the far
+    // future event pushes the watermark past every open session's
+    // close, so the event-time timeout fires for users 1 and 2
+    src.addData(Streams.Event(1L, ts(50), 3.0))
+    q.processAllAvailable()
+    src.addData(Streams.Event(3L, ts(10000), 0.0))
+    q.processAllAvailable()
+    src.addData(Streams.Event(3L, ts(10001), 0.0)) // advance batch to fire timeouts
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT user_id, n_events, session_value FROM sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // user 1: closed (2 events) + timed-out (1 event); user 2: timed-out
+    assert(got.contains((1L, 2L, 3.0)))   // closed by gap
+    assert(got.contains((1L, 1L, 3.0)))   // open session flushed by timeout
+    assert(got.contains((2L, 1L, 5.0)))   // open session flushed by timeout
+  }
+
   test("windowed streaming agg equals the batch window query") {
     val dir = Files.createTempDirectory("graft-ev")
     val batch = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
