@@ -111,19 +111,24 @@ object Dedup {
       .select("d1", "d2").distinct()
   }
 
-  /** Exact Jaccard over the shingle sets of candidate pairs only.
-    * Returns (d1, d2, jaccard) with jaccard rounded to 4 decimals,
-    * filtered to >= threshold. */
-  def jaccardVerify(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+  /** Exact Jaccard over the hashed-shingle sets of candidate pairs
+    * only. `hashes` is (doc_id, h) from [[shingleBaseHashes]]; Jaccard
+    * over the 40-bit hash sets equals Jaccard over the shingle sets up
+    * to hash collisions, and the oracle replays the identical formula,
+    * so the check stays exact. Joining on a long instead of a built
+    * k-word string keeps the verify stage off the string allocator and
+    * shrinks shuffle rows to (long, long).
+    * Returns (d1, d2, jaccard) rounded to 4 decimals, >= threshold. */
+  def jaccardVerify(hashes: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val docsIn = cand.select(col("d1").as("doc_id"))
       .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
     // semi-restrict BEFORE set-ifying: the distinct shuffle only ever
     // sees candidate docs, not the whole corpus
-    val shc = sh.join(docsIn, "doc_id").distinct()
+    val shc = hashes.join(docsIn, "doc_id").distinct()
     val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val x = shc.select(col("doc_id").as("d1"), col("shingle"))
-    val y = shc.select(col("doc_id").as("d2"), col("shingle"))
-    val inter = x.join(y, "shingle").filter(col("d1") < col("d2"))
+    val x = shc.select(col("doc_id").as("d1"), col("h"))
+    val y = shc.select(col("doc_id").as("d2"), col("h"))
+    val inter = x.join(y, "h").filter(col("d1") < col("d2"))
       .join(cand, Seq("d1", "d2")) // only LSH candidates
       .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
     inter
@@ -135,17 +140,24 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Full MinHash+LSH near-dup pipeline. Signatures run on the raw
-    * shingle multiset (no global distinct); only the candidate docs are
-    * set-ified for exact-Jaccard verification. (Re-shingling just the
-    * candidate docs was measured slower here — the candidate subplan
-    * gets re-evaluated across branches — so the verify path filters the
-    * one shared shingle stream instead.) */
+  /** Full MinHash+LSH near-dup pipeline. ONE hashed-shingle stream
+    * (one md5 per word instance, arithmetic 3-word combination) feeds
+    * both the signature path and the Jaccard-verify path — no shingle
+    * strings are ever built. Signatures run on the raw hash multiset
+    * (min over a multiset = min over its set, skipping a distinct
+    * shuffle); only candidate docs are set-ified for verification.
+    * (Re-shingling just the candidate docs was measured slower here —
+    * the candidate subplan gets re-evaluated across branches — so the
+    * verify path filters the shared stream instead.) */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(k == 3, "arithmetic shingle hashing is a 3-term family")
-    val cand = candidatePairs(lshBuckets(shingleBaseHashes(docs, idCol, textCol)))
-    jaccardVerify(shingles(docs, idCol, textCol, k, distinct = false), cand, threshold)
+    val base = shingleBaseHashes(docs, idCol, textCol)
+    val cand = candidatePairs(lshBuckets(base))
+    jaccardVerify(base, cand, threshold)
+    // persisting base/cand (MEMORY_AND_DISK) was measured NO faster at
+    // sf0.1 — AQE exchange reuse already evaluates the shared shuffles
+    // once, and the cache write costs what the recompute saves
   }
 
   /** Exact-duplicate groups by canonical fingerprint: one row per

@@ -139,7 +139,8 @@ object TextPipeline {
       |ORDER BY canonical_id""".stripMargin
 
   /** D2: MinHash+LSH near-dup pairs (12 hashes, 4 bands × 3 rows,
-    * 3-word shingles), LSH candidates verified by exact Jaccard ≥ 0.5. */
+    * 3-word shingles), LSH candidates verified by Jaccard ≥ 0.5 over
+    * the hashed-shingle sets (same formula in the oracle). */
   val d2Minhash: Q = (s, dir) => {
     import s.implicits._
     Dedup.minhashNearDups(docsWithDups(s, dir), "doc_id", "text")
@@ -159,9 +160,6 @@ object TextPipeline {
     val bandEq = (0 until Dedup.Bands).map(b => s"a.band$b = b.band$b").mkString(" OR ")
     s"""WITH docs AS ($docsWithDupsSql),
        |w AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
-       |sh AS (
-       |  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle
-       |  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM w WHERE len(l) >= 3)),
        |wh AS (
        |  SELECT doc_id,
        |    list_transform(l, x -> ('0x' || substr(md5(x), 1, 10))::BIGINT) AS hw
@@ -172,15 +170,16 @@ object TextPipeline {
        |      i -> (hw[i] * ${Dedup.ShingleK1} + hw[i+1] * ${Dedup.ShingleK2} + hw[i+2]) % ${Dedup.HashP}))
        |      AS h
        |  FROM wh),
+       |hset AS (SELECT DISTINCT doc_id, h FROM base),
        |sig AS (SELECT doc_id, $mhCols FROM base GROUP BY doc_id),
        |buckets AS (SELECT doc_id, $bands FROM sig),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM buckets a JOIN buckets b ON a.doc_id < b.doc_id AND ($bandEq)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM hset GROUP BY doc_id),
        |inter AS (
        |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
-       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  FROM hset x JOIN hset y ON x.h = y.h AND x.doc_id < y.doc_id
        |  JOIN cand c ON c.d1 = x.doc_id AND c.d2 = y.doc_id
        |  GROUP BY 1, 2)
        |SELECT d1, d2,
