@@ -160,6 +160,53 @@ object Dedup {
     // once, and the cache write costs what the recompute saves
   }
 
+  /** Connected components over a near-dup pair list: every doc in a
+    * component is labelled with the component's smallest doc id — the
+    * canonical-survivor assignment a dedup pipeline needs AFTER pair
+    * generation (pairs alone don't say which copy to keep when dups
+    * chain: a~b, b~c must collapse to one cluster).
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the min of its own label and its neighbours' labels — a
+    * groupBy + join per round, converging in O(graph diameter) rounds.
+    * Near-dup graphs are overwhelmingly tiny cliques (diameter ≤ 2–3),
+    * so this beats the alternating-star contraction schemes (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    * until components grow adversarially long; `maxIter` guards the
+    * pathological chain. Each round is `localCheckpoint`ed to cut the
+    * exponentially-growing lineage — the standard Spark iterative
+    * pattern. Convergence is detected by the label sum (labels only
+    * ever decrease, so an unchanged sum means a fixpoint).
+    *
+    * Returns (doc_id, cluster_id) for every doc appearing in `pairs`.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val p = pairs.select(col("d1"), col("d2"))
+    val nodes = p.select(col("d1").as("id"))
+      .unionByName(p.select(col("d2").as("id"))).distinct()
+    val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(p.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var prevSum = BigDecimal(-1)
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      labels = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      val sum = Option(
+        labels.agg(org.apache.spark.sql.functions.sum(col("label").cast("decimal(38,0)")))
+          .head().getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+      done = sum == prevSum
+      prevSum = sum
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Exact-duplicate groups by canonical fingerprint: one row per
     * duplicated fingerprint with the surviving (min) id and group size. */
   def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =

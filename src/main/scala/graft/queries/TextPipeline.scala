@@ -147,7 +147,10 @@ object TextPipeline {
       .orderBy($"d1", $"d2")
   }
 
-  val d2MinhashSql: String = {
+  /** Shared CTE chain producing verified near-dup pairs `res(d1, d2,
+    * jaccard)` — the body of d2's oracle, reused by d6's clustering
+    * oracle. */
+  private val d2PairsCtes: String = {
     val mhCols = (0 until Dedup.NumHashes)
       .map(s => s"min((h * ${Dedup.hashA(s)} + ${Dedup.hashB(s)}) % ${Dedup.HashP}) AS mh$s")
       .mkString(", ")
@@ -158,7 +161,7 @@ object TextPipeline {
         s"md5(concat_ws(',', $cols)) AS band$b"
       }.mkString(", ")
     val bandEq = (0 until Dedup.Bands).map(b => s"a.band$b = b.band$b").mkString(" OR ")
-    s"""WITH docs AS ($docsWithDupsSql),
+    s"""docs AS ($docsWithDupsSql),
        |w AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
        |wh AS (
        |  SELECT doc_id,
@@ -181,15 +184,42 @@ object TextPipeline {
        |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
        |  FROM hset x JOIN hset y ON x.h = y.h AND x.doc_id < y.doc_id
        |  JOIN cand c ON c.d1 = x.doc_id AND c.d2 = y.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT d1, d2,
-       |  round(i::DOUBLE / (n1.n + n2.n - i)::DOUBLE, 4) AS jaccard
-       |FROM inter
-       |JOIN sizes n1 ON n1.doc_id = d1
-       |JOIN sizes n2 ON n2.doc_id = d2
-       |WHERE round(i::DOUBLE / (n1.n + n2.n - i)::DOUBLE, 4) >= 0.5
-       |ORDER BY d1, d2""".stripMargin
+       |  GROUP BY 1, 2),
+       |res AS (
+       |  SELECT d1, d2,
+       |    round(i::DOUBLE / (n1.n + n2.n - i)::DOUBLE, 4) AS jaccard
+       |  FROM inter
+       |  JOIN sizes n1 ON n1.doc_id = d1
+       |  JOIN sizes n2 ON n2.doc_id = d2
+       |  WHERE round(i::DOUBLE / (n1.n + n2.n - i)::DOUBLE, 4) >= 0.5)""".stripMargin
   }
+
+  val d2MinhashSql: String =
+    s"""WITH $d2PairsCtes
+       |SELECT d1, d2, jaccard FROM res ORDER BY d1, d2""".stripMargin
+
+  /** D6: duplicate CLUSTERS from the d2 near-dup pairs — connected
+    * components labelled by smallest member id (the canonical-survivor
+    * assignment; a~b, b~c collapse to one cluster). The oracle replays
+    * the same closure with a recursive CTE: min reachable id ==
+    * min-label-propagation fixpoint. */
+  val d6DupClusters: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.dupClusters(Dedup.minhashNearDups(docsWithDups(s, dir), "doc_id", "text"))
+      .orderBy($"doc_id")
+  }
+
+  val d6DupClustersSql: String =
+    s"""WITH RECURSIVE $d2PairsCtes,
+       |nodes AS (SELECT d1 AS id FROM res UNION SELECT d2 FROM res),
+       |e2 AS (SELECT d1 AS src, d2 AS dst FROM res
+       |       UNION ALL SELECT d2, d1 FROM res),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e2.src, reach.r FROM e2 JOIN reach ON reach.id = e2.dst)
+       |SELECT id AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** D3: SimHash signatures (60-bit, term-frequency weighted). */
   val d3Simhash: Q = (s, dir) => {
@@ -379,6 +409,7 @@ object TextPipeline {
     "d1_exact_dedup"   -> d1ExactDedup,
     "d2_minhash_lsh"   -> d2Minhash,
     "d3_simhash"       -> d3Simhash,
+    "d6_dup_clusters"  -> d6DupClusters,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "g2_posexplode"    -> g2Posexplode,
@@ -397,6 +428,7 @@ object TextPipeline {
     "d1_exact_dedup"   -> d1ExactDedupSql,
     "d2_minhash_lsh"   -> d2MinhashSql,
     "d3_simhash"       -> d3SimhashSql,
+    "d6_dup_clusters"  -> d6DupClustersSql,
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
     "d5_embedding_neardup" -> d5EmbeddingNearDupSql,
     "g2_posexplode"    -> g2PosexplodeSql,

@@ -11,6 +11,26 @@ import graft.TestSpark
 class BucketingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("partitionBy layout prunes partitions at scan time") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source", "n_chars")
+    docs.write.mode("overwrite").partitionBy("source").parquet(dir)
+
+    val sources = docs.select("source").distinct().collect().map(_.getString(0))
+    assert(sources.length > 1, "need several partitions for the proof")
+    val one = sources.sorted.head
+    val q = spark.read.parquet(dir).filter(col("source") === one)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    // the predicate must land in PartitionFilters (directory pruning),
+    // not in the data filters — only one partition's files get read
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("source"), s"source predicate not pruned:\n$scan")
+    assert(q.count() === docs.filter(col("source") === one).count())
+  }
+
   test("co-bucketed join plans without a shuffle") {
     val sf = "/root/testdata/sf0.001"
     val orders = graft.Tables.load(spark, sf, "orders")

@@ -30,6 +30,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("dup clusters: transitive chains collapse to the smallest id") {
+    // chain 10-11-12-13-14 (diameter 4 → needs several propagation
+    // rounds) plus a disjoint pair 20-21
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (20L, 21L)
+    ).toDF("d1", "d2")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("simhash: near-dups are close in hamming distance, unrelated far") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
