@@ -66,8 +66,32 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Exact per-cell centroids in long format (cell, pos, c): the
+    * element-wise mean is summed on DECIMAL(28,10) — associative-exact,
+    * so the result is bit-stable under any partitioning/AQE re-plan —
+    * then divided and rounded to 6 decimals. Embedding floats are
+    * dyadic rationals, so the double→decimal cast can never hit a
+    * round-half tie and every engine rounds identically: the centroid
+    * build is oracle-checkable and idempotent at any scale. */
+  def centroidsExact(emb: DataFrame, cellCol: String): DataFrame =
+    emb.select(col(cellCol).as("cell"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(round(sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1)), 6)
+        .as("c"))
+
+  /** [[centroidsExact]] re-assembled to one array<double> per cell. */
+  def centroidVectors(emb: DataFrame, cellCol: String): DataFrame =
+    centroidsExact(emb, cellCol)
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pm"))
+      .select(col("cell"), expr("transform(pm, p -> p.c)").as("cv"))
+
   /** IVF-style ANN: mean centroid per cell (from `cellCol`), probe the
-    * nProbe nearest cells per query, exact rank within probed cells. */
+    * nProbe nearest cells per query, exact rank within probed cells.
+    * Centroids come from [[centroidsExact]], so cell probing — and
+    * therefore the whole result — is deterministic and oracle-checked
+    * (rounded cosine rank with explicit cell/vec_id tie-breaks). */
   def ivfTopK(candidates: DataFrame, queries: DataFrame, cellCol: String,
       k: Int, nProbe: Int = 2): DataFrame = {
     val cand = candidates.select(col("vec_id"), col(cellCol).as("cell"),
@@ -75,13 +99,7 @@ object Similarity {
     val q = queries.select(col("vec_id").as("qid"),
       col("embedding").cast("array<double>").as("qv"))
 
-    // centroid per cell: element-wise mean via posexplode + re-assemble
-    val centroids = cand
-      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"), expr("transform(pm, p -> p.m)").as("cv"))
+    val centroids = centroidVectors(candidates, cellCol)
 
     val probes = centroids
       .join(broadcast(q), lit(true))

@@ -365,8 +365,10 @@ object TextPipeline {
       |ORDER BY col_name""".stripMargin
 
   /** N2: IVF-style ANN — the 100 TB scale path (probe the nProbe
-    * nearest cells only). Centroid means are float-order dependent, so
-    * this is a rows-only check (no oracle); SimilaritySpec pins
+    * nearest cells only). Centroids are DECIMAL-exact elementwise
+    * means rounded to 6 (Similarity.centroidsExact), so cell probing
+    * and the final ranking are fully deterministic and the oracle
+    * replays them exactly; SimilaritySpec additionally pins
     * nProbe=all ≡ brute force and the partial-probe recall floor. */
   val n2AnnIvf: Q = (s, dir) => {
     import s.implicits._
@@ -374,6 +376,54 @@ object TextPipeline {
     Similarity.ivfTopK(emb, emb.filter($"vec_id" < 5), "label", k = 10, nProbe = 2)
       .orderBy($"qid", $"cos".desc, $"vec_id")
   }
+
+  /** Shared centroid CTEs: exact elementwise mean per cell (DECIMAL
+    * summation, rounded to 6), long format `cm` + assembled `cent`. */
+  private val centroidCtes: String =
+    """cm AS (
+      |  SELECT label AS cell, pos,
+      |    round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS c
+      |  FROM (SELECT label, unnest(range(len(embedding))) AS pos,
+      |               unnest(embedding::DOUBLE[]) AS x FROM embeddings)
+      |  GROUP BY 1, 2),
+      |cent AS (SELECT cell, list(c ORDER BY pos) AS cv FROM cm GROUP BY cell)""".stripMargin
+
+  val n2AnnIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |$centroidCtes,
+       |probes AS (
+       |  SELECT qid, cell, qv FROM (
+       |    SELECT q.qid, cent.cell, q.qv,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        round(list_dot_product(q.qv, cent.cv) /
+       |              (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+       |        cent.cell) AS rn
+       |    FROM q, cent)
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.qid, e.vec_id,
+       |    round(list_dot_product(p.qv, e.v) /
+       |          (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+       |  FROM e JOIN probes p ON e.label = p.cell
+       |  WHERE e.vec_id <> p.qid)
+       |SELECT qid, vec_id, cos FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10
+       |ORDER BY qid, cos DESC, vec_id""".stripMargin
+
+  /** N3: the IVF index build itself — exact per-cell centroids (the
+    * deterministic distributed mean every clustering/IVF pipeline
+    * needs), hash-checked cell-by-dimension. */
+  val n3Centroids: Q = (s, dir) => {
+    import s.implicits._
+    Similarity.centroidsExact(Tables.load(s, dir, "embeddings"), "label")
+      .select($"cell", $"pos".cast("long").as("pos"), $"c")
+      .orderBy($"cell", $"pos")
+  }
+
+  val n3CentroidsSql: String =
+    s"""WITH $centroidCtes
+       |SELECT cell, pos, c FROM cm ORDER BY cell, pos""".stripMargin
 
   // ---- multimodal plumbing -----------------------------------------
 
@@ -416,10 +466,10 @@ object TextPipeline {
     "a4_profile"       -> a4Profile,
     "n1_cosine_topk"   -> n1CosineTopK,
     "n2_ann_ivf"       -> n2AnnIvf,
+    "n3_centroids"     -> n3Centroids,
     "m1_binary_meta"   -> m1BinaryMeta,
   )
 
-  // n2_ann_ivf intentionally absent from the oracle map (rows-only)
   val oracle: Map[String, String] = Map(
     "t1_lang_id"       -> t1LangIdSql,
     "t2_quality_score" -> t2QualitySql,
@@ -434,6 +484,8 @@ object TextPipeline {
     "g2_posexplode"    -> g2PosexplodeSql,
     "a4_profile"       -> a4ProfileSql,
     "n1_cosine_topk"   -> n1CosineTopKSql,
+    "n2_ann_ivf"       -> n2AnnIvfSql,
+    "n3_centroids"     -> n3CentroidsSql,
     "m1_binary_meta"   -> m1BinaryMetaSql,
   )
 }
