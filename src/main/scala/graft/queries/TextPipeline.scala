@@ -94,7 +94,13 @@ object TextPipeline {
   // ---- dedup -------------------------------------------------------
 
   /** Documents plus deterministic injected near-dups (same construction
-    * in the oracle), so near-dup detection has true positives to find. */
+    * in the oracle), so near-dup detection has true positives to find.
+    * (A repartition here — to spread the explode/hash work of a
+    * single-split parquet input — was measured 2-3x SLOWER at sf0.1:
+    * every downstream branch re-reads the shuffled text payloads,
+    * where re-scanning the columnar parquet was nearly free. At real
+    * scale the input has thousands of splits and parallelism is not
+    * scan-bound anyway.) */
   private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables.load(s, dir, "documents")
@@ -451,6 +457,28 @@ object TextPipeline {
       |  hex(encode(substr(text, 1, 8))) AS header_hex
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** M2: frame sampling over the opaque binary payload — every 2nd
+    * 64-byte window per media row (the typed-Dataset flatMap path of
+    * Multimodal.sampleFrames). Frame boundaries are pure byte
+    * arithmetic, so the oracle replays them exactly. */
+  val m2FrameSample: Q = (s, dir) => {
+    import s.implicits._
+    val media = graft.operators.Multimodal
+      .mediaFromText(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .as[graft.operators.Multimodal.MediaRow]
+    graft.operators.Multimodal.sampleFrames(media, frameBytes = 64, everyN = 2)
+      .orderBy($"media_id", $"frame_no")
+  }
+
+  val m2FrameSampleSql: String =
+    """WITH m AS (SELECT doc_id AS media_id, octet_length(text::BLOB) AS n
+      |           FROM documents),
+      |f AS (SELECT media_id, unnest(range((n + 63) // 64)) AS frame_no, n FROM m)
+      |SELECT media_id, frame_no,
+      |  CAST(least(64, n - frame_no * 64) AS INT) AS frame_bytes
+      |FROM f WHERE frame_no % 2 = 0
+      |ORDER BY media_id, frame_no""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "t1_lang_id"       -> t1LangId,
     "t2_quality_score" -> t2Quality,
@@ -468,6 +496,7 @@ object TextPipeline {
     "n2_ann_ivf"       -> n2AnnIvf,
     "n3_centroids"     -> n3Centroids,
     "m1_binary_meta"   -> m1BinaryMeta,
+    "m2_frame_sample"  -> m2FrameSample,
   )
 
   val oracle: Map[String, String] = Map(
@@ -487,5 +516,6 @@ object TextPipeline {
     "n2_ann_ivf"       -> n2AnnIvfSql,
     "n3_centroids"     -> n3CentroidsSql,
     "m1_binary_meta"   -> m1BinaryMetaSql,
+    "m2_frame_sample"  -> m2FrameSampleSql,
   )
 }
