@@ -160,6 +160,32 @@ object Dedup {
     // once, and the cache write costs what the recompute saves
   }
 
+  /** Incremental near-dup detection: verified pairs touching at least
+    * one NEW document. The candidate join is new-side buckets × all
+    * buckets, not all × all — the daily-increment shape at 100 TB,
+    * where the corpus signatures/buckets are precomputed and stored
+    * and only the increment is shingled fresh (here both are computed
+    * from text because the testdata has no signature store; the join
+    * shape is what matters). Semantically equal to
+    * `minhashNearDups(corpus ∪ new)` filtered to pairs with a new
+    * member. */
+  def minhashNearDupsIncremental(corpus: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
+    val base = shingleBaseHashes(corpus.unionByName(newDocs), idCol, textCol)
+    val long = lshBuckets(base).select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band", "bk")))
+    val newIds = newDocs.select(col(idCol).as("doc_id"))
+    val newLong = long.join(newIds, "doc_id")
+      .select(col("doc_id").as("d_new"), col("band"), col("bk"))
+    val all = long.select(col("doc_id").as("d_oth"), col("band"), col("bk"))
+    val cand = newLong.join(all, Seq("band", "bk"))
+      .filter(col("d_new") =!= col("d_oth"))
+      .select(least(col("d_new"), col("d_oth")).as("d1"),
+        greatest(col("d_new"), col("d_oth")).as("d2"))
+      .distinct()
+    jaccardVerify(base, cand, threshold)
+  }
+
   /** Connected components over a near-dup pair list: every doc in a
     * component is labelled with the component's smallest doc id — the
     * canonical-survivor assignment a dedup pipeline needs AFTER pair

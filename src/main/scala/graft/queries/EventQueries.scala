@@ -147,12 +147,35 @@ object EventQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** SK1: two-phase salted aggregation over the skewed event stream —
+    * identical result to the plain groupBy (the oracle IS the plain
+    * aggregation), but a hot event_type spreads across `salts`
+    * reducers. Values are summed on DECIMAL so both phases are
+    * partition-order exact. */
+  val sk1SaltedAgg: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_type", $"user_id", $"value".cast("decimal(18,4)").as("v"))
+    graft.operators.Skew.saltedSum(ev, Seq("event_type"), "v", saltCarrier = "user_id")
+      .select($"event_type",
+        round($"sum_v", 2).cast("double").as("total_value"),
+        $"n")
+      .orderBy($"event_type")
+  }
+
+  val sk1SaltedAggSql: String =
+    """SELECT event_type,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "j4_asof_join"  -> j4AsOf,
     "e1_window_agg" -> e1WindowAgg,
     "e2_sessionize" -> e2Sessionize,
     "e3_sliding_window" -> e3SlidingWindow,
     "an4_approx_distinct" -> an4ApproxDistinct,
+    "sk1_salted_agg" -> sk1SaltedAgg,
   )
 
   val oracle: Map[String, String] = Map(
@@ -160,6 +183,7 @@ object EventQueries {
     "e1_window_agg" -> e1WindowAggSql,
     "e2_sessionize" -> e2SessionizeSql,
     "e3_sliding_window" -> e3SlidingWindowSql,
+    "sk1_salted_agg" -> sk1SaltedAggSql,
     // an4_approx_distinct: intentionally omitted (sketch, rows-only check)
   )
 }

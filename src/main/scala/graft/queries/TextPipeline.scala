@@ -227,6 +227,27 @@ object TextPipeline {
        |SELECT id AS doc_id, min(r) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** D7: incremental near-dup detection — the injected dups play the
+    * daily increment against the original corpus; candidates come only
+    * from new-side bucket collisions. Oracle: the full-run pair set
+    * restricted to pairs touching a new id (d2 >= 1000000 since d1<d2
+    * and all new ids are >= 1000000). */
+  val d7Incremental: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents")
+    val corpus = d.select($"doc_id", $"text", $"source")
+    val fresh = d.filter($"doc_id" % 97 === 0)
+      .select(($"doc_id" + 1000000).as("doc_id"),
+        concat($"text", lit(" near dup tail")).as("text"), $"source")
+    Dedup.minhashNearDupsIncremental(corpus, fresh, "doc_id", "text")
+      .orderBy($"d1", $"d2")
+  }
+
+  val d7IncrementalSql: String =
+    s"""WITH $d2PairsCtes
+       |SELECT d1, d2, jaccard FROM res WHERE d2 >= 1000000
+       |ORDER BY d1, d2""".stripMargin
+
   /** D3: SimHash signatures (60-bit, term-frequency weighted). */
   val d3Simhash: Q = (s, dir) => {
     import s.implicits._
@@ -488,6 +509,7 @@ object TextPipeline {
     "d2_minhash_lsh"   -> d2Minhash,
     "d3_simhash"       -> d3Simhash,
     "d6_dup_clusters"  -> d6DupClusters,
+    "d7_incremental_dedup" -> d7Incremental,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "g2_posexplode"    -> g2Posexplode,
@@ -508,6 +530,7 @@ object TextPipeline {
     "d2_minhash_lsh"   -> d2MinhashSql,
     "d3_simhash"       -> d3SimhashSql,
     "d6_dup_clusters"  -> d6DupClustersSql,
+    "d7_incremental_dedup" -> d7IncrementalSql,
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
     "d5_embedding_neardup" -> d5EmbeddingNearDupSql,
     "g2_posexplode"    -> g2PosexplodeSql,

@@ -30,6 +30,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("incremental minhash equals the full run filtered to new docs") {
+    import org.apache.spark.sql.functions.col
+    val corpus = docs.filter($"doc_id" =!= 4)
+    // doc 10 = exact copy of doc 1 (J=1.0: every band collides, so the
+    // hit is guaranteed — this test pins the join shape, not LSH recall)
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "some genuinely novel content that matches nothing in the corpus at all x")
+    ).toDF("doc_id", "text")
+    val inc = Dedup.minhashNearDupsIncremental(corpus, fresh, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashNearDups(corpus.unionByName(fresh), "doc_id", "text")
+      .filter(col("d1").isin(10L, 11L) || col("d2").isin(10L, 11L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty, "doc 10 should near-dup docs 1/2")
+  }
+
   test("dup clusters: transitive chains collapse to the smallest id") {
     // chain 10-11-12-13-14 (diameter 4 → needs several propagation
     // rounds) plus a disjoint pair 20-21
