@@ -147,6 +147,63 @@ object EventQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** E4: the STREAMING sessionizer inside the correctness gate. Events
+    * are replayed through a real file-source stream into
+    * Streams.sessionizeStreamExact (watermark + EventTimeTimeout,
+    * long-scaled exact value accumulation); two sentinel far-future
+    * batches advance the watermark so every real session flushes. The
+    * oracle is the BATCH gap-sessionization SQL — proving streaming ==
+    * batch semantics on the full events table, not a toy fixture. */
+  val e4StreamSessions: Q = (s, dir) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val ev = Tables.load(s, dir, "events").select($"user_id", $"ts", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e4").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    val stream = s.readStream.schema(ev.schema).parquet(tmp).as[Streams.Event]
+    val q = Streams.sessionizeStreamExact(stream)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("e4_sessions").start()
+    q.processAllAvailable()
+    // sentinel 1 pushes the watermark past every open session's close;
+    // sentinel 2 triggers the batch in which their timeouts fire
+    def sentinel(sec: Long): Unit =
+      Seq((-1L, new java.sql.Timestamp(sec * 1000L), 0.0))
+        .toDF("user_id", "ts", "value")
+        .write.mode("append").parquet(tmp)
+    sentinel(4102444800L) // 2100-01-01
+    q.processAllAvailable()
+    sentinel(4102444860L)
+    q.processAllAvailable()
+    q.stop()
+    s.table("e4_sessions").filter($"user_id" =!= -1L)
+      .select($"user_id", $"session_start", $"session_end",
+        $"n_events", $"value_scaled")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val e4StreamSessionsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM marked)
+      |SELECT user_id,
+      |  epoch_us(min(ts)) AS session_start,
+      |  epoch_us(max(ts)) AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_scaled
+      |FROM sessions
+      |GROUP BY user_id, session_no
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** SK1: two-phase salted aggregation over the skewed event stream —
     * identical result to the plain groupBy (the oracle IS the plain
     * aggregation), but a hot event_type spreads across `salts`
@@ -176,6 +233,7 @@ object EventQueries {
     "e3_sliding_window" -> e3SlidingWindow,
     "an4_approx_distinct" -> an4ApproxDistinct,
     "sk1_salted_agg" -> sk1SaltedAgg,
+    "e4_stream_sessions" -> e4StreamSessions,
   )
 
   val oracle: Map[String, String] = Map(
@@ -184,6 +242,7 @@ object EventQueries {
     "e2_sessionize" -> e2SessionizeSql,
     "e3_sliding_window" -> e3SlidingWindowSql,
     "sk1_salted_agg" -> sk1SaltedAggSql,
+    "e4_stream_sessions" -> e4StreamSessionsSql,
     // an4_approx_distinct: intentionally omitted (sketch, rows-only check)
   )
 }

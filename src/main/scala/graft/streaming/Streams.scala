@@ -41,6 +41,11 @@ object Streams {
 
   val gapMicros: Long = 1800L * 1000000L
 
+  /** Full-precision epoch micros from a Timestamp (getTime alone drops
+    * the sub-millisecond part that TIMESTAMP(MICROS) columns carry). */
+  def tsMicros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   /** Batch-harness sessionizer: emits a session when a gap exceeds 30
     * minutes; the final open session per user stays in state (single
     * batch, no timeout fires). Production streams use
@@ -53,11 +58,11 @@ object Streams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, it, state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.value))
           var cur = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[Session]
           sorted.foreach { e =>
-            val t = e.ts.getTime * 1000L // micros
+            val t = tsMicros(e.ts)
             cur match {
               case Some(s) if t - s.last <= gapMicros =>
                 cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
@@ -100,11 +105,11 @@ object Streams {
             state.remove()
             Iterator.single(Session(uid, s.start, s.last, s.n, s.total))
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.value))
             var cur = state.getOption
             val out = scala.collection.mutable.ArrayBuffer.empty[Session]
             sorted.foreach { e =>
-              val t = e.ts.getTime * 1000L // micros
+              val t = tsMicros(e.ts)
               cur match {
                 case Some(s) if t <= s.last => // late within watermark
                   cur = Some(s.copy(n = s.n + 1, total = s.total + e.value))
@@ -120,6 +125,61 @@ object Streams {
             cur.foreach { s =>
               state.update(s)
               // flush once the watermark passes the session's close
+              state.setTimeoutTimestamp(s.last / 1000L + gapMicros / 1000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  // ---- exact-arithmetic variant (oracle-comparable) ----------------
+
+  case class SessionExact(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long, value_scaled: Long)
+  case class SessionStateExact(start: Long, last: Long, n: Long,
+      totalScaled: Long)
+
+  /** [[sessionizeStream]] with exact integer value accumulation: each
+    * event's value is scaled to 1e-4 units and summed as a long, so
+    * session totals are bit-identical to a batch DECIMAL(18,4) sum
+    * regardless of accumulation order, engine, or retry — which makes
+    * the STREAMING result hash-comparable against a batch SQL oracle
+    * (query e4_stream_sessions). */
+  def sessionizeStreamExact(events: Dataset[Event],
+      watermarkDelay: String = "30 minutes"): Dataset[SessionExact] = {
+    import events.sparkSession.implicits._
+    def scaled(v: Double): Long = math.round(v * 10000d)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionStateExact, SessionExact](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[SessionStateExact]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionExact(uid, s.start, s.last, s.n, s.totalScaled))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.value))
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionExact]
+            sorted.foreach { e =>
+              val t = tsMicros(e.ts)
+              cur match {
+                case Some(s) if t <= s.last =>
+                  cur = Some(s.copy(n = s.n + 1, totalScaled = s.totalScaled + scaled(e.value)))
+                case Some(s) if t - s.last <= gapMicros =>
+                  cur = Some(s.copy(last = t, n = s.n + 1,
+                    totalScaled = s.totalScaled + scaled(e.value)))
+                case Some(s) =>
+                  out += SessionExact(uid, s.start, s.last, s.n, s.totalScaled)
+                  cur = Some(SessionStateExact(t, t, 1, scaled(e.value)))
+                case None =>
+                  cur = Some(SessionStateExact(t, t, 1, scaled(e.value)))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
               state.setTimeoutTimestamp(s.last / 1000L + gapMicros / 1000L)
             }
             out.iterator
