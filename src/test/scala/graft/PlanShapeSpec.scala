@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions: PLANS.md documents the physical plans we
+  * want; these tests ENFORCE the load-bearing properties — column
+  * pruning at the scan, broadcast dims, and the absence of
+  * quadratic join strategies in the dedup path. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def sparkPlan(name: String) =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+
+  test("q1 scan reads only the referenced lineitem columns") {
+    val scans = sparkPlan("q1_agg").collect {
+      case f: FileSourceScanExec => f.requiredSchema.fieldNames.toSeq
+    }
+    assert(scans.nonEmpty)
+    // lineitem has 11+ columns; q1 touches 6
+    assert(scans.head.size <= 7, s"scan not pruned: ${scans.head}")
+  }
+
+  test("fact-dim join broadcasts the dimensions") {
+    val p = sparkPlan("j1_fact_dims").toString
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+  }
+
+  test("minhash dedup plans no quadratic join strategy") {
+    val p = sparkPlan("d2_minhash_lsh").toString
+    assert(!p.contains("CartesianProduct"), "cartesian product in d2")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in d2")
+  }
+
+  test("as-of join is the single-shuffle union-merge form") {
+    val p = sparkPlan("j4_asof_join").toString
+    // the naive encoding would show a non-equi join (nested loop /
+    // cartesian with a range condition); the union-merge form has none
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range-join blowup in j4:\n$p")
+  }
+}
