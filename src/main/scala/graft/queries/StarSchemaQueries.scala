@@ -158,6 +158,33 @@ object StarSchemaQueries {
       |  CAST(round(CAST(max(c_acctbal) AS DECIMAL(18,4)), 2) AS DOUBLE) AS max_bal
       |FROM t GROUP BY q ORDER BY q""".stripMargin
 
+  /** AN5: exact discrete median per group — the element at rank
+    * ceil(n/2) under a fully tie-broken order. percentile_disc without
+    * interpolation, so the value is engine-exact (float interpolation
+    * formulas differ between engines; rank selection cannot). */
+  val an5MedianDisc: Q = (s, dir) => {
+    import s.implicits._
+    val byFlag = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
+    Tables.load(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(byFlag))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+      .filter($"rn" === expr("(n + 1) div 2")) // integer div: Column./ is double division
+      .select($"l_returnflag", $"l_quantity".as("median_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val an5MedianDiscSql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag, l_quantity AS median_qty
+      |FROM r WHERE rn = (n + 1) // 2
+      |ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "j2_word_bridge"    -> j2WordBridge,
     "j3_type_bridge"    -> j3TypeBridge,
@@ -165,6 +192,7 @@ object StarSchemaQueries {
     "an1_topic_year"    -> an1TopicYear,
     "an2_topk_per_group" -> an2TopKPerGroup,
     "an3_ntile"         -> an3Ntile,
+    "an5_median_disc"   -> an5MedianDisc,
   )
 
   val oracle: Map[String, String] = Map(
@@ -174,5 +202,6 @@ object StarSchemaQueries {
     "an1_topic_year"    -> an1TopicYearSql,
     "an2_topk_per_group" -> an2TopKPerGroupSql,
     "an3_ntile"         -> an3NtileSql,
+    "an5_median_disc"   -> an5MedianDiscSql,
   )
 }
