@@ -43,7 +43,7 @@ object Writers {
 
   def insertStatements(df: DataFrame, table: String): DataFrame = {
     val cols = df.schema.fields
-    val values = cols.map(f => sqlLiteral(col(f.name), f.dataType))
+    val values = cols.toSeq.map(f => sqlLiteral(col(f.name), f.dataType))
     val colList = cols.map(_.name).mkString(", ")
     df.select(concat(
       lit(s"INSERT INTO $table ($colList) VALUES ("),

@@ -55,6 +55,21 @@ object SourceQueries {
   val s7CsvReadSql: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
 
+  /** S9: ORC read — the other columnar format a 100 TB lake speaks;
+    * same push-down/pruning machinery as parquet in Spark. Exercised
+    * as a write→read round-trip checked against the parquet oracle. */
+  val s9OrcRead: Q = (s, dir) => {
+    import s.implicits._
+    val out = tmp("graft-s9") + "/docs"
+    Tables.load(s, dir, "documents").write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .select($"doc_id", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val s9OrcReadSql: String =
+    "SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id"
+
   /** A1: the count-audit operator (ref: before/after cleaning counts,
     * DB/ETL.ipynb c13/c27) as one relation of named counts. */
   val a1CountAudit: Q = (s, dir) => {
@@ -79,12 +94,14 @@ object SourceQueries {
   val defs: Map[String, Q] = Map(
     "s1_json_read"  -> s1JsonRead,
     "s7_csv_read"   -> s7CsvRead,
+    "s9_orc_read"   -> s9OrcRead,
     "a1_count_audit" -> a1CountAudit,
   )
 
   val oracle: Map[String, String] = Map(
     "s1_json_read"  -> s1JsonReadSql,
     "s7_csv_read"   -> s7CsvReadSql,
+    "s9_orc_read"   -> s9OrcReadSql,
     "a1_count_audit" -> a1CountAuditSql,
   )
 }
