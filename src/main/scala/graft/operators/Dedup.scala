@@ -90,10 +90,15 @@ object Dedup {
   def lshBuckets(base: DataFrame): DataFrame = {
     val mins = (0 until NumHashes).map(s => min(seedHash(col("h"), s)).as(s"mh$s"))
     val pivoted = base.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // bucket id = 60-bit long from the md5 of the band's minhashes:
+    // an 8-byte join key instead of a 32-char hex string halves the
+    // candidate self-join's shuffle row; a 60-bit collision only adds
+    // a false candidate that Jaccard verification rejects (and the
+    // oracle replays the identical bucket formula, so results match)
     pivoted.select(
       col("doc_id") +:
         (0 until Bands).map { b =>
-          md5(concat_ws(",", (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*))
+          hash60(concat_ws(",", (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*))
             .as(s"band$b")
         }: _*)
   }

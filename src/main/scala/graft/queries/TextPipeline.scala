@@ -164,7 +164,7 @@ object TextPipeline {
       .map { b =>
         val cols = (0 until Dedup.RowsPerBand)
           .map(r => s"mh${b * Dedup.RowsPerBand + r}").mkString(", ")
-        s"md5(concat_ws(',', $cols)) AS band$b"
+        s"('0x' || substr(md5(concat_ws(',', $cols)), 1, 15))::BIGINT AS band$b"
       }.mkString(", ")
     val bandEq = (0 until Dedup.Bands).map(b => s"a.band$b = b.band$b").mkString(" OR ")
     s"""docs AS ($docsWithDupsSql),
