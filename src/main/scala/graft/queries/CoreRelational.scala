@@ -171,6 +171,44 @@ object CoreRelational {
       |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** U3: INTERSECT DISTINCT — the remaining §2.8 set operation: keys
+    * present on both sides (customers that placed urgent AND finished
+    * orders). */
+  val u3Intersect: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+    o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+      .intersect(o.filter($"o_orderstatus" === "F").select($"o_custkey"))
+      .orderBy($"o_custkey")
+  }
+
+  val u3IntersectSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** AN6: ROLLUP over (returnflag, linestatus) — subtotal/grand-total
+    * rows via grouping sets, with DECIMAL-exact sums and an explicit
+    * grouping-id so NULL group keys are unambiguous. */
+  val an6Rollup: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"l_quantity".cast(dec)), 2).cast("double").as("sum_qty"),
+        grouping_id().as("gid"))
+      .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+  }
+
+  val an6RollupSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+      |  grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
   /** P2: sentinel-value filter with isin (ref: "<X> not found" sentinel
     * removal, DB/ETL.ipynb c14). */
   val p2SentinelFilter: Q = (s, dir) => {
@@ -195,6 +233,8 @@ object CoreRelational {
     "f4_date_derive"    -> f4DateDerive,
     "g1_explode_words"  -> g1ExplodeWords,
     "u1_except"         -> u1Except,
+    "u3_intersect"      -> u3Intersect,
+    "an6_rollup"        -> an6Rollup,
     "p2_sentinel_filter" -> p2SentinelFilter,
   )
 
@@ -206,6 +246,8 @@ object CoreRelational {
     "f4_date_derive"    -> f4DateDeriveSql,
     "g1_explode_words"  -> g1ExplodeWordsSql,
     "u1_except"         -> u1ExceptSql,
+    "u3_intersect"      -> u3IntersectSql,
+    "an6_rollup"        -> an6RollupSql,
     "p2_sentinel_filter" -> p2SentinelFilterSql,
   )
 }
