@@ -63,6 +63,34 @@ object TextPipeline {
       |SELECT doc_id, (len_bp + alpha_bp + stop_bp) // 3 AS quality
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** T5: deterministic train/val/test split — hash-bucket assignment
+    * (md5 of the doc id, 100 buckets: 80/10/10). The reproducible
+    * alternative to rand()-sampling: the same doc lands in the same
+    * split on every run, cluster size, and engine — the property a
+    * 100 TB corpus needs for stable held-out sets. */
+  val t5SplitAssign: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .withColumn("bucket",
+        pmod(conv(substring(md5($"doc_id".cast("string")), 1, 10), 16, 10).cast("long"),
+          lit(100L)))
+      .select($"doc_id", $"bucket",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  val t5SplitAssignSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 10))::BIGINT % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
   /** T3: token counting — whitespace and BPE-ish pre-tokenizer counts. */
   val t3Tokens: Q = (s, dir) => {
     import s.implicits._
@@ -505,6 +533,7 @@ object TextPipeline {
     "t2_quality_score" -> t2Quality,
     "t3_token_count"   -> t3Tokens,
     "t4_fingerprint"   -> t4Fingerprint,
+    "t5_split_assign"  -> t5SplitAssign,
     "d1_exact_dedup"   -> d1ExactDedup,
     "d2_minhash_lsh"   -> d2Minhash,
     "d3_simhash"       -> d3Simhash,
@@ -526,6 +555,7 @@ object TextPipeline {
     "t2_quality_score" -> t2QualitySql,
     "t3_token_count"   -> t3TokensSql,
     "t4_fingerprint"   -> t4FingerprintSql,
+    "t5_split_assign"  -> t5SplitAssignSql,
     "d1_exact_dedup"   -> d1ExactDedupSql,
     "d2_minhash_lsh"   -> d2MinhashSql,
     "d3_simhash"       -> d3SimhashSql,
