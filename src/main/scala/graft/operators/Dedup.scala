@@ -265,6 +265,31 @@ object Dedup {
         .as("simhash"))
   }
 
+  /** SimHash near-dup retrieval: 60-bit signatures split into 4 bands
+    * of 15 bits. By pigeonhole, two signatures within hamming distance
+    * 3 agree on at least one full band, so band-bucket collisions are a
+    * lossless candidate filter for maxHamming <= 3 — the same
+    * linear-candidate shape as MinHash LSH, with verification a single
+    * bit_count(xor) instead of a set intersection. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 bands of 15 bits are lossless only for hamming <= 3")
+    val sig = simhash(docs, idCol, textCol)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*))
+        .as(Seq("band", "bv")))
+    val l = banded.select(col("doc_id").as("d1"), col("simhash").as("s1"),
+      col("band"), col("bv"))
+    val r = banded.select(col("doc_id").as("d2"), col("simhash").as("s2"),
+      col("band"), col("bv"))
+    l.join(r, Seq("band", "bv")).filter(col("d1") < col("d2"))
+      .select("d1", "d2", "s1", "s2").distinct()
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Character n-gram Jaccard near-dups with blocking: pairs are only
     * considered within the same `blockCol` value (the cheap LSH-ish
     * prefilter that keeps the pair space linear-ish at scale). */

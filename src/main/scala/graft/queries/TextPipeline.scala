@@ -283,23 +283,54 @@ object TextPipeline {
       .orderBy($"doc_id")
   }
 
+  /** SimHash-signature CTE chain over an arbitrary (doc_id, text)
+    * source — `sims(doc_id, simhash)`; shared by d3 and d8. */
+  private def simsCtes(docsSql: String): String =
+    s"""terms AS (
+       |  SELECT doc_id, word, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM ($docsSql))
+       |  WHERE word <> ''
+       |  GROUP BY doc_id, word),
+       |hashed AS (
+       |  SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h, cnt
+       |  FROM terms),
+       |bits AS (
+       |  SELECT doc_id, bit,
+       |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+       |  FROM (SELECT doc_id, h, cnt, unnest(range(60)) AS bit FROM hashed)
+       |  GROUP BY doc_id, bit),
+       |sims AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
   val d3SimhashSql: String =
-    """WITH terms AS (
-      |  SELECT doc_id, word, count(*) AS cnt
-      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-      |  WHERE word <> ''
-      |  GROUP BY doc_id, word),
-      |hashed AS (
-      |  SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h, cnt
-      |  FROM terms),
-      |bits AS (
-      |  SELECT doc_id, bit,
-      |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS w
-      |  FROM (SELECT doc_id, h, cnt, unnest(range(60)) AS bit FROM hashed)
-      |  GROUP BY doc_id, bit)
-      |SELECT doc_id,
-      |  CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
-      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH ${simsCtes("SELECT doc_id, text FROM documents")}
+       |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin
+
+  /** D8: SimHash near-dup retrieval — banded hamming search (4 bands ×
+    * 15 bits, lossless for hamming ≤ 3), the retrieval step that
+    * completes d3's signatures. */
+  val d8SimhashNearDups: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.simhashNearDups(docsWithDups(s, dir), "doc_id", "text")
+      .orderBy($"d1", $"d2")
+  }
+
+  val d8SimhashNearDupsSql: String =
+    s"""WITH ${simsCtes(docsWithDupsSql)},
+       |banded AS (
+       |  SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bv
+       |  FROM sims, (SELECT unnest(range(4)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+       |    l.simhash AS s1, r.simhash AS s2
+       |  FROM banded l JOIN banded r
+       |    ON l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id)
+       |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+       |ORDER BY d1, d2""".stripMargin
 
   /** D4: character-4-gram Jaccard near-dups, blocked by source. */
   val d4NgramJaccard: Q = (s, dir) => {
@@ -539,6 +570,7 @@ object TextPipeline {
     "d3_simhash"       -> d3Simhash,
     "d6_dup_clusters"  -> d6DupClusters,
     "d7_incremental_dedup" -> d7Incremental,
+    "d8_simhash_neardups"  -> d8SimhashNearDups,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "g2_posexplode"    -> g2Posexplode,
@@ -561,6 +593,7 @@ object TextPipeline {
     "d3_simhash"       -> d3SimhashSql,
     "d6_dup_clusters"  -> d6DupClustersSql,
     "d7_incremental_dedup" -> d7IncrementalSql,
+    "d8_simhash_neardups"  -> d8SimhashNearDupsSql,
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
     "d5_embedding_neardup" -> d5EmbeddingNearDupSql,
     "g2_posexplode"    -> g2PosexplodeSql,

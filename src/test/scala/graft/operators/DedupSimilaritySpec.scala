@@ -71,6 +71,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sh(1L) === sh(4L).ensuring(_ => true) || ham(sh(1L), sh(4L)) < 12)
   }
 
+  test("simhash near-dup retrieval equals brute-force hamming <= 3") {
+    val docs4 = docs // includes the exact-dup pair (1, 4) up to case
+    val res = Dedup.simhashNearDups(docs4, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Dedup.simhash(docs4, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys
+      if a < b && java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    assert(res === brute) // banded candidates are lossless for <= 3
+  }
+
   test("ngram jaccard with blocking only pairs within a block") {
     val blocked = docs.withColumn("src",
       org.apache.spark.sql.functions.when($"doc_id" <= 2, "A").otherwise("B"))
