@@ -91,6 +91,36 @@ object TextPipeline {
       |       ELSE 'test' END AS split
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** T6: context-window chunking — 50-token windows with stride 40
+    * (10-token overlap), the document→training-sample splitting step of
+    * an LLM data pipeline. Chunk boundaries are pure token-index
+    * arithmetic over the split array, so the oracle replays them
+    * exactly; n_tokens comes from the slice itself, not a re-split. */
+  val t6Chunking: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", $"w", explode(expr(
+        "sequence(0, CASE WHEN size(w) <= 50 THEN 0 " +
+          "ELSE CAST(floor((size(w) - 11) / 40) AS INT) END)")).as("chunk_no"))
+      .select($"doc_id", $"chunk_no".cast("long").as("chunk_no"),
+        expr("concat_ws(' ', slice(w, chunk_no * 40 + 1, 50))").as("chunk"),
+        expr("size(slice(w, chunk_no * 40 + 1, 50))").cast("long").as("n_tokens"))
+      .orderBy($"doc_id", $"chunk_no")
+  }
+
+  val t6ChunkingSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |c AS (
+      |  SELECT doc_id, l,
+      |    unnest(range(CASE WHEN len(l) <= 50 THEN 1
+      |                      ELSE (len(l) - 11) // 40 + 1 END)) AS chunk_no
+      |  FROM w)
+      |SELECT doc_id, chunk_no,
+      |  array_to_string(l[chunk_no * 40 + 1 : chunk_no * 40 + 50], ' ') AS chunk,
+      |  len(l[chunk_no * 40 + 1 : chunk_no * 40 + 50]) AS n_tokens
+      |FROM c ORDER BY doc_id, chunk_no""".stripMargin
+
   /** T3: token counting — whitespace and BPE-ish pre-tokenizer counts. */
   val t3Tokens: Q = (s, dir) => {
     import s.implicits._
@@ -565,6 +595,7 @@ object TextPipeline {
     "t3_token_count"   -> t3Tokens,
     "t4_fingerprint"   -> t4Fingerprint,
     "t5_split_assign"  -> t5SplitAssign,
+    "t6_chunking"      -> t6Chunking,
     "d1_exact_dedup"   -> d1ExactDedup,
     "d2_minhash_lsh"   -> d2Minhash,
     "d3_simhash"       -> d3Simhash,
@@ -588,6 +619,7 @@ object TextPipeline {
     "t3_token_count"   -> t3TokensSql,
     "t4_fingerprint"   -> t4FingerprintSql,
     "t5_split_assign"  -> t5SplitAssignSql,
+    "t6_chunking"      -> t6ChunkingSql,
     "d1_exact_dedup"   -> d1ExactDedupSql,
     "d2_minhash_lsh"   -> d2MinhashSql,
     "d3_simhash"       -> d3SimhashSql,
