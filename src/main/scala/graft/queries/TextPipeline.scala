@@ -63,6 +63,59 @@ object TextPipeline {
       |SELECT doc_id, (len_bp + alpha_bp + stop_bp) // 3 AS quality
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** C1: the corpus-curation capstone — language filter, quality
+    * floor, and exact dedup composed in ONE DataFrame plan (keep
+    * English docs with quality >= 3000 bp, first doc per canonical
+    * fingerprint). This is the query a training-data engineer actually
+    * runs; everything fuses into a single scan + one window shuffle. */
+  val c1Curate: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text",
+        TextFunctions.langId($"text").as("lang_pred"),
+        TextFunctions.qualityScore($"text").as("quality"),
+        TextFunctions.fingerprint($"text").as("fp"))
+      .filter($"lang_pred" === "en" && $"quality" >= 3000)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"fp").orderBy($"doc_id")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  val c1CurateSql: String = {
+    val hits = Seq("en", "fr", "de", "es")
+      .map(l => s"len(regexp_extract_all(lower(text), '${TextFunctions.langStopwords(l)}')) AS $l")
+      .mkString(", ")
+    s"""WITH h AS (SELECT doc_id, text, $hits FROM documents),
+       |langed AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN greatest(en, fr, de, es) = 0 THEN 'und'
+       |         WHEN en = greatest(en, fr, de, es) THEN 'en'
+       |         WHEN fr = greatest(en, fr, de, es) THEN 'fr'
+       |         WHEN de = greatest(en, fr, de, es) THEN 'de'
+       |         ELSE 'es' END AS lang_pred
+       |  FROM h),
+       |parts AS (
+       |  SELECT doc_id, text, lang_pred,
+       |    least(length(text), 500)::BIGINT * 20 AS len_bp,
+       |    (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT * 10000)
+       |      // greatest(length(text), 1)::BIGINT AS alpha_bp,
+       |    (least(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b')) * 10,
+       |           len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT * 10000)
+       |      // greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)::BIGINT AS stop_bp
+       |  FROM langed),
+       |scored AS (
+       |  SELECT doc_id, lang_pred,
+       |    (len_bp + alpha_bp + stop_bp) // 3 AS quality,
+       |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+       |  FROM parts)
+       |SELECT doc_id, quality FROM scored
+       |WHERE lang_pred = 'en' AND quality >= 3000
+       |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** T5: deterministic train/val/test split — hash-bucket assignment
     * (md5 of the doc id, 100 buckets: 80/10/10). The reproducible
     * alternative to rand()-sampling: the same doc lands in the same
@@ -596,6 +649,7 @@ object TextPipeline {
     "t4_fingerprint"   -> t4Fingerprint,
     "t5_split_assign"  -> t5SplitAssign,
     "t6_chunking"      -> t6Chunking,
+    "c1_curate"        -> c1Curate,
     "d1_exact_dedup"   -> d1ExactDedup,
     "d2_minhash_lsh"   -> d2Minhash,
     "d3_simhash"       -> d3Simhash,
@@ -620,6 +674,7 @@ object TextPipeline {
     "t4_fingerprint"   -> t4FingerprintSql,
     "t5_split_assign"  -> t5SplitAssignSql,
     "t6_chunking"      -> t6ChunkingSql,
+    "c1_curate"        -> c1CurateSql,
     "d1_exact_dedup"   -> d1ExactDedupSql,
     "d2_minhash_lsh"   -> d2MinhashSql,
     "d3_simhash"       -> d3SimhashSql,
