@@ -171,6 +171,28 @@ object CoreRelational {
       |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** J5: left anti join — customers that never placed an URGENT order
+    * (the orphan-detection shape every referential-integrity audit
+    * needs; the lib's EXCEPT-as-filter is this operator in disguise).
+    * The urgent restriction keeps the result non-empty in this
+    * testdata, so the check is not vacuous. */
+  val j5AntiJoin: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables.load(s, dir, "customer")
+    val urgent = Tables.load(s, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+    c.join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val j5AntiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
   /** U3: INTERSECT DISTINCT — the remaining §2.8 set operation: keys
     * present on both sides (customers that placed urgent AND finished
     * orders). */
@@ -233,6 +255,7 @@ object CoreRelational {
     "f4_date_derive"    -> f4DateDerive,
     "g1_explode_words"  -> g1ExplodeWords,
     "u1_except"         -> u1Except,
+    "j5_anti_join"      -> j5AntiJoin,
     "u3_intersect"      -> u3Intersect,
     "an6_rollup"        -> an6Rollup,
     "p2_sentinel_filter" -> p2SentinelFilter,
@@ -246,6 +269,7 @@ object CoreRelational {
     "f4_date_derive"    -> f4DateDeriveSql,
     "g1_explode_words"  -> g1ExplodeWordsSql,
     "u1_except"         -> u1ExceptSql,
+    "j5_anti_join"      -> j5AntiJoinSql,
     "u3_intersect"      -> u3IntersectSql,
     "an6_rollup"        -> an6RollupSql,
     "p2_sentinel_filter" -> p2SentinelFilterSql,
