@@ -174,6 +174,33 @@ object TextPipeline {
       |  len(l[chunk_no * 40 + 1 : chunk_no * 40 + 50]) AS n_tokens
       |FROM c ORDER BY doc_id, chunk_no""".stripMargin
 
+  /** T7: sequential sample packing — assign t6's chunks to fixed
+    * token-budget packs (512 tokens) by running token count in a
+    * deterministic global order. The streaming-friendly packing a
+    * training pipeline uses when batches must be reproducible; the
+    * greedy bin-packing variants trade determinism for fill rate. */
+  val t7Packing: Q = (s, dir) => {
+    import s.implicits._
+    val chunks = t6Chunking(s, dir).select($"doc_id", $"chunk_no", $"n_tokens")
+    chunks
+      .withColumn("cum", sum($"n_tokens").over(
+        Window.orderBy($"doc_id", $"chunk_no")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"doc_id", $"chunk_no",
+        expr("(cum - 1) div 512").as("pack_id"))
+      .orderBy($"doc_id", $"chunk_no")
+  }
+
+  val t7PackingSql: String =
+    s"""WITH chunks AS ($t6ChunkingSql),
+       |packed AS (
+       |  SELECT doc_id, chunk_no,
+       |    sum(n_tokens) OVER (ORDER BY doc_id, chunk_no
+       |                        ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM chunks)
+       |SELECT doc_id, chunk_no, CAST((cum - 1) // 512 AS BIGINT) AS pack_id
+       |FROM packed ORDER BY doc_id, chunk_no""".stripMargin
+
   /** T3: token counting — whitespace and BPE-ish pre-tokenizer counts. */
   val t3Tokens: Q = (s, dir) => {
     import s.implicits._
@@ -649,6 +676,7 @@ object TextPipeline {
     "t4_fingerprint"   -> t4Fingerprint,
     "t5_split_assign"  -> t5SplitAssign,
     "t6_chunking"      -> t6Chunking,
+    "t7_packing"       -> t7Packing,
     "c1_curate"        -> c1Curate,
     "d1_exact_dedup"   -> d1ExactDedup,
     "d2_minhash_lsh"   -> d2Minhash,
@@ -674,6 +702,7 @@ object TextPipeline {
     "t4_fingerprint"   -> t4FingerprintSql,
     "t5_split_assign"  -> t5SplitAssignSql,
     "t6_chunking"      -> t6ChunkingSql,
+    "t7_packing"       -> t7PackingSql,
     "c1_curate"        -> c1CurateSql,
     "d1_exact_dedup"   -> d1ExactDedupSql,
     "d2_minhash_lsh"   -> d2MinhashSql,
