@@ -88,5 +88,5 @@ object TextFunctions {
     * sign of each bit-sum forms the signature. Identical algorithm is
     * expressible in ANSI SQL (the oracle), so it is engine-exact. */
   def wordHash60(word: Column): Column =
-    conv(substring(md5(word), 1, 15), 16, 10).cast("long")
+    Md5Prefix.md5_prefix(word, 15)
 }

@@ -26,15 +26,17 @@ object Dedup {
   val Bands = 4
   val RowsPerBand = 3 // NumHashes / Bands
 
-  /** 60-bit deterministic hash of a string (md5 hex prefix → long). */
+  /** 60-bit deterministic hash of a string (md5 hex prefix → long),
+    * via the fused native expression (graft.functions.Md5Prefix) —
+    * value-identical to conv(substring(md5(c), 1, 15), 16, 10). */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Prefix.md5_prefix(c, 15)
 
   /** 40-bit base hash — one md5 per value; the per-seed family below
     * derives NumHashes hashes from it with pure int64 arithmetic, so
     * hashing cost is 1× md5 instead of NumHashes×. */
   def hash40(c: Column): Column =
-    conv(substring(md5(c), 1, 10), 16, 10).cast("long")
+    graft.functions.Md5Prefix.md5_prefix(c, 10)
 
   /** Universal-hash family over the 40-bit base: (A_s·h + B_s) mod P.
     * A_s ≤ ~1.3e6 keeps A·h < 1.5e18 < 2^63 — no int64 overflow in any
@@ -74,9 +76,9 @@ object Dedup {
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), expr(
-        s"""transform(w, x -> CAST(conv(substring(md5(x), 1, 10), 16, 10) AS BIGINT))"""
-      ).as("hw"))
+      // per-word hash via the fused native expression (one digest, no
+      // hex-string round-trip) — the hot inner loop of the operator
+      .select(col("doc_id"), transform(col("w"), x => hash40(x)).as("hw"))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(hw) - 2), i -> (hw[i-1] * $ShingleK1 + hw[i] * $ShingleK2 + hw[i+1]) % $HashP)"
       )).as("h"))
