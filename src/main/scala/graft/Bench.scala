@@ -4,12 +4,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Representative cross-section of the operator inventory: scan+agg,
     * broadcast joins, explode+bridge, as-of, windowed/sessionized
-    * events, top-k window, minhash LSH, ANN, text analysis, set op. */
+    * events, top-k window, minhash LSH, dup clusters, ANN (brute +
+    * IVF), text analysis, chunk/pack, curation capstone, set op. */
   val headline: Seq[String] = Seq(
     "q1_agg", "j1_fact_dims", "j2_word_bridge", "j4_asof_join",
     "e1_window_agg", "e2_sessionize", "an2_topk_per_group",
-    "d2_minhash_lsh", "n1_cosine_topk", "t3_token_count",
+    "d2_minhash_lsh", "d6_dup_clusters", "n1_cosine_topk", "n2_ann_ivf",
+    "t3_token_count", "t6_chunking", "t7_packing", "c1_curate",
     "g1_explode_words", "u1_except")
+
+  /** Repetitions per query; reported time is the median, so single-run
+    * jitter (JIT, GC, page cache) can't masquerade as a regression. */
+  val reps: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,17 +33,23 @@ object Bench {
     val qs = headline.filter(SparkEntry.queries.contains)
     // a query that throws reports the sentinel -1, not its time-to-failure
     val results = qs.map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count()
+              Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      val median =
+        if (times.size < reps) -1.0 // any failed rep poisons the query
+        else times.sorted.apply(times.size / 2)
+      name -> median
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$errors,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -134,18 +134,38 @@ object EventQueries {
       |ORDER BY win_start, event_type""".stripMargin
 
   /** AN4: HLL profiling — approx_count_distinct per group (the sketch
-    * path for 100 TB cardinality audits). Not ANSI-replicable, so no
-    * oracle: the driver records a rows-only check, and the ScalaTest
-    * suite bounds the relative error against exact counts. */
+    * path for 100 TB cardinality audits). The raw sketch estimate is
+    * engine-specific, so the HARD-checked output is the bounded-error
+    * RELATION: exact distinct counts plus booleans asserting the HLL
+    * estimate landed within 3× the default rsd (0.05 → 15%). The
+    * oracle replays the exact counts and TRUE literals, so any
+    * out-of-bound sketch flips a cell and fails the hash — a real
+    * correctness gate, not a rows-only smoke check. Integer-only
+    * comparison (abs·100 ≤ exact·15) keeps both engines exact. */
   val an4ApproxDistinct: Q = (s, dir) => {
     import s.implicits._
     Tables.load(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey").as("approx_parts"),
-        approx_count_distinct($"l_orderkey").as("approx_orders"))
+        countDistinct($"l_partkey").as("exact_parts"),
+        countDistinct($"l_orderkey").as("exact_orders"),
+        approx_count_distinct($"l_partkey").as("ap"),
+        approx_count_distinct($"l_orderkey").as("ao"))
+      .select($"l_returnflag", $"exact_parts", $"exact_orders",
+        (abs($"ap" - $"exact_parts") * 100 <= $"exact_parts" * 15)
+          .as("parts_within_bound"),
+        (abs($"ao" - $"exact_orders") * 100 <= $"exact_orders" * 15)
+          .as("orders_within_bound"))
       .orderBy($"l_returnflag")
   }
+
+  val an4ApproxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS parts_within_bound,
+      |  TRUE AS orders_within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** E4: the STREAMING sessionizer inside the correctness gate. Events
     * are replayed through a real file-source stream into
@@ -243,6 +263,6 @@ object EventQueries {
     "e3_sliding_window" -> e3SlidingWindowSql,
     "sk1_salted_agg" -> sk1SaltedAggSql,
     "e4_stream_sessions" -> e4StreamSessionsSql,
-    // an4_approx_distinct: intentionally omitted (sketch, rows-only check)
+    "an4_approx_distinct" -> an4ApproxDistinctSql,
   )
 }

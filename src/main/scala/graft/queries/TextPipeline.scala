@@ -178,14 +178,41 @@ object TextPipeline {
     * token-budget packs (512 tokens) by running token count in a
     * deterministic global order. The streaming-friendly packing a
     * training pipeline uses when batches must be reproducible; the
-    * greedy bin-packing variants trade determinism for fill rate. */
+    * greedy bin-packing variants trade determinism for fill rate.
+    *
+    * The running sum is a TWO-PHASE distributed scan, not a global
+    * window: range-partition on (doc_id, chunk_no), compute a
+    * partition-local running sum (window partitioned by the physical
+    * partition id — fully parallel), and add per-partition prefix
+    * offsets computed from one tiny row per partition. The global
+    * total order makes `cum` invariant to where the range boundaries
+    * fall, so the result is identical to the single-task
+    * `Window.orderBy(doc_id, chunk_no)` formulation the oracle replays
+    * — but no task ever sees more than one partition of chunks.
+    * (`localCheckpoint` pins the sampled range boundaries so the
+    * offsets branch and the cumsum branch see the same pid mapping.) */
   val t7Packing: Q = (s, dir) => {
     import s.implicits._
     val chunks = t6Chunking(s, dir).select($"doc_id", $"chunk_no", $"n_tokens")
-    chunks
-      .withColumn("cum", sum($"n_tokens").over(
-        Window.orderBy($"doc_id", $"chunk_no")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val ranged = chunks
+      .repartitionByRange(nPart, $"doc_id", $"chunk_no")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // one row per partition → driver-side exclusive prefix → map literal
+    val partials = ranged.groupBy($"pid").agg(sum($"n_tokens").as("tot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = partials
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) => (pid + 1, acc + tot) }
+      .init.zip(partials).map { case ((_, off), (pid, _)) => pid -> off }.toMap
+    val offExpr =
+      if (offsets.isEmpty) lit(0L) else element_at(typedLit(offsets), $"pid")
+    ranged
+      .withColumn("cum",
+        sum($"n_tokens").over(
+          Window.partitionBy($"pid").orderBy($"doc_id", $"chunk_no")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          + offExpr)
       .select($"doc_id", $"chunk_no",
         expr("(cum - 1) div 512").as("pack_id"))
       .orderBy($"doc_id", $"chunk_no")

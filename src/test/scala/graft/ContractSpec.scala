@@ -19,8 +19,10 @@ class ContractSpec extends AnyFunSuite {
     "TextPipeline" -> TextPipeline.defs.keySet,
     "SourceQueries" -> SourceQueries.defs.keySet)
 
-  /** Queries that intentionally have NO oracle (approximate results). */
-  private val rowsOnly = Set("an4_approx_distinct")
+  /** Queries that intentionally have NO oracle (approximate results).
+    * Empty since r3: an4's sketch is hard-checked via the bounded-error
+    * relation (exact counts + within-bound booleans the oracle replays). */
+  private val rowsOnly = Set.empty[String]
 
   test("no query name is defined in two modules (merge would shadow one)") {
     val dup = moduleDefs.flatMap { case (m, ks) => ks.map(_ -> m) }

@@ -41,4 +41,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"range-join blowup in j4:\n$p")
   }
+
+  test("t7 packing's running sum never funnels rows to one task") {
+    // the r2 scale-killer: Window.orderBy with no partitionBy plans an
+    // Exchange SinglePartition before the window — every chunk row
+    // through a single task. The two-phase scan must not contain one
+    // anywhere except the final presentation orderBy (which is a range
+    // exchange, not SinglePartition).
+    val p = sparkPlan("t7_packing").toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in t7:\n$p")
+    // and the window itself must be partitioned (by pid)
+    assert(p.contains("windowspecdefinition(pid"),
+      s"t7 window not partitioned by pid:\n$p")
+  }
 }
