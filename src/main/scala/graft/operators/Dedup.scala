@@ -214,21 +214,27 @@ object Dedup {
     * Returns (doc_id, cluster_id) for every doc appearing in `pairs`.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val p = pairs.select(col("d1"), col("d2"))
-    val nodes = p.select(col("d1").as("id"))
-      .unionByName(p.select(col("d2").as("id"))).distinct()
+    // checkpoint the (possibly expensive) pair plan ONCE; edges, nodes
+    // and the initial labels all derive from the materialized rows.
+    // (r2's shape checkpointed edges but re-evaluated the full pair
+    // plan a second time for the initial labels — at sf0.1 that was
+    // half of d6's bench cost.)
+    val p = pairs.select(col("d1"), col("d2")).localCheckpoint()
     val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(p.select(col("d2").as("src"), col("d1").as("dst")))
-      .localCheckpoint()
+    val nodes = p.select(col("d1").as("id"))
+      .unionByName(p.select(col("d2").as("id"))).distinct()
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
     var prevSum = BigDecimal(-1)
     var i = 0
     var done = false
     while (!done && i < maxIter) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      labels = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // one round = ONE join (neighbor contributions) + ONE min-agg
+      // over own ∪ contributed labels — not join + agg + second join
+      val contrib = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+      labels = labels.unionByName(contrib)
+        .groupBy("id").agg(min(col("label")).as("label"))
         .localCheckpoint()
       val sum = Option(
         labels.agg(org.apache.spark.sql.functions.sum(col("label").cast("decimal(38,0)")))
