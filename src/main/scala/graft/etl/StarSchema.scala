@@ -110,6 +110,45 @@ object StarSchema {
       .select("DOI", "KeywordID")
       .distinct()
 
+  /** The 100 TB path for the ONE dim that grows with the corpus: when
+    * the authors dim outgrows broadcast, store BOTH join sides
+    * bucketed + sorted on the natural key — the bridge join is then a
+    * zero-Exchange sort-merge over co-located buckets (the exact
+    * machinery BucketingSpec proves for orders/customer). The bucket
+    * write is a one-time layout cost amortized over every downstream
+    * bridge build; `buckets` scales with corpus (≈ total size /
+    * 256 MB at the real deployment).
+    *
+    * Returns the co-bucketed join (one row per exploded distinct
+    * natural-key pair); [[authorBridgeBucketed]] reduces it to the
+    * distinct (DOI, AuthorID) bridge. */
+  def authorBridgeBucketedJoin(spark: SparkSession, clean: DataFrame,
+      authorsDim: DataFrame, buckets: Int = 8): DataFrame = {
+    val key = Seq("FullName", "Country", "University")
+    val pairs = clean
+      .select(col("doi").as("DOI"), explode(col("authors_with_affiliations")).as("a"))
+      .select(col("DOI"),
+        col("a.author").as("FullName"),
+        col("a.country").as("Country"),
+        col("a.university").as("University"))
+      .distinct()
+    pairs.write.bucketBy(buckets, key.head, key.tail: _*)
+      .sortBy(key.head, key.tail: _*)
+      .mode("overwrite").saveAsTable("graft_bucketed_author_pairs")
+    authorsDim.write.bucketBy(buckets, key.head, key.tail: _*)
+      .sortBy(key.head, key.tail: _*)
+      .mode("overwrite").saveAsTable("graft_bucketed_authors")
+    spark.table("graft_bucketed_author_pairs")
+      .join(spark.table("graft_bucketed_authors"), key)
+  }
+
+  /** Bucketed author bridge: same rows as [[authorBridge]], shuffle
+    * only at the final distinct — never on the join. */
+  def authorBridgeBucketed(spark: SparkSession, clean: DataFrame,
+      authorsDim: DataFrame, buckets: Int = 8): DataFrame =
+    authorBridgeBucketedJoin(spark, clean, authorsDim, buckets)
+      .select("DOI", "AuthorID").distinct()
+
   // ---- CompatMode: byte-faithful reference quirks ------------------
   //
   // The default build fixes the reference's dimension bugs (SURVEY §7

@@ -63,4 +63,35 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("bucketed author bridge joins without a shuffle and matches the broadcast bridge") {
+    import graft.etl.StarSchema
+    // a clean-shaped corpus with natural-key duplicates across docs
+    val clean = spark.sql(
+      """SELECT * FROM VALUES
+        |  ('d1', array(named_struct('author','Ann A','country','France','location','x','university','Uni X'),
+        |               named_struct('author','Bob B','country','Spain','location','y','university','Uni Y'))),
+        |  ('d2', array(named_struct('author','Ann A','country','France','location','x','university','Uni X'))),
+        |  ('d3', array(named_struct('author','Cara C','country','USA','location','z','university','Uni Z'),
+        |               named_struct('author','Ann A','country','France','location','x','university','Uni X')))
+        |AS t(doi, authors_with_affiliations)""".stripMargin)
+    val dim = StarSchema.authors(clean)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = StarSchema.authorBridgeBucketedJoin(spark, clean, dim)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in bucketed bridge join:\n$plan")
+      // same bridge rows as the broadcast-dim implementation
+      val bucketed = StarSchema.authorBridgeBucketed(spark, clean, dim)
+      val broadcastBridge = StarSchema.authorBridge(clean, dim)
+      assert(bucketed.exceptAll(broadcastBridge).count() === 0L)
+      assert(broadcastBridge.exceptAll(bucketed).count() === 0L)
+      assert(bucketed.count() === 5L) // Ann A on d1/d2/d3, Bob B on d1, Cara C on d3
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_author_pairs")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_authors")
+    }
+  }
 }
