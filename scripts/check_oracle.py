@@ -10,6 +10,7 @@ by all columns, exact cell equality.  Prints PASS/FAIL per query.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -62,9 +63,12 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
-    n_pass = n_fail = 0
+    n_pass = n_fail = skipped = 0
     for name in sorted(oracle):
         sql = oracle[name]
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            skipped += 1  # Verify was run with a query filter
+            continue
         spark_sql = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
         try:
             # NOTE: re-execute per consumption — duckdb re-uses one
@@ -106,7 +110,8 @@ def main():
         else:
             print(f"PASS {name} ({len(srows)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    note = f" ({skipped} not dumped)" if skipped else ""
+    print(f"== {n_pass} pass / {n_fail} fail =={note}")
     sys.exit(1 if n_fail else 0)
 
 

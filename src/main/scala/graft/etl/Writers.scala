@@ -19,11 +19,20 @@ import org.apache.spark.sql.types._
   */
 object Writers {
 
-  /** K4: CSV with header. `singleFile` coalesces for reference parity;
-    * leave false at scale. */
+  /** K4: CSV with header, byte-compatible with the reference's pandas
+    * `to_csv` (RFC 4180): fields with delimiter/quote/newline are
+    * quoted and embedded quotes are DOUBLED (`escape` = the quote char
+    * — Spark's default backslash escaping is not what pandas emits),
+    * empty strings stay unquoted. CsvParitySpec pins this against
+    * literal `DB/Tables/authors.csv` rows. `singleFile` coalesces for
+    * reference parity; leave false at scale. */
   def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
     val d = if (singleFile) df.coalesce(1) else df
-    d.write.mode("overwrite").option("header", true).csv(path)
+    d.write.mode("overwrite")
+      .option("header", true)
+      .option("escape", "\"")
+      .option("emptyValue", "")
+      .csv(path)
   }
 
   /** K5: JSONL. */

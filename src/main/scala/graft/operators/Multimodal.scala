@@ -50,6 +50,89 @@ object Multimodal {
     }
   }
 
+  // ---- real (non-stub) header decode -------------------------------
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** REAL decoder for the two header formats a pure JVM can parse with
+    * no codec library: PNG (8-byte signature, IHDR width/height
+    * big-endian at offsets 16/20) and BMP (`BM` magic, BITMAPINFOHEADER
+    * width/height little-endian at offsets 18/22). Format is detected
+    * from the BYTES, not the declared kind; anything else degrades to
+    * (0, 0) dims rather than failing the batch. Feature extraction is
+    * the same byte-window accumulation as the stub — the difference is
+    * that width/height now come from parsing real file structure. */
+  def decodeHeader(r: MediaRow): MediaFeatures = {
+    val b = r.payload
+    val (w, h) =
+      if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
+          new String(b.slice(12, 16), "US-ASCII") == "IHDR")
+        (be32(b, 16), be32(b, 20))
+      else if (b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+        (le32(b, 18), le32(b, 22))
+      else (0, 0)
+    val dim = 16
+    val feats = new Array[Float](dim)
+    var i = 0
+    while (i < b.length) {
+      feats(i % dim) += (b(i) & 0xff) / 255.0f
+      i += 1
+    }
+    MediaFeatures(r.media_id, r.kind, b.length, w, h, feats)
+  }
+
+  /** Header-decode stage over the same per-partition seam. */
+  def decodeHeaders(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeHeader))
+  }
+
+  /** Minimal valid-header builders (used to synthesize test/oracle
+    * payloads; CRCs are zeroed — the parser, like most fast-path
+    * probers, does not checksum). PNG: signature + IHDR chunk
+    * (33 bytes) + body. BMP: 54-byte BITMAPFILEHEADER+INFOHEADER +
+    * body. */
+  def pngBytes(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](33 + body.length)
+    PngSig.copyToArray(out, 0)
+    out(11) = 13 // IHDR data length
+    "IHDR".getBytes("US-ASCII").copyToArray(out, 12)
+    writeBe32(out, 16, w); writeBe32(out, 20, h)
+    out(24) = 8; out(25) = 6 // bit depth, color type RGBA
+    body.copyToArray(out, 33)
+    out
+  }
+
+  def bmpBytes(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](54 + body.length)
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    writeLe32(out, 2, 54 + body.length) // file size
+    writeLe32(out, 10, 54)              // pixel-data offset
+    writeLe32(out, 14, 40)              // BITMAPINFOHEADER size
+    writeLe32(out, 18, w); writeLe32(out, 22, h)
+    out(26) = 1; out(28) = 24           // planes, bpp
+    body.copyToArray(out, 54)
+    out
+  }
+
+  private def writeBe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+
+  private def writeLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+    b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+  }
+
   /** Build a typed media Dataset from any table with a text column —
     * the test harness for the plumbing (payload = utf8 bytes). */
   def mediaFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =

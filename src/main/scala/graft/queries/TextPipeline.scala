@@ -696,6 +696,43 @@ object TextPipeline {
       |FROM f WHERE frame_no % 2 = 0
       |ORDER BY media_id, frame_no""".stripMargin
 
+  /** M3: REAL bytes→metadata decode through the mapPartitions seam.
+    * Each doc synthesizes a valid PNG (even ids) or BMP (odd ids)
+    * header with known dimensions around the utf8 text body;
+    * `Multimodal.decodeHeaders` then parses width/height back OUT OF
+    * THE BYTES (PNG IHDR big-endian / BMP InfoHeader little-endian,
+    * format sniffed from magic numbers, not the kind column). The
+    * oracle replays the dimension arithmetic and header sizes — any
+    * endianness/offset bug in the parser flips cells. */
+  val m3ImageMeta: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val media = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val w = (id % 3000 + 16).toInt
+        val h = (id % 2000 + 16).toInt
+        val body = text.getBytes("UTF-8")
+        if (id % 2 == 0)
+          Multimodal.MediaRow(id, "image/png", Multimodal.pngBytes(w, h, body))
+        else
+          Multimodal.MediaRow(id, "image/bmp", Multimodal.bmpBytes(w, h, body))
+      }
+    Multimodal.decodeHeaders(media)
+      .select($"media_id", $"kind", $"n_bytes".cast("long").as("n_bytes"),
+        $"width".cast("long").as("width"), $"height".cast("long").as("height"))
+      .orderBy($"media_id")
+  }
+
+  val m3ImageMetaSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS kind,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 54 END
+      |       + octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+      |  CAST(doc_id % 3000 + 16 AS BIGINT) AS width,
+      |  CAST(doc_id % 2000 + 16 AS BIGINT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "t1_lang_id"       -> t1LangId,
     "t2_quality_score" -> t2Quality,
@@ -720,6 +757,7 @@ object TextPipeline {
     "n3_centroids"     -> n3Centroids,
     "m1_binary_meta"   -> m1BinaryMeta,
     "m2_frame_sample"  -> m2FrameSample,
+    "m3_image_meta"    -> m3ImageMeta,
   )
 
   val oracle: Map[String, String] = Map(
@@ -746,5 +784,6 @@ object TextPipeline {
     "n3_centroids"     -> n3CentroidsSql,
     "m1_binary_meta"   -> m1BinaryMetaSql,
     "m2_frame_sample"  -> m2FrameSampleSql,
+    "m3_image_meta"    -> m3ImageMetaSql,
   )
 }

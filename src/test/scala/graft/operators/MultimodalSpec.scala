@@ -32,4 +32,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f0.forall(_.getInt(1) % 2 === 0))
     assert(f0.init.forall(_.getInt(2) === 32))
   }
+
+  test("real header decode round-trips PNG/BMP dimensions from bytes") {
+    val body = "pixel data stand-in".getBytes("UTF-8")
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", Multimodal.pngBytes(640, 480, body)),
+      Multimodal.MediaRow(2L, "image/bmp", Multimodal.bmpBytes(1920, 1080, body)),
+      // dimensions above 255 exercise multi-byte endianness both ways
+      Multimodal.MediaRow(3L, "image/png", Multimodal.pngBytes(70000, 3, body)),
+      Multimodal.MediaRow(4L, "application/octet-stream", body))
+    val out = Multimodal.decodeHeaders(spark.createDataset(rows))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).width === 640 && out(1L).height === 480)
+    assert(out(2L).width === 1920 && out(2L).height === 1080)
+    assert(out(3L).width === 70000 && out(3L).height === 3)
+    // non-image bytes degrade to (0,0), never throw
+    assert(out(4L).width === 0 && out(4L).height === 0)
+    assert(out(1L).n_bytes === 33 + body.length)
+    assert(out(2L).n_bytes === 54 + body.length)
+  }
 }
