@@ -13,9 +13,14 @@ object Bench {
     "t3_token_count", "t6_chunking", "t7_packing", "c1_curate",
     "g1_explode_words", "u1_except")
 
-  /** Repetitions per query; reported time is the median, so single-run
-    * jitter (JIT, GC, page cache) can't masquerade as a regression. */
+  /** Minimum repetitions per query; reported time is the median, so
+    * single-run jitter (JIT, GC, page cache) can't masquerade as a
+    * regression. Sub-second queries keep running (to maxReps) until
+    * ~1.5 s of samples accumulate — relative jitter on a 0.2 s query
+    * needs more reps than the same jitter on a 3 s query. */
   val reps: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+  val maxReps: Int = math.max(reps, 9)
+  val minSampleSecs: Double = 1.5
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,23 +38,43 @@ object Bench {
     val qs = headline.filter(SparkEntry.queries.contains)
     // a query that throws reports the sentinel -1, not its time-to-failure
     val results = qs.map { name =>
-      val times = (1 to reps).flatMap { _ =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // per-query untimed warm-up: the first execution pays plan
+      // compilation + codegen; timing it poisons median AND spread
+      var failed =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); false }
+        catch { case _: Throwable => true }
+      var spent = 0.0
+      while (!failed && times.size < maxReps &&
+             (times.size < reps || spent < minSampleSecs)) {
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count()
-              Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
+              val dt = (System.nanoTime() - t0) / 1e9
+              times += dt; spent += dt }
+        catch { case _: Throwable => failed = true }
       }
       val median =
-        if (times.size < reps) -1.0 // any failed rep poisons the query
+        if (failed) -1.0 // any failed rep poisons the query
         else times.sorted.apply(times.size / 2)
-      name -> median
+      // relative spread (max-min)/median: the measurement uncertainty a
+      // reader needs before calling a cross-round delta a regression
+      val spread =
+        if (failed || median <= 0) 0.0
+        else (times.max - times.min) / median
+      (name, median, spread)
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val sjson = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
+      .mkString("{", ",", "}")
+    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$errors,"reps":$reps,"sf":"$sfDir"}""")
+    val load = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ").head
+    } catch { case _: Throwable => "?" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"errors":$errors,"reps":$reps,"loadavg":"$load","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Algorithm-level checks for the chunk/pack/split stages that have no
+  * standalone operator spec (their oracle queries are the primary
+  * gate; these pin the properties the oracle can't see).
+  */
+class TextPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("t7 two-phase distributed cumsum equals the single-task global window") {
+    import spark.implicits._
+    val distributed = TextPipeline.t7Packing(spark, sf)
+    val chunks = TextPipeline.t6Chunking(spark, sf)
+      .select($"doc_id", $"chunk_no", $"n_tokens")
+    val naive = chunks
+      .withColumn("cum", sum($"n_tokens").over(
+        Window.orderBy($"doc_id", $"chunk_no")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"doc_id", $"chunk_no", expr("(cum - 1) div 512").as("pack_id"))
+    assert(distributed.exceptAll(naive).count() === 0L)
+    assert(naive.exceptAll(distributed).count() === 0L)
+  }
+
+  test("t7 pack ids are dense, start at zero, and never exceed the token budget order") {
+    import spark.implicits._
+    val packs = TextPipeline.t7Packing(spark, sf)
+      .join(TextPipeline.t6Chunking(spark, sf).select($"doc_id", $"chunk_no", $"n_tokens"),
+        Seq("doc_id", "chunk_no"))
+      .groupBy($"pack_id").agg(sum($"n_tokens").as("tok"))
+    val rows = packs.orderBy($"pack_id").collect()
+    assert(rows.head.getLong(0) === 0L)
+    // dense ids: max pack_id == n_packs - 1
+    assert(rows.last.getLong(0) === rows.length - 1L)
+    // every pack except possibly the last stays within budget + one
+    // overflowing chunk (sequential packing semantics: a chunk joins
+    // the pack its cumulative START falls into, so a pack can exceed
+    // 512 by at most one chunk's tokens - 1; chunks are <= 50 tokens)
+    rows.init.foreach(r => assert(r.getLong(1) <= 512L + 49L,
+      s"pack ${r.getLong(0)} holds ${r.getLong(1)} tokens"))
+  }
+
+  test("t6 chunk boundaries: full coverage with 10-token overlap") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_words"))
+    val agg = TextPipeline.t6Chunking(spark, sf)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"), sum($"n_tokens").as("tok"))
+      .join(docs, "doc_id")
+    // every word is covered: sum of chunk sizes = words + 10 overlap
+    // per chunk after the first
+    val bad = agg.filter($"tok" =!= $"n_words" + ($"n_chunks" - 1) * 10).count()
+    assert(bad === 0L)
+  }
+
+  test("t5 split is an exact 80/10/10 hash partition (no doc in two splits)") {
+    import spark.implicits._
+    val s = TextPipeline.t5SplitAssign(spark, sf)
+    assert(s.select($"doc_id").distinct().count() === s.count())
+    val frac = s.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = frac.values.sum.toDouble
+    assert(frac("train") / n > 0.7 && frac("train") / n < 0.9)
+    assert(frac("val") / n > 0.05 && frac("val") / n < 0.15)
+    assert(frac("test") / n > 0.05 && frac("test") / n < 0.15)
+  }
+}
