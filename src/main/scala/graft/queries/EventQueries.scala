@@ -167,6 +167,48 @@ object EventQueries {
       |  TRUE AS orders_within_bound
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** AN7: approximate quantiles (KLL/GK-style sketch via
+    * percentile_approx) with a HARD bound, like an4: accuracy=100
+    * guarantees rank error <= 1% of n, so the estimate must land
+    * between the exact discrete quantiles at ranks 48% and 52%+1 —
+    * both engine-exact rank selections (no float interpolation). The
+    * oracle replays the exact bounds and a TRUE literal; a sketch
+    * outside its guarantee flips the boolean and fails the hash. */
+  val an7ApproxQuantiles: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val byFlag = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
+    val ranked = li
+      .withColumn("rn", row_number().over(byFlag))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+    val lo = ranked.filter($"rn" === expr("greatest(1, (n * 48) div 100)"))
+      .select($"l_returnflag", $"l_quantity".as("q48"))
+    val hi = ranked.filter($"rn" === expr("least(n, (n * 52) div 100 + 1)"))
+      .select($"l_returnflag", $"l_quantity".as("q52"))
+    val apx = li.groupBy($"l_returnflag")
+      .agg(expr("percentile_approx(l_quantity, 0.5, 100)").as("apx"))
+    lo.join(hi, "l_returnflag").join(apx, "l_returnflag")
+      .select($"l_returnflag", $"q48", $"q52",
+        ($"apx" >= $"q48" && $"apx" <= $"q52").as("median_within_bound"))
+      .orderBy($"l_returnflag")
+  }
+
+  val an7ApproxQuantilesSql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem),
+      |lo AS (SELECT l_returnflag, l_quantity AS q48 FROM r
+      |       WHERE rn = greatest(1, (n * 48) // 100)),
+      |hi AS (SELECT l_returnflag, l_quantity AS q52 FROM r
+      |       WHERE rn = least(n, (n * 52) // 100 + 1))
+      |SELECT lo.l_returnflag, q48, q52, TRUE AS median_within_bound
+      |FROM lo JOIN hi ON lo.l_returnflag = hi.l_returnflag
+      |ORDER BY lo.l_returnflag""".stripMargin
+
   /** E4: the STREAMING sessionizer inside the correctness gate. Events
     * are replayed through a real file-source stream into
     * Streams.sessionizeStreamExact (watermark + EventTimeTimeout,
@@ -252,6 +294,7 @@ object EventQueries {
     "e2_sessionize" -> e2Sessionize,
     "e3_sliding_window" -> e3SlidingWindow,
     "an4_approx_distinct" -> an4ApproxDistinct,
+    "an7_approx_quantiles" -> an7ApproxQuantiles,
     "sk1_salted_agg" -> sk1SaltedAgg,
     "e4_stream_sessions" -> e4StreamSessions,
   )
@@ -264,5 +307,6 @@ object EventQueries {
     "sk1_salted_agg" -> sk1SaltedAggSql,
     "e4_stream_sessions" -> e4StreamSessionsSql,
     "an4_approx_distinct" -> an4ApproxDistinctSql,
+    "an7_approx_quantiles" -> an7ApproxQuantilesSql,
   )
 }

@@ -187,6 +187,22 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup — the incremental-crawl shape of D1: the
+    * first document per canonical fingerprint passes, later copies are
+    * dropped. `dropDuplicatesWithinWatermark` keys state by
+    * fingerprint and EXPIRES it once the watermark passes, so state
+    * stays bounded on an unbounded stream (a crawler re-fetching the
+    * same page weeks later re-admits it — the at-scale contract is
+    * "no dup within the dedup horizon", not "no dup ever", which
+    * would need unbounded state or the batch d1/d7 jobs). Input must
+    * carry an event-time column `ts`. */
+  def dedupStream(docs: DataFrame, textCol: String = "text",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Drain a file-source stream to a memory sink synchronously (test /
     * AvailableNow harness). Aggregations need Complete — in Append a
     * watermarked window only emits after the watermark passes it,

@@ -79,6 +79,35 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.contains((2L, 1L, 5.0)))   // open session flushed by timeout
   }
 
+  test("streaming dedup passes exactly one doc per fingerprint (== batch distinct)") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+      // deterministic synthetic event time (documents carry none),
+      // all inside one dedup horizon so every duplicate must be caught;
+      // offset past epoch 0 — a row AT the initial watermark (epoch 0)
+      // is discarded as late by the stateful operator
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(($"doc_id" % 600L + 3600L) * 1000000L))
+    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    Streams.runOnce(Streams.dedupStream(stream), "deduped")
+    val out = spark.table("deduped")
+    // one survivor per fingerprint, covering every batch-distinct fp
+    val dupFps = out.groupBy("fp").count().filter($"count" > 1)
+      .select("fp").collect().map(_.getString(0))
+    val dups = out.filter($"fp".isin(dupFps.toSeq: _*))
+      .select("fp", "doc_id", "ts").collect()
+    assert(dups.isEmpty, s"duplicate fps in stream output:\n${dups.mkString("\n")}")
+    val batchFps = docs.select(
+      graft.functions.TextFunctions.fingerprint($"text").as("fp")).distinct()
+    val extra = out.select("fp").exceptAll(batchFps).collect()
+    val missing = batchFps.exceptAll(out.select("fp")).collect()
+    assert(extra.isEmpty && missing.isEmpty,
+      s"out=${out.count()} batchDistinct=${batchFps.count()} " +
+      s"extra=${extra.mkString(",")} missing=${missing.mkString(",")}")
+  }
+
   test("windowed streaming agg equals the batch window query") {
     val dir = Files.createTempDirectory("graft-ev")
     val batch = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
