@@ -28,6 +28,32 @@ object Ingest {
   def readArticlesJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Schemas.articleSchema).json(path)
 
+  /** JSONL read with corrupt-record QUARANTINE: malformed lines land
+    * in `_corrupt_record` instead of becoming all-null rows or killing
+    * the job. The reference scraper's recovery is whole-file re-scrape
+    * (ScienceDirect.py:457-488); at 100 TB the unit of damage must be
+    * the ROW — one bad line in a terabyte landing dir quarantines one
+    * row. Split with [[quarantine]]. */
+  def readArticlesJsonlSafe(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(Schemas.articleSchema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** (good rows without the quarantine column, quarantined raw lines).
+    * Caches the parsed batch first: Spark disallows plans that read
+    * ONLY `_corrupt_record` straight off the file scan
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and one
+    * materialization serves both branches anyway. */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = df.cache()
+    (parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      parsed.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw")))
+  }
+
   /** U2 + variant normalization: merge any mix of the four raw-file
     * shapes into the canonical merged-article schema (SURVEY §1.2):
     *  - raw variants carry journal_name (+ IEEE: top-level ISSN); fold

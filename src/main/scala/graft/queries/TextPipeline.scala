@@ -228,6 +228,86 @@ object TextPipeline {
        |SELECT doc_id, chunk_no, CAST((cum - 1) // 512 AS BIGINT) AS pack_id
        |FROM packed ORDER BY doc_id, chunk_no""".stripMargin
 
+  /** T8: deterministic stratified rebalancing — downsample every
+    * language class to the minority-class size, in expectation, with
+    * the same md5-bucket trick as t5 (engine/run/cluster-stable; a
+    * rand() sample would be none of those). Keep rule is pure integer
+    * arithmetic: bucket(doc) · n_class < n_min · 1000. The class-size
+    * scan is one extra aggregate, not a per-row shuffle. */
+  val t8StratifiedSample: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+    val minN = counts.agg(min($"n").as("n_min"))
+    docs
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(minN))
+      .withColumn("bucket",
+        pmod(conv(substring(md5($"doc_id".cast("string")), 1, 10), 16, 10).cast("long"),
+          lit(1000L)))
+      .filter($"bucket" * $"n" < $"n_min" * 1000L)
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  val t8StratifiedSampleSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |m AS (SELECT min(n) AS n_min FROM c)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+      |WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 10))::BIGINT % 1000) * c.n
+      |      < m.n_min * 1000
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** T9: TF-IDF top terms per document — the classic relevance scoring
+    * a retrieval/curation pipeline needs. tf and df are exact integer
+    * counts; idf/score use the identical float formula on both sides
+    * and are rounded (memory-rule: rank on the ROUNDED score with a
+    * word tie-break, so ordering can't diverge on ulps). The df table
+    * is one corpus-wide aggregate keyed by word — linear, no pair
+    * space; N arrives via a broadcast one-row cross join, not a
+    * global window. */
+  val t9Tfidf: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val words = docs
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+    val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = words.select($"doc_id", $"word").distinct()
+      .groupBy($"word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round($"tf" * round(log(($"n_docs" + 1.0) / ($"df" + 1.0)), 6), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"word")))
+      .filter($"rn" <= 5)
+      .select($"doc_id", $"word", $"score")
+      .orderBy($"doc_id", $"word")
+  }
+
+  val t9TfidfSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |wf AS (SELECT doc_id, word FROM w WHERE word <> ''),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM wf GROUP BY 1, 2),
+      |df AS (SELECT word, count(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, word FROM wf) GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.word,
+      |    round(tf.tf * round(ln((n.n_docs + 1.0) / (df.df + 1.0)), 6), 4) AS score
+      |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, word, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY score DESC, word) AS rn
+      |  FROM scored)
+      |SELECT doc_id, word, score FROM ranked WHERE rn <= 5
+      |ORDER BY doc_id, word""".stripMargin
+
   /** T3: token counting — whitespace and BPE-ish pre-tokenizer counts. */
   val t3Tokens: Q = (s, dir) => {
     import s.implicits._
@@ -741,6 +821,8 @@ object TextPipeline {
     "t5_split_assign"  -> t5SplitAssign,
     "t6_chunking"      -> t6Chunking,
     "t7_packing"       -> t7Packing,
+    "t8_stratified_sample" -> t8StratifiedSample,
+    "t9_tfidf"         -> t9Tfidf,
     "c1_curate"        -> c1Curate,
     "d1_exact_dedup"   -> d1ExactDedup,
     "d2_minhash_lsh"   -> d2Minhash,
@@ -768,6 +850,8 @@ object TextPipeline {
     "t5_split_assign"  -> t5SplitAssignSql,
     "t6_chunking"      -> t6ChunkingSql,
     "t7_packing"       -> t7PackingSql,
+    "t8_stratified_sample" -> t8StratifiedSampleSql,
+    "t9_tfidf"         -> t9TfidfSql,
     "c1_curate"        -> c1CurateSql,
     "d1_exact_dedup"   -> d1ExactDedupSql,
     "d2_minhash_lsh"   -> d2MinhashSql,

@@ -167,5 +167,19 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(byDoi("b1") === "")    // journal not in lookup
   }
 
+  test("corrupt JSONL lines are quarantined per row, not per file") {
+    val p = write(dir, "landing.jsonl",
+      """{"title": "Good 1", "doi": "https://doi.org/10.1016/q1", "topic": "AI", "citations": 1}
+        |{"title": "Good 2", "doi": "https://doi.org/10.1016/q2", "topic": "IoT", "citations": 2}
+        |{"title": "TRUNCATED, no close quote, "doi": !!!
+        |{"title": "Good 3", "doi": "https://doi.org/10.1016/q3", "topic": "AI", "citations": 3}""".stripMargin)
+    val (good, bad) = Ingest.quarantine(Ingest.readArticlesJsonlSafe(spark, p))
+    assert(good.count() === 3)
+    assert(good.filter(col("doi").isNull).count() === 0)
+    val rows = bad.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0).contains("TRUNCATED"))
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
