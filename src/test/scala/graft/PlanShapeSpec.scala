@@ -42,6 +42,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"range-join blowup in j4:\n$p")
   }
 
+  test("no query plans a scale-killer shape (global audit with explicit allowlist)") {
+    // BroadcastNestedLoopJoin is acceptable ONLY where the broadcast
+    // side is bounded by construction: a one-row scalar (t8's n_min,
+    // t9's corpus N) or the small query set of a similarity fan-out
+    // (n1, n2). CartesianProduct and Exchange SinglePartition are
+    // never acceptable. e4 is excluded: constructing it executes a
+    // real streaming query, and its returned plan is a memory-sink
+    // read, not the streaming topology.
+    val bnljAllowed = Set("n1_cosine_topk", "n2_ann_ivf",
+      "t8_stratified_sample", "t9_tfidf")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_ == "e4_stream_sessions").flatMap { name =>
+        val plan = sparkPlan(name).toString
+        Seq(
+          Option.when(plan.contains("Exchange SinglePartition"))(s"$name: SinglePartition"),
+          Option.when(plan.contains("CartesianProduct"))(s"$name: CartesianProduct"),
+          Option.when(plan.contains("BroadcastNestedLoopJoin") &&
+            !bnljAllowed.contains(name))(s"$name: BroadcastNestedLoopJoin")
+        ).flatten
+      }
+    assert(offenders.isEmpty, s"scale-killer plans:\n${offenders.mkString("\n")}")
+  }
+
   test("t7 packing's running sum never funnels rows to one task") {
     // the r2 scale-killer: Window.orderBy with no partitionBy plans an
     // Exchange SinglePartition before the window — every chunk row
