@@ -281,6 +281,34 @@ object ScalarFuncs {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY c_custkey""".stripMargin
 
+  /** F14: JSON scalar functions — serialize a struct per row
+    * (`to_json`) and extract fields back out (`get_json_object`) —
+    * the in-row JSON surface a semi-structured pipeline needs beyond
+    * the file-level readers (S1). Each engine round-trips through its
+    * OWN serializer, so only the extracted VALUES are compared (JSON
+    * text formatting is engine-specific and never hashed). */
+  val f14JsonExtract: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        to_json(struct($"lang", $"source", $"n_chars")).as("j"))
+      .select($"doc_id",
+        get_json_object($"j", "$.lang").as("lang"),
+        get_json_object($"j", "$.n_chars").cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  val f14JsonExtractSql: String =
+    """WITH j AS (
+      |  SELECT doc_id,
+      |    to_json(struct_pack(lang := lang, source := source,
+      |                        n_chars := n_chars)) AS j
+      |  FROM documents)
+      |SELECT doc_id,
+      |  json_extract_string(j, '$.lang') AS lang,
+      |  CAST(json_extract_string(j, '$.n_chars') AS BIGINT) AS n_chars
+      |FROM j ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "f9_country_canon"  -> f9CountryCanon,
     "f10_struct_canon"  -> f10StructCanon,
@@ -293,6 +321,7 @@ object ScalarFuncs {
     "f8_whitelist_clean"   -> f8WhitelistClean,
     "f11_sql_literal"      -> f11SqlLiteral,
     "f12_concat_distinct"  -> f12ConcatDistinct,
+    "f14_json_extract"     -> f14JsonExtract,
     "a5_citation_parse"    -> a5CitationParse,
   )
 
@@ -308,6 +337,7 @@ object ScalarFuncs {
     "f8_whitelist_clean"   -> f8WhitelistCleanSql,
     "f11_sql_literal"      -> f11SqlLiteralSql,
     "f12_concat_distinct"  -> f12ConcatDistinctSql,
+    "f14_json_extract"     -> f14JsonExtractSql,
     "a5_citation_parse"    -> a5CitationParseSql,
   )
 }

@@ -185,6 +185,55 @@ object StarSchemaQueries {
       |FROM r WHERE rn = (n + 1) // 2
       |ORDER BY l_returnflag""".stripMargin
 
+  /** AN8: pivot — long→wide reshaping (source × language doc-count
+    * matrix), the report shape every BI layer downstream of this
+    * engine asks for. Pivot values are EXPLICIT (the known language
+    * set): with inferred values Spark runs an extra distinct pass
+    * over the corpus AND the column order becomes data-dependent.
+    * Spark's pivot leaves absent cells null where a SQL
+    * count-filter gives 0 — coalesced, so the engines agree. */
+  val an8Pivot: Q = (s, dir) => {
+    import s.implicits._
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val wide = Tables.load(s, dir, "documents")
+      .groupBy($"source")
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+    wide.select($"source" +: langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+      .orderBy($"source")
+  }
+
+  val an8PivotSql: String =
+    """SELECT source,
+      |  CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
+      |  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,
+      |  CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
+      |  CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+      |  CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** AN9: unpivot/melt — the inverse reshaping of an8, wide matrix
+    * back to (source, lang, n) long form, zero cells included (the
+    * difference from a plain groupBy: the dense grid is the contract
+    * of a report melt). One narrow dataset, no extra shuffle beyond
+    * an8's aggregate. */
+  val an9Unpivot: Q = (s, dir) => {
+    import s.implicits._
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    an8Pivot(s, dir)
+      .unpivot(Array(col("source")), langs.map(col).toArray, "lang", "n")
+      .orderBy($"source", $"lang")
+  }
+
+  val an9UnpivotSql: String =
+    """WITH g AS (SELECT DISTINCT source FROM documents),
+      |l AS (SELECT unnest(['de','en','es','fr','zh']) AS lang),
+      |c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2)
+      |SELECT g.source, l.lang, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      |FROM g CROSS JOIN l LEFT JOIN c
+      |  ON g.source = c.source AND l.lang = c.lang
+      |ORDER BY g.source, l.lang""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "j2_word_bridge"    -> j2WordBridge,
     "j3_type_bridge"    -> j3TypeBridge,
@@ -193,6 +242,8 @@ object StarSchemaQueries {
     "an2_topk_per_group" -> an2TopKPerGroup,
     "an3_ntile"         -> an3Ntile,
     "an5_median_disc"   -> an5MedianDisc,
+    "an8_pivot"         -> an8Pivot,
+    "an9_unpivot"       -> an9Unpivot,
   )
 
   val oracle: Map[String, String] = Map(
@@ -203,5 +254,7 @@ object StarSchemaQueries {
     "an2_topk_per_group" -> an2TopKPerGroupSql,
     "an3_ntile"         -> an3NtileSql,
     "an5_median_disc"   -> an5MedianDiscSql,
+    "an8_pivot"         -> an8PivotSql,
+    "an9_unpivot"       -> an9UnpivotSql,
   )
 }
