@@ -10,8 +10,8 @@ object Bench {
     "q1_agg", "j1_fact_dims", "j2_word_bridge", "j4_asof_join",
     "e1_window_agg", "e2_sessionize", "an2_topk_per_group",
     "d2_minhash_lsh", "d6_dup_clusters", "n1_cosine_topk", "n2_ann_ivf",
-    "t3_token_count", "t6_chunking", "t7_packing", "c1_curate",
-    "g1_explode_words", "u1_except")
+    "t3_token_count", "t6_chunking", "t7_packing", "t9_tfidf",
+    "c1_curate", "m3_image_meta", "g1_explode_words", "u1_except")
 
   /** Minimum repetitions per query; reported time is the median, so
     * single-run jitter (JIT, GC, page cache) can't masquerade as a

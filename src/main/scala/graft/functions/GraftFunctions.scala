@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL registration for the engine's custom Catalyst expressions, so
+  * `spark.sql("SELECT unicode_sanitize(title) ...")` works for users
+  * who never touch the Column API — the last piece of "a user of the
+  * reference could switch": their ad-hoc SQL keeps the custom
+  * cleansing/hashing functions.
+  *
+  * Two entry points for Spark's two registration moments:
+  *  - `GraftExtensions` for NEW sessions:
+  *    `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  *    or `SparkSession.builder().withExtensions(new GraftExtensions)`;
+  *  - `GraftFunctions.register(spark)` for an EXISTING session
+  *    (extensions are applied only at session construction).
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[UnicodeSanitizeExpr].getName, null, name, usage, "")
+
+  private val unicodeSanitizeBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => UnicodeSanitizeExpr(c)
+    case args => throw new IllegalArgumentException(
+      s"unicode_sanitize expects 1 argument, got ${args.length}")
+  }
+
+  private val md5PrefixBuilder: Seq[Expression] => Expression = {
+    case Seq(c, Literal(digits: Int, _)) => Md5PrefixExpr(c, digits)
+    case Seq(c, Literal(digits: Long, _)) => Md5PrefixExpr(c, digits.toInt)
+    case _ => throw new IllegalArgumentException(
+      "md5_prefix expects (col, integer-literal hex digit count 1..15)")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("unicode_sanitize"),
+      info("unicode_sanitize", "unicode_sanitize(str) - repairs mojibake/unicode-escape damage to a fixpoint"),
+      unicodeSanitizeBuilder),
+    (FunctionIdentifier("md5_prefix"),
+      info("md5_prefix", "md5_prefix(str, digits) - first `digits` hex chars of md5(str) as a BIGINT (1..15)"),
+      md5PrefixBuilder))
+
+  /** Register on an already-running session. */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    functions.foreach { case (id, inf, builder) =>
+      registry.registerFunction(id, inf, builder)
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point (new sessions). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (id, inf, builder) =>
+      ext.injectFunction((id, inf, builder))
+    }
+}
