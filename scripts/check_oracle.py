@@ -64,10 +64,23 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = skipped = 0
+    # Verify writes the set of queries it ATTEMPTED: a missing dump for
+    # an attempted query is a crash → hard FAIL; a query absent from the
+    # manifest was filtered out in the dev loop → skip. Without a
+    # manifest (older dumps), every missing dir is a FAIL.
+    attempted = None
+    manifest = f"{out_dir}/attempted.json"
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            attempted = set(json.load(f))
     for name in sorted(oracle):
         sql = oracle[name]
         if not os.path.isdir(f"{out_dir}/{name}"):
-            skipped += 1  # Verify was run with a query filter
+            if attempted is not None and name not in attempted:
+                skipped += 1  # filtered out, not attempted
+                continue
+            print(f"FAIL {name}: attempted but no result dumped (query crashed in Verify)")
+            n_fail += 1
             continue
         spark_sql = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
         try:

@@ -65,8 +65,11 @@ object Bench {
     }
     val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sjson = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
-      .mkString("{", ",", "}")
+    // Locale.ROOT: f"" uses the default locale — a comma-decimal locale
+    // would emit invalid JSON
+    val sjson = results.map { case (k, _, s) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))
+    }.mkString("{", ",", "}")
     val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum

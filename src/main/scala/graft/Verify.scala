@@ -18,15 +18,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    val attempted = SparkEntry.queries.keySet
+      .filter(name => only.forall(_.contains(name)))
+    attempted.toSeq.sorted.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // manifest of what was ATTEMPTED, so the oracle gate can tell a
+    // dev-loop filter (skip) from a crashed query (hard FAIL) — an
+    // attempted query with no parquet dump must fail the gate
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      attempted.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -122,9 +122,16 @@ object StarSchema {
     * Returns the co-bucketed join (one row per exploded distinct
     * natural-key pair); [[authorBridgeBucketed]] reduces it to the
     * distinct (DOI, AuthorID) bridge. */
-  def authorBridgeBucketedJoin(spark: SparkSession, clean: DataFrame,
-      authorsDim: DataFrame, buckets: Int = 8): DataFrame = {
-    val key = Seq("FullName", "Country", "University")
+  private val bridgeKey = Seq("FullName", "Country", "University")
+
+  /** The ONE-TIME layout step: write the exploded distinct (DOI,
+    * natural-key) pairs and the authors dim as co-bucketed + sorted
+    * tables. Run once per corpus version; every downstream
+    * [[authorBridgeBucketedJoin]] then joins shuffle-free. Table names
+    * are caller-chosen so concurrent pipelines don't clobber each
+    * other's layouts. */
+  def writeBucketedAuthorTables(clean: DataFrame, authorsDim: DataFrame,
+      buckets: Int, pairsTable: String, authorsTable: String): Unit = {
     val pairs = clean
       .select(col("doi").as("DOI"), explode(col("authors_with_affiliations")).as("a"))
       .select(col("DOI"),
@@ -132,22 +139,31 @@ object StarSchema {
         col("a.country").as("Country"),
         col("a.university").as("University"))
       .distinct()
-    pairs.write.bucketBy(buckets, key.head, key.tail: _*)
-      .sortBy(key.head, key.tail: _*)
-      .mode("overwrite").saveAsTable("graft_bucketed_author_pairs")
-    authorsDim.write.bucketBy(buckets, key.head, key.tail: _*)
-      .sortBy(key.head, key.tail: _*)
-      .mode("overwrite").saveAsTable("graft_bucketed_authors")
-    spark.table("graft_bucketed_author_pairs")
-      .join(spark.table("graft_bucketed_authors"), key)
+    pairs.write.bucketBy(buckets, bridgeKey.head, bridgeKey.tail: _*)
+      .sortBy(bridgeKey.head, bridgeKey.tail: _*)
+      .mode("overwrite").saveAsTable(pairsTable)
+    authorsDim.write.bucketBy(buckets, bridgeKey.head, bridgeKey.tail: _*)
+      .sortBy(bridgeKey.head, bridgeKey.tail: _*)
+      .mode("overwrite").saveAsTable(authorsTable)
   }
 
+  /** The repeatable read step: zero-Exchange sort-merge join over the
+    * tables [[writeBucketedAuthorTables]] laid out. */
+  def authorBridgeBucketedJoin(spark: SparkSession,
+      pairsTable: String, authorsTable: String): DataFrame =
+    spark.table(pairsTable).join(spark.table(authorsTable), bridgeKey)
+
   /** Bucketed author bridge: same rows as [[authorBridge]], shuffle
-    * only at the final distinct — never on the join. */
+    * only at the final distinct — never on the join. Convenience that
+    * runs layout + join in one call; production splits the two. */
   def authorBridgeBucketed(spark: SparkSession, clean: DataFrame,
-      authorsDim: DataFrame, buckets: Int = 8): DataFrame =
-    authorBridgeBucketedJoin(spark, clean, authorsDim, buckets)
+      authorsDim: DataFrame, buckets: Int = 8,
+      pairsTable: String = "graft_bucketed_author_pairs",
+      authorsTable: String = "graft_bucketed_authors"): DataFrame = {
+    writeBucketedAuthorTables(clean, authorsDim, buckets, pairsTable, authorsTable)
+    authorBridgeBucketedJoin(spark, pairsTable, authorsTable)
       .select("DOI", "AuthorID").distinct()
+  }
 
   // ---- CompatMode: byte-faithful reference quirks ------------------
   //

@@ -21,8 +21,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 object GraftFunctions {
 
-  private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[UnicodeSanitizeExpr].getName, null, name, usage, "")
+  private def info(cls: Class[_], name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(cls.getName, null, name, usage, "")
 
   private val unicodeSanitizeBuilder: Seq[Expression] => Expression = {
     case Seq(c) => UnicodeSanitizeExpr(c)
@@ -39,10 +39,12 @@ object GraftFunctions {
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("unicode_sanitize"),
-      info("unicode_sanitize", "unicode_sanitize(str) - repairs mojibake/unicode-escape damage to a fixpoint"),
+      info(classOf[UnicodeSanitizeExpr], "unicode_sanitize",
+        "unicode_sanitize(str) - repairs mojibake/unicode-escape damage to a fixpoint"),
       unicodeSanitizeBuilder),
     (FunctionIdentifier("md5_prefix"),
-      info("md5_prefix", "md5_prefix(str, digits) - first `digits` hex chars of md5(str) as a BIGINT (1..15)"),
+      info(classOf[Md5PrefixExpr], "md5_prefix",
+        "md5_prefix(str, digits) - first `digits` hex chars of md5(str) as a BIGINT (1..15)"),
       md5PrefixBuilder))
 
   /** Register on an already-running session. */

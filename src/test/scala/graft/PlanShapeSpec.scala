@@ -50,17 +50,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // never acceptable. e4 is excluded: constructing it executes a
     // real streaming query, and its returned plan is a memory-sink
     // read, not the streaming topology.
+    import graft.tools.PlanAudit
     val bnljAllowed = Set("n1_cosine_topk", "n2_ann_ivf",
       "t8_stratified_sample", "t9_tfidf")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(_ == "e4_stream_sessions").flatMap { name =>
+      .filterNot(PlanAudit.excluded.contains).flatMap { name =>
         val plan = sparkPlan(name).toString
-        Seq(
-          Option.when(plan.contains("Exchange SinglePartition"))(s"$name: SinglePartition"),
-          Option.when(plan.contains("CartesianProduct"))(s"$name: CartesianProduct"),
-          Option.when(plan.contains("BroadcastNestedLoopJoin") &&
-            !bnljAllowed.contains(name))(s"$name: BroadcastNestedLoopJoin")
-        ).flatten
+        PlanAudit.suspects.filter(plan.contains)
+          .filterNot(s => s == "BroadcastNestedLoopJoin" && bnljAllowed.contains(name))
+          .map(s => s"$name: $s")
       }
     assert(offenders.isEmpty, s"scale-killer plans:\n${offenders.mkString("\n")}")
   }

@@ -23,21 +23,25 @@ class GraftFunctionsSpec extends AnyFunSuite {
     GraftFunctions.register(spark)
   }
 
-  test("extensions class applies on a fresh session") {
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    try {
-      // getOrCreate may return the shared TestSpark session (extensions
-      // apply only at construction) — register() covers that path in
-      // the other test; here just assert the function resolves
-      GraftFunctions.register(s2)
-      assert(s2.sql("SELECT md5_prefix('x', 2) AS h").head().getLong(0) ===
-        java.lang.Long.parseLong("9d", 16))
-    } finally ()
+  test("GraftExtensions injects both functions into a registry (spark.sql.extensions path)") {
+    import org.apache.spark.sql.SparkSessionExtensions
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    import org.apache.spark.sql.graftshim.ExtensionsBridge
+    // a fresh SparkSession can't be constructed in the shared test JVM
+    // (extensions apply only at construction), so drive the same
+    // private[sql] application path Spark itself uses at session build
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val registry = ExtensionsBridge.applyFunctions(ext,
+      FunctionRegistry.builtin.clone())
+    assert(registry.functionExists(FunctionIdentifier("unicode_sanitize")))
+    assert(registry.functionExists(FunctionIdentifier("md5_prefix")))
+    // and the injected builder produces the real expression
+    val expr = registry.lookupFunction(FunctionIdentifier("md5_prefix"),
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal("x"),
+        org.apache.spark.sql.catalyst.expressions.Literal(2)))
+    assert(expr.isInstanceOf[Md5PrefixExpr])
   }
 
   test("md5_prefix rejects a non-literal digit count in SQL") {

@@ -78,12 +78,16 @@ class BucketingSpec extends AnyFunSuite {
     val dim = StarSchema.authors(clean)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = StarSchema.authorBridgeBucketedJoin(spark, clean, dim)
+      // layout once, join twice off the same tables (the production split)
+      StarSchema.writeBucketedAuthorTables(clean, dim, buckets = 8,
+        "graft_bucketed_author_pairs", "graft_bucketed_authors")
+      val joined = StarSchema.authorBridgeBucketedJoin(spark,
+        "graft_bucketed_author_pairs", "graft_bucketed_authors")
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
       assert(!plan.contains("Exchange"), s"unexpected shuffle in bucketed bridge join:\n$plan")
       // same bridge rows as the broadcast-dim implementation
-      val bucketed = StarSchema.authorBridgeBucketed(spark, clean, dim)
+      val bucketed = joined.select("DOI", "AuthorID").distinct()
       val broadcastBridge = StarSchema.authorBridge(clean, dim)
       assert(bucketed.exceptAll(broadcastBridge).count() === 0L)
       assert(broadcastBridge.exceptAll(bucketed).count() === 0L)
