@@ -45,6 +45,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("text-function invariants hold on arbitrary strings") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    // arbitrary printable strings + unicode-ish noise, incl. empties
+    val strings = samples(Gen.listOfN(400, Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(60)),
+      Gen.alphaNumStr.map(_.take(30)),
+      Gen.const(""), Gen.const("   "),
+      Gen.const("café néé ☕ 中文")))).distinct
+    val df = strings.zipWithIndex.map(_.swap).toDF("id", "text")
+      .select($"id", $"text",
+        TextFunctions.qualityScore($"text").cast("long").as("q"),
+        TextFunctions.langId($"text").as("lang"),
+        TextFunctions.wsTokens($"text").cast("long").as("tok"),
+        TextFunctions.fingerprint($"text").as("fp"))
+    val rows = df.collect()
+    val langs = Set("en", "fr", "de", "es", "und")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 10000,
+        s"quality out of basis-point range for ${r.get(1)}")
+      assert(langs.contains(r.getString(3)))
+      assert(r.getLong(4) >= 0)
+    }
+    // fingerprint is invariant under punctuation noise
+    val noisy = strings.zipWithIndex.map(_.swap).toDF("id", "text")
+      .select($"id",
+        TextFunctions.fingerprint(concat($"text", lit("!!..,;"))).as("fp2"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      assert(noisy(r.getInt(0)) === r.getString(5),
+        s"fingerprint not punctuation-invariant for ${r.get(1)}")
+    }
+  }
+
   test("surrogate keys are dense, unique, and partition-invariant") {
     val words = samples(Gen.listOfN(500, Gen.oneOf(
       Gen.alphaLowerStr.map(_.take(6)), Gen.const("dup")))).filter(_.nonEmpty)
