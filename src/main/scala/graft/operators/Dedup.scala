@@ -108,12 +108,32 @@ object Dedup {
   /** Distinct candidate pairs (d1 < d2) colliding in at least one band.
     * Bands go long-format first so ONE self-join covers all bands (the
     * shuffled signature subplan is identical on both sides → AQE
-    * exchange reuse evaluates it once); never an O(n²) cross product. */
-  def candidatePairs(buckets: DataFrame): DataFrame = {
+    * exchange reuse evaluates it once); never an O(n²) cross product.
+    *
+    * `maxBucket`: the hot-bucket guard for pathological duplicate
+    * cliques — a bucket holding k near-identical docs emits k²/2
+    * candidate pairs, so boilerplate that repeats 10⁵× (empty pages,
+    * license headers) turns the linear candidate join quadratic.
+    * With a cap, buckets above the limit are dropped from candidate
+    * generation (measured: 20 identical replicas of a 5k corpus emit
+    * 1.07M pairs uncapped — see SCALING.md). Docs in a dropped bucket
+    * usually still pair through their OTHER bands unless those are
+    * hot too (i.e. the whole clique is near-identical — exactly the
+    * case to handle by exact-dedup (d1) FIRST, which is the
+    * documented pipeline order). None = exact LSH semantics (the
+    * oracle-checked default). */
+  def candidatePairs(buckets: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
     val long = buckets.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band", "bk")))
-    val l = long.select(col("doc_id").as("d1"), col("band"), col("bk"))
-    val r = long.select(col("doc_id").as("d2"), col("band"), col("bk"))
+    val pruned = maxBucket match {
+      case None => long
+      case Some(cap) =>
+        val ok = long.groupBy("band", "bk").agg(count(lit(1)).as("sz"))
+          .filter(col("sz") <= cap).select("band", "bk")
+        long.join(ok, Seq("band", "bk"))
+    }
+    val l = pruned.select(col("doc_id").as("d1"), col("band"), col("bk"))
+    val r = pruned.select(col("doc_id").as("d2"), col("band"), col("bk"))
     l.join(r, Seq("band", "bk")).filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
   }
@@ -157,10 +177,11 @@ object Dedup {
     * the candidate subplan gets re-evaluated across branches — so the
     * verify path filters the shared stream instead.) */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+      k: Int = 3, threshold: Double = 0.5,
+      maxBucket: Option[Int] = None): DataFrame = {
     require(k == 3, "arithmetic shingle hashing is a 3-term family")
     val base = shingleBaseHashes(docs, idCol, textCol)
-    val cand = candidatePairs(lshBuckets(base))
+    val cand = candidatePairs(lshBuckets(base), maxBucket)
     jaccardVerify(base, cand, threshold)
     // persisting base/cand (MEMORY_AND_DISK) was measured NO faster at
     // sf0.1 — AQE exchange reuse already evaluates the shared shuffles

@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Dedup-path scaling experiments over derived corpora (the
+  * correctness gate still runs only on driver-generated testdata):
+  *
+  * 1. LINEAR growth — N disjoint replicas of sf0.1 documents (every
+  *    word prefixed with a replica tag, so no cross-replica shingle
+  *    collisions). Near-dup density constant; time should grow ~N.
+  * 2. PATHOLOGICAL duplicates — N IDENTICAL replicas: every unique
+  *    text becomes an (N·dups)-clique, candidate pairs grow ~N², the
+  *    hot-bucket regime SCALING.md warns about; measured with and
+  *    without the `maxBucket` cap.
+  *
+  * Results recorded in SCALING.md §"Measured scale curve".
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+
+    def withDups(d: DataFrame): DataFrame =
+      d.unionByName(
+        d.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" near dup tail")).as("text"),
+            col("source")))
+
+    /** N replicas with per-replica word tags → disjoint shingle spaces. */
+    def disjoint(replicas: Int): DataFrame =
+      (0 until replicas).map { r =>
+        withDups(base.select(
+          (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r${r}_$$1").as("text"),
+          col("source")))
+      }.reduce(_.unionByName(_))
+
+    /** N byte-identical replicas → duplicate cliques. */
+    def identical(replicas: Int): DataFrame =
+      (0 until replicas).map { r =>
+        withDups(base.select(
+          (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+          col("text"), col("source")))
+      }.reduce(_.unionByName(_))
+
+    def time(label: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val out = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] $label%-36s ${dt}%7.2f s  (out=$out)")
+    }
+
+    Seq(1, 5, 20).foreach { n =>
+      val docs = disjoint(n).localCheckpoint()
+      val rows = docs.count()
+      time(s"linear n=$n rows=$rows d2") {
+        Dedup.minhashNearDups(docs, "doc_id", "text") }
+      docs.unpersist()
+    }
+    val patho = identical(20).localCheckpoint()
+    val rows = patho.count()
+    time(s"patho n=20 rows=$rows d2 uncapped") {
+      Dedup.minhashNearDups(patho, "doc_id", "text") }
+    time(s"patho n=20 rows=$rows d2 cap=10") {
+      Dedup.minhashNearDups(patho, "doc_id", "text", maxBucket = Some(10)) }
+    patho.unpersist()
+    spark.stop()
+  }
+}

@@ -30,6 +30,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("hot-bucket cap is a no-op on sane data, drops pathological cliques") {
+    val sane = docs.filter($"doc_id" =!= 4)
+    val uncapped = Dedup.minhashNearDups(sane, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashNearDups(sane, "doc_id", "text",
+        maxBucket = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === uncapped) // no bucket is hot here
+    // a 30-clique of identical docs: every band bucket exceeds the cap
+    val clique = (0 until 30).map(i =>
+      (100L + i, "the same boilerplate page text repeated verbatim across hosts"))
+      .toDF("doc_id", "text")
+    val cliquePairs = Dedup.minhashNearDups(
+      sane.unionByName(clique), "doc_id", "text", maxBucket = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cliquePairs === uncapped,
+      "capped run should drop only the pathological clique's pairs")
+  }
+
   test("incremental minhash equals the full run filtered to new docs") {
     import org.apache.spark.sql.functions.col
     val corpus = docs.filter($"doc_id" =!= 4)
