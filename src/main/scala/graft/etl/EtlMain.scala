@@ -32,10 +32,24 @@ object EtlMain {
     val merged = Ingest.readMerged(spark, inputs)
     val clean = Clean(merged)
     val star = StarSchema.build(clean)
+    // compat mode must stay referentially consistent: the bridges are
+    // rebuilt against the compat dims' ids (the reference's c43/c45
+    // name-only fanout joins), not the default dims' dense ids
+    // localCheckpoint pins the compat dims' monotonically_increasing
+    // ids: without it the dim-table write and the bridge join would
+    // re-evaluate the plan and could assign DIFFERENT ids
     val keywordsDim =
-      if (compat) StarSchema.keywordsCompat(clean) else star.keywords
+      if (compat) StarSchema.keywordsCompat(clean).localCheckpoint()
+      else star.keywords
     val authorsDim =
-      if (compat) StarSchema.authorsCompat(clean) else star.authors
+      if (compat) StarSchema.authorsCompat(clean).localCheckpoint()
+      else star.authors
+    val authorBridge =
+      if (compat) StarSchema.authorBridgeCompat(clean, authorsDim)
+      else star.authorArticle
+    val keywordBridge =
+      if (compat) StarSchema.keywordBridgeCompat(clean, keywordsDim)
+      else star.keywordArticle
 
     val tables = Seq(
       "articles" -> star.articles,
@@ -44,8 +58,8 @@ object EtlMain {
       "topics" -> star.topics,
       "dates" -> star.dates,
       "authors" -> authorsDim,
-      "author_article_mapping" -> star.authorArticle,
-      "keywords_articles_mapping" -> star.keywordArticle)
+      "author_article_mapping" -> authorBridge,
+      "keywords_articles_mapping" -> keywordBridge)
 
     println(s"[etl] merged=${merged.count()} clean=${clean.count()}")
     tables.foreach { case (name, df) =>

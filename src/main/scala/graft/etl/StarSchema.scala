@@ -193,6 +193,27 @@ object StarSchema {
       .distinct()
       .select("AuthorID", "FullName", "Country", "University")
 
+  /** author bridge exactly as c43: explode, join on FullName ONLY
+    * (not the natural key — same-named authors at different
+    * universities all match), against the per-instance compat dim, no
+    * pair dedup. Reproduces the reference's 42,595-row bridge shape;
+    * ids are consistent with [[authorsCompat]]'s, which the
+    * default-mode bridge's dense ids are not. */
+  def authorBridgeCompat(clean: DataFrame, authorsCompatDim: DataFrame): DataFrame =
+    clean.select(col("doi").as("DOI"),
+        explode(col("authors_with_affiliations")).as("a"))
+      .select(col("DOI"), col("a.author").as("FullName"))
+      .join(authorsCompatDim.select("AuthorID", "FullName"), Seq("FullName"))
+      .select("DOI", "AuthorID")
+
+  /** keyword bridge exactly as c45: join on the keyword string against
+    * the per-instance compat dim (one dim row per OCCURRENCE), no
+    * dedup — every duplicate dim instance fans the bridge out. */
+  def keywordBridgeCompat(clean: DataFrame, keywordsCompatDim: DataFrame): DataFrame =
+    clean.select(col("doi").as("DOI"), explode(col("keywords")).as("Keyword"))
+      .join(keywordsCompatDim, Seq("Keyword"))
+      .select("DOI", "KeywordID")
+
   /** All eight tables in one pass. */
   case class Star(
       articles: DataFrame, publishers: DataFrame, keywords: DataFrame,

@@ -88,6 +88,22 @@ class RealCorpusGoldenSpec extends AnyFunSuite {
     assert(StarSchema.authorsCompat(clean).count() === 13994L)
   }
 
+  test("compat bridges: c43/c45 fanout joins, referentially consistent with compat dims") {
+    // localCheckpoint pins the monotonic ids across the two uses
+    val aDim = StarSchema.authorsCompat(clean).localCheckpoint()
+    val kDim = StarSchema.keywordsCompat(clean).localCheckpoint()
+    val aBridge = StarSchema.authorBridgeCompat(clean, aDim)
+    val kBridge = StarSchema.keywordBridgeCompat(clean, kDim)
+    // fanout counts are Σ occurrences² per name/keyword — id-independent
+    assert(aBridge.count() === 24886L)
+    assert(kBridge.count() === 1020061L)
+    // every bridge id resolves against the dim written in the same run
+    assert(aBridge.select("AuthorID")
+      .join(aDim.select("AuthorID"), Seq("AuthorID"), "left_anti").count() === 0L)
+    assert(kBridge.select("KeywordID")
+      .join(kDim.select("KeywordID"), Seq("KeywordID"), "left_anti").count() === 0L)
+  }
+
   test("fact integrity: every article resolves its topic and date dims") {
     assert(star.articles.filter(
       col("TopicID").isNull || col("DateID").isNull).count() === 0L)
