@@ -89,6 +89,48 @@ object EventQueries {
       .orderBy($"user_id", $"session_no")
   }
 
+  /** E5: the BUILT-IN `session_window` API — same gap sessionization
+    * as e2 but via Spark's native session windows (one groupBy, no
+    * lag/running-sum windows; the form that also runs under Structured
+    * Streaming state). Boundary semantics differ from e2 on purpose
+    * and the oracle replays them exactly: session_window merges on
+    * STRICT overlap (an event exactly gap-after the last starts a NEW
+    * session, where e2's `> gap` keeps it), and window end = last
+    * event + gap, not last event. */
+  val e5SessionWindow: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum($"value".cast(dec)), 2).cast("double").as("session_value"))
+      .select($"user_id",
+        unix_micros($"w.start").as("session_start"),
+        unix_micros($"w.end").as("session_end"),
+        $"n_events", $"session_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val e5SessionWindowSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM marked)
+      |SELECT user_id,
+      |  epoch_us(min(ts)) AS session_start,
+      |  epoch_us(max(ts)) + 1800 * 1000000 AS session_end,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS session_value
+      |FROM sessions GROUP BY user_id, session_no
+      |ORDER BY user_id, session_start""".stripMargin
+
   val e2SessionizeSql: String =
     """WITH marked AS (
       |  SELECT user_id, event_id, ts, value,
@@ -293,6 +335,7 @@ object EventQueries {
     "e1_window_agg" -> e1WindowAgg,
     "e2_sessionize" -> e2Sessionize,
     "e3_sliding_window" -> e3SlidingWindow,
+    "e5_session_window" -> e5SessionWindow,
     "an4_approx_distinct" -> an4ApproxDistinct,
     "an7_approx_quantiles" -> an7ApproxQuantiles,
     "sk1_salted_agg" -> sk1SaltedAgg,
@@ -304,6 +347,7 @@ object EventQueries {
     "e1_window_agg" -> e1WindowAggSql,
     "e2_sessionize" -> e2SessionizeSql,
     "e3_sliding_window" -> e3SlidingWindowSql,
+    "e5_session_window" -> e5SessionWindowSql,
     "sk1_salted_agg" -> sk1SaltedAggSql,
     "e4_stream_sessions" -> e4StreamSessionsSql,
     "an4_approx_distinct" -> an4ApproxDistinctSql,
