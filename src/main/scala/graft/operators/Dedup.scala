@@ -122,16 +122,22 @@ object Dedup {
     * case to handle by exact-dedup (d1) FIRST, which is the
     * documented pipeline order). None = exact LSH semantics (the
     * oracle-checked default). */
-  def candidatePairs(buckets: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
-    val long = buckets.select(col("doc_id"),
-      posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band", "bk")))
-    val pruned = maxBucket match {
+  /** Drop (band, bucket) groups larger than the cap from a long-format
+    * bucket relation — one small aggregate + semi-shaped join, only
+    * when a cap is requested. */
+  private def pruneHotBuckets(long: DataFrame, maxBucket: Option[Int]): DataFrame =
+    maxBucket match {
       case None => long
       case Some(cap) =>
         val ok = long.groupBy("band", "bk").agg(count(lit(1)).as("sz"))
           .filter(col("sz") <= cap).select("band", "bk")
         long.join(ok, Seq("band", "bk"))
     }
+
+  def candidatePairs(buckets: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
+    val long = buckets.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band", "bk")))
+    val pruned = pruneHotBuckets(long, maxBucket)
     val l = pruned.select(col("doc_id").as("d1"), col("band"), col("bk"))
     val r = pruned.select(col("doc_id").as("d2"), col("band"), col("bk"))
     l.join(r, Seq("band", "bk")).filter(col("d1") < col("d2"))
@@ -198,14 +204,20 @@ object Dedup {
     * `minhashNearDups(corpus ∪ new)` filtered to pairs with a new
     * member. */
   def minhashNearDupsIncremental(corpus: DataFrame, newDocs: DataFrame,
-      idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      maxBucket: Option[Int] = None): DataFrame = {
     val base = shingleBaseHashes(corpus.unionByName(newDocs), idCol, textCol)
     val long = lshBuckets(base).select(col("doc_id"),
       posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band", "bk")))
+    // same hot-bucket guard as candidatePairs — the daily-increment
+    // path is MORE exposed to boilerplate cliques, not less (the
+    // corpus side accumulates them forever); bucket size is counted
+    // over corpus+increment, the population the join fans out over
+    val pruned = pruneHotBuckets(long, maxBucket)
     val newIds = newDocs.select(col(idCol).as("doc_id"))
-    val newLong = long.join(newIds, "doc_id")
+    val newLong = pruned.join(newIds, "doc_id")
       .select(col("doc_id").as("d_new"), col("band"), col("bk"))
-    val all = long.select(col("doc_id").as("d_oth"), col("band"), col("bk"))
+    val all = pruned.select(col("doc_id").as("d_oth"), col("band"), col("bk"))
     val cand = newLong.join(all, Seq("band", "bk"))
       .filter(col("d_new") =!= col("d_oth"))
       .select(least(col("d_new"), col("d_oth")).as("d1"),

@@ -92,11 +92,11 @@ object EventQueries {
   /** E5: the BUILT-IN `session_window` API — same gap sessionization
     * as e2 but via Spark's native session windows (one groupBy, no
     * lag/running-sum windows; the form that also runs under Structured
-    * Streaming state). Boundary semantics differ from e2 on purpose
-    * and the oracle replays them exactly: session_window merges on
-    * STRICT overlap (an event exactly gap-after the last starts a NEW
-    * session, where e2's `> gap` keeps it), and window end = last
-    * event + gap, not last event. */
+    * Streaming state). Boundary semantics verified empirically on this
+    * Spark build: two events EXACTLY gap apart merge into one session
+    * (touching windows coalesce), i.e. the split condition is
+    * `diff > gap` — identical to e2's. The only output delta vs e2 is
+    * window end = last event + gap, not last event. */
   val e5SessionWindow: Q = (s, dir) => {
     import s.implicits._
     Tables.load(s, dir, "events")
@@ -115,7 +115,7 @@ object EventQueries {
     """WITH marked AS (
       |  SELECT user_id, event_id, ts, value,
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
       |         THEN 1 ELSE 0 END AS is_new
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

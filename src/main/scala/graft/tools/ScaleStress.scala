@@ -67,19 +67,22 @@ object ScaleStress {
     }
 
     Seq(1, 5, 20).foreach { n =>
-      val docs = disjoint(n).localCheckpoint()
+      // cache (not localCheckpoint): unpersist on a checkpointed
+      // Dataset is a no-op — checkpoint blocks outlive the loop and
+      // would shrink execution memory for the next, bigger corpus
+      val docs = disjoint(n).cache()
       val rows = docs.count()
       time(s"linear n=$n rows=$rows d2") {
         Dedup.minhashNearDups(docs, "doc_id", "text") }
-      docs.unpersist()
+      docs.unpersist(blocking = true)
     }
-    val patho = identical(20).localCheckpoint()
+    val patho = identical(20).cache()
     val rows = patho.count()
     time(s"patho n=20 rows=$rows d2 uncapped") {
       Dedup.minhashNearDups(patho, "doc_id", "text") }
     time(s"patho n=20 rows=$rows d2 cap=10") {
       Dedup.minhashNearDups(patho, "doc_id", "text", maxBucket = Some(10)) }
-    patho.unpersist()
+    patho.unpersist(blocking = true)
     spark.stop()
   }
 }
