@@ -131,6 +131,21 @@ class RealCorpusGoldenSpec extends AnyFunSuite {
     assert(orphan.count() === 0L)
   }
 
+  test("text functions behave sanely on the real corpus (not just synthetic docs)") {
+    import graft.functions.TextFunctions
+    // the cleaned corpus is English scholarly abstracts: the n-gram
+    // language heuristic must overwhelmingly agree
+    val langs = clean.select(TextFunctions.langId(col("abstract")).as("l"))
+      .groupBy("l").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val en = langs.getOrElse("en", 0L).toDouble
+    assert(en / clean.count() > 0.9, s"language mix on real abstracts: $langs")
+    // canonical fingerprints must not collapse distinct real abstracts
+    val fps = clean.select(TextFunctions.fingerprint(col("abstract")).as("fp"))
+      .distinct().count()
+    val texts = clean.select(lower(col("abstract"))).distinct().count()
+    assert(fps >= texts - 5, s"fingerprint collapsed real abstracts: $fps vs $texts")
+  }
+
   test("author parity vs DB/Tables/authors.csv, modulo the one drifted article") {
     val unmatched = star.authors.select("FullName").distinct()
       .join(refTable("authors").select("FullName").distinct(),
