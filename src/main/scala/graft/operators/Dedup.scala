@@ -261,14 +261,19 @@ object Dedup {
     var prevSum = BigDecimal(-1)
     var i = 0
     var done = false
-    while (!done && i < maxIter) {
-      // one round = ONE join (neighbor contributions) + ONE min-agg
-      // over own ∪ contributed labels — not join + agg + second join
-      val contrib = edges.join(labels, edges("dst") === labels("id"))
+    // one propagation = ONE join (neighbor contributions) + ONE
+    // min-agg over own ∪ contributed labels
+    def propagate(l: DataFrame): DataFrame = {
+      val contrib = edges.join(l, edges("dst") === l("id"))
         .select(col("src").as("id"), col("label"))
-      labels = labels.unionByName(contrib)
-        .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      l.unionByName(contrib).groupBy("id").agg(min(col("label")).as("label"))
+    }
+    while (!done && i < maxIter) {
+      // TWO propagations per checkpoint + convergence action: labels
+      // only decrease, so over-propagating past the fixpoint is free,
+      // and the driver barriers (materialize + sum) — the dominant
+      // per-round cost — are paid half as often
+      labels = propagate(propagate(labels)).localCheckpoint()
       val sum = Option(
         labels.agg(org.apache.spark.sql.functions.sum(col("label").cast("decimal(38,0)")))
           .head().getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
