@@ -31,14 +31,27 @@ object TextFunctions {
   private def expr_extract_all(c: Column, pattern: String): Column =
     regexp_extract_all(c, lit(pattern), lit(0))
 
-  def langId(text: Column): Column = {
-    val hits = Seq("en", "fr", "de", "es").map(l => (l, stopwordHits(text, l)))
+  /** Shared argmax/when-chain over per-language hit columns. */
+  private def langArgmax(hits: Seq[(String, Column)]): Column = {
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     // first language (in fixed order) achieving the max; all-zero → "und"
     hits.foldRight(lit("und")) { case ((l, h), acc) =>
       when(h === best && best > 0, lit(l)).otherwise(acc)
     }
   }
+
+  /** langId over the fused one-pass [[TextStats]] expression — same
+    * values as [[langIdRegex]] (spec-enforced), ~one byte scan instead
+    * of four regexp_extract_all passes. */
+  def langId(text: Column): Column = {
+    val s = TextStats.text_stats(text)
+    langArgmax(TextStats.Langs.map(l => (l, s.getField(l))))
+  }
+
+  /** The original regex formulation — kept as the equivalence-spec
+    * reference and the documentation of the exact semantics. */
+  def langIdRegex(text: Column): Column =
+    langArgmax(Seq("en", "fr", "de", "es").map(l => (l, stopwordHits(text, l))))
 
   /** whitespace token count */
   def wsTokens(text: Column): Column =
@@ -62,20 +75,37 @@ object TextFunctions {
     * ~2^45 even for multi-GB documents (a single common-denominator
     * rational would overflow int64 once length·wsTokens > ~6e10, i.e.
     * any multi-MB doc — exactly the inputs a 100 TB corpus contains). */
-  def qualityScore(text: Column): Column = {
-    // exact integer floor-division: subtract the remainder first, so the
-    // final double division is between exact multiples (lossless < 2^53)
-    def fdiv(num: Column, den: Column): Column =
-      ((num - pmod(num, den)) / den).cast("long")
-    val lenBp = least(length(text), lit(500)).cast("long") * lit(20L)
-    val alphaNum = length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
-    val alphaDen = greatest(length(text), lit(1)).cast("long")
-    val stopNum = least(stopwordHits(text, "en") * 10, wsTokens(text)).cast("long")
-    val stopDen = greatest(wsTokens(text), lit(1)).cast("long")
-    val alphaBp = fdiv(alphaNum * lit(10000L), alphaDen)
+  // exact integer floor-division: subtract the remainder first, so the
+  // final double division is between exact multiples (lossless < 2^53)
+  private def fdiv(num: Column, den: Column): Column =
+    ((num - pmod(num, den)) / den).cast("long")
+
+  private def qualityFrom(len: Column, alpha: Column, enHits: Column,
+      ws: Column): Column = {
+    val lenBp = least(len, lit(500)).cast("long") * lit(20L)
+    val alphaDen = greatest(len, lit(1)).cast("long")
+    val stopNum = least(enHits * 10, ws).cast("long")
+    val stopDen = greatest(ws, lit(1)).cast("long")
+    val alphaBp = fdiv(alpha.cast("long") * lit(10000L), alphaDen)
     val stopBp = fdiv(stopNum * lit(10000L), stopDen)
     fdiv(lenBp + alphaBp + stopBp, lit(3L))
   }
+
+  /** Quality over the fused one-pass [[TextStats]] expression — same
+    * values as [[qualityScoreRegex]] (spec-enforced). */
+  def qualityScore(text: Column): Column = {
+    val s = TextStats.text_stats(text)
+    qualityFrom(s.getField("len"), s.getField("alpha"),
+      s.getField("en"), s.getField("ws"))
+  }
+
+  /** The original regex formulation — equivalence-spec reference. */
+  def qualityScoreRegex(text: Column): Column =
+    qualityFrom(
+      length(text),
+      length(regexp_replace(text, "[^A-Za-z]", "")),
+      stopwordHits(text, "en"),
+      wsTokens(text))
 
   /** Canonical-form fingerprint: md5 over lowercased text with
     * non-alphanumerics removed. Exact-dup detection key that survives
