@@ -234,6 +234,33 @@ object StarSchemaQueries {
       |  ON g.source = c.source AND l.lang = c.lang
       |ORDER BY g.source, l.lang""".stripMargin
 
+  /** AN10: CUBE — all 2ⁿ grouping-set combinations in one pass (an6
+    * covers ROLLUP's prefix hierarchy; CUBE is the full lattice), with
+    * `grouping_id` disambiguating aggregated-out nulls from data
+    * nulls. Both engines order the grouping bits (source, lang) MSB
+    * first, so the id is directly comparable. */
+  val an10Cube: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .cube($"source", $"lang")
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .select(
+        coalesce($"source", lit("<all>")).as("source"),
+        coalesce($"lang", lit("<all>")).as("lang"),
+        $"n", $"gid".cast("long").as("gid"))
+      .orderBy($"gid", $"source", $"lang")
+  }
+
+  val an10CubeSql: String =
+    """SELECT
+      |  coalesce(source, '<all>') AS source,
+      |  coalesce(lang, '<all>') AS lang,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(GROUPING(source, lang) AS BIGINT) AS gid
+      |FROM documents
+      |GROUP BY CUBE (source, lang)
+      |ORDER BY gid, source, lang""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "j2_word_bridge"    -> j2WordBridge,
     "j3_type_bridge"    -> j3TypeBridge,
@@ -244,6 +271,7 @@ object StarSchemaQueries {
     "an5_median_disc"   -> an5MedianDisc,
     "an8_pivot"         -> an8Pivot,
     "an9_unpivot"       -> an9Unpivot,
+    "an10_cube"         -> an10Cube,
   )
 
   val oracle: Map[String, String] = Map(
@@ -256,5 +284,6 @@ object StarSchemaQueries {
     "an5_median_disc"   -> an5MedianDiscSql,
     "an8_pivot"         -> an8PivotSql,
     "an9_unpivot"       -> an9UnpivotSql,
+    "an10_cube"         -> an10CubeSql,
   )
 }
