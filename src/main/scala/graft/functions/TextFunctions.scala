@@ -25,8 +25,20 @@ object TextFunctions {
     "de" -> "\\b(der|die|das|und|ein|nicht)\\b",
     "es" -> "\\b(el|los|las|y|un|una|que)\\b")
 
+  /** `\b` is NOT portable: Java's regex boundary is Unicode-aware
+    * (Character.isLetterOrDigit — "the中文" is ONE word run) while
+    * DuckDB's RE2 `\b` is ASCII ("the" matches there). The engine's
+    * contract is the ORACLE's ASCII semantics — implemented natively
+    * by [[TextStats]] and, for the Spark-regex reference path, by
+    * explicit ASCII lookarounds instead of `\b`. The SQL oracle keeps
+    * `\b` (RE2 is already ASCII). */
+  private def asciiBounded(pattern: String): String =
+    pattern
+      .replace("\\b(", "(?<![a-zA-Z0-9_])(")
+      .replace(")\\b", ")(?![a-zA-Z0-9_])")
+
   def stopwordHits(text: Column, lang: String): Column =
-    size(expr_extract_all(lower(text), langStopwords(lang)))
+    size(expr_extract_all(lower(text), asciiBounded(langStopwords(lang))))
 
   private def expr_extract_all(c: Column, pattern: String): Column =
     regexp_extract_all(c, lit(pattern), lit(0))

@@ -14,12 +14,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * scans (original + lowered) instead of five `regexp_extract_all` /
   * `regexp_replace` / `split` passes per document.
   *
-  * VALUE-IDENTICAL to the regex formulas by construction, and
-  * spec-enforced (TextStatsSpec equivalence property + every t1/t2/c1
-  * oracle). The reductions:
-  *  - `\b(w1|w2|..)\b` over `lower(text)` with Java's ASCII `\w`
-  *    counts exactly the maximal [A-Za-z0-9_] runs equal to a listed
-  *    word (a partial-run match always fails the trailing/leading \b);
+  * VALUE-IDENTICAL to the ASCII-boundary regex formulas (spec-enforced
+  * by TextStatsSpec's equivalence property + every t1/t2/c1 oracle).
+  * Boundary semantics, carefully: Java's `\b` is Unicode-aware
+  * (isLetterOrDigit — "the中文" is one word run) but DuckDB's RE2 `\b`
+  * is ASCII; the ORACLE's ASCII semantics are the engine contract, so
+  * this scan — and the lookaround-based Spark regex reference — both
+  * implement ASCII boundaries. The reductions:
+  *  - ASCII-bounded `(w1|w2|..)` over `lower(text)` counts exactly the
+  *    maximal [A-Za-z0-9_] runs equal to a listed word (a partial-run
+  *    match always fails the trailing/leading boundary);
   *  - `size(split(trim(text), "\s+"))` with Spark's limit=-1 split
   *    and space-only (0x20) trim equals (#maximal ASCII-\s runs in
   *    the space-trimmed string) + 1, empties included;

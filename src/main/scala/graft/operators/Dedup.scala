@@ -232,17 +232,21 @@ object Dedup {
     * generation (pairs alone don't say which copy to keep when dups
     * chain: a~b, b~c must collapse to one cluster).
     *
-    * Algorithm: iterative min-label propagation. Each round every node
-    * takes the min of its own label and its neighbours' labels — a
-    * groupBy + join per round, converging in O(graph diameter) rounds.
-    * Near-dup graphs are overwhelmingly tiny cliques (diameter ≤ 2–3),
-    * so this beats the alternating-star contraction schemes (Kiveris et
-    * al., "Connected Components in MapReduce and Beyond", SoCC'14)
-    * until components grow adversarially long; `maxIter` guards the
-    * pathological chain. Each round is `localCheckpoint`ed to cut the
-    * exponentially-growing lineage — the standard Spark iterative
-    * pattern. Convergence is detected by the label sum (labels only
-    * ever decrease, so an unchanged sum means a fixpoint).
+    * Algorithm: iterative min-label propagation. Each propagation step
+    * takes every node to the min of its own and its neighbours' labels
+    * (one join + one min-agg); each LOOP ITERATION runs TWO propagation
+    * steps before the `localCheckpoint` + convergence action, so the
+    * driver barriers — the dominant per-round cost — are paid half as
+    * often (over-propagating past the fixpoint is free: labels are
+    * monotone). `maxIter` bounds loop iterations, i.e. up to 2·maxIter
+    * propagations. Near-dup graphs are overwhelmingly tiny cliques
+    * (diameter ≤ 2–3), so this beats the alternating-star contraction
+    * schemes (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) until components grow adversarially long. The
+    * per-iteration `localCheckpoint` cuts the exponentially-growing
+    * lineage — the standard Spark iterative pattern. Convergence is
+    * detected by the label sum (labels only ever decrease, so an
+    * unchanged sum means a fixpoint).
     *
     * Returns (doc_id, cluster_id) for every doc appearing in `pairs`.
     */

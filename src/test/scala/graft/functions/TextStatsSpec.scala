@@ -46,7 +46,11 @@ class TextStatsSpec extends AnyFunSuite {
     } yield ss.zip(ws :+ "").map { case (s, w) => s + w }.mkString
     val strings = samples(Gen.listOfN(400, sentence)) ++
       Seq("", " ", "   ", "\t", "the", " the ", "\tthe\t", "a.a.a",
-        "un le el the", "le le le", "¿qué? ¡una!", "café né the")
+        "un le el the", "le le le", "¿qué? ¡una!", "café né the",
+        // stopwords ADJACENT to non-ASCII letters: where Java's
+        // unicode \b diverged from the oracle's ASCII \b (r3 review);
+        // the engine contract is ASCII — these must count as hits
+        "the中文", "中文the", "día", "caféa", "athé", "aé a é中the")
     assertEquivalent(strings.distinct)
   }
 
