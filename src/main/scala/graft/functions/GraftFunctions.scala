@@ -37,6 +37,12 @@ object GraftFunctions {
       "md5_prefix expects (col, integer-literal hex digit count 1..15)")
   }
 
+  private val dotProductBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotProductExpr(a, b)
+    case args => throw new IllegalArgumentException(
+      s"dot_product expects 2 array<double> arguments, got ${args.length}")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("unicode_sanitize"),
       info(classOf[UnicodeSanitizeExpr], "unicode_sanitize",
@@ -45,7 +51,12 @@ object GraftFunctions {
     (FunctionIdentifier("md5_prefix"),
       info(classOf[Md5PrefixExpr], "md5_prefix",
         "md5_prefix(str, digits) - first `digits` hex chars of md5(str) as a BIGINT (1..15)"),
-      md5PrefixBuilder))
+      md5PrefixBuilder),
+    (FunctionIdentifier("dot_product"),
+      info(classOf[DotProductExpr], "dot_product",
+        "dot_product(arr1, arr2) - left-to-right dot product of two array<double>; " +
+          "NULL on length mismatch or null elements"),
+      dotProductBuilder))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit = {

@@ -24,8 +24,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** dot(a, b) over array<double> columns, deterministic fold order. */
+  /** dot(a, b) over array<double> columns, deterministic fold order —
+    * the native codegen'd expression (graft.functions.DotProductExpr).
+    * Bit-identical to [[dotHof]] (property-pinned in SimilaritySpec);
+    * native because the HOF form interprets two lambdas and allocates
+    * a zipped array per pair, which dominates the ANN hot path. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dot_product(a, b)
+
+  /** The declarative higher-order formulation of [[dot]], kept as the
+    * executable reference the native expression is pinned against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def cosine(a: Column, b: Column): Column =
@@ -57,12 +66,17 @@ object Similarity {
     * linear-ish — the unblocked form is O(n²) and intentionally not
     * offered. */
   def nearDupPairs(emb: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    // norms once per ROW before the pair join (sqrt(dot(v,v)) is the
+    // same double whether computed before or per pair — only the
+    // per-pair recomputation goes away)
     val e = emb.select(col("vec_id"), col(blockCol).as("blk"),
-      col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("blk"), col("vec_id").as("v1"), col("v").as("va"))
-    val b = e.select(col("blk"), col("vec_id").as("v2"), col("v").as("vb"))
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val a = e.select(col("blk"), col("vec_id").as("v1"), col("v").as("va"), col("nv").as("na"))
+    val b = e.select(col("blk"), col("vec_id").as("v2"), col("v").as("vb"), col("nv").as("nb"))
     a.join(b, Seq("blk")).filter(col("v1") < col("v2"))
-      .select(col("v1"), col("v2"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("v1"), col("v2"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -94,25 +108,31 @@ object Similarity {
     * (rounded cosine rank with explicit cell/vec_id tie-breaks). */
   def ivfTopK(candidates: DataFrame, queries: DataFrame, cellCol: String,
       k: Int, nProbe: Int = 2): DataFrame = {
+    // norms once per candidate/query row, NOT per scored pair — same
+    // doubles (sqrt(dot(v,v)) is position-independent), |pairs|/|rows|
+    // fewer dot products
     val cand = candidates.select(col("vec_id"), col(cellCol).as("cell"),
-      col("embedding").cast("array<double>").as("v"))
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
     val q = queries.select(col("vec_id").as("qid"),
-      col("embedding").cast("array<double>").as("qv"))
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
 
     val centroids = centroidVectors(candidates, cellCol)
 
     val probes = centroids
       .join(broadcast(q), lit(true))
-      .select(col("qid"), col("cell"), col("qv"), cosine(col("qv"), col("cv")).as("ccos"))
+      .select(col("qid"), col("cell"), col("qv"), col("nq"), cosine(col("qv"), col("cv")).as("ccos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell").asc)))
       .filter(col("rn") <= nProbe)
-      .select(col("qid"), col("cell"), col("qv"))
+      .select(col("qid"), col("cell"), col("qv"), col("nq"))
 
     cand
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6).as("cos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
       .filter(col("rn") <= k)
