@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators a large-scale training-data pipeline
+  * needs beyond dedup: PII redaction, repetition-quality signals
+  * (the Gopher-style filters), and domain-mix rebalancing. All
+  * arithmetic is integer (basis points) or identical-double on both
+  * engines, so every operator is oracle-exact.
+  */
+object Corpus {
+
+  // ---- PII redaction ------------------------------------------------
+
+  /** ASCII-only patterns, valid and identical under both Java regex
+    * (Spark) and RE2 (DuckDB): no \b (Unicode-vs-ASCII divergence —
+    * see TextFunctions), no lookarounds (RE2 lacks them). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails then phone-shaped digit runs from `textCol`,
+    * appending match counts. Counting happens on the ORIGINAL text
+    * (a redacted email can't hide a phone it contained — the phone
+    * pass runs on the email-redacted string, but its count is from
+    * the source). Pure per-row expressions: embarrassingly parallel,
+    * no shuffle, stays in whole-stage codegen. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails",
+        size(regexp_extract_all(t, lit(emailPattern), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(t, lit(phonePattern), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(t, emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>"))
+  }
+
+  // ---- repetition signals (Gopher-style quality filters) -----------
+
+  /** Per-document word-repetition statistics over a whitespace-token
+    * stream: duplicate-token fraction and most-frequent-bigram
+    * fraction, both in integer basis points (never a rounded float
+    * quotient — engine round() modes diverge at ties, integer floor
+    * division cannot). The shape is one explode + two per-doc
+    * aggregations merged by a broadcast-free equi-join on doc_id:
+    * linear in corpus tokens, partitioned by doc_id — the 100 TB form.
+    *
+    * Output per doc: n_words, n_distinct, dup_bp (fraction of tokens
+    * that repeat an earlier token, = (n-distinct)/n), top_bigram (the
+    * lexicographically-first most frequent adjacent pair), top_n, and
+    * top_bp (= top_n/(n_words-1)); docs with < 2 words yield no row.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+
+    val wordStats = words.groupBy("doc_id").agg(
+      count(lit(1)).as("n_words"),
+      countDistinct(col("word")).as("n_distinct"))
+
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = words
+      .withColumn("nxt", lead(col("word"), 1).over(byDoc))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("word"), col("nxt")).as("bigram"))
+
+    val topBigram = bigrams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("bigram").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bigram").as("top_bigram"), col("cnt").as("top_n"))
+
+    // `div` = exact integer division (Spark `/` on longs is DOUBLE
+    // division — a rounded-quotient hazard the oracle can't replay)
+    wordStats.join(topBigram, Seq("doc_id"))
+      .filter(col("n_words") >= 2)
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        expr("((n_words - n_distinct) * 10000) div n_words").as("dup_bp"),
+        col("top_bigram"), col("top_n"),
+        expr("(top_n * 10000) div (n_words - 1)").as("top_bp"))
+  }
+
+  // ---- domain-mix rebalancing --------------------------------------
+
+  /** Rebalance a corpus to target per-domain mixture weights: given an
+    * integer weight per source row (`weightCol`, e.g. derived from a
+    * mixture spec), sample source s at rate
+    * `keep_bp(s) = min(10000, floor(T*w_s/W) * 10000 / n_s)` where
+    * T = floor(total/2) is the target corpus size and W the weight
+    * total — i.e. each domain lands at its mixture share of T, capped
+    * at what it actually has. The keep decision is a deterministic
+    * salted md5 bucket of the row id, so the sample is engine- and
+    * run-stable, and re-running on a grown corpus keeps a superset
+    * semantics per bucket (same id -> same bucket).
+    *
+    * Scale shape: one small groupBy(source) count (|sources| rows; the
+    * over-() windows run on that tiny frame, never the corpus), one
+    * broadcast join back, then a per-row hash filter — a single
+    * full-data pass with no corpus-sized shuffle.
+    */
+  def domainMix(docs: DataFrame, idCol: String, sourceCol: String,
+      weightCol: Column): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol).as("src"))
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("w_s", weightCol)
+    val all = Window.partitionBy()
+    val rates = counts
+      .withColumn("t_total", expr("sum(n_s) over () div 2"))
+      .withColumn("w_total", sum(col("w_s")).over(all))
+      .withColumn("target_n", expr("(t_total * w_s) div w_total"))
+      .withColumn("keep_bp", least(lit(10000L), expr("(target_n * 10000) div n_s")))
+      .select(col("src"), col("keep_bp"))
+    docs
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(lit("mix:"), col(idCol).cast("string"))), 1, 10),
+          16, 10).cast("long"), lit(10000L)))
+      .join(broadcast(rates), col(sourceCol) === col("src"))
+      .filter(col("bucket") < col("keep_bp"))
+      .drop("src")
+  }
+}

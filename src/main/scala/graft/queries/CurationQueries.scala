@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Corpus, Quantize}
+
+/** Round-4 curation breadth: PII redaction, repetition-quality
+  * signals, domain-mix rebalancing, int8 embedding quantization —
+  * the training-data-pipeline operators beyond dedup/similarity.
+  * Each query pairs a library operator (graft.operators.Corpus /
+  * Quantize) with an exactly-equivalent DuckDB oracle.
+  */
+object CurationQueries {
+  type Q = (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame
+
+  /** T10: PII redaction. The synthetic corpus contains no PII, so the
+    * query plants deterministic emails/phones first (same construction
+    * in the oracle — the d5 injected-copies pattern), then redacts and
+    * counts. Patterns are ASCII-only and lookaround-free so Java regex
+    * and RE2 agree (see Corpus.emailPattern). */
+  val t10PiiRedact: Q = (s, dir) => {
+    import s.implicits._
+    val injected = Tables.load(s, dir, "documents")
+      .withColumn("text", concat($"text",
+        when($"doc_id" % 7 === 0,
+          concat(lit(" contact user"), $"doc_id".cast("string"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when($"doc_id" % 11 === 0,
+          concat(lit(" call 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+            lit(" today")))
+          .otherwise(lit(""))))
+    Corpus.redactPii(injected, "text")
+      .select($"doc_id", $"n_emails", $"n_phones", $"redacted")
+      .orderBy($"doc_id")
+  }
+
+  val t10PiiRedactSql: String =
+    """WITH inj AS (
+      |  SELECT doc_id,
+      |    text
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0
+      |         THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today'
+      |         ELSE '' END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  regexp_replace(
+      |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      |FROM inj ORDER BY doc_id""".stripMargin
+
+  /** T11: Gopher-style repetition signals per document (duplicate-token
+    * and top-bigram fractions, integer basis points). */
+  val t11Repetition: Q = (s, dir) => {
+    import s.implicits._
+    Corpus.repetitionStats(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  val t11RepetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+      |    unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |ww AS (SELECT * FROM w WHERE word <> ''),
+      |ws AS (
+      |  SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct
+      |  FROM ww GROUP BY 1),
+      |bg AS (
+      |  SELECT doc_id,
+      |    word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+      |  FROM ww QUALIFY bigram IS NOT NULL),
+      |bc AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+      |tb AS (
+      |  SELECT doc_id, bigram AS top_bigram, cnt AS top_n FROM bc
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram) = 1)
+      |SELECT ws.doc_id,
+      |  CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  CAST((n_words - n_distinct) * 10000 // n_words AS BIGINT) AS dup_bp,
+      |  top_bigram,
+      |  CAST(top_n AS BIGINT) AS top_n,
+      |  CAST(top_n * 10000 // (n_words - 1) AS BIGINT) AS top_bp
+      |FROM ws JOIN tb USING (doc_id)
+      |WHERE n_words >= 2
+      |ORDER BY doc_id""".stripMargin
+
+  /** T12: domain-mix rebalancing — sample each source toward a target
+    * mixture share of half the corpus, keep rule = salted md5 bucket.
+    * Weights come from the source index (a stand-in for a mixture
+    * spec: w = 100 + 50*(idx mod 8)). */
+  val t12DomainMix: Q = (s, dir) => {
+    import s.implicits._
+    Corpus.domainMix(Tables.load(s, dir, "documents"), "doc_id", "source",
+        expr("100 + 50 * (cast(substr(src, 4) as bigint) % 8)"))
+      .select($"doc_id", $"source", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  val t12DomainMixSql: String =
+    """WITH counts AS (
+      |  SELECT source AS src, count(*) AS n_s,
+      |    100 + 50 * (CAST(substr(source, 4) AS BIGINT) % 8) AS w_s
+      |  FROM documents GROUP BY 1),
+      |rates AS (
+      |  SELECT src,
+      |    least(10000,
+      |      ((sum(n_s) OVER () // 2) * w_s // sum(w_s) OVER ()) * 10000 // n_s)
+      |      AS keep_bp
+      |  FROM counts),
+      |b AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 10))::BIGINT % 10000 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, source, bucket
+      |FROM b JOIN rates ON b.source = rates.src
+      |WHERE bucket < keep_bp
+      |ORDER BY doc_id""".stripMargin
+
+  /** N4: symmetric int8 quantization of the embedding column with
+    * exact integer self-dot and round-6 max reconstruction error
+    * (floor-quantization — engine round() ties can't diverge). */
+  val n4Quantize: Q = (s, dir) => {
+    import s.implicits._
+    Quantize.quantize(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy($"vec_id")
+  }
+
+  val n4QuantizeSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e),
+      |qq AS (
+      |  SELECT vec_id, v, max_abs,
+      |    CASE WHEN max_abs = 0 THEN list_transform(v, x -> 0::BIGINT)
+      |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / max_abs) AS BIGINT))
+      |    END AS q
+      |  FROM m)
+      |SELECT vec_id, max_abs, q,
+      |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qdot,
+      |  CASE WHEN max_abs = 0 THEN 0.0
+      |       ELSE round(list_max(list_transform(range(len(v)),
+      |              i -> abs(v[i + 1] - q[i + 1] * max_abs / 127.0))), 6)
+      |  END AS err
+      |FROM qq ORDER BY vec_id""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "t10_pii_redact"  -> t10PiiRedact,
+    "t11_repetition"  -> t11Repetition,
+    "t12_domain_mix"  -> t12DomainMix,
+    "n4_quantize"     -> n4Quantize,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t10_pii_redact"  -> t10PiiRedactSql,
+    "t11_repetition"  -> t11RepetitionSql,
+    "t12_domain_mix"  -> t12DomainMixSql,
+    "n4_quantize"     -> n4QuantizeSql,
+  )
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CorpusQuantizeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Corpus.redactPii ---------------------------------------------
+
+  test("redactPii replaces emails and phone runs, counts from the original text") {
+    val df = Seq(
+      (1L, "write a.b-c%d@mail.example.org or call 555-1234 now"),
+      (2L, "no pii here"),
+      (3L, "two mails x@y.io and z@w.ai, digits 123-4567 890-1111")
+    ).toDF("doc_id", "text")
+    val out = Corpus.redactPii(df, "text")
+      .select("doc_id", "n_emails", "n_phones", "redacted")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out(0) === ((1L, 1L, 1L, "write <EMAIL> or call <PHONE> now")))
+    assert(out(1) === ((2L, 0L, 0L, "no pii here")))
+    assert(out(2) === ((3L, 2L, 2L, "two mails <EMAIL> and <EMAIL>, digits <PHONE> <PHONE>")))
+  }
+
+  // ---- Corpus.repetitionStats ---------------------------------------
+
+  test("repetitionStats on a hand-computed document") {
+    // "a a b a": n=4, distinct=2, dup_bp = 2*10000 div 4 = 5000
+    // bigrams: "a a"(1), "a b"(1), "b a"(1) -> top = "a a" (lex-first tie), top_bp = 10000 div 3 = 3333
+    val df = Seq((1L, "a a b a"), (2L, "solo"), (3L, "x  y")).toDF("doc_id", "text")
+    val out = Corpus.repetitionStats(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    // doc 2 has < 2 words -> no row; doc 3's double space yields empty token (filtered)
+    assert(out.map(_._1).toSeq === Seq(1L, 3L))
+    assert(out(0) === ((1L, 4L, 2L, 5000L, "a a", 1L, 3333L)))
+    assert(out(1) === ((3L, 2L, 2L, 0L, "x y", 1L, 10000L)))
+  }
+
+  test("repetitionStats bounds: dup_bp and top_bp stay in [0, 10000]") {
+    val docs = (1 to 50).map(i => (i.toLong, Seq.fill(i % 7 + 2)(s"w${i % 3}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bad = Corpus.repetitionStats(docs, "doc_id", "text")
+      .filter($"dup_bp" < 0 || $"dup_bp" > 10000 || $"top_bp" < 0 || $"top_bp" > 10000)
+    assert(bad.count() === 0)
+  }
+
+  // ---- Corpus.domainMix ---------------------------------------------
+
+  test("domainMix keeps a deterministic subset honoring per-source caps") {
+    val docs = (1 to 2000).map(i => (i.toLong, s"src${i % 4}")).toDF("doc_id", "source")
+    val out = Corpus.domainMix(docs, "doc_id", "source", expr("100"))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept.nonEmpty && kept.subsetOf((1 to 2000).map(_.toLong).toSet))
+    // equal weights, T = total div 2 => each source targets n_s/2; hash
+    // buckets are uniform-ish, keep_bp = 2500 of 10000
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    bySrc.values.foreach(n => assert(n > 50 && n < 450, s"kept $n of 500"))
+    // run-stable: same result regardless of physical layout
+    val again = Corpus.domainMix(docs.repartition(13), "doc_id", "source", expr("100"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === kept)
+  }
+
+  test("domainMix caps keep rate at 10000 bp (oversampled source keeps everything it has)") {
+    // src0 has weight 10000x src1: target exceeds its size -> keep all of src0
+    val docs = ((1 to 100).map(i => (i.toLong, "src0")) ++
+      (101 to 1100).map(i => (i.toLong, "src1"))).toDF("doc_id", "source")
+    val w = expr("CASE WHEN src = 'src0' THEN 10000 ELSE 1 END")
+    val kept = Corpus.domainMix(docs, "doc_id", "source", w)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("src0") === 100L)
+  }
+
+  // ---- Quantize ------------------------------------------------------
+
+  test("quantize: range, zero-vector guard, exact integer self-dot") {
+    val emb = Seq(
+      (1L, Array(0.5, -1.0, 0.25)),
+      (2L, Array(0.0, 0.0, 0.0)),
+      (3L, Array(2.0))
+    ).toDF("vec_id", "embedding")
+    val rows = Quantize.quantize(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    // vec 1: m=1.0 -> q = floor(x*127): [63, -127, 31]
+    assert(rows(0)._3 === Seq(63L, -127L, 31L))
+    assert(rows(0)._4 === 63L * 63 + 127L * 127 + 31L * 31)
+    // vec 2: all-zero -> zeros, err 0
+    assert(rows(1)._3 === Seq(0L, 0L, 0L) && rows(1)._4 === 0L && rows(1)._5 === 0.0)
+    // vec 3: m=2 -> q=[127], exact reconstruction
+    assert(rows(2)._3 === Seq(127L) && rows(2)._5 === 0.0)
+    // all components in [-127, 127]
+    rows.foreach(_._3.foreach(q => assert(q >= -127 && q <= 127)))
+  }
+
+  test("quantize reconstruction error is bounded by one quantization step") {
+    val emb = (1 to 200).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 31 + j * 7) * (i % 5 + 1)))
+    }.toDF("vec_id", "embedding")
+    val step = Quantize.quantize(emb, "vec_id", "embedding")
+      .filter($"err" > $"max_abs" / 127.0 + 1e-6)
+    assert(step.count() === 0)
+  }
+}
