@@ -5,12 +5,15 @@ object Bench {
   /** Representative cross-section of the operator inventory: scan+agg,
     * broadcast joins, explode+bridge, as-of, windowed/sessionized
     * events, top-k window, minhash LSH, dup clusters, ANN (brute +
-    * IVF), text analysis, chunk/pack, curation capstone, set op. */
+    * IVF), text analysis, chunk/pack, repetition stats, domain mix,
+    * int8 quantization, curation capstone, set op. */
   val headline: Seq[String] = Seq(
     "q1_agg", "j1_fact_dims", "j2_word_bridge", "j4_asof_join",
     "e1_window_agg", "e2_sessionize", "an2_topk_per_group",
     "d2_minhash_lsh", "d6_dup_clusters", "n1_cosine_topk", "n2_ann_ivf",
+    "n5_ann_lsh",
     "t3_token_count", "t6_chunking", "t7_packing", "t9_tfidf",
+    "t11_repetition", "t12_domain_mix", "n4_quantize",
     "c1_curate", "m3_image_meta", "g1_explode_words", "u1_except")
 
   /** Minimum repetitions per query; reported time is the median, so

@@ -101,6 +101,72 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pm"))
       .select(col("cell"), expr("transform(pm, p -> p.c)").as("cv"))
 
+  // ---- signed-random-projection (hyperplane) LSH --------------------
+
+  /** Deterministic hyperplane matrix for signed-random-projection LSH:
+    * `nBits` planes × `dim` integer components in [-1000, 1000], each
+    * derived from md5("lsh:&lt;plane&gt;:&lt;dim&gt;") — any engine (and the
+    * DuckDB oracle) rebuilds the identical matrix from the same seed
+    * strings. Integer components (not floats) keep the projection
+    * arithmetic exact. */
+  def hyperplanes(nBits: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(nBits) { j =>
+      Array.tabulate(dim) { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"lsh:$j:$i".getBytes("UTF-8"))
+        val hex = d.take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+      }
+    }
+
+  /** SRP bucket id of an array&lt;double&gt; column: bit j = sign of the
+    * projection onto plane j. The projection is summed on DECIMAL —
+    * exact and order-free, so a sign can never flip from float
+    * summation order (the one hazard that would make an LSH bucket
+    * engine- or partitioning-dependent). Pure per-row expression work:
+    * the planes ride along as literals, no join, no shuffle. */
+  def srpBucket(vcol: String, planes: Array[Array[Long]]): Column =
+    planes.zipWithIndex.map { case (ks, j) =>
+      val proj = expr(
+        s"""aggregate(zip_with($vcol, array(${ks.mkString(",")}),
+           |  (x, k) -> CAST(x AS DECIMAL(28,10)) * CAST(k AS DECIMAL(4,0))),
+           |  CAST(0 AS DECIMAL(38,10)),
+           |  (acc, y) -> CAST(acc + y AS DECIMAL(38,10)))""".stripMargin)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN — the shuffle-free-index scale path next to IVF:
+    * candidates hash to one SRP bucket each (per-row expressions, no
+    * index-build shuffle at all, unlike IVF's centroid pass); each
+    * query probes its own bucket plus the `nBits` hamming-1 flips
+    * (multi-probe — recall without a bigger candidate join). Exact
+    * cosine rerank inside the probed buckets, deterministic top-k.
+    * At 100 TB the bucket id is the partition key: a query touches
+    * nBits+1 partitions, never the corpus. */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, dim: Int,
+      nBits: Int = 6, k: Int = 10): DataFrame = {
+    val planes = hyperplanes(nBits, dim)
+    val cand = candidates.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bucket", srpBucket("v", planes))
+    val probes = queries.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("qb", srpBucket("qv", planes))
+      .select(col("qid"), col("qv"), col("nq"), explode(expr(
+        s"array_union(array(qb), transform(sequence(0, ${nBits - 1}), " +
+          "j -> qb ^ shiftleft(CAST(1 AS BIGINT), j)))")).as("bucket"))
+    cand.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** IVF-style ANN: mean centroid per cell (from `cellCol`), probe the
     * nProbe nearest cells per query, exact rank within probed cells.
     * Centroids come from [[centroidsExact]], so cell probing — and

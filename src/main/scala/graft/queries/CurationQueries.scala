@@ -150,11 +150,59 @@ object CurationQueries {
       |  END AS err
       |FROM qq ORDER BY vec_id""".stripMargin
 
+  /** N5: LSH-bucketed ANN (signed random projections) — the second
+    * scale path next to IVF (n2). Buckets are per-row expression work
+    * (no index-build shuffle); queries multi-probe their bucket plus
+    * the 6 hamming-1 flips; exact cosine rerank inside probed buckets.
+    * The hyperplane matrix is md5-seeded integers, so the oracle
+    * rebuilds it bit-identically, and projections are summed on
+    * DECIMAL so a sign bit can never flip from float summation order. */
+  val n5AnnLsh: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    graft.operators.Similarity
+      .lshTopK(emb, emb.filter($"vec_id" < 5), dim = 64, nBits = 6, k = 10)
+      .orderBy($"qid", $"cos".desc, $"vec_id")
+  }
+
+  val n5AnnLshSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |planes AS (
+      |  SELECT j, i,
+      |    ('0x' || substr(md5('lsh:' || j::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT
+      |      % 2001 - 1000 AS k
+      |  FROM range(0, 6) t1(j), range(0, 64) t2(i)),
+      |proj AS (
+      |  SELECT e.vec_id, p.j,
+      |    sum(CAST(e.v[p.i + 1] AS DECIMAL(28,10)) * CAST(p.k AS DECIMAL(4,0))) AS pr
+      |  FROM e, planes p GROUP BY 1, 2),
+      |bk AS (
+      |  SELECT vec_id,
+      |    sum(CASE WHEN pr >= 0 THEN CAST(round(pow(2, j)) AS BIGINT) ELSE 0 END) AS bucket
+      |  FROM proj GROUP BY 1),
+      |c AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)),
+      |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM c WHERE vec_id < 5),
+      |probes AS (
+      |  SELECT qid, qv,
+      |    unnest(list_distinct(list_prepend(qb, list_transform(range(0, 6),
+      |      j -> xor(qb, CAST(round(pow(2, j)) AS BIGINT)))))) AS bucket
+      |  FROM q),
+      |scored AS (
+      |  SELECT p.qid, c.vec_id,
+      |    round(list_dot_product(p.qv, c.v) /
+      |          (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+      |  FROM c JOIN probes p USING (bucket)
+      |  WHERE c.vec_id <> p.qid)
+      |SELECT qid, vec_id, cos FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10
+      |ORDER BY qid, cos DESC, vec_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "t10_pii_redact"  -> t10PiiRedact,
     "t11_repetition"  -> t11Repetition,
     "t12_domain_mix"  -> t12DomainMix,
     "n4_quantize"     -> n4Quantize,
+    "n5_ann_lsh"      -> n5AnnLsh,
   )
 
   val oracle: Map[String, String] = Map(
@@ -162,5 +210,6 @@ object CurationQueries {
     "t11_repetition"  -> t11RepetitionSql,
     "t12_domain_mix"  -> t12DomainMixSql,
     "n4_quantize"     -> n4QuantizeSql,
+    "n5_ann_lsh"      -> n5AnnLshSql,
   )
 }
