@@ -308,6 +308,49 @@ object EventQueries {
       |GROUP BY user_id, session_no
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** E6: stream-stream event-time interval join run as a REAL
+    * Structured Streaming query inside the gate — clicks and purchases
+    * are replayed through two file-source streams into
+    * Streams.attributionJoin (watermarks + two-sided time constraint =
+    * bounded join state). Inner-join matches emit within the
+    * micro-batch, so one drain suffices (no watermark sentinels like
+    * e4). The oracle is the equivalent BATCH interval join — streaming
+    * == batch on the full events table. */
+  val e6StreamJoin: Q = (s, dir) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    val base = java.nio.file.Files.createTempDirectory("graft-e6")
+    val cDir = base.resolve("clicks").toString
+    val pDir = base.resolve("purchases").toString
+    ev.filter($"event_type" === "click").drop("event_type")
+      .write.mode("overwrite").parquet(cDir)
+    ev.filter($"event_type" === "purchase").drop("event_type")
+      .write.mode("overwrite").parquet(pDir)
+    val sch = ev.drop("event_type").schema
+    val joined = Streams.attributionJoin(
+      s.readStream.schema(sch).parquet(cDir),
+      s.readStream.schema(sch).parquet(pDir))
+    val q = joined.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("e6_attrib").start()
+    q.processAllAvailable()
+    q.stop()
+    s.table("e6_attrib")
+      .select($"purchase_id", $"click_id", $"user_id", $"lag_us")
+      .orderBy($"purchase_id", $"click_id")
+  }
+
+  val e6StreamJoinSql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      | AND epoch_us(p.ts) - epoch_us(c.ts) <= 7200::BIGINT * 1000000
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** SK1: two-phase salted aggregation over the skewed event stream —
     * identical result to the plain groupBy (the oracle IS the plain
     * aggregation), but a hot event_type spreads across `salts`
@@ -340,6 +383,7 @@ object EventQueries {
     "an7_approx_quantiles" -> an7ApproxQuantiles,
     "sk1_salted_agg" -> sk1SaltedAgg,
     "e4_stream_sessions" -> e4StreamSessions,
+    "e6_stream_join" -> e6StreamJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -350,6 +394,7 @@ object EventQueries {
     "e5_session_window" -> e5SessionWindowSql,
     "sk1_salted_agg" -> sk1SaltedAggSql,
     "e4_stream_sessions" -> e4StreamSessionsSql,
+    "e6_stream_join" -> e6StreamJoinSql,
     "an4_approx_distinct" -> an4ApproxDistinctSql,
     "an7_approx_quantiles" -> an7ApproxQuantilesSql,
   )

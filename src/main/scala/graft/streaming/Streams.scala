@@ -203,6 +203,35 @@ object Streams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-stream event-time interval join — purchase attribution:
+    * each purchase joins every same-user click in the preceding
+    * `window`. The two-sided time constraint in the join condition is
+    * what lets Spark BOUND the join state: with both watermarks set,
+    * a click older than watermark + window can never match a future
+    * purchase and its state row is dropped — the join runs forever on
+    * bounded memory. Inner-join matches emit in the micro-batch where
+    * both sides are present (no watermark wait — the watermark only
+    * gates state eviction, unlike append-mode aggregations).
+    *
+    * Output: (click_id, user_id, c_ts, purchase_id, p_ts, lag_us);
+    * lag_us is exact integer micros, so the result is hash-comparable
+    * with a batch oracle. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      window: String = "2 hours", watermarkDelay: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    c.join(p, expr(
+        s"user_id = p_user AND c_ts <= p_ts AND p_ts <= c_ts + INTERVAL $window"))
+      .select(col("click_id"), col("user_id"), col("c_ts"),
+        col("purchase_id"), col("p_ts"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
   /** Drain a file-source stream to a memory sink synchronously (test /
     * AvailableNow harness). Aggregations need Complete — in Append a
     * watermarked window only emits after the watermark passes it,

@@ -108,6 +108,46 @@ class StreamsSpec extends AnyFunSuite {
       s"extra=${extra.mkString(",")} missing=${missing.mkString(",")}")
   }
 
+  test("stream-stream attribution join: closed window boundary, ordering, fan-out") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val h2us = 7200L * 1000000L
+    // (event_id, user_id, ts_micros)
+    val clicks = Seq(
+      (101L, 1L, 1000L * 1000000L),          // u1: purchase lands exactly at +2h
+      (102L, 2L, 1000L * 1000000L),          // u2: purchase at +2h + 1us -> excluded
+      (103L, 3L, 9000L * 1000000L),          // u3: purchase BEFORE click -> excluded
+      (104L, 4L, 500L * 1000000L),           // u4: two clicks, one purchase
+      (105L, 4L, 600L * 1000000L))
+    val purchases = Seq(
+      (201L, 1L, 1000L * 1000000L + h2us),
+      (202L, 2L, 1000L * 1000000L + h2us + 1L),
+      (203L, 3L, 8000L * 1000000L),
+      (204L, 4L, 700L * 1000000L))
+    def write(rows: Seq[(Long, Long, Long)], name: String): String = {
+      val dir = Files.createTempDirectory("graft-e6-spec").resolve(name).toString
+      rows.toDF("event_id", "user_id", "us")
+        .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val cDir = write(clicks, "clicks")
+    val pDir = write(purchases, "purchases")
+    val sch = clicks.toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts")).schema
+    val joined = Streams.attributionJoin(
+      spark.readStream.schema(sch).parquet(cDir),
+      spark.readStream.schema(sch).parquet(pDir))
+    assert(joined.isStreaming)
+    Streams.runOnce(joined, "e6spec")
+    val got = spark.table("e6spec")
+      .select($"purchase_id", $"click_id", $"lag_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (201L, 101L, h2us),                 // boundary: exactly +2h included
+      (204L, 104L, 200L * 1000000L),      // fan-out: both of u4's clicks match
+      (204L, 105L, 100L * 1000000L)))
+  }
+
   test("windowed streaming agg equals the batch window query") {
     val dir = Files.createTempDirectory("graft-ev")
     val batch = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
