@@ -256,7 +256,20 @@ object Dedup {
     // (r2's shape checkpointed edges but re-evaluated the full pair
     // plan a second time for the initial labels — at sf0.1 that was
     // half of d6's bench cost.)
-    val p = pairs.select(col("d1"), col("d2")).localCheckpoint()
+    val p0 = pairs.select(col("d1"), col("d2")).localCheckpoint()
+    // Size the propagation to the GRAPH, not the corpus: near-dup
+    // pairs are orders of magnitude smaller than the documents that
+    // produced them, and every round below shuffles only the graph.
+    // Left at the session's shuffle parallelism, each tiny round pays
+    // 32-task scheduling for ~hundreds of rows — measured 3.2 s of
+    // pure overhead on 309 pairs at sf0.1. The count is free (p0 is
+    // materialized); ~1M edge rows per partition keeps partitions
+    // small-int-sized while still scaling out for adversarial graphs.
+    val nPairs = p0.count()
+    val sess = p0.sparkSession
+    val sessParts = sess.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val nParts = math.max(1L, math.min(sessParts.toLong, nPairs / 1000000L + 1L)).toInt
+    val p = p0.repartition(nParts)
     val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(p.select(col("d2").as("src"), col("d1").as("dst")))
     val nodes = p.select(col("d1").as("id"))
@@ -266,11 +279,20 @@ object Dedup {
     var i = 0
     var done = false
     // one propagation = ONE join (neighbor contributions) + ONE
-    // min-agg over own ∪ contributed labels
+    // min-agg over own ∪ contributed labels. The label side rides as
+    // a broadcast while the graph is broadcast-sized (labels ≤ 2·pairs
+    // rows of two longs), so the join needs no shuffle at all; beyond
+    // that the explicit repartition by the agg key pins the round's
+    // only exchange to nParts — either way no round ever shuffles at
+    // corpus parallelism.
+    val broadcastLabels = nPairs <= 1000000L
     def propagate(l: DataFrame): DataFrame = {
-      val contrib = edges.join(l, edges("dst") === l("id"))
+      val lab = if (broadcastLabels) broadcast(l) else l
+      val contrib = edges.join(lab, edges("dst") === lab("id"))
         .select(col("src").as("id"), col("label"))
-      l.unionByName(contrib).groupBy("id").agg(min(col("label")).as("label"))
+      l.unionByName(contrib)
+        .repartition(nParts, col("id"))
+        .groupBy("id").agg(min(col("label")).as("label"))
     }
     while (!done && i < maxIter) {
       // TWO propagations per checkpoint + convergence action: labels

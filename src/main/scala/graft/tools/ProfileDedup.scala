@@ -54,15 +54,19 @@ object ProfileDedup {
     }
 
     // d6: connected components over the d2 pairs — how much of its
-    // bench time is the pair recompute vs the label-propagation rounds?
+    // bench time is the pair plan vs the label-propagation rounds?
+    // dupClusters checkpoints its input, so timing it on an ALREADY
+    // materialized pair frame isolates the propagation cost (the
+    // second checkpoint just copies in-memory rows).
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
     val t0 = System.nanoTime()
     val nPairs = pairs.count()
     val tPairs = (System.nanoTime() - t0) / 1e9
+    val mat = pairs.localCheckpoint()
     val t1 = System.nanoTime()
-    Dedup.dupClusters(pairs).count()
+    Dedup.dupClusters(mat).count()
     val tCc = (System.nanoTime() - t1) / 1e9
-    println(f"[profile] d6: pairs($nPairs)=$tPairs%.3f s, dupClusters-on-top=$tCc%.3f s")
+    println(f"[profile] d6: pairs($nPairs)=$tPairs%.3f s, propagation-only=$tCc%.3f s")
     spark.stop()
   }
 }
