@@ -84,6 +84,43 @@ object Corpus {
         expr("(top_n * 10000) div (n_words - 1)").as("top_bp"))
   }
 
+  // ---- benchmark decontamination -----------------------------------
+
+  /** All word n-grams of `textCol` as an array<string> column
+    * (space-joined windows over the non-empty whitespace tokens).
+    * Guarded: fewer than n words yields an empty array — Spark's
+    * `sequence(0, -1)` would DESCEND, not return empty. */
+  def wordNgrams(textCol: Column, n: Int): Column = {
+    val w = filter(split(textCol, " "), x => x =!= "")
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination — the training-corpus op that removes
+    * eval leakage: a document is contaminated if it shares ANY word
+    * n-gram with any benchmark item. Returns one row per contaminated
+    * doc: (doc_id, n_hits, sample_ngram = lexicographically-first
+    * matching n-gram).
+    *
+    * Scale shape: the benchmark side is small by definition (eval sets
+    * are thousands of items, the corpus is billions of docs) — its
+    * distinct n-grams broadcast, so the corpus side is one map-side
+    * explode + broadcast semi-ish join + per-doc agg: a single pass,
+    * no corpus-sized shuffle beyond the per-doc count. */
+  def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val benchNgrams = bench
+      .select(explode(wordNgrams(col(textCol), n)).as("ngram")).distinct()
+    val docNgrams = docs
+      .select(col(idCol).as("doc_id"),
+        explode(wordNgrams(col(textCol), n)).as("ngram"))
+    docNgrams.join(broadcast(benchNgrams), "ngram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("ngram")).as("sample_ngram"))
+  }
+
   // ---- domain-mix rebalancing --------------------------------------
 
   /** Rebalance a corpus to target per-domain mixture weights: given an

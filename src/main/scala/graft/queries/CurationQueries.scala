@@ -150,6 +150,53 @@ object CurationQueries {
       |  END AS err
       |FROM qq ORDER BY vec_id""".stripMargin
 
+  /** T13: benchmark decontamination. Benchmark items = every 211th
+    * document; contamination is planted by appending the first 8 words
+    * of benchmark doc 5 to every 89th corpus doc (same construction in
+    * the oracle — the d5 injected-copies pattern). A doc is flagged if
+    * any of its word 8-grams appears in any benchmark item. */
+  val t13Decontaminate: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val bench = docs.filter($"doc_id" % 211 === 5)
+    val snip = bench.filter($"doc_id" === 5)
+      .select(array_join(
+        slice(filter(split($"text", " "), x => x =!= ""), 1, 8), " ").as("snip"))
+    val corpus = docs.filter($"doc_id" % 211 =!= 5)
+      .crossJoin(broadcast(snip))
+      .withColumn("text", concat($"text",
+        when($"doc_id" % 89 === 3, concat(lit(" "), $"snip")).otherwise(lit(""))))
+    Corpus.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .orderBy($"doc_id")
+  }
+
+  val t13DecontaminateSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |snip AS (SELECT array_to_string(ws[1:8], ' ') AS s FROM w WHERE doc_id = 5),
+      |bn AS (
+      |  SELECT DISTINCT
+      |    unnest(list_transform(range(0, greatest(len(ws) - 7, 0)),
+      |      i -> array_to_string(ws[i+1:i+8], ' '))) AS ngram
+      |  FROM w WHERE doc_id % 211 = 5),
+      |corpus AS (
+      |  SELECT d.doc_id,
+      |    d.text || CASE WHEN d.doc_id % 89 = 3
+      |                   THEN ' ' || (SELECT s FROM snip) ELSE '' END AS text
+      |  FROM documents d WHERE d.doc_id % 211 <> 5),
+      |cw AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM corpus),
+      |cn AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(0, greatest(len(ws) - 7, 0)),
+      |      i -> array_to_string(ws[i+1:i+8], ' '))) AS ngram
+      |  FROM cw)
+      |SELECT cn.doc_id, count(*) AS n_hits, min(cn.ngram) AS sample_ngram
+      |FROM cn JOIN bn USING (ngram)
+      |GROUP BY cn.doc_id ORDER BY doc_id""".stripMargin
+
   /** N5: LSH-bucketed ANN (signed random projections) — the second
     * scale path next to IVF (n2). Buckets are per-row expression work
     * (no index-build shuffle); queries multi-probe their bucket plus
@@ -203,6 +250,7 @@ object CurationQueries {
     "t12_domain_mix"  -> t12DomainMix,
     "n4_quantize"     -> n4Quantize,
     "n5_ann_lsh"      -> n5AnnLsh,
+    "t13_decontaminate" -> t13Decontaminate,
   )
 
   val oracle: Map[String, String] = Map(
@@ -211,5 +259,6 @@ object CurationQueries {
     "t12_domain_mix"  -> t12DomainMixSql,
     "n4_quantize"     -> n4QuantizeSql,
     "n5_ann_lsh"      -> n5AnnLshSql,
+    "t13_decontaminate" -> t13DecontaminateSql,
   )
 }

@@ -261,6 +261,37 @@ object StarSchemaQueries {
       |GROUP BY CUBE (source, lang)
       |ORDER BY gid, source, lang""".stripMargin
 
+  /** AN11: the rank-family window functions — percent_rank, cume_dist,
+    * lag — over a PARTITIONED, fully tie-broken window (scale shape:
+    * each partition sorts independently; nothing global). The quotient
+    * doubles are exact-rounded IEEE divisions of identical integers on
+    * both engines, so they hash bit-identically UNROUNDED — rounding
+    * them would INTRODUCE a hazard (engine round() modes differ), not
+    * remove one. */
+  val an11WindowStats: Q = (s, dir) => {
+    import s.implicits._
+    val byPrio = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.load(s, dir, "orders")
+      .withColumn("pr", percent_rank().over(byPrio))
+      .withColumn("cd", cume_dist().over(byPrio))
+      .withColumn("prev_price", lag($"o_totalprice", 1).over(byPrio))
+      .filter($"o_orderkey" % 97 === 0)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        $"pr", $"cd", $"prev_price")
+      .orderBy($"o_orderkey")
+  }
+
+  val an11WindowStatsSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  lag(o_totalprice) OVER w AS prev_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |QUALIFY o_orderkey % 97 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "j2_word_bridge"    -> j2WordBridge,
     "j3_type_bridge"    -> j3TypeBridge,
@@ -272,6 +303,7 @@ object StarSchemaQueries {
     "an8_pivot"         -> an8Pivot,
     "an9_unpivot"       -> an9Unpivot,
     "an10_cube"         -> an10Cube,
+    "an11_window_stats" -> an11WindowStats,
   )
 
   val oracle: Map[String, String] = Map(
@@ -285,5 +317,6 @@ object StarSchemaQueries {
     "an8_pivot"         -> an8PivotSql,
     "an9_unpivot"       -> an9UnpivotSql,
     "an10_cube"         -> an10CubeSql,
+    "an11_window_stats" -> an11WindowStatsSql,
   )
 }

@@ -49,6 +49,29 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  // ---- Corpus.decontaminate -----------------------------------------
+
+  test("wordNgrams: sliding windows, short-doc guard, empty-token filter") {
+    val df = Seq((1L, "a b c d"), (2L, "a  b"), (3L, "x y")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", Corpus.wordNgrams($"text", 3).as("ng"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+    assert(out(0)._2 === Seq("a b c", "b c d"))
+    assert(out(1)._2 === Seq.empty) // 2 words < n (double space filtered)
+    assert(out(2)._2 === Seq.empty)
+  }
+
+  test("decontaminate flags exactly the docs sharing a benchmark 8-gram") {
+    val bench = Seq((100L, "q1 q2 q3 q4 q5 q6 q7 q8 extra words here")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "clean doc with its own words only nothing shared at all ok"),
+      (2L, "prefix words q1 q2 q3 q4 q5 q6 q7 q8 suffix"), // planted
+      (3L, "q2 q3 q4 q5 q6 q7 q8 but only seven of them")  // 7-gram only -> clean
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(docs, bench, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq === Seq((2L, 1L, "q1 q2 q3 q4 q5 q6 q7 q8")))
+  }
+
   // ---- Corpus.domainMix ---------------------------------------------
 
   test("domainMix keeps a deterministic subset honoring per-source caps") {
