@@ -210,6 +210,45 @@ object CoreRelational {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY o_custkey""".stripMargin
 
+  /** U4: EXCEPT ALL — multiset difference, where the bag semantics
+    * actually bite: each custkey's order rows minus ONE distinct copy
+    * leaves n-1 rows, so the compacted output is exactly the repeat
+    * count per customer (a pure DISTINCT except would yield nothing). */
+  val u4ExceptAll: Q = (s, dir) => {
+    import s.implicits._
+    val a = Tables.load(s, dir, "orders").select($"o_custkey")
+    a.exceptAll(a.distinct())
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_extra"))
+      .orderBy($"o_custkey")
+  }
+
+  val u4ExceptAllSql: String =
+    """SELECT o_custkey, count(*) AS n_extra FROM (
+      |  SELECT o_custkey FROM orders
+      |  EXCEPT ALL
+      |  SELECT DISTINCT o_custkey FROM orders)
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** U5: INTERSECT ALL — multiset intersection: per custkey,
+    * min(urgent-order rows, finished-order rows), a value neither side
+    * determines alone (DISTINCT intersect is u3; this keeps
+    * multiplicity). */
+  val u5IntersectAll: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+    o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+      .intersectAll(o.filter($"o_orderstatus" === "F").select($"o_custkey"))
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_min"))
+      .orderBy($"o_custkey")
+  }
+
+  val u5IntersectAllSql: String =
+    """SELECT o_custkey, count(*) AS n_min FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   /** AN6: ROLLUP over (returnflag, linestatus) — subtotal/grand-total
     * rows via grouping sets, with DECIMAL-exact sums and an explicit
     * grouping-id so NULL group keys are unambiguous. */
@@ -257,6 +296,8 @@ object CoreRelational {
     "u1_except"         -> u1Except,
     "j5_anti_join"      -> j5AntiJoin,
     "u3_intersect"      -> u3Intersect,
+    "u4_except_all"     -> u4ExceptAll,
+    "u5_intersect_all"  -> u5IntersectAll,
     "an6_rollup"        -> an6Rollup,
     "p2_sentinel_filter" -> p2SentinelFilter,
   )
@@ -271,6 +312,8 @@ object CoreRelational {
     "u1_except"         -> u1ExceptSql,
     "j5_anti_join"      -> j5AntiJoinSql,
     "u3_intersect"      -> u3IntersectSql,
+    "u4_except_all"     -> u4ExceptAllSql,
+    "u5_intersect_all"  -> u5IntersectAllSql,
     "an6_rollup"        -> an6RollupSql,
     "p2_sentinel_filter" -> p2SentinelFilterSql,
   )

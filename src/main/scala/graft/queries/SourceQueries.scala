@@ -70,6 +70,23 @@ object SourceQueries {
   val s9OrcReadSql: String =
     "SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id"
 
+  /** S10: plain-text line source — the rawest landing format a corpus
+    * pipeline ingests (one document per line). Write → `spark.read
+    * .text` round-trip; line order is filesystem-dependent, so the
+    * check is the multiset of lines (groupBy count), which any
+    * line-preserving reader must reproduce. */
+  val s10TextRead: Q = (s, dir) => {
+    import s.implicits._
+    val out = tmp("graft-s10") + "/txt"
+    Tables.load(s, dir, "documents").select($"text").write.mode("overwrite").text(out)
+    s.read.text(out)
+      .groupBy($"value").agg(count(lit(1)).as("n"))
+      .orderBy($"value")
+  }
+
+  val s10TextReadSql: String =
+    "SELECT text AS value, count(*) AS n FROM documents GROUP BY text ORDER BY text"
+
   /** A1: the count-audit operator (ref: before/after cleaning counts,
     * DB/ETL.ipynb c13/c27) as one relation of named counts. */
   val a1CountAudit: Q = (s, dir) => {
@@ -95,6 +112,7 @@ object SourceQueries {
     "s1_json_read"  -> s1JsonRead,
     "s7_csv_read"   -> s7CsvRead,
     "s9_orc_read"   -> s9OrcRead,
+    "s10_text_read" -> s10TextRead,
     "a1_count_audit" -> a1CountAudit,
   )
 
@@ -102,6 +120,7 @@ object SourceQueries {
     "s1_json_read"  -> s1JsonReadSql,
     "s7_csv_read"   -> s7CsvReadSql,
     "s9_orc_read"   -> s9OrcReadSql,
+    "s10_text_read" -> s10TextReadSql,
     "a1_count_audit" -> a1CountAuditSql,
   )
 }
