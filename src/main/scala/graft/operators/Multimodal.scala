@@ -62,13 +62,18 @@ object Multimodal {
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
       ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
 
-  /** REAL decoder for the two header formats a pure JVM can parse with
-    * no codec library: PNG (8-byte signature, IHDR width/height
-    * big-endian at offsets 16/20) and BMP (`BM` magic, BITMAPINFOHEADER
-    * width/height little-endian at offsets 18/22). Format is detected
-    * from the BYTES, not the declared kind; anything else degrades to
-    * (0, 0) dims rather than failing the batch. Feature extraction is
-    * the same byte-window accumulation as the stub — the difference is
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** REAL decoder for the three header formats a pure JVM can parse
+    * with no codec library: PNG (8-byte signature, IHDR width/height
+    * big-endian at offsets 16/20), BMP (`BM` magic, BITMAPINFOHEADER
+    * width/height little-endian at offsets 18/22), and GIF
+    * (`GIF87a`/`GIF89a` signature, logical-screen width/height as
+    * little-endian u16 at offsets 6/8). Format is detected from the
+    * BYTES, not the declared kind; anything else degrades to (0, 0)
+    * dims rather than failing the batch. Feature extraction is the
+    * same byte-window accumulation as the stub — the difference is
     * that width/height now come from parsing real file structure. */
   def decodeHeader(r: MediaRow): MediaFeatures = {
     val b = r.payload
@@ -78,6 +83,10 @@ object Multimodal {
         (be32(b, 16), be32(b, 20))
       else if (b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
         (le32(b, 18), le32(b, 22))
+      else if (b.length >= 13 &&
+          (new String(b.take(6), "US-ASCII") == "GIF87a" ||
+           new String(b.take(6), "US-ASCII") == "GIF89a"))
+        (le16(b, 6), le16(b, 8))
       else (0, 0)
     val dim = 16
     val feats = new Array[Float](dim)
@@ -120,6 +129,19 @@ object Multimodal {
     writeLe32(out, 18, w); writeLe32(out, 22, h)
     out(26) = 1; out(28) = 24           // planes, bpp
     body.copyToArray(out, 54)
+    out
+  }
+
+  /** GIF89a: 6-byte signature + logical screen descriptor (w/h as
+    * little-endian u16) — a 13-byte header + body. Dims cap at 65535
+    * by format. */
+  def gifBytes(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    require(w <= 0xffff && h <= 0xffff, "GIF dims are u16")
+    val out = new Array[Byte](13 + body.length)
+    "GIF89a".getBytes("US-ASCII").copyToArray(out, 0)
+    out(6) = w.toByte; out(7) = (w >>> 8).toByte
+    out(8) = h.toByte; out(9) = (h >>> 8).toByte
+    body.copyToArray(out, 13)
     out
   }
 

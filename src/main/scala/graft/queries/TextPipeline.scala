@@ -780,8 +780,9 @@ object TextPipeline {
     * Each doc synthesizes a valid PNG (even ids) or BMP (odd ids)
     * header with known dimensions around the utf8 text body;
     * `Multimodal.decodeHeaders` then parses width/height back OUT OF
-    * THE BYTES (PNG IHDR big-endian / BMP InfoHeader little-endian,
-    * format sniffed from magic numbers, not the kind column). The
+    * THE BYTES (PNG IHDR big-endian / BMP InfoHeader little-endian /
+    * GIF screen descriptor little-endian u16, format sniffed from
+    * magic numbers, not the kind column). The
     * oracle replays the dimension arithmetic and header sizes — any
     * endianness/offset bug in the parser flips cells. */
   val m3ImageMeta: Q = (s, dir) => {
@@ -793,10 +794,11 @@ object TextPipeline {
         val w = (id % 3000 + 16).toInt
         val h = (id % 2000 + 16).toInt
         val body = text.getBytes("UTF-8")
-        if (id % 2 == 0)
-          Multimodal.MediaRow(id, "image/png", Multimodal.pngBytes(w, h, body))
-        else
-          Multimodal.MediaRow(id, "image/bmp", Multimodal.bmpBytes(w, h, body))
+        id % 3 match {
+          case 0 => Multimodal.MediaRow(id, "image/png", Multimodal.pngBytes(w, h, body))
+          case 1 => Multimodal.MediaRow(id, "image/bmp", Multimodal.bmpBytes(w, h, body))
+          case _ => Multimodal.MediaRow(id, "image/gif", Multimodal.gifBytes(w, h, body))
+        }
       }
     Multimodal.decodeHeaders(media)
       .select($"media_id", $"kind", $"n_bytes".cast("long").as("n_bytes"),
@@ -806,8 +808,9 @@ object TextPipeline {
 
   val m3ImageMetaSql: String =
     """SELECT doc_id AS media_id,
-      |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS kind,
-      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 54 END
+      |  CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+      |       ELSE 'image/gif' END AS kind,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 54 ELSE 13 END
       |       + octet_length(text::BLOB) AS BIGINT) AS n_bytes,
       |  CAST(doc_id % 3000 + 16 AS BIGINT) AS width,
       |  CAST(doc_id % 2000 + 16 AS BIGINT) AS height

@@ -33,14 +33,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f0.init.forall(_.getInt(2) === 32))
   }
 
-  test("real header decode round-trips PNG/BMP dimensions from bytes") {
+  test("real header decode round-trips PNG/BMP/GIF dimensions from bytes") {
     val body = "pixel data stand-in".getBytes("UTF-8")
     val rows = Seq(
       Multimodal.MediaRow(1L, "image/png", Multimodal.pngBytes(640, 480, body)),
       Multimodal.MediaRow(2L, "image/bmp", Multimodal.bmpBytes(1920, 1080, body)),
       // dimensions above 255 exercise multi-byte endianness both ways
       Multimodal.MediaRow(3L, "image/png", Multimodal.pngBytes(70000, 3, body)),
-      Multimodal.MediaRow(4L, "application/octet-stream", body))
+      Multimodal.MediaRow(4L, "application/octet-stream", body),
+      Multimodal.MediaRow(5L, "image/gif", Multimodal.gifBytes(800, 600, body)),
+      // 300 > 255: the u16 high byte must be read
+      Multimodal.MediaRow(6L, "image/gif", Multimodal.gifBytes(300, 65535, body)))
     val out = Multimodal.decodeHeaders(spark.createDataset(rows))
       .collect().map(f => f.media_id -> f).toMap
     assert(out(1L).width === 640 && out(1L).height === 480)
@@ -48,7 +51,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L).width === 70000 && out(3L).height === 3)
     // non-image bytes degrade to (0,0), never throw
     assert(out(4L).width === 0 && out(4L).height === 0)
+    assert(out(5L).width === 800 && out(5L).height === 600)
+    assert(out(6L).width === 300 && out(6L).height === 65535)
     assert(out(1L).n_bytes === 33 + body.length)
     assert(out(2L).n_bytes === 54 + body.length)
+    assert(out(5L).n_bytes === 13 + body.length)
   }
 }
