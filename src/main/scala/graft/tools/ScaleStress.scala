@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Corpus, Dedup, Similarity}
 
 /** Dedup-path scaling experiments over derived corpora (the
   * correctness gate still runs only on driver-generated testdata):
@@ -83,6 +83,41 @@ object ScaleStress {
     time(s"patho n=20 rows=$rows d2 cap=10") {
       Dedup.minhashNearDups(patho, "doc_id", "text", maxBucket = Some(10)) }
     patho.unpersist(blocking = true)
+
+    // 3. LSH ANN (n5) — candidate side replicated N×: bucket
+    // assignment is per-row, candidate generation joins only the
+    // probed buckets, so time should grow ~N while the query side
+    // stays fixed.
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    def embN(replicas: Int): DataFrame =
+      (0 until replicas).map { r =>
+        emb.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_.unionByName(_))
+    Seq(1, 5, 20).foreach { n =>
+      val cand = embN(n).cache()
+      val nr = cand.count()
+      time(s"ann n=$n rows=$nr n5 lshTopK") {
+        Similarity.lshTopK(cand, emb.filter(col("vec_id") < 5), dim = 64) }
+      cand.unpersist(blocking = true)
+    }
+
+    // 4. Decontamination (t13) — corpus replicated N×, benchmark set
+    // fixed: the bench n-gram broadcast is constant, the corpus side
+    // is a map-side explode + broadcast join, so time should grow ~N.
+    def docsN(replicas: Int): DataFrame =
+      (0 until replicas).map { r =>
+        base.select((col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+          col("text"), col("source"))
+      }.reduce(_.unionByName(_))
+    val bench = base.filter(col("doc_id") % 211 === 5)
+    Seq(1, 5, 20).foreach { n =>
+      val corpus = docsN(n).cache()
+      val nr = corpus.count()
+      time(s"decon n=$n rows=$nr t13") {
+        Corpus.decontaminate(corpus, bench, "doc_id", "text") }
+      corpus.unpersist(blocking = true)
+    }
     spark.stop()
   }
 }
