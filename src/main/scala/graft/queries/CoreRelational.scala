@@ -249,6 +249,58 @@ object CoreRelational {
       |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** AN12: exact distributed second-moment statistics — mean, sample
+    * variance, and Pearson correlation per group, built from DECIMAL
+    * power sums (n, Σx, Σy, Σx², Σy², Σxy) instead of the built-in
+    * `var_samp`/`corr`. The built-ins accumulate doubles in partition
+    * order — a different partitioning gives a different last ulp, so
+    * they can never be engine- or run-exact. Decimal power sums are
+    * associative-exact (bit-stable under any re-partitioning / AQE
+    * re-plan); the closed-form combination to moments happens ONCE on
+    * exact inputs, so the rounded result is deterministic. Same
+    * map-side-combined single-shuffle plan as any groupBy agg. */
+  val an12Moments: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_returnflag",
+        $"l_quantity".cast("decimal(12,2)").as("x"),
+        $"l_extendedprice".cast("decimal(12,2)").as("y"))
+    li.groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      .select($"l_returnflag", $"n",
+        round($"sx".cast("double") / $"n", 6).as("mean_qty"),
+        round(($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double"))
+          / ($"n" * ($"n" - 1)), 6).as("var_qty"),
+        round(($"n" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double"))
+          / (sqrt($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double"))
+            * sqrt($"n" * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double"))), 6)
+          .as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val an12MomentsSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  round(CAST(sx AS DOUBLE) / n, 6) AS mean_qty,
+      |  round((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        / (n * (n - 1)), 6) AS var_qty,
+      |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |        / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |           * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS corr_qty_price
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   /** AN6: ROLLUP over (returnflag, linestatus) — subtotal/grand-total
     * rows via grouping sets, with DECIMAL-exact sums and an explicit
     * grouping-id so NULL group keys are unambiguous. */
@@ -298,6 +350,7 @@ object CoreRelational {
     "u3_intersect"      -> u3Intersect,
     "u4_except_all"     -> u4ExceptAll,
     "u5_intersect_all"  -> u5IntersectAll,
+    "an12_moments"      -> an12Moments,
     "an6_rollup"        -> an6Rollup,
     "p2_sentinel_filter" -> p2SentinelFilter,
   )
@@ -314,6 +367,7 @@ object CoreRelational {
     "u3_intersect"      -> u3IntersectSql,
     "u4_except_all"     -> u4ExceptAllSql,
     "u5_intersect_all"  -> u5IntersectAllSql,
+    "an12_moments"      -> an12MomentsSql,
     "an6_rollup"        -> an6RollupSql,
     "p2_sentinel_filter" -> p2SentinelFilterSql,
   )
