@@ -157,6 +157,6 @@ object Corpus {
           16, 10).cast("long"), lit(10000L)))
       .join(broadcast(rates), col(sourceCol) === col("src"))
       .filter(col("bucket") < col("keep_bp"))
-      .drop("src")
+      .drop("src", "keep_bp")
   }
 }

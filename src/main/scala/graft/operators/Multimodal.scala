@@ -83,9 +83,9 @@ object Multimodal {
         (be32(b, 16), be32(b, 20))
       else if (b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
         (le32(b, 18), le32(b, 22))
-      else if (b.length >= 13 &&
-          (new String(b.take(6), "US-ASCII") == "GIF87a" ||
-           new String(b.take(6), "US-ASCII") == "GIF89a"))
+      else if (b.length >= 13 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+          b(2) == 'F'.toByte && b(3) == '8'.toByte &&
+          (b(4) == '7'.toByte || b(4) == '9'.toByte) && b(5) == 'a'.toByte)
         (le16(b, 6), le16(b, 8))
       else (0, 0)
     val dim = 16

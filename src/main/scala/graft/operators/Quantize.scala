@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
   * with `m = max |x_i|`. floor on a double is the same bit pattern in
   * every engine, while round() ties diverge between Spark (HALF_UP)
   * and DuckDB (rint) — determinism is worth half a ulp of centering.
-  * Values land in [-127, 127] (floor sends -m to -127 and +m to 127);
-  * an all-zero vector quantizes to all zeros by the m=0 guard.
+  * Values are clamped to [-127, 127]: for a full-mantissa m, the
+  * double quotient (-m*127)/m can round to just BELOW -127 (≈14% of
+  * random doubles), so floor alone would emit -128 — float32-widened
+  * embeddings never hit it, but the clamp makes the contract hold for
+  * ANY input. An all-zero vector quantizes to all zeros by the m=0
+  * guard.
   *
   * Everything is per-row expression work: no shuffle, linear scans,
   * partition-layout independent.
@@ -32,7 +36,7 @@ object Quantize {
       .withColumn("q",
         when(col("max_abs") === 0.0, transform(v, _ => lit(0L)))
           .otherwise(transform(v,
-            x => floor(x * lit(127.0) / col("max_abs")).cast("long"))))
+            x => greatest(lit(-127L), floor(x * lit(127.0) / col("max_abs")).cast("long")))))
       .withColumn("qdot",
         aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x))

@@ -139,7 +139,7 @@ object CurationQueries {
       |qq AS (
       |  SELECT vec_id, v, max_abs,
       |    CASE WHEN max_abs = 0 THEN list_transform(v, x -> 0::BIGINT)
-      |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / max_abs) AS BIGINT))
+      |         ELSE list_transform(v, x -> greatest(-127, CAST(floor(x * 127.0 / max_abs) AS BIGINT)))
       |    END AS q
       |  FROM m)
       |SELECT vec_id, max_abs, q,

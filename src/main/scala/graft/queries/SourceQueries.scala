@@ -74,18 +74,26 @@ object SourceQueries {
     * pipeline ingests (one document per line). Write → `spark.read
     * .text` round-trip; line order is filesystem-dependent, so the
     * check is the multiset of lines (groupBy count), which any
-    * line-preserving reader must reproduce. */
+    * line-preserving reader must reproduce. CR/LF are translated to
+    * spaces BEFORE the write: a text containing a newline would
+    * otherwise round-trip as two lines and silently diverge from the
+    * oracle — one-doc-per-line is the format's contract, enforced
+    * here rather than assumed of the data (the oracle applies the
+    * same translation). */
   val s10TextRead: Q = (s, dir) => {
     import s.implicits._
     val out = tmp("graft-s10") + "/txt"
-    Tables.load(s, dir, "documents").select($"text").write.mode("overwrite").text(out)
+    Tables.load(s, dir, "documents")
+      .select(regexp_replace($"text", "[\\r\\n]", " ").as("text"))
+      .write.mode("overwrite").text(out)
     s.read.text(out)
       .groupBy($"value").agg(count(lit(1)).as("n"))
       .orderBy($"value")
   }
 
   val s10TextReadSql: String =
-    "SELECT text AS value, count(*) AS n FROM documents GROUP BY text ORDER BY text"
+    """SELECT regexp_replace(text, '[\r\n]', ' ', 'g') AS value, count(*) AS n
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** A1: the count-audit operator (ref: before/after cleaning counts,
     * DB/ETL.ipynb c13/c27) as one relation of named counts. */

@@ -777,14 +777,14 @@ object TextPipeline {
       |ORDER BY media_id, frame_no""".stripMargin
 
   /** M3: REAL bytes→metadata decode through the mapPartitions seam.
-    * Each doc synthesizes a valid PNG (even ids) or BMP (odd ids)
-    * header with known dimensions around the utf8 text body;
+    * Each doc synthesizes a valid PNG, BMP, or GIF header (by
+    * doc_id % 3) with known dimensions around its utf8 bytes;
     * `Multimodal.decodeHeaders` then parses width/height back OUT OF
     * THE BYTES (PNG IHDR big-endian / BMP InfoHeader little-endian /
     * GIF screen descriptor little-endian u16, format sniffed from
-    * magic numbers, not the kind column). The
-    * oracle replays the dimension arithmetic and header sizes — any
-    * endianness/offset bug in the parser flips cells. */
+    * magic numbers, not the kind column). The oracle replays the
+    * dimension arithmetic and header sizes — any endianness/offset
+    * bug in the parser flips cells. */
   val m3ImageMeta: Q = (s, dir) => {
     import s.implicits._
     import graft.operators.Multimodal

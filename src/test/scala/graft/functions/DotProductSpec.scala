@@ -23,7 +23,11 @@ class DotProductSpec extends AnyFunSuite {
     val diff = pairs.select(
         Similarity.dot($"v", $"w").as("native"),
         Similarity.dotHof($"v", $"w").as("hof"))
-      // bit-compare via long bits so -0.0/0.0 and NaN can't hide
+      // string-repr compare: Spark's shortest-round-trip rendering
+      // distinguishes every distinct double incl. -0.0 vs 0.0 and
+      // renders NaN as "NaN" (payload bits are NOT covered — fine
+      // here, arithmetic never produces payloaded NaNs from real
+      // embeddings)
       .filter(expr("not (cast(native as string) <=> cast(hof as string))"))
       .count()
     assert(diff === 0)
