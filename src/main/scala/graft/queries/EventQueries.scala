@@ -351,6 +351,41 @@ object EventQueries {
       | AND epoch_us(p.ts) - epoch_us(c.ts) <= 7200::BIGINT * 1000000
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** E7: stream-static enrichment join run as a REAL streaming query —
+    * the events stream decorated with a static dimension (event types
+    * weighted by name length, derived from the same batch table so the
+    * oracle can rebuild it). Complete output mode: the aggregate over
+    * the whole (finite) stream must equal the batch formulation. */
+  val e7StreamStatic: Q = (s, dir) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_type", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e7").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    val typeDim = ev.select($"event_type").distinct()
+      .withColumn("weight", length($"event_type").cast("long"))
+    val stream = s.readStream.schema(ev.schema).parquet(tmp)
+    val q = Streams.enrichedTypeTotals(stream, typeDim)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("e7_enriched").start()
+    q.processAllAvailable()
+    q.stop()
+    s.table("e7_enriched")
+      .select($"event_type", $"weight", $"n", $"value_scaled")
+      .orderBy($"event_type")
+  }
+
+  val e7StreamStaticSql: String =
+    """SELECT event_type,
+      |  CAST(length(event_type) AS BIGINT) AS weight,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_scaled
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** SK1: two-phase salted aggregation over the skewed event stream —
     * identical result to the plain groupBy (the oracle IS the plain
     * aggregation), but a hot event_type spreads across `salts`
@@ -384,6 +419,7 @@ object EventQueries {
     "sk1_salted_agg" -> sk1SaltedAgg,
     "e4_stream_sessions" -> e4StreamSessions,
     "e6_stream_join" -> e6StreamJoin,
+    "e7_stream_static" -> e7StreamStatic,
   )
 
   val oracle: Map[String, String] = Map(
@@ -395,6 +431,7 @@ object EventQueries {
     "sk1_salted_agg" -> sk1SaltedAggSql,
     "e4_stream_sessions" -> e4StreamSessionsSql,
     "e6_stream_join" -> e6StreamJoinSql,
+    "e7_stream_static" -> e7StreamStaticSql,
     "an4_approx_distinct" -> an4ApproxDistinctSql,
     "an7_approx_quantiles" -> an7ApproxQuantilesSql,
   )

@@ -232,6 +232,21 @@ object Streams {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
   }
 
+  /** Stream-static enrichment join — the third streaming join shape
+    * next to the stateful stream-stream interval join: each streaming
+    * event picks up its dimension row from a STATIC (batch) table.
+    * No watermark and no join state at all — the static side is
+    * broadcast/rescanned per micro-batch, which is why stream-static
+    * is the default way to decorate a stream with slowly-changing
+    * dims at any scale. Values are accumulated as exact scaled longs
+    * so the streamed aggregate is hash-comparable to a batch oracle. */
+  def enrichedTypeTotals(events: DataFrame, typeDim: DataFrame): DataFrame =
+    events
+      .join(typeDim, Seq("event_type"))
+      .groupBy(col("event_type"), col("weight"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 10000) AS BIGINT)")).as("value_scaled"))
+
   /** Drain a file-source stream to a memory sink synchronously (test /
     * AvailableNow harness). Aggregations need Complete — in Append a
     * watermarked window only emits after the watermark passes it,
