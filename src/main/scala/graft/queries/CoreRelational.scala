@@ -249,6 +249,61 @@ object CoreRelational {
       |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** Q3: the SQL facade — the same engine driven entirely through
+    * `spark.sql` over registered temp views (TPC-H Q3 shape, adapted
+    * to the testdata's columns). Demonstrates that every relational
+    * operator here is reachable from plain SQL text, not just the
+    * DataFrame API; Catalyst plans both identically. The SQL string is
+    * ANSI enough to run verbatim on DuckDB as its own oracle (modulo
+    * the view setup). */
+  private val q3Text =
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+      |                 * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  val q3Sql: Q = (s, dir) => {
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      Tables.load(s, dir, t).createOrReplaceTempView(t)
+    }
+    s.sql(q3Text)
+  }
+
+  val q3SqlSql: String = q3Text
+
+  /** AN13: equal-width histogram over a fixed range — the binning
+    * pass of any data-profiling pipeline. The bucket index is plain
+    * arithmetic (`floor(x * nb / hi)` clamped to the last bin), not a
+    * builtin — width_bucket doesn't exist in every engine and the
+    * arithmetic form is the same doubles everywhere. Fixed bounds
+    * instead of a min/max pre-pass keep it one scan. */
+  val an13Histogram: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .withColumn("bucket",
+        least(lit(11L), floor($"o_totalprice" * lit(12.0) / lit(600000.0)).cast("long")))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min($"o_totalprice".cast(dec)), 2).cast("double").as("lo"),
+        round(max($"o_totalprice".cast(dec)), 2).cast("double").as("hi"))
+      .orderBy($"bucket")
+  }
+
+  val an13HistogramSql: String =
+    """SELECT least(11, CAST(floor(o_totalprice * 12.0 / 600000.0) AS BIGINT)) AS bucket,
+      |  count(*) AS n,
+      |  CAST(round(CAST(min(o_totalprice) AS DECIMAL(18,4)), 2) AS DOUBLE) AS lo,
+      |  CAST(round(CAST(max(o_totalprice) AS DECIMAL(18,4)), 2) AS DOUBLE) AS hi
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** AN12: exact distributed second-moment statistics — mean, sample
     * variance, and Pearson correlation per group, built from DECIMAL
     * power sums (n, Σx, Σy, Σx², Σy², Σxy) instead of the built-in
@@ -351,6 +406,8 @@ object CoreRelational {
     "u4_except_all"     -> u4ExceptAll,
     "u5_intersect_all"  -> u5IntersectAll,
     "an12_moments"      -> an12Moments,
+    "an13_histogram"    -> an13Histogram,
+    "q3_sql"            -> q3Sql,
     "an6_rollup"        -> an6Rollup,
     "p2_sentinel_filter" -> p2SentinelFilter,
   )
@@ -368,6 +425,8 @@ object CoreRelational {
     "u4_except_all"     -> u4ExceptAllSql,
     "u5_intersect_all"  -> u5IntersectAllSql,
     "an12_moments"      -> an12MomentsSql,
+    "an13_histogram"    -> an13HistogramSql,
+    "q3_sql"            -> q3SqlSql,
     "an6_rollup"        -> an6RollupSql,
     "p2_sentinel_filter" -> p2SentinelFilterSql,
   )
