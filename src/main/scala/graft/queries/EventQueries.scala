@@ -366,12 +366,8 @@ object EventQueries {
     val typeDim = ev.select($"event_type").distinct()
       .withColumn("weight", length($"event_type").cast("long"))
     val stream = s.readStream.schema(ev.schema).parquet(tmp)
-    val q = Streams.enrichedTypeTotals(stream, typeDim)
-      .writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
-      .format("memory").queryName("e7_enriched").start()
-    q.processAllAvailable()
-    q.stop()
+    Streams.runOnce(Streams.enrichedTypeTotals(stream, typeDim),
+      "e7_enriched", org.apache.spark.sql.streaming.OutputMode.Complete)
     s.table("e7_enriched")
       .select($"event_type", $"weight", $"n", $"value_scaled")
       .orderBy($"event_type")
