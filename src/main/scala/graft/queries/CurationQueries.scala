@@ -244,6 +244,54 @@ object CurationQueries {
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10
       |ORDER BY qid, cos DESC, vec_id""".stripMargin
 
+  /** T15: URL/domain extraction — the web-corpus provenance op:
+    * pull URLs out of text, reduce to domains, count per domain.
+    * URLs are planted deterministically (same construction in the
+    * oracle); the patterns are ASCII-only and lookaround-free so Java
+    * regex and RE2 agree. Per-row extract + one small groupBy on
+    * domains — no corpus-sized shuffle beyond the domain counts. */
+  val t15UrlExtract: Q = (s, dir) => {
+    import s.implicits._
+    val urlPat = "https?://[A-Za-z0-9._/-]+"
+    val injected = Tables.load(s, dir, "documents")
+      .withColumn("text", concat($"text",
+        when($"doc_id" % 13 === 2,
+          concat(lit(" see https://site"), ($"doc_id" % 50).cast("string"),
+            lit(".example.com/p/"), $"doc_id".cast("string"), lit(" now")))
+          .otherwise(lit("")),
+        when($"doc_id" % 17 === 3,
+          concat(lit(" ref http://www.test"), ($"doc_id" % 20).cast("string"),
+            lit(".org/x")))
+          .otherwise(lit(""))))
+    injected
+      .select($"doc_id", explode(expr(s"regexp_extract_all(text, '$urlPat', 0)")).as("url"))
+      .select($"doc_id", $"url",
+        regexp_extract($"url", "https?://([A-Za-z0-9._-]+)", 1).as("domain"))
+      .groupBy($"domain")
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("first_doc"))
+      .orderBy($"domain")
+  }
+
+  val t15UrlExtractSql: String =
+    """WITH inj AS (
+      |  SELECT doc_id,
+      |    text
+      |    || CASE WHEN doc_id % 13 = 2
+      |         THEN ' see https://site' || (doc_id % 50)::VARCHAR
+      |              || '.example.com/p/' || doc_id::VARCHAR || ' now'
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 17 = 3
+      |         THEN ' ref http://www.test' || (doc_id % 20)::VARCHAR || '.org/x'
+      |         ELSE '' END AS text
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9._/-]+')) AS url
+      |  FROM inj)
+      |SELECT regexp_extract(url, 'https?://([A-Za-z0-9._-]+)', 1) AS domain,
+      |  count(*) AS n, min(doc_id) AS first_doc
+      |FROM u GROUP BY 1 ORDER BY domain""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "t10_pii_redact"  -> t10PiiRedact,
     "t11_repetition"  -> t11Repetition,
@@ -251,6 +299,7 @@ object CurationQueries {
     "n4_quantize"     -> n4Quantize,
     "n5_ann_lsh"      -> n5AnnLsh,
     "t13_decontaminate" -> t13Decontaminate,
+    "t15_url_extract" -> t15UrlExtract,
   )
 
   val oracle: Map[String, String] = Map(
@@ -260,5 +309,6 @@ object CurationQueries {
     "n4_quantize"     -> n4QuantizeSql,
     "n5_ann_lsh"      -> n5AnnLshSql,
     "t13_decontaminate" -> t13DecontaminateSql,
+    "t15_url_extract" -> t15UrlExtractSql,
   )
 }

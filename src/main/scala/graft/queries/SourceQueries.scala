@@ -95,6 +95,36 @@ object SourceQueries {
     """SELECT regexp_replace(text, '[\r\n]', ' ', 'g') AS value, count(*) AS n
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S11: schema-evolution read — two parquet drops with DIFFERENT
+    * column sets (an old crawl without n_chars, a new one without
+    * source: the landing-dir reality the reference's four raw/upd
+    * variants exhibit) read as ONE relation via `mergeSchema`. The
+    * merged schema is the union of columns; rows carry null for the
+    * columns their file lacks — exactly the unionByName(allowMissing)
+    * semantics, but at the SOURCE, with no per-variant read code. */
+  val s11MergeSchema: Q = (s, dir) => {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-s11")
+    val aDir = base.resolve("a").toString
+    val bDir = base.resolve("b").toString
+    val docs = Tables.load(s, dir, "documents")
+    docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"source")
+      .write.mode("overwrite").parquet(aDir)
+    docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"n_chars")
+      .write.mode("overwrite").parquet(bDir)
+    s.read.option("mergeSchema", "true").parquet(aDir, bDir)
+      .select($"doc_id", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val s11MergeSchemaSql: String =
+    """SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, CAST(NULL AS VARCHAR), n_chars
+      |FROM documents WHERE doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin
+
   /** A1: the count-audit operator (ref: before/after cleaning counts,
     * DB/ETL.ipynb c13/c27) as one relation of named counts. */
   val a1CountAudit: Q = (s, dir) => {
@@ -121,6 +151,7 @@ object SourceQueries {
     "s7_csv_read"   -> s7CsvRead,
     "s9_orc_read"   -> s9OrcRead,
     "s10_text_read" -> s10TextRead,
+    "s11_merge_schema" -> s11MergeSchema,
     "a1_count_audit" -> a1CountAudit,
   )
 
@@ -129,6 +160,7 @@ object SourceQueries {
     "s7_csv_read"   -> s7CsvReadSql,
     "s9_orc_read"   -> s9OrcReadSql,
     "s10_text_read" -> s10TextReadSql,
+    "s11_merge_schema" -> s11MergeSchemaSql,
     "a1_count_audit" -> a1CountAuditSql,
   )
 }
