@@ -25,6 +25,40 @@ object Quantize {
   /** max |x_i| of an array<double> column (exact — comparison only). */
   def maxAbs(v: Column): Column = array_max(transform(v, x => abs(x)))
 
+  /** Integer dot product of two quantized vectors — exact, order-free
+    * (bigint addition is associative), the scoring primitive a
+    * quantized ANN serves from. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Top-k retrieval over QUANTIZED vectors — the scoring path n4's
+    * storage format exists for: candidates and queries are both
+    * int8-quantized, each pair is scored by the exact integer dot,
+    * and ranking de-quantizes by the two scale factors
+    * (score ∝ qdot · m_q · m_c; the 1/127² constant can't change an
+    * ordering). The integer dots are engine-exact; the rank compares
+    * identical doubles, so the whole result is oracle-exact — unlike
+    * float-dot brute force, the quantized scorer moves 4× fewer bytes
+    * per vector and does integer MACs, which is the point at 100 TB.
+    * Output: (qid, vec_id, qd) ranked per query, k rows each. */
+  def quantizedTopK(candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = quantize(candidates, idCol, vecCol)
+      .select(col(idCol).as("vec_id"), col("q").as("cq"), col("max_abs").as("mc"))
+    val q = quantize(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("q").as("qq"), col("max_abs").as("mq"))
+    c.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        qdot(col("qq"), col("cq")).as("qd"),
+        (col("mq") * col("mc")).as("scale"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy((col("qd") * col("scale")).desc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("qd"))
+  }
+
   /** Per-row: max_abs (the dequant scale numerator), q (array<bigint>
     * in [-127,127]), qdot = exact integer <q,q> (what a quantized
     * scorer computes), err = round-6 max elementwise |x - q*m/127|

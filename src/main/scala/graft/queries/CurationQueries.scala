@@ -292,6 +292,36 @@ object CurationQueries {
       |  count(*) AS n, min(doc_id) AS first_doc
       |FROM u GROUP BY 1 ORDER BY domain""".stripMargin
 
+  /** N6: quantized top-k retrieval — n4's int8 vectors actually used
+    * for scoring: exact integer dots, rank de-quantized by the scale
+    * product (identical doubles on both engines order identically).
+    * Only integer columns are emitted, so the check is fully exact. */
+  val n6QuantizedTopK: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    Quantize.quantizedTopK(emb, emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10)
+      .orderBy($"qid", $"qd".desc, $"vec_id")
+  }
+
+  val n6QuantizedTopKSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e),
+      |qq AS (
+      |  SELECT vec_id, max_abs,
+      |    CASE WHEN max_abs = 0 THEN list_transform(v, x -> 0::BIGINT)
+      |         ELSE list_transform(v, x -> greatest(-127, CAST(floor(x * 127.0 / max_abs) AS BIGINT)))
+      |    END AS q
+      |  FROM m),
+      |qry AS (SELECT vec_id AS qid, q AS quq, max_abs AS mq FROM qq WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT qry.qid, c.vec_id,
+      |    CAST(list_sum(list_transform(range(len(c.q)), i -> c.q[i+1] * qry.quq[i+1])) AS BIGINT) AS qd,
+      |    qry.mq * c.max_abs AS scale
+      |  FROM qq c, qry WHERE c.vec_id <> qry.qid)
+      |SELECT qid, vec_id, qd FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY qd * scale DESC, vec_id) <= 10
+      |ORDER BY qid, qd DESC, vec_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "t10_pii_redact"  -> t10PiiRedact,
     "t11_repetition"  -> t11Repetition,
@@ -300,6 +330,7 @@ object CurationQueries {
     "n5_ann_lsh"      -> n5AnnLsh,
     "t13_decontaminate" -> t13Decontaminate,
     "t15_url_extract" -> t15UrlExtract,
+    "n6_quantized_topk" -> n6QuantizedTopK,
   )
 
   val oracle: Map[String, String] = Map(
@@ -310,5 +341,6 @@ object CurationQueries {
     "n5_ann_lsh"      -> n5AnnLshSql,
     "t13_decontaminate" -> t13DecontaminateSql,
     "t15_url_extract" -> t15UrlExtractSql,
+    "n6_quantized_topk" -> n6QuantizedTopKSql,
   )
 }

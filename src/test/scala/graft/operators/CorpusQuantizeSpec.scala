@@ -121,6 +121,29 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     rows.foreach(_._3.foreach(q => assert(q >= -127 && q <= 127)))
   }
 
+  test("quantizedTopK: k rows per query, exact integer dots, dequantized rank order") {
+    val emb = (1 to 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 13 + j * 5) * (i % 3 + 1)))
+    }.toDF("vec_id", "embedding")
+    val out = Quantize.quantizedTopK(emb, emb.filter($"vec_id" <= 2), "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly k rows per query, query never among its own candidates
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet === Set(1L, 2L))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length === 5)
+      assert(!rows.exists(_._2 == qid))
+    }
+    // qd is the exact integer dot of the two quantized vectors
+    val qvec = Quantize.quantize(emb, "vec_id", "embedding")
+      .select("vec_id", "q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    out.foreach { case (qid, cid, qd) =>
+      val expected = qvec(qid).zip(qvec(cid)).map { case (a, b) => a * b }.sum
+      assert(qd === expected, s"qd mismatch for ($qid, $cid)")
+    }
+  }
+
   test("quantize reconstruction error is bounded by one quantization step") {
     val emb = (1 to 200).map { i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 31 + j * 7) * (i % 5 + 1)))
