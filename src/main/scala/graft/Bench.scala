@@ -13,7 +13,7 @@ object Bench {
     "d2_minhash_lsh", "d6_dup_clusters", "n1_cosine_topk", "n2_ann_ivf",
     "n5_ann_lsh",
     "t3_token_count", "t6_chunking", "t7_packing", "t9_tfidf",
-    "t11_repetition", "t12_domain_mix", "n4_quantize",
+    "t11_repetition", "t12_domain_mix", "n4_quantize", "n6_quantized_topk",
     "c1_curate", "m3_image_meta", "g1_explode_words", "u1_except")
 
   /** Minimum repetitions per query; reported time is the median, so

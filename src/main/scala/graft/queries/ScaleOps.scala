@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Bloom, Cdc, Layout}
+
+/** Scale-pattern operators: the three plan shapes that decide whether
+  * a 100 TB pipeline is affordable — runtime-filter semi-join
+  * reduction (shuffle less), CDC upsert merge (maintain snapshots
+  * without rewrites), and Z-order layout (scan less). Each is checked
+  * exactly: the bloom filter and the z-curve are integer/md5
+  * arithmetic both engines replay bit-for-bit, and the merge is pure
+  * relational algebra.
+  */
+object ScaleOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 3
+  private val M = 1 << 13
+
+  /** J6: bloom-filter semi-join reduction — build an 8192-bit filter
+    * over BUILDING-segment customers, probe every order WITHOUT
+    * joining, and report the reduction quality: true semi-join size,
+    * bloom pass count, false positives (exactly reproduced by the
+    * oracle), and false negatives (structurally zero). */
+  val j6BloomSemijoin: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val orders = Tables.load(s, dir, "orders")
+    val probed = Bloom.probe(orders, "o_custkey", Bloom.build(cust, "c_custkey", K, M), K, M)
+    probed
+      .join(broadcast(cust.distinct()), $"o_custkey" === $"c_custkey", "left")
+      .select($"bloom_pass", $"c_custkey".isNotNull.as("is_match"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when($"is_match", 1)).as("n_semi"),
+        count(when($"bloom_pass", 1)).as("n_bloom_pass"),
+        count(when($"bloom_pass" && !$"is_match", 1)).as("n_false_pos"),
+        count(when($"is_match" && !$"bloom_pass", 1)).as("n_false_neg"))
+  }
+
+  val j6BloomSemijoinSql: String =
+    s"""WITH bk AS (
+      |  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |pos AS (
+      |  SELECT DISTINCT
+      |    ('0x' || substr(md5('bloom:' || t.i::VARCHAR || ':' || c_custkey::VARCHAR), 1, 8))::BIGINT % $M AS p
+      |  FROM bk, range($K) t(i)),
+      |pp AS (
+      |  SELECT o.o_orderkey, o.o_custkey,
+      |    ('0x' || substr(md5('bloom:' || t.i::VARCHAR || ':' || o.o_custkey::VARCHAR), 1, 8))::BIGINT % $M AS p
+      |  FROM orders o, range($K) t(i)),
+      |hit AS (
+      |  SELECT o_orderkey, any_value(o_custkey) AS o_custkey,
+      |    bool_and(pos.p IS NOT NULL) AS pass
+      |  FROM pp LEFT JOIN pos ON pp.p = pos.p
+      |  GROUP BY o_orderkey),
+      |fl AS (
+      |  SELECT h.pass, (bk.c_custkey IS NOT NULL) AS is_match
+      |  FROM hit h LEFT JOIN bk ON h.o_custkey = bk.c_custkey)
+      |SELECT count(*) AS n_rows,
+      |  count(*) FILTER (WHERE is_match) AS n_semi,
+      |  count(*) FILTER (WHERE pass) AS n_bloom_pass,
+      |  count(*) FILTER (WHERE pass AND NOT is_match) AS n_false_pos,
+      |  count(*) FILTER (WHERE is_match AND NOT pass) AS n_false_neg
+      |FROM fl""".stripMargin
+
+  /** U6: CDC upsert merge — base snapshot + synthesized change log
+    * (two update generations, delete tombstones, new-key inserts)
+    * folded to the next snapshot by last-writer-wins. The one shuffle
+    * is the key hash — the minimal MERGE INTO plan. */
+  val u6CdcUpsert: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val base = Cdc.asBase(o)
+    val upd1 = o.filter($"o_orderkey" % 7 === 0)
+      .withColumn("o_orderstatus", lit("U1"))
+      .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+      .withColumn("version", lit(1L)).withColumn("op", lit("U"))
+    val upd2 = o.filter($"o_orderkey" % 21 === 0)
+      .withColumn("o_orderstatus", lit("U2"))
+      .withColumn("o_totalprice", $"o_totalprice" + 2.0)
+      .withColumn("version", lit(2L)).withColumn("op", lit("U"))
+    val dels = o.filter($"o_orderkey" % 13 === 0)
+      .withColumn("version", lit(3L)).withColumn("op", lit("D"))
+    val ins = o.filter($"o_orderkey" % 11 === 3)
+      .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
+      .withColumn("o_orderstatus", lit("NEW"))
+      .withColumn("version", lit(1L)).withColumn("op", lit("U"))
+    Cdc.upsert(
+      base.unionByName(upd1).unionByName(upd2).unionByName(dels).unionByName(ins),
+      Seq("o_orderkey"))
+      .orderBy($"o_orderkey")
+  }
+
+  val u6CdcUpsertSql: String =
+    """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |all_rows AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0::BIGINT AS version, 'U' AS op FROM o
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U1', o_totalprice + 1.0, 1::BIGINT, 'U' FROM o WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U2', o_totalprice + 2.0, 2::BIGINT, 'U' FROM o WHERE o_orderkey % 21 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, 3::BIGINT, 'D' FROM o WHERE o_orderkey % 13 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'NEW', o_totalprice, 1::BIGINT, 'U' FROM o WHERE o_orderkey % 11 = 3)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice, version
+      |FROM all_rows
+      |QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC, op DESC) = 1
+      |  AND op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** S12: Z-order layout assignment — bucketize customer key and
+    * order week, interleave 8 bits of each, assign 256 files by the
+    * top z bits, and emit per-file min/max of BOTH dimensions: the
+    * file statistics a scan would prune on. Bit-exact arithmetic on
+    * both engines. */
+  val s12ZorderLayout: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables.load(s, dir, "orders").select(
+      pmod($"o_custkey", lit(256L)).as("b1"),
+      pmod(shiftright(datediff(to_date($"o_orderdate"), to_date(lit("1992-01-01")))
+        .cast("long"), 4), lit(256L)).as("b2"))
+    d.withColumn("zv", Layout.zValue($"b1", $"b2", 8))
+      .groupBy(shiftright($"zv", 8).as("file_id"))
+      .agg(count(lit(1)).as("cnt"),
+        min($"b1").as("min_b1"), max($"b1").as("max_b1"),
+        min($"b2").as("min_b2"), max($"b2").as("max_b2"))
+      .orderBy($"file_id")
+  }
+
+  val s12ZorderLayoutSql: String =
+    s"""WITH d AS (
+      |  SELECT o_custkey % 256 AS b1,
+      |    (date_diff('day', DATE '1992-01-01', o_orderdate::DATE) >> 4) % 256 AS b2
+      |  FROM orders),
+      |z AS (SELECT b1, b2, ${Layout.zValueSql("b1", "b2", 8)} AS zv FROM d)
+      |SELECT (zv >> 8) AS file_id, count(*) AS cnt,
+      |  min(b1) AS min_b1, max(b1) AS max_b1,
+      |  min(b2) AS min_b2, max(b2) AS max_b2
+      |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "j6_bloom_semijoin" -> j6BloomSemijoin,
+    "u6_cdc_upsert"     -> u6CdcUpsert,
+    "s12_zorder_layout" -> s12ZorderLayout,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "j6_bloom_semijoin" -> j6BloomSemijoinSql,
+    "u6_cdc_upsert"     -> u6CdcUpsertSql,
+    "s12_zorder_layout" -> s12ZorderLayoutSql,
+  )
+}

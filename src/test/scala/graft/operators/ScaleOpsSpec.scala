@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Bloom semi-join reduction, CDC upsert merge, Z-order layout. */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Bloom ---------------------------------------------------------
+
+  test("bloom: no false negatives, false-positive rate inside the design bound") {
+    val build = (1L to 500L).toDF("key")
+    val probe = (1L to 2000L).toDF("key")
+    val out = Bloom.probe(probe, "key", Bloom.build(build, "key", k = 3, m = 1 << 13), k = 3, m = 1 << 13)
+      .select($"key", $"bloom_pass").collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    // every build key passes — the structural guarantee
+    assert(out.filter(_._1 <= 500).forall(_._2))
+    // absent keys pass at ~(1 - e^(-kn/m))^k ≈ 0.5%; 5% is a generous ceiling
+    val fp = out.count { case (k2, p) => k2 > 500 && p }
+    assert(fp < 75, s"false positives: $fp of 1500")
+  }
+
+  test("bloom semiJoinReduce is a superset of the semi-join and a fraction of the input") {
+    val small = (1L to 300L).map(i => i * 13).toDF("key")
+    val big = (1L to 8000L).toDF("key")
+    val reduced = Bloom.semiJoinReduce(big, "key", small, "key")
+    val semi = big.join(small.withColumnRenamed("key", "k2"), $"key" === $"k2", "left_semi")
+    assert(semi.exceptAll(reduced).count() === 0) // no survivor lost
+    val n = reduced.count()
+    assert(n >= semi.count() && n < 8000, s"reduced to $n")
+  }
+
+  test("bloom probe plan: big side sees only a broadcast of the one-row filter, no shuffle") {
+    val small = (1L to 100L).toDF("key")
+    val big = (1L to 1000L).toDF("key")
+    val plan = Bloom.probe(big, "key", Bloom.build(small, "key", 3, 1 << 13), 3, 1 << 13)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin")) // 1-row filter side
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
+  }
+
+  // ---- Cdc -----------------------------------------------------------
+
+  test("cdc upsert: last version wins, tombstones delete, inserts land") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("key", "v")
+    val changes = Seq(
+      (1L, "a1", 1L, "U"), (1L, "a2", 2L, "U"), // two generations: a2 wins
+      (2L, "b1", 1L, "U"),
+      (3L, "c", 1L, "D"),                        // delete
+      (4L, "d", 1L, "U")                         // insert
+    ).toDF("key", "v", "version", "op")
+    val out = Cdc.upsert(Cdc.asBase(base).unionByName(changes), Seq("key"))
+      .select("key", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, "a2"), (2L, "b1"), (4L, "d")))
+  }
+
+  test("cdc upsert is idempotent: re-merging the snapshot with the same log is a no-op") {
+    val base = (1L to 50L).map(i => (i, s"v$i")).toDF("key", "v")
+    val changes = Seq((7L, "x", 1L, "U"), (13L, "y", 1L, "D"), (60L, "z", 1L, "U"))
+      .toDF("key", "v", "version", "op")
+    val once = Cdc.upsert(Cdc.asBase(base).unionByName(changes), Seq("key"))
+    val twice = Cdc.upsert(Cdc.asBase(once.drop("version")).unionByName(changes), Seq("key"))
+    assert(once.select("key", "v").exceptAll(twice.select("key", "v")).count() === 0)
+    assert(twice.select("key", "v").exceptAll(once.select("key", "v")).count() === 0)
+  }
+
+  test("cdc delete-then-reinsert at a later version resurrects the key") {
+    val base = Seq((1L, "old")).toDF("key", "v")
+    val changes = Seq((1L, "old", 1L, "D"), (1L, "new", 2L, "U")).toDF("key", "v", "version", "op")
+    val out = Cdc.upsert(Cdc.asBase(base).unionByName(changes), Seq("key"))
+      .select("key", "v").as[(Long, String)].collect()
+    assert(out.toSeq === Seq((1L, "new")))
+  }
+
+  // ---- Layout --------------------------------------------------------
+
+  test("zValue interleaves bits: (0b101, 0b011) -> 27") {
+    val out = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.zValue($"a", $"b", 3).as("z")).as[Long].head()
+    // a bits at even positions: 1@0, 0@2, 1@4; b bits at odd: 1@1, 1@3, 0@5
+    assert(out === (1 + 2 + 8 + 16))
+  }
+
+  test("z-ordered layout bounds BOTH dimensions per file; hash layout bounds neither") {
+    // a uniform 64x64 grid, one row per cell
+    val grid = (0 until 64).flatMap(i => (0 until 64).map(j => (i.toLong, j.toLong)))
+      .toDF("b1", "b2")
+    def avgSpanProduct(df: org.apache.spark.sql.DataFrame): Double =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(((max($"b1") - min($"b1") + 1) * (max($"b2") - min($"b2") + 1)).as("area"))
+        .agg(avg($"area")).as[Double].head()
+    val zArea = avgSpanProduct(Layout.zOrdered(grid, $"b1", $"b2", bits = 6, numFiles = 16))
+    val hashArea = avgSpanProduct(grid.repartition(16, $"b1", $"b2"))
+    // 4096 cells / 16 files = 256 cells per file; the z-curve keeps the
+    // covered rectangle near that, hash partitioning covers ~the full grid
+    assert(zArea < 1300, s"z-ordered avg area $zArea")
+    assert(hashArea > 4 * zArea, s"hash $hashArea vs z $zArea")
+  }
+}
