@@ -104,6 +104,63 @@ object Multimodal {
     media.mapPartitions(_.map(decodeHeader))
   }
 
+  // ---- real audio (WAV/RIFF) header decode -------------------------
+
+  case class MediaAudio(media_id: Long, kind: String, n_bytes: Int,
+      channels: Int, sample_rate: Int, bits: Int, n_samples: Long)
+
+  /** REAL audio metadata decode: canonical 44-byte PCM WAV header —
+    * "RIFF" + "WAVE" magic, "fmt " chunk (channels le16@22, sample
+    * rate le32@24, bits/sample le16@34), "data" chunk size le32@40.
+    * n_samples = data bytes / block align (channels · bits/8). A
+    * payload that isn't a canonical-layout WAV degrades to zeros
+    * rather than failing the batch — same contract as
+    * [[decodeHeader]]. */
+  def decodeWav(r: MediaRow): MediaAudio = {
+    val b = r.payload
+    def ascii(off: Int, s: String): Boolean =
+      s.zipWithIndex.forall { case (c, i) => b(off + i) == c.toByte }
+    val isWav = b.length >= 44 &&
+      ascii(0, "RIFF") && ascii(8, "WAVEfmt ") && ascii(36, "data")
+    if (!isWav) MediaAudio(r.media_id, r.kind, b.length, 0, 0, 0, 0L)
+    else {
+      val channels = le16(b, 22)
+      val rate = le32(b, 24)
+      val bits = le16(b, 34)
+      val dataLen = le32(b, 40)
+      val blockAlign = channels * (bits / 8)
+      val nSamples = if (blockAlign > 0) dataLen.toLong / blockAlign else 0L
+      MediaAudio(r.media_id, r.kind, b.length, channels, rate, bits, nSamples)
+    }
+  }
+
+  /** WAV-decode stage over the per-partition seam. */
+  def decodeWavs(media: Dataset[MediaRow]): Dataset[MediaAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeWav))
+  }
+
+  /** Canonical 44-byte PCM WAV header around `body` as the data
+    * chunk (used to synthesize test/oracle payloads). */
+  def wavBytes(channels: Int, sampleRate: Int, bits: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](44 + body.length)
+    "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+    writeLe32(out, 4, 36 + body.length)
+    "WAVEfmt ".getBytes("US-ASCII").copyToArray(out, 8)
+    writeLe32(out, 16, 16)                  // fmt chunk size (PCM)
+    out(20) = 1                             // audio format = PCM
+    out(22) = channels.toByte; out(23) = (channels >>> 8).toByte
+    writeLe32(out, 24, sampleRate)
+    val blockAlign = channels * (bits / 8)
+    writeLe32(out, 28, sampleRate * blockAlign) // byte rate
+    out(32) = blockAlign.toByte; out(33) = (blockAlign >>> 8).toByte
+    out(34) = bits.toByte; out(35) = (bits >>> 8).toByte
+    "data".getBytes("US-ASCII").copyToArray(out, 36)
+    writeLe32(out, 40, body.length)
+    body.copyToArray(out, 44)
+    out
+  }
+
   /** Minimal valid-header builders (used to synthesize test/oracle
     * payloads; CRCs are zeroed — the parser, like most fast-path
     * probers, does not checksum). PNG: signature + IHDR chunk

@@ -4,15 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bloom, Cdc, Layout}
+import graft.operators.{Bloom, Cdc, Layout, Sketches}
 
-/** Scale-pattern operators: the three plan shapes that decide whether
-  * a 100 TB pipeline is affordable — runtime-filter semi-join
-  * reduction (shuffle less), CDC upsert merge (maintain snapshots
-  * without rewrites), and Z-order layout (scan less). Each is checked
-  * exactly: the bloom filter and the z-curve are integer/md5
-  * arithmetic both engines replay bit-for-bit, and the merge is pure
-  * relational algebra.
+/** Scale-pattern operators: the plan shapes that decide whether a
+  * 100 TB pipeline is affordable — runtime-filter semi-join reduction
+  * (shuffle less), CDC upsert merge (maintain snapshots without
+  * rewrites), Z-order layout (scan less), and count-min heavy
+  * hitters (count sublinearly). Each is checked exactly: the bloom
+  * filter, the z-curve, and the sketch are integer/md5 arithmetic
+  * both engines replay bit-for-bit, and the merge is pure relational
+  * algebra.
   */
 object ScaleOps {
 
@@ -147,15 +148,56 @@ object ScaleOps {
       |  min(b2) AS min_b2, max(b2) AS max_b2
       |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
 
+  /** AN14: count-min-sketch heavy hitters — the corpus collapses to
+    * exact per-word counts (one map-side-combined shuffle), the
+    * sketch is built from counts (d rows per DISTINCT word, ≤ d·w
+    * cells total), and the top-20 exact hitters are re-estimated
+    * from the broadcast sketch. Estimates are engine-exact (same md5
+    * cells both sides); `lower_bounded` pins the one-sided CMS
+    * guarantee est ≥ exact as data the hash covers. */
+  val an14CmsTopk: Q = (s, dir) => {
+    import s.implicits._
+    val words = Tables.load(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("w")).filter($"w" =!= "")
+    val wc = words.groupBy("w").agg(count(lit(1)).as("n"))
+    val sketch = Sketches.cmsBuild(wc, "w", "n", d = 4, w = 2048)
+    val top = wc.orderBy($"n".desc, $"w".asc).limit(20)
+    Sketches.cmsEstimate(top, "w", sketch, d = 4, w = 2048)
+      .join(top, Seq("w"))
+      .select($"w", $"n", $"est", ($"est" >= $"n").as("lower_bounded"))
+      .orderBy($"n".desc, $"w".asc)
+  }
+
+  val an14CmsTopkSql: String =
+    """WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT w, count(*) AS n FROM words WHERE w <> '' GROUP BY w),
+      |cells AS (
+      |  SELECT t.j,
+      |    ('0x' || substr(md5('cms:' || t.j::VARCHAR || ':' || w), 1, 8))::BIGINT % 2048 AS pos,
+      |    CAST(sum(n) AS BIGINT) AS cell
+      |  FROM wc, range(4) t(j) GROUP BY 1, 2),
+      |top AS (SELECT w, n FROM wc ORDER BY n DESC, w LIMIT 20),
+      |est AS (
+      |  SELECT top.w, top.n, min(cells.cell) AS est
+      |  FROM top, range(4) t(j)
+      |  JOIN cells ON cells.j = t.j AND cells.pos =
+      |    ('0x' || substr(md5('cms:' || t.j::VARCHAR || ':' || top.w), 1, 8))::BIGINT % 2048
+      |  GROUP BY 1, 2)
+      |SELECT w, n, est, est >= n AS lower_bounded
+      |FROM est ORDER BY n DESC, w""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "j6_bloom_semijoin" -> j6BloomSemijoin,
     "u6_cdc_upsert"     -> u6CdcUpsert,
     "s12_zorder_layout" -> s12ZorderLayout,
+    "an14_cms_topk"     -> an14CmsTopk,
   )
 
   val oracle: Map[String, String] = Map(
     "j6_bloom_semijoin" -> j6BloomSemijoinSql,
     "u6_cdc_upsert"     -> u6CdcUpsertSql,
     "s12_zorder_layout" -> s12ZorderLayoutSql,
+    "an14_cms_topk"     -> an14CmsTopkSql,
   )
 }

@@ -816,6 +816,52 @@ object TextPipeline {
       |  CAST(doc_id % 2000 + 16 AS BIGINT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** M4: REAL audio bytes→metadata through the same seam — each doc
+    * synthesizes a canonical 44-byte PCM WAV header (channels, rate,
+    * bit depth varied by doc_id) around its utf8 bytes;
+    * `Multimodal.decodeWavs` parses the RIFF/fmt/data layout back out
+    * of the bytes (little-endian u16/u32 fields) and derives sample
+    * count and duration. The oracle replays the header arithmetic —
+    * an offset or endianness bug flips cells. */
+  val m4AudioMeta: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val media = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val channels = (id % 2 + 1).toInt
+        val rate = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
+        val bits = if (id % 4 < 2) 16 else 8
+        Multimodal.MediaRow(id, "audio/wav",
+          Multimodal.wavBytes(channels, rate, bits, text.getBytes("UTF-8")))
+      }
+    Multimodal.decodeWavs(media)
+      .select($"media_id", $"kind", $"n_bytes".cast("long").as("n_bytes"),
+        $"channels".cast("long").as("channels"),
+        $"sample_rate".cast("long").as("sample_rate"),
+        $"bits".cast("long").as("bits"), $"n_samples")
+      .withColumn("duration_ms", expr("n_samples * 1000 div sample_rate"))
+      .orderBy($"media_id")
+  }
+
+  val m4AudioMetaSql: String =
+    """WITH w AS (
+      |  SELECT doc_id AS media_id, 'audio/wav' AS kind,
+      |    CAST(44 + octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+      |    CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+      |    CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |         ELSE 44100 END AS BIGINT) AS sample_rate,
+      |    CAST(CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END AS BIGINT) AS bits,
+      |    octet_length(text::BLOB) AS body_len
+      |  FROM documents),
+      |s AS (
+      |  SELECT media_id, kind, n_bytes, channels, sample_rate, bits,
+      |    CAST(body_len // (channels * (bits // 8)) AS BIGINT) AS n_samples
+      |  FROM w)
+      |SELECT media_id, kind, n_bytes, channels, sample_rate, bits, n_samples,
+      |  CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms
+      |FROM s ORDER BY media_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "t1_lang_id"       -> t1LangId,
     "t2_quality_score" -> t2Quality,
@@ -843,6 +889,7 @@ object TextPipeline {
     "m1_binary_meta"   -> m1BinaryMeta,
     "m2_frame_sample"  -> m2FrameSample,
     "m3_image_meta"    -> m3ImageMeta,
+    "m4_audio_meta"    -> m4AudioMeta,
   )
 
   val oracle: Map[String, String] = Map(
@@ -872,5 +919,6 @@ object TextPipeline {
     "m1_binary_meta"   -> m1BinaryMetaSql,
     "m2_frame_sample"  -> m2FrameSampleSql,
     "m3_image_meta"    -> m3ImageMetaSql,
+    "m4_audio_meta"    -> m4AudioMetaSql,
   )
 }

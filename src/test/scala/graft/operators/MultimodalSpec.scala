@@ -57,4 +57,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L).n_bytes === 54 + body.length)
     assert(out(5L).n_bytes === 13 + body.length)
   }
+
+  test("real WAV decode round-trips channels/rate/bits and derives sample count") {
+    val body = new Array[Byte](1001) // odd length: integer division drops the tail
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", Multimodal.wavBytes(2, 44100, 16, body)),
+      // rate above 65535 exercises the full le32 read
+      Multimodal.MediaRow(2L, "audio/wav", Multimodal.wavBytes(1, 96000, 8, body)),
+      Multimodal.MediaRow(3L, "application/octet-stream", body),
+      Multimodal.MediaRow(4L, "audio/wav", "RIFF".getBytes("US-ASCII"))) // truncated
+    val out = Multimodal.decodeWavs(spark.createDataset(rows))
+      .collect().map(a => a.media_id -> a).toMap
+    assert(out(1L).channels === 2 && out(1L).sample_rate === 44100 && out(1L).bits === 16)
+    assert(out(1L).n_samples === 1001 / 4)
+    assert(out(2L).channels === 1 && out(2L).sample_rate === 96000 && out(2L).bits === 8)
+    assert(out(2L).n_samples === 1001)
+    // non-WAV and truncated payloads degrade to zeros, never throw
+    assert(out(3L).channels === 0 && out(3L).n_samples === 0)
+    assert(out(4L).channels === 0 && out(4L).sample_rate === 0)
+    assert(out(1L).n_bytes === 44 + body.length)
+  }
 }

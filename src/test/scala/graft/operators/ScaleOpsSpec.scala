@@ -76,6 +76,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, "new")))
   }
 
+  // ---- Sketches (count-min) ------------------------------------------
+
+  test("cms estimates never undercount, and each hash row sums to the total") {
+    val counts = (1 to 400).map(i => (s"key$i", (i % 17 + 1).toLong)).toDF("k", "n")
+    val d = 4; val w = 256 // narrow width forces real collisions
+    val sketch = Sketches.cmsBuild(counts, "k", "n", d, w)
+    assert(sketch.count() <= d.toLong * w)
+    // every row j partitions the keys: per-row cell sum == total mass
+    val total = counts.agg(sum($"n")).as[Long].head()
+    val rowSums = sketch.groupBy("j").agg(sum($"cell").as("s")).select("s").as[Long].collect()
+    assert(rowSums.length === d && rowSums.forall(_ === total))
+    // one-sided error: est >= exact for EVERY key
+    val under = Sketches.cmsEstimate(counts, "k", sketch, d, w)
+      .join(counts, Seq("k")).filter($"est" < $"n")
+    assert(under.count() === 0)
+  }
+
+  test("cms is exact when the width makes collisions vanish") {
+    val counts = (1 to 20).map(i => (s"key$i", i.toLong * 10)).toDF("k", "n")
+    val est = Sketches.cmsEstimate(counts, "k",
+      Sketches.cmsBuild(counts, "k", "n", 4, 1 << 16), 4, 1 << 16)
+      .join(counts, Seq("k")).filter($"est" =!= $"n")
+    // 20 keys × 4 hashes in 65536 cells: a collision in ALL 4 rows for
+    // any key is ~impossible, so min over rows is the exact count
+    assert(est.count() === 0)
+  }
+
   // ---- Layout --------------------------------------------------------
 
   test("zValue interleaves bits: (0b101, 0b011) -> 27") {
