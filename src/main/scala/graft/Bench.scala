@@ -5,8 +5,10 @@ object Bench {
   /** Representative cross-section of the operator inventory: scan+agg,
     * broadcast joins, explode+bridge, as-of, windowed/sessionized
     * events, top-k window, minhash LSH, dup clusters, ANN (brute +
-    * IVF), text analysis, chunk/pack, repetition stats, domain mix,
-    * int8 quantization, curation capstone, set op. */
+    * IVF + LSH + quantized), text analysis, chunk/pack, repetition
+    * stats, domain mix, int8 quantization, curation capstone, set op,
+    * and the scale patterns (bloom semi-join, CDC merge, Z-order,
+    * count-min). */
   val headline: Seq[String] = Seq(
     "q1_agg", "j1_fact_dims", "j2_word_bridge", "j4_asof_join",
     "e1_window_agg", "e2_sessionize", "an2_topk_per_group",
@@ -14,7 +16,8 @@ object Bench {
     "n5_ann_lsh",
     "t3_token_count", "t6_chunking", "t7_packing", "t9_tfidf",
     "t11_repetition", "t12_domain_mix", "n4_quantize", "n6_quantized_topk",
-    "c1_curate", "m3_image_meta", "g1_explode_words", "u1_except")
+    "c1_curate", "m3_image_meta", "g1_explode_words", "u1_except",
+    "j6_bloom_semijoin", "u6_cdc_upsert", "s12_zorder_layout", "an14_cms_topk")
 
   /** Minimum repetitions per query; reported time is the median, so
     * single-run jitter (JIT, GC, page cache) can't masquerade as a

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bloom, Cdc, Layout, Sketches}
+import graft.operators.{Bloom, Cdc, Layout, RangeJoin, Sketches}
 
 /** Scale-pattern operators: the plan shapes that decide whether a
   * 100 TB pipeline is affordable — runtime-filter semi-join reduction
@@ -187,11 +187,37 @@ object ScaleOps {
       |SELECT w, n, est, est >= n AS lower_bounded
       |FROM est ORDER BY n DESC, w""".stripMargin
 
+  /** J7: range join — every order joined to the overlapping price
+    * bands containing its point, via bucket decomposition instead of
+    * the BroadcastNestedLoopJoin Spark would pick for the naive
+    * `p >= lo AND p < hi` predicate (RangeJoinSpec pins both the
+    * equivalence and the no-BNLJ plan). Bands deliberately overlap:
+    * a point matches up to two. */
+  val j7RangeJoin: Q = (s, dir) => {
+    import s.implicits._
+    val points = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", pmod($"o_orderkey", lit(9000L)).as("point"))
+    val bands = s.range(100).select($"id".as("band_id"),
+      ($"id" * 90).as("lo"), ($"id" * 90 + 180).as("hi"))
+    RangeJoin.pointInInterval(points, "point", bands, "lo", "hi", bucketWidth = 100L)
+      .select($"o_orderkey", $"point", $"band_id", $"lo", $"hi")
+      .orderBy($"o_orderkey", $"band_id")
+  }
+
+  val j7RangeJoinSql: String =
+    """WITH p AS (SELECT o_orderkey, o_orderkey % 9000 AS point FROM orders),
+      |b AS (SELECT t.i AS band_id, t.i * 90 AS lo, t.i * 90 + 180 AS hi
+      |      FROM range(100) t(i))
+      |SELECT p.o_orderkey, p.point, b.band_id, b.lo, b.hi
+      |FROM p JOIN b ON p.point >= b.lo AND p.point < b.hi
+      |ORDER BY p.o_orderkey, b.band_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "j6_bloom_semijoin" -> j6BloomSemijoin,
     "u6_cdc_upsert"     -> u6CdcUpsert,
     "s12_zorder_layout" -> s12ZorderLayout,
     "an14_cms_topk"     -> an14CmsTopk,
+    "j7_range_join"     -> j7RangeJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -199,5 +225,6 @@ object ScaleOps {
     "u6_cdc_upsert"     -> u6CdcUpsertSql,
     "s12_zorder_layout" -> s12ZorderLayoutSql,
     "an14_cms_topk"     -> an14CmsTopkSql,
+    "j7_range_join"     -> j7RangeJoinSql,
   )
 }

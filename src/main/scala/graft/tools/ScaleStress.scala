@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Corpus, Dedup, Similarity}
+import graft.operators.{Bloom, Corpus, Dedup, Quantize, Similarity}
 
 /** Dedup-path scaling experiments over derived corpora (the
   * correctness gate still runs only on driver-generated testdata):
@@ -117,6 +117,37 @@ object ScaleStress {
       time(s"decon n=$n rows=$nr t13") {
         Corpus.decontaminate(corpus, bench, "doc_id", "text") }
       corpus.unpersist(blocking = true)
+    }
+
+    // 5. Bloom semi-join reduction (j6) — probe side replicated N×,
+    // build side fixed: the filter build is constant work, the probe
+    // is per-row arithmetic against a broadcast single row, so time
+    // should grow ~N with zero probe-side shuffle at every N.
+    val orders = Tables.load(spark, sfDir, "orders")
+    val buildKeys = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    def ordersN(replicas: Int): DataFrame =
+      (0 until replicas).map { r =>
+        orders.select((col("o_orderkey") + lit(r.toLong * 100000000L)).as("o_orderkey"),
+          col("o_custkey"))
+      }.reduce(_.unionByName(_))
+    Seq(1, 5, 20).foreach { n =>
+      val probe = ordersN(n).cache()
+      val nr = probe.count()
+      time(s"bloom n=$n rows=$nr j6 reduce") {
+        Bloom.semiJoinReduce(probe, "o_custkey", buildKeys, "c_custkey") }
+      probe.unpersist(blocking = true)
+    }
+
+    // 6. Quantized top-k (n6) — candidate side replicated N×, query
+    // side fixed: integer dots against a broadcast query set, per-row
+    // work only before the per-query top-k, so time should grow ~N.
+    Seq(1, 5, 20).foreach { n =>
+      val cand = embN(n).cache()
+      val nr = cand.count()
+      time(s"qtopk n=$n rows=$nr n6 quantizedTopK") {
+        Quantize.quantizedTopK(cand, emb.filter(col("vec_id") < 5), "vec_id", "embedding") }
+      cand.unpersist(blocking = true)
     }
     spark.stop()
   }

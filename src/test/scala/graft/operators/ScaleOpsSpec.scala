@@ -76,6 +76,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, "new")))
   }
 
+  // ---- RangeJoin -----------------------------------------------------
+
+  test("range join equals the naive predicate join, including overlaps and hi-exclusivity") {
+    val points = (0L to 500L).map(i => (i, i * 7 % 400)).toDF("id", "p")
+    // overlapping intervals, some spanning multiple buckets, one empty
+    val intervals = Seq(
+      (1L, 0L, 100L), (2L, 50L, 250L), (3L, 100L, 101L),
+      (4L, 300L, 300L), (5L, 240L, 400L)
+    ).toDF("iid", "lo", "hi")
+    val fast = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", bucketWidth = 64L)
+      .select("id", "iid")
+    val naive = points.join(intervals, $"p" >= $"lo" && $"p" < $"hi")
+      .select("id", "iid")
+    assert(fast.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(fast).count() === 0)
+    // hi is exclusive: a point sitting exactly on an interval's hi
+    // must not pair with that interval
+    val atBoundary = points.join(intervals, $"p" === $"hi").select("id", "iid")
+    assert(atBoundary.count() > 0 && atBoundary.intersect(fast).count() === 0)
+  }
+
+  test("range join plan is an equi-join on buckets, not a nested-loop join") {
+    val points = (0L to 100L).toDF("p")
+    val intervals = Seq((1L, 10L, 30L)).toDF("iid", "lo", "hi")
+    val plan = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   // ---- Sketches (count-min) ------------------------------------------
 
   test("cms estimates never undercount, and each hash row sums to the total") {
