@@ -292,6 +292,52 @@ object CurationQueries {
       |  count(*) AS n, min(doc_id) AS first_doc
       |FROM u GROUP BY 1 ORDER BY domain""".stripMargin
 
+  /** T16: HTML strip + entity decode — the first cleaning pass of any
+    * web-scraped corpus: planted markup (tags, attribute quotes,
+    * escaped entities) is stripped by a global tag regex and the five
+    * standard entities decoded, named entities BEFORE `&amp;` so
+    * decoding cannot manufacture new entities (`&amp;lt;` must yield
+    * `&lt;`, not `<`). Pure per-row regex/replace chains — codegen'd,
+    * shuffle-free, embarrassingly parallel. */
+  val t16HtmlStrip: Q = (s, dir) => {
+    import s.implicits._
+    val html = Tables.load(s, dir, "documents")
+      .withColumn("html", concat(
+        lit("<p class=\"d\">"), substring($"text", 1, 60), lit("</p>"),
+        when($"doc_id" % 3 === 0,
+          concat(lit(" <a href=\"/doc/"), $"doc_id".cast("string"),
+            lit("\">link&amp;ref</a>"))).otherwise(lit("")),
+        when($"doc_id" % 5 === 1,
+          lit(" <br/>&lt;escaped&gt; &quot;q&quot; it&#39;s")).otherwise(lit(""))))
+    html.select($"doc_id",
+      expr("CAST(regexp_count(html, '<[^>]*>') AS BIGINT)").as("n_tags"),
+      expr("replace(replace(replace(replace(replace(" +
+        "regexp_replace(html, '<[^>]*>', ''), " +
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), " +
+        "'&amp;', '&')").as("clean"))
+      .orderBy($"doc_id")
+  }
+
+  val t16HtmlStripSql: String =
+    """WITH inj AS (
+      |  SELECT doc_id,
+      |    '<p class="d">' || substr(text, 1, 60) || '</p>'
+      |    || CASE WHEN doc_id % 3 = 0
+      |         THEN ' <a href="/doc/' || doc_id::VARCHAR || '">link&amp;ref</a>'
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 1
+      |         THEN ' <br/>&lt;escaped&gt; &quot;q&quot; it&#39;s'
+      |         ELSE '' END AS html
+      |  FROM documents),
+      |s AS (SELECT doc_id, html,
+      |        regexp_replace(html, '<[^>]*>', '', 'g') AS stripped FROM inj)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+      |  replace(replace(replace(replace(replace(stripped,
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      |    '&amp;', '&') AS clean
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** N6: quantized top-k retrieval — n4's int8 vectors actually used
     * for scoring: exact integer dots, rank de-quantized by the scale
     * product (identical doubles on both engines order identically).
@@ -331,6 +377,7 @@ object CurationQueries {
     "t13_decontaminate" -> t13Decontaminate,
     "t15_url_extract" -> t15UrlExtract,
     "n6_quantized_topk" -> n6QuantizedTopK,
+    "t16_html_strip"  -> t16HtmlStrip,
   )
 
   val oracle: Map[String, String] = Map(
@@ -342,5 +389,6 @@ object CurationQueries {
     "t13_decontaminate" -> t13DecontaminateSql,
     "t15_url_extract" -> t15UrlExtractSql,
     "n6_quantized_topk" -> n6QuantizedTopKSql,
+    "t16_html_strip"  -> t16HtmlStripSql,
   )
 }
