@@ -17,7 +17,8 @@ object Bench {
     "t3_token_count", "t6_chunking", "t7_packing", "t9_tfidf",
     "t11_repetition", "t12_domain_mix", "n4_quantize", "n6_quantized_topk",
     "c1_curate", "m3_image_meta", "g1_explode_words", "u1_except",
-    "j6_bloom_semijoin", "u6_cdc_upsert", "s12_zorder_layout", "an14_cms_topk")
+    "j6_bloom_semijoin", "u6_cdc_upsert", "s12_zorder_layout", "an14_cms_topk",
+    "an15_pagerank", "e8_funnel")
 
   /** Minimum repetitions per query; reported time is the median, so
     * single-run jitter (JIT, GC, page cache) can't masquerade as a

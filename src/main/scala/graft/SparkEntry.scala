@@ -10,11 +10,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreRelational.defs ++ FilterProject.defs ++ ScalarFuncs.defs ++
       EventQueries.defs ++ StarSchemaQueries.defs ++ TextPipeline.defs ++
-      SourceQueries.defs ++ CurationQueries.defs ++ ScaleOps.defs
+      SourceQueries.defs ++ CurationQueries.defs ++ ScaleOps.defs ++
+      AdvancedOps.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreRelational.oracle ++ FilterProject.oracle ++ ScalarFuncs.oracle ++
       EventQueries.oracle ++ StarSchemaQueries.oracle ++ TextPipeline.oracle ++
-      SourceQueries.oracle ++ CurationQueries.oracle ++ ScaleOps.oracle
+      SourceQueries.oracle ++ CurationQueries.oracle ++ ScaleOps.oracle ++
+      AdvancedOps.oracle
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics on edge lists — the iterate-by-join
+  * pattern (one key shuffle per iteration) that scales PageRank-style
+  * algorithms to edge sets far beyond one machine, without any graph
+  * library: the edge relation is partitioned by source, the rank
+  * relation by node, and each iteration is a co-partitioned join +
+  * aggregation Catalyst plans like any other query.
+  *
+  * All rank arithmetic is FIXED-POINT INTEGER (`scale` units = rank
+  * 1.0): contributions are `rank div out_degree` and the damping step
+  * is `(85 * sum) div 100` — BIGINT divisions every engine truncates
+  * identically, so after any number of iterations the ranks are
+  * bit-equal on Spark and the DuckDB oracle (float summation order,
+  * the usual iterative-algorithm hazard, never enters). The deliberate
+  * mass leak of truncating division is identical on both sides.
+  */
+object Graph {
+
+  /** PageRank after `iters` synchronous iterations over a directed
+    * edge list (`src`, `dst`), damping 0.85, teleport mass distributed
+    * uniformly. Requires every node to appear as a source (no dangling
+    * nodes) — true by construction for bipartite graphs materialized
+    * in both directions, the shape [[graft.queries.AdvancedOps]]
+    * builds. Output: (node, r) with r in fixed-point `scale` units.
+    *
+    * Scale posture: `edges ⋈ deg` is computed once, hash-partitioned
+    * on `src`, and cached; each iteration shuffles only the (node,
+    * rank) relation — |V| rows, not |E| — into that partitioning,
+    * aggregates contributions map-side, and emits the next rank
+    * relation. The driver sees one scalar (|V|); rank state never
+    * leaves the cluster.
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = deg.count() // one driver scalar, like any COUNT(*)
+    val init = scale / n
+    val teleport = (15L * init) / 100L
+    val ed = edges.join(deg, "src").repartition(col("src")).cache()
+    var ranks = deg.select(col("src").as("node"), lit(init).as("r"))
+    (1 to iters).foreach { _ =>
+      // name-based using-join: `ranks` is derived from `ed`, so
+      // cross-DataFrame column references would be ambiguous self-join
+      // attributes; the fresh alias keeps resolution unambiguous
+      ranks = ed.join(ranks.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst"), expr("r div deg").as("contrib"))
+        .groupBy("dst")
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(teleport) + expr("(85 * s) div 100")).as("r"))
+    }
+    ranks
+  }
+}

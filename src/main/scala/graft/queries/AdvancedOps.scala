@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Graph
+
+/** Round-4 breadth: the warehouse/pipeline patterns beyond single-pass
+  * relational algebra — iterative graph analytics (PageRank), slowly-
+  * changing-dimension history (SCD Type 2), ordered funnel conversion,
+  * corpus boilerplate stripping, and rolling time-range features.
+  * Every one is engine-exact by construction (integer fixed-point,
+  * integer microseconds, or shared-IEEE expressions) so the DuckDB
+  * oracle replays each bit-for-bit.
+  */
+object AdvancedOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- an15: PageRank ------------------------------------------------
+
+  /** AN15: 3-iteration PageRank over the customer↔supplier trade graph
+    * (distinct (customer, supplier) pairs from orders ⋈ lineitem,
+    * materialized in both directions so no node dangles). Fixed-point
+    * integer arithmetic end to end — see [[graft.operators.Graph]] —
+    * so the iterative result is deterministic on any engine and any
+    * partitioning. One |V|-row shuffle per iteration; the |E|-row
+    * relation is partitioned once and reused. */
+  val an15PageRank: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val l = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+    val e0 = o.join(l, $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+    Graph.pageRank(edges, iters = 3)
+      .select($"node",
+        when($"node" % 2 === 0, "customer").otherwise("supplier").as("kind"),
+        $"r".as("rank"))
+      .orderBy($"rank".desc, $"node")
+  }
+
+  val an15PageRankSql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |edges AS (SELECT src, dst FROM e0
+      |          UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      |p AS (SELECT count(*) AS n FROM deg),
+      |r0 AS (SELECT src AS node, 1000000000000 // n AS r FROM deg, p),
+      |s1 AS (SELECT e.dst AS node, CAST(sum(r0.r // d.deg) AS BIGINT) AS s
+      |       FROM edges e JOIN deg d ON e.src = d.src
+      |       JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+      |r1 AS (SELECT node,
+      |         (15 * (1000000000000 // n)) // 100 + (85 * s) // 100 AS r
+      |       FROM s1, p),
+      |s2 AS (SELECT e.dst AS node, CAST(sum(r1.r // d.deg) AS BIGINT) AS s
+      |       FROM edges e JOIN deg d ON e.src = d.src
+      |       JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+      |r2 AS (SELECT node,
+      |         (15 * (1000000000000 // n)) // 100 + (85 * s) // 100 AS r
+      |       FROM s2, p),
+      |s3 AS (SELECT e.dst AS node, CAST(sum(r2.r // d.deg) AS BIGINT) AS s
+      |       FROM edges e JOIN deg d ON e.src = d.src
+      |       JOIN r2 ON e.src = r2.node GROUP BY e.dst),
+      |r3 AS (SELECT node,
+      |         (15 * (1000000000000 // n)) // 100 + (85 * s) // 100 AS r
+      |       FROM s3, p)
+      |SELECT node,
+      |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+      |  r AS rank
+      |FROM r3 ORDER BY rank DESC, node""".stripMargin
+
+  // ---- u7: SCD Type 2 ------------------------------------------------
+
+  /** U7: SCD Type-2 dimension history — fold a per-user change log
+    * (events, attribute = value tier) into validity intervals: only
+    * CHANGES open a new version (consecutive same-tier events are
+    * compressed away), `valid_to` = next change's timestamp, open
+    * interval = current row. The whole build is one key shuffle
+    * (window partitioned by user_id); timestamps are integer
+    * microseconds, so interval edges are engine-exact. */
+  val u7Scd2: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus")
+    Tables.load(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("tus"),
+        floor($"value" / 10.0).cast("long").as("tier"))
+      .withColumn("prev", lag($"tier", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"tier")
+      .withColumn("valid_to", lead($"tus", 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select($"user_id", $"tier", $"tus".as("valid_from"), $"valid_to",
+        $"version", $"valid_to".isNull.as("is_current"))
+      .orderBy($"user_id", $"version")
+  }
+
+  val u7Scd2Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tus,
+      |         CAST(floor(value / 10.0) AS BIGINT) AS tier
+      |  FROM events),
+      |ch AS (
+      |  SELECT user_id, tus, tier FROM (
+      |    SELECT user_id, tus, tier,
+      |           lag(tier) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+      |    FROM e)
+      |  WHERE prev IS NULL OR prev <> tier)
+      |SELECT user_id, tier, tus AS valid_from,
+      |  lead(tus) OVER (PARTITION BY user_id ORDER BY tus) AS valid_to,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY tus) AS BIGINT)
+      |    AS version,
+      |  lead(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+      |    AS is_current
+      |FROM ch ORDER BY user_id, version""".stripMargin
+
+  // ---- e8: funnel ----------------------------------------------------
+
+  /** E8: ordered funnel conversion (view → click → purchase) — the
+    * sequential-pattern query (MATCH_RECOGNIZE's common case) in ONE
+    * key shuffle: events collect to a per-user time-sorted array and a
+    * single `aggregate` scan advances a stage machine (a later stage
+    * only fires on events after the previous stage fired). The
+    * three-self-join formulation the oracle uses is the same answer
+    * with |stages| shuffles; the scan form does it in one. All event
+    * timestamps are distinct in this corpus, so first-after ==
+    * strictly-greater and both formulations agree exactly. */
+  val e8Funnel: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id", unix_micros($"ts").as("tus"),
+        when($"event_type" === "view", 1)
+          .when($"event_type" === "click", 2).otherwise(3).as("sr"))
+    val scanned = ev.groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"tus", $"sr"))).as("seq"))
+      .select($"user_id", expr(
+        """aggregate(seq,
+          |  named_struct('st', 0, 'tv', CAST(0 AS BIGINT),
+          |               'tc', CAST(0 AS BIGINT), 'tp', CAST(0 AS BIGINT)),
+          |  (acc, x) -> CASE
+          |    WHEN acc.st = 0 AND x.sr = 1 THEN
+          |      named_struct('st', 1, 'tv', x.tus, 'tc', acc.tc, 'tp', acc.tp)
+          |    WHEN acc.st = 1 AND x.sr = 2 THEN
+          |      named_struct('st', 2, 'tv', acc.tv, 'tc', x.tus, 'tp', acc.tp)
+          |    WHEN acc.st = 2 AND x.sr = 3 THEN
+          |      named_struct('st', 3, 'tv', acc.tv, 'tc', acc.tc, 'tp', x.tus)
+          |    ELSE acc END)""".stripMargin).as("f"))
+    scanned.agg(
+      count(lit(1)).as("n_users"),
+      count(when($"f.st" >= 1, 1)).as("n_view"),
+      count(when($"f.st" >= 2, 1)).as("n_click"),
+      count(when($"f.st" === 3, 1)).as("n_purchase"),
+      coalesce(sum(when($"f.st" === 3, $"f.tp" - $"f.tv")), lit(0L))
+        .as("sum_lag_us"))
+  }
+
+  val e8FunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |v AS (SELECT user_id, min(tus) AS tv FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.tus) AS tc
+      |      FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.tus > v.tv GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.tus) AS tp
+      |      FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.tus > c.tc GROUP BY 1)
+      |SELECT
+      |  (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+      |  (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM c) AS n_click,
+      |  (SELECT count(*) FROM p) AS n_purchase,
+      |  (SELECT CAST(coalesce(sum(p.tp - v.tv), 0) AS BIGINT)
+      |   FROM p JOIN v ON p.user_id = v.user_id) AS sum_lag_us""".stripMargin
+
+  // ---- t14: boilerplate strip ---------------------------------------
+
+  /** T14: frequent-template boilerplate removal — the CCNet-style
+    * curation pass that strips machine-generated template text shared
+    * across many documents. Planted: a third of the corpus carries a
+    * trailing 5-word template. Detection is a tiny aggregation over
+    * trailing 5-grams (one row per doc); any tail shared by ≥ 25 docs
+    * is boilerplate, broadcast back, and stripped per-row. No corpus
+    * shuffle: the corpus-sized side is touched by exactly one map
+    * pass. */
+  val t14BoilerplateStrip: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        when($"doc_id" % 3 === 0,
+          concat($"text", lit(" subscribe to our newsletter today")))
+          .otherwise($"text").as("text2"))
+      .withColumn("words", split($"text2", " "))
+      .withColumn("nw", size($"words"))
+      .withColumn("tail",
+        when($"nw" >= 5, array_join(slice($"words", -5, 5), " ")))
+    val boiler = docs.filter($"tail".isNotNull)
+      .groupBy($"tail").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 25)
+      .select($"tail", lit(true).as("is_boiler"))
+    docs.join(broadcast(boiler), Seq("tail"), "left")
+      .select($"doc_id", coalesce($"is_boiler", lit(false)).as("stripped"),
+        $"nw".as("n_words"),
+        when($"is_boiler", $"nw" - 5).otherwise($"nw").as("n_words_clean"),
+        when($"is_boiler", array_join(slice($"words", lit(1), $"nw" - 5), " "))
+          .otherwise($"text2").as("text_clean"))
+      .orderBy($"doc_id")
+  }
+
+  val t14BoilerplateStripSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN text || ' subscribe to our newsletter today'
+      |         ELSE text END AS text2
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, text2, string_split(text2, ' ') AS words,
+      |         len(string_split(text2, ' ')) AS nw
+      |  FROM d),
+      |t AS (
+      |  SELECT doc_id, text2, words, nw,
+      |    CASE WHEN nw >= 5
+      |         THEN array_to_string(words[-5:], ' ') END AS tail
+      |  FROM w),
+      |b AS (
+      |  SELECT tail FROM t WHERE tail IS NOT NULL
+      |  GROUP BY tail HAVING count(*) >= 25)
+      |SELECT t.doc_id, b.tail IS NOT NULL AS stripped,
+      |  nw AS n_words,
+      |  CASE WHEN b.tail IS NOT NULL THEN nw - 5 ELSE nw END AS n_words_clean,
+      |  CASE WHEN b.tail IS NOT NULL
+      |       THEN array_to_string(t.words[1:nw - 5], ' ')
+      |       ELSE t.text2 END AS text_clean
+      |FROM t LEFT JOIN b ON t.tail = b.tail
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ---- e9: rolling time-range features ------------------------------
+
+  /** E9: rolling 1-hour per-user features (event count, spend sum)
+    * via a RANGE frame over integer microseconds — the time-series
+    * feature-engineering staple. The frame is time-based, not
+    * row-based, so ties and gaps are handled identically everywhere;
+    * the summed measure is integer cents (floor(value·100) — the same
+    * IEEE double product on every engine), so the rolling sums are
+    * exact. One key shuffle, no self-join: the window frame does the
+    * range scan in one sorted pass per user. */
+  val e9Rolling: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus")
+      .rangeBetween(-3600000000L, 0L)
+    Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tus"),
+        floor($"value" * 100).cast("long").as("vc"))
+      .withColumn("cnt_1h", count(lit(1)).over(w))
+      .withColumn("sum_vc_1h", sum($"vc").over(w))
+      .select($"event_id", $"user_id", $"tus", $"cnt_1h", $"sum_vc_1h")
+      .orderBy($"event_id")
+  }
+
+  val e9RollingSql: String =
+    """SELECT event_id, user_id, tus,
+      |  count(*) OVER w AS cnt_1h,
+      |  CAST(sum(vc) OVER w AS BIGINT) AS sum_vc_1h
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS tus,
+      |        CAST(floor(value * 100) AS BIGINT) AS vc
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "an15_pagerank"    -> an15PageRank,
+    "u7_scd2"          -> u7Scd2,
+    "e8_funnel"        -> e8Funnel,
+    "t14_boilerplate"  -> t14BoilerplateStrip,
+    "e9_rolling"       -> e9Rolling,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "an15_pagerank"    -> an15PageRankSql,
+    "u7_scd2"          -> u7Scd2Sql,
+    "e8_funnel"        -> e8FunnelSql,
+    "t14_boilerplate"  -> t14BoilerplateStripSql,
+    "e9_rolling"       -> e9RollingSql,
+  )
+}

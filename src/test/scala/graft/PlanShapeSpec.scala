@@ -47,13 +47,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // side is bounded by construction: a one-row scalar (t8's n_min,
     // t9's corpus N, t13's planted one-row snippet — the test
     // scaffolding, not Corpus.decontaminate, whose own join is an
-    // equi broadcast join on the n-gram key) or the small query set
-    // of a similarity fan-out (n1, n2). CartesianProduct and Exchange
-    // SinglePartition are never acceptable. e4 is excluded:
+    // equi broadcast join on the n-gram key), the small query set
+    // of a similarity fan-out (n1, n2, n6), or j6's ONE-ROW bloom
+    // bitmap relation (ScaleOpsSpec asserts that BNLJ is present —
+    // it IS the no-shuffle probe design). CartesianProduct and
+    // Exchange SinglePartition are never acceptable. e4 is excluded:
     // constructing it executes a real streaming query, and its
     // returned plan is a memory-sink read, not the streaming topology.
     import graft.tools.PlanAudit
-    val bnljAllowed = Set("n1_cosine_topk", "n2_ann_ivf",
+    val bnljAllowed = Set("n1_cosine_topk", "n2_ann_ivf", "n6_quantized_topk",
+      "j6_bloom_semijoin",
       "t8_stratified_sample", "t9_tfidf", "t13_decontaminate")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(PlanAudit.excluded.contains).flatMap { name =>

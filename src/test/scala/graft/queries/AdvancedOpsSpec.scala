@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Graph
+
+/** PageRank, SCD2, funnel, boilerplate strip, rolling features. */
+class AdvancedOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- PageRank ------------------------------------------------------
+
+  test("pageRank: symmetric 2-cycle is the stable uniform ranking") {
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // init = 1e12/2; contrib = full rank (deg 1); damped back to exactly
+    // teleport + 0.85 * 5e11 = 5e11 each round — the fixpoint
+    assert(r === Map(0L -> 500000000000L, 1L -> 500000000000L))
+  }
+
+  test("pageRank: star graph matches the hand-computed fixed-point arithmetic") {
+    val e0 = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+    val r = Graph.pageRank(edges, iters = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // N=4, init=250000000000, teleport=(15*init)/100=37500000000
+    // center: 3 leaves contribute init each -> tp + 85*750e9/100
+    assert(r(0L) === 37500000000L + 85L * 750000000000L / 100L)
+    // leaf: center contributes init/3 (truncated)
+    val leaf = 37500000000L + 85L * (250000000000L / 3L) / 100L
+    assert(r(1L) === leaf && r(2L) === leaf && r(3L) === leaf)
+  }
+
+  test("pageRank: rank mass is conserved up to truncation leak") {
+    val df = AdvancedOps.an15PageRank(spark, sf)
+    val total = df.agg(sum($"rank")).as[Long].head()
+    // truncating divisions only ever LOSE mass: total <= scale, and the
+    // per-division loss (< 1 unit each) keeps the leak tiny
+    assert(total <= 1000000000000L && total > 990000000000L, s"mass $total")
+    // bipartite node ids: even = customer, odd = supplier
+    val kinds = df.select($"node" % 2 === 0, $"kind" === "customer")
+      .as[(Boolean, Boolean)].collect()
+    assert(kinds.forall { case (even, cust) => even === cust })
+  }
+
+  // ---- SCD Type 2 ----------------------------------------------------
+
+  test("scd2: versions are consecutive, intervals contiguous, one open row per user") {
+    val rows = AdvancedOps.u7Scd2(spark, sf)
+      .select($"user_id", $"tier", $"valid_from", $"valid_to", $"version",
+        $"is_current")
+      .as[(Long, Long, Long, Option[Long], Long, Boolean)]
+      .collect().groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq === (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3)) // valid_to == next valid_from
+          assert(a._2 !== b._2)       // only CHANGES open versions
+        case _ =>
+      }
+      assert(sorted.count(_._6) === 1 && sorted.last._6) // one open row
+      assert(sorted.last._4.isEmpty)
+    }
+  }
+
+  // ---- funnel --------------------------------------------------------
+
+  test("funnel: single-shuffle sequence scan == three-step min-join formulation") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_type")
+      .cache()
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"tus").as("tv"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"tus" > $"tv").groupBy($"user_id").agg(min($"tus").as("tc"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"tus" > $"tc").groupBy($"user_id").agg(min($"tus").as("tp"))
+    val expected = (
+      ev.select($"user_id").distinct().count(),
+      v.count(), c.count(), p.count(),
+      p.join(v, "user_id").agg(coalesce(sum($"tp" - $"tv"), lit(0L)))
+        .as[Long].head())
+    val got = AdvancedOps.e8Funnel(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got === expected)
+    ev.unpersist()
+  }
+
+  // ---- boilerplate strip ---------------------------------------------
+
+  test("boilerplate strip: exactly the planted docs are stripped, and stripping restores the original text") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val out = AdvancedOps.t14BoilerplateStrip(spark, sf)
+      .join(docs, "doc_id")
+      .select($"doc_id", $"stripped", $"text_clean" === $"text",
+        $"n_words" - $"n_words_clean")
+      .as[(Long, Boolean, Boolean, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, stripped, restores, delta) =>
+      assert(stripped === (id % 3 === 0), s"doc $id")
+      if (stripped) { assert(restores && delta === 5L, s"doc $id") }
+      else assert(delta === 0L, s"doc $id")
+    }
+  }
+
+  // ---- rolling features ----------------------------------------------
+
+  test("rolling 1h features == the quadratic self-join definition") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tus"),
+        floor($"value" * 100).cast("long").as("vc"))
+      .cache()
+    val other = ev.select($"user_id", $"tus".as("tus2"), $"vc".as("vc2"))
+    val expected = ev.join(other, "user_id")
+      .filter($"tus2" <= $"tus" && $"tus2" >= $"tus" - 3600000000L)
+      .groupBy($"event_id")
+      .agg(count(lit(1)).as("cnt_1h"), sum($"vc2").as("sum_vc_1h"))
+    val got = AdvancedOps.e9Rolling(spark, sf)
+      .select($"event_id", $"cnt_1h", $"sum_vc_1h")
+    assert(got.exceptAll(expected.select($"event_id", $"cnt_1h", $"sum_vc_1h"))
+      .count() === 0)
+    assert(got.count() === expected.count())
+    ev.unpersist()
+  }
+}
