@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed k-means (Lloyd's algorithm) — the
+  * clustering pass an IVF index build or a corpus-stratification step
+  * runs at scale. Every piece is engine-replayable:
+  *
+  *  - init is the k lowest-id points (no RNG — reproducible runs);
+  *  - the assignment score is `round(<c,c> − 2·<x,c>, 6)` — the same
+  *    ordering as squared L2 (the per-point `<x,x>` term cancels),
+  *    computed with the deterministic left-to-right dot fold, so both
+  *    engines rank centroids identically (ties break on centroid id);
+  *  - centroid updates are DECIMAL-exact elementwise means
+  *    ([[Similarity.centroidsExact]]'s construction) rounded to 6 —
+  *    bit-stable under any partitioning/AQE re-plan.
+  *
+  * Scale posture: each iteration is one broadcast fan-out (k rows)
+  * over the point set + one (cid, pos) aggregation — no point-set
+  * shuffle at all; the only shuffled relation is k·dim rows of
+  * centroid partial sums. The driver sees k seed rows at init and
+  * nothing after.
+  */
+object Clustering {
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.DotProduct.dot_product(a, b)
+
+  /** Nearest-centroid assignment. `points`: (vec_id, v); `cents`:
+    * (cid, cv). Output: (vec_id, v, cid, score), one row per point. */
+  def assign(points: DataFrame, cents: DataFrame): DataFrame =
+    points.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("cid"),
+        round(dot(col("cv"), col("cv")) - lit(2) * dot(col("v"), col("cv")), 6)
+          .as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score").asc, col("cid").asc)))
+      .filter(col("rn") === 1).drop("rn")
+
+  /** DECIMAL-exact elementwise means of the assigned points, rounded
+    * to 6, as (cid, cv). Clusters that lost every point drop out —
+    * identically on every engine. */
+  def meanCentroids(assigned: DataFrame): DataFrame =
+    Similarity.centroidVectors(
+      assigned.select(col("cid"), col("v").as("embedding")), "cid")
+      .select(col("cell").as("cid"), col("cv"))
+
+  /** `iters` Lloyd assignment steps with mean updates between them
+    * (iters=2 ⇒ assign → update → assign). Seeds: the k lowest-id
+    * points — k driver-side rows, the bounded analogue of an
+    * aggregate scalar. Output: final (vec_id, cid, score). */
+  def lloyd(spark: SparkSession, points: DataFrame, k: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    val seeds = points.orderBy(col("vec_id")).limit(k).collect()
+      .sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }.toSeq
+    var cents = seeds.toDF("cid", "cv")
+    var a: DataFrame = null
+    (1 to iters).foreach { i =>
+      a = assign(points, cents)
+      if (i < iters) cents = meanCentroids(a)
+    }
+    a.select(col("vec_id"), col("cid"), col("score"))
+  }
+}

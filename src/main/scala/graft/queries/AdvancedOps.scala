@@ -275,12 +275,66 @@ object AdvancedOps {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // ---- n7: deterministic k-means ------------------------------------
+
+  /** N7: 2-step deterministic Lloyd k-means (k=8) over the embedding
+    * corpus — the index-build/stratification clustering pass, fully
+    * engine-replayable: lowest-id seeds, rounded `<c,c> − 2<x,c>`
+    * assignment scores (squared-L2 ordering), DECIMAL-exact mean
+    * update. See [[graft.operators.Clustering]] for the per-iteration
+    * scale shape (broadcast fan-out + k·dim-row partial-sum shuffle;
+    * the point set never shuffles). */
+  val n7Kmeans: Q = (s, dir) => {
+    import s.implicits._
+    val points = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    graft.operators.Clustering.lloyd(s, points, k = 8, iters = 2)
+      .select($"vec_id", $"cid".as("cluster"), $"score")
+      .orderBy($"vec_id")
+  }
+
+  val n7KmeansSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+      |         v AS cv
+      |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+      |a1 AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c0.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_dot_product(c0.cv, c0.cv)
+      |              - 2 * list_dot_product(e.v, c0.cv), 6) ASC,
+      |        c0.cid ASC) AS rn
+      |    FROM e, c0)
+      |  WHERE rn = 1),
+      |m1 AS (
+      |  SELECT cid, pos,
+      |    round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+      |      AS c
+      |  FROM (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a1)
+      |  GROUP BY 1, 2),
+      |c1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+      |a2 AS (
+      |  SELECT vec_id, cid, score FROM (
+      |    SELECT e.vec_id, c1.cid,
+      |      round(list_dot_product(c1.cv, c1.cv)
+      |            - 2 * list_dot_product(e.v, c1.cv), 6) AS score,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_dot_product(c1.cv, c1.cv)
+      |              - 2 * list_dot_product(e.v, c1.cv), 6) ASC,
+      |        c1.cid ASC) AS rn
+      |    FROM e, c1)
+      |  WHERE rn = 1)
+      |SELECT vec_id, cid AS cluster, score FROM a2 ORDER BY vec_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "an15_pagerank"    -> an15PageRank,
     "u7_scd2"          -> u7Scd2,
     "e8_funnel"        -> e8Funnel,
     "t14_boilerplate"  -> t14BoilerplateStrip,
     "e9_rolling"       -> e9Rolling,
+    "n7_kmeans"        -> n7Kmeans,
   )
 
   val oracle: Map[String, String] = Map(
@@ -289,5 +343,6 @@ object AdvancedOps {
     "e8_funnel"        -> e8FunnelSql,
     "t14_boilerplate"  -> t14BoilerplateStripSql,
     "e9_rolling"       -> e9RollingSql,
+    "n7_kmeans"        -> n7KmeansSql,
   )
 }

@@ -56,7 +56,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // returned plan is a memory-sink read, not the streaming topology.
     import graft.tools.PlanAudit
     val bnljAllowed = Set("n1_cosine_topk", "n2_ann_ivf", "n6_quantized_topk",
-      "j6_bloom_semijoin",
+      "n7_kmeans", "j6_bloom_semijoin",
       "t8_stratified_sample", "t9_tfidf", "t13_decontaminate")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(PlanAudit.excluded.contains).flatMap { name =>

@@ -114,6 +114,49 @@ class AdvancedOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- k-means -------------------------------------------------------
+
+  test("kmeans: every point assigned exactly once, to a seed-derived cluster") {
+    val out = AdvancedOps.n7Kmeans(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val n = graft.Tables.load(spark, sf, "embeddings").count()
+    assert(out.length === n)
+    assert(out.map(_._1).distinct.length === n)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+  }
+
+  test("kmeans single assignment step == brute-force nearest seed") {
+    import graft.operators.Clustering
+    val points = graft.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val got = Clustering.lloyd(spark, points, k = 4, iters = 1)
+      .select($"vec_id", $"cid").as[(Long, Long)].collect().toMap
+    // brute force on the driver over the same seeds and score formula
+    val seeds = points.orderBy($"vec_id").limit(4).collect()
+      .map(r => r.getSeq[Double](1).toArray).zipWithIndex
+    val pts = points.as[(Long, Seq[Double])].collect()
+    pts.foreach { case (id, vs) =>
+      val v = vs.toArray
+      val best = seeds.map { case (c, i) =>
+        val cc = c.zip(c).map { case (a, b) => a * b }.sum
+        val xc = v.zip(c).map { case (a, b) => a * b }.sum
+        (BigDecimal(cc - 2 * xc).setScale(6, BigDecimal.RoundingMode.HALF_UP), i)
+      }.min
+      assert(got(id) === best._2.toLong, s"vec $id")
+    }
+  }
+
+  test("kmeans is invariant to input partitioning") {
+    import graft.operators.Clustering
+    val points = graft.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val a = Clustering.lloyd(spark, points, k = 8, iters = 2)
+      .select($"vec_id", $"cid", $"score").as[(Long, Long, Double)].collect().sortBy(_._1)
+    val b = Clustering.lloyd(spark, points.repartition(13), k = 8, iters = 2)
+      .select($"vec_id", $"cid", $"score").as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
   // ---- rolling features ----------------------------------------------
 
   test("rolling 1h features == the quadratic self-join definition") {
