@@ -328,6 +328,46 @@ object AdvancedOps {
       |  WHERE rn = 1)
       |SELECT vec_id, cid AS cluster, score FROM a2 ORDER BY vec_id""".stripMargin
 
+  // ---- an16: cohort retention ---------------------------------------
+
+  /** AN16: weekly cohort retention — users grouped by first-activity
+    * week, and for offsets k = 0..3 the count still active k weeks
+    * later. The product-analytics staple; all integer arithmetic
+    * (epoch-microsecond week indices), three key-hash shuffles, each
+    * ≤ |users| rows after the initial distinct. Ratios are left to the
+    * reader (n_active / n_cohort) so every emitted cell is exact. */
+  val an16CohortRetention: Q = (s, dir) => {
+    import s.implicits._
+    val act = Tables.load(s, dir, "events")
+      .select($"user_id", expr("unix_micros(ts) div 604800000000").as("wk"))
+      .distinct()
+    val first = act.groupBy($"user_id").agg(min($"wk").as("cw"))
+    val ret = act.join(first, "user_id")
+      .withColumn("k", $"wk" - $"cw")
+      .filter($"k".between(0, 3))
+      .groupBy($"cw", $"k")
+      .agg(count_distinct($"user_id").as("n_active"))
+    val sizes = first.groupBy($"cw").agg(count(lit(1)).as("n_cohort"))
+    ret.join(sizes, "cw")
+      .select($"cw".as("cohort_week"), $"k", $"n_active", $"n_cohort")
+      .orderBy($"cohort_week", $"k")
+  }
+
+  val an16CohortRetentionSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+      |  FROM events),
+      |first AS (SELECT user_id, min(wk) AS cw FROM act GROUP BY user_id),
+      |ret AS (
+      |  SELECT f.cw, a.wk - f.cw AS k, count(DISTINCT a.user_id) AS n_active
+      |  FROM act a JOIN first f ON a.user_id = f.user_id
+      |  WHERE a.wk - f.cw BETWEEN 0 AND 3
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT cw, count(*) AS n_cohort FROM first GROUP BY cw)
+      |SELECT r.cw AS cohort_week, r.k, r.n_active, s.n_cohort
+      |FROM ret r JOIN sizes s ON r.cw = s.cw
+      |ORDER BY cohort_week, k""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "an15_pagerank"    -> an15PageRank,
     "u7_scd2"          -> u7Scd2,
@@ -335,6 +375,7 @@ object AdvancedOps {
     "t14_boilerplate"  -> t14BoilerplateStrip,
     "e9_rolling"       -> e9Rolling,
     "n7_kmeans"        -> n7Kmeans,
+    "an16_cohort"      -> an16CohortRetention,
   )
 
   val oracle: Map[String, String] = Map(
@@ -344,5 +385,6 @@ object AdvancedOps {
     "t14_boilerplate"  -> t14BoilerplateStripSql,
     "e9_rolling"       -> e9RollingSql,
     "n7_kmeans"        -> n7KmeansSql,
+    "an16_cohort"      -> an16CohortRetentionSql,
   )
 }

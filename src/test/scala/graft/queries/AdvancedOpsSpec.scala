@@ -114,6 +114,22 @@ class AdvancedOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- cohort retention ----------------------------------------------
+
+  test("cohort retention: week-0 activity equals cohort size, later weeks never exceed it") {
+    val rows = AdvancedOps.an16CohortRetention(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (cw, k, active, cohort) =>
+      assert(active <= cohort, s"cohort $cw k=$k")
+      if (k === 0L) assert(active === cohort, s"cohort $cw")
+    }
+    // every user lands in exactly one cohort: sizes sum to the user count
+    val users = graft.Tables.load(spark, sf, "events")
+      .select($"user_id").distinct().count()
+    assert(rows.filter(_._2 === 0L).map(_._4).sum === users)
+  }
+
   // ---- k-means -------------------------------------------------------
 
   test("kmeans: every point assigned exactly once, to a seed-derived cluster") {
