@@ -25,7 +25,7 @@ object Bench {
     * regression. Sub-second queries keep running (to maxReps) until
     * ~1.5 s of samples accumulate — relative jitter on a 0.2 s query
     * needs more reps than the same jitter on a 3 s query. */
-  val reps: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+  val reps: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
   val maxReps: Int = math.max(reps, 9)
   val minSampleSecs: Double = 1.5
 
