@@ -387,4 +387,38 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Canonical-survivor selection over duplicate clusters: per cluster,
+    * keep the member with the highest `qualityCol`, ties broken by the
+    * smallest id. The argmax is ONE `max(struct(quality, -id))`
+    * aggregation — no window, so nothing materializes a per-cluster
+    * sort — and `clusters` holds only docs that appear in a near-dup
+    * pair (a sliver of the corpus at 100 TB), so it broadcasts onto
+    * the corpus for the quality lookup: zero corpus-side shuffle.
+    *
+    * Returns (cluster_id, survivor_id, n_members, survivor_quality). */
+  def survivorship(docs: DataFrame, clusters: DataFrame, idCol: String,
+      qualityCol: Column): DataFrame = {
+    val q = docs.select(col(idCol).as("doc_id"), qualityCol.as("q"))
+    broadcast(clusters).join(q, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q").as("q"), (-col("doc_id")).as("nid"))).as("w"))
+      .select(col("cluster_id"), (-col("w.nid")).as("survivor_id"),
+        col("n_members"), col("w.q").as("survivor_quality"))
+  }
+
+  /** Applies [[survivorship]] to the corpus: drops every cluster member
+    * that is not its cluster's survivor. The loser list is cluster-sized
+    * (tiny), so the removal is a broadcast anti-join — one corpus scan,
+    * zero shuffle. Non-clustered docs survive by definition. */
+  def applySurvivorship(docs: DataFrame, clusters: DataFrame, idCol: String,
+      qualityCol: Column): DataFrame = {
+    val surv = survivorship(docs, clusters, idCol, qualityCol)
+      .select(col("cluster_id"), col("survivor_id"))
+    val losers = clusters.join(surv, "cluster_id")
+      .filter(col("doc_id") =!= col("survivor_id"))
+      .select(col("doc_id"))
+    docs.join(broadcast(losers), docs(idCol) === losers("doc_id"), "left_anti")
+  }
 }

@@ -367,8 +367,69 @@ object AdvancedOps {
       |SELECT r.cw AS cohort_week, r.k, r.n_active, s.n_cohort
       |FROM ret r JOIN sizes s ON r.cw = s.cw
       |ORDER BY cohort_week, k""".stripMargin
+  // ---- e10: resample + forward fill ---------------------------------
+
+  /** E10: per-user time-grid resampling with forward fill — the
+    * time-series regularization step (sensor/metric pipelines): events
+    * land on a 1-hour slot grid spanning each user's observed range,
+    * empty slots carry the last observed value forward. The slot value
+    * is the LAST event in the slot (ties: max event_id) picked by ONE
+    * `max(struct(tus, event_id, vc))` aggregation — no per-slot sort.
+    * Grid generation is per-user arithmetic (`sequence` + explode, ≤
+    * 720 slots/user at a 30-day span); everything shuffles once on
+    * user_id and the fill is a partition-local running `last(ignore
+    * nulls)`. Values are integer cents, so the fill is engine-exact.
+    * At 100 TB the grid never materializes the corpus: it is
+    * |users|·|slots| rows, independent of event count. */
+  val e10Resample: Q = (s, dir) => {
+    import s.implicits._
+    val W = 3600000000L // 1 h in µs
+    val ev = Tables.load(s, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"),
+        floor($"value" * 100).cast("long").as("vc"))
+      .withColumn("slot", expr(s"tus div $W"))
+    val slotv = ev.groupBy($"user_id", $"slot")
+      .agg(max(struct($"tus", $"event_id", $"vc")).as("w"))
+      .select($"user_id", $"slot", $"w.vc".as("vc"))
+    val grid = ev.groupBy($"user_id")
+      .agg(min($"slot").as("lo"), max($"slot").as("hi"))
+      .select($"user_id", explode(sequence($"lo", $"hi")).as("slot"))
+    val w = Window.partitionBy($"user_id").orderBy($"slot")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(slotv, Seq("user_id", "slot"), "left")
+      .select($"user_id", $"slot",
+        last($"vc", ignoreNulls = true).over(w).as("vc_ff"),
+        $"vc".isNotNull.as("observed"))
+      .orderBy($"user_id", $"slot")
+  }
+
+  val e10ResampleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |         CAST(floor(value * 100) AS BIGINT) AS vc,
+      |         epoch_us(ts) // 3600000000 AS slot
+      |  FROM events),
+      |slotv AS (
+      |  SELECT user_id, slot, vc FROM (
+      |    SELECT user_id, slot, vc,
+      |      row_number() OVER (PARTITION BY user_id, slot
+      |                         ORDER BY tus DESC, event_id DESC) AS rn
+      |    FROM ev) WHERE rn = 1),
+      |grid AS (
+      |  SELECT user_id, unnest(range(lo, hi + 1)) AS slot
+      |  FROM (SELECT user_id, min(slot) AS lo, max(slot) AS hi
+      |        FROM ev GROUP BY user_id)),
+      |j AS (SELECT g.user_id, g.slot, s.vc
+      |      FROM grid g LEFT JOIN slotv s USING (user_id, slot))
+      |SELECT user_id, slot,
+      |  last_value(vc IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY slot
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vc_ff,
+      |  (vc IS NOT NULL) AS observed
+      |FROM j ORDER BY user_id, slot""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "e10_resample"     -> e10Resample,
     "an15_pagerank"    -> an15PageRank,
     "u7_scd2"          -> u7Scd2,
     "e8_funnel"        -> e8Funnel,
@@ -379,6 +440,7 @@ object AdvancedOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "e10_resample"     -> e10ResampleSql,
     "an15_pagerank"    -> an15PageRankSql,
     "u7_scd2"          -> u7Scd2Sql,
     "e8_funnel"        -> e8FunnelSql,

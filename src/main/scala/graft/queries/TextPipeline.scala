@@ -460,17 +460,83 @@ object TextPipeline {
       .orderBy($"doc_id")
   }
 
+  /** Transitive-closure CTE chain over the d2 pair list `res`:
+    * `clusters(doc_id, cluster_id)` = min reachable id, the same
+    * fixpoint the Spark min-label propagation converges to. Shared by
+    * d6 (cluster listing), d9 (survivor pick) and d10 (applied dedup).
+    * Prepend `WITH RECURSIVE $d2PairsCtes,`. */
+  private val clusterCtes: String =
+    """nodes AS (SELECT d1 AS id FROM res UNION SELECT d2 FROM res),
+      |e2 AS (SELECT d1 AS src, d2 AS dst FROM res
+      |       UNION ALL SELECT d2, d1 FROM res),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e2.src, reach.r FROM e2 JOIN reach ON reach.id = e2.dst),
+      |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id
+      |             FROM reach GROUP BY id)""".stripMargin
+
   val d6DupClustersSql: String =
     s"""WITH RECURSIVE $d2PairsCtes,
-       |nodes AS (SELECT d1 AS id FROM res UNION SELECT d2 FROM res),
-       |e2 AS (SELECT d1 AS src, d2 AS dst FROM res
-       |       UNION ALL SELECT d2, d1 FROM res),
-       |reach(id, r) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT e2.src, reach.r FROM e2 JOIN reach ON reach.id = e2.dst)
-       |SELECT id AS doc_id, min(r) AS cluster_id
-       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+       |$clusterCtes
+       |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin
+
+  /** D9: canonical-survivor selection — per dup cluster keep the
+    * highest-quality member (chars, ties → smallest id). The Spark
+    * side is one `max(struct(quality, -id))` aggregation over the
+    * broadcast cluster list (Dedup.survivorship): no window, no
+    * corpus shuffle. The oracle replays the pick with a row_number
+    * window over the same closure. */
+  val d9Survivorship: Q = (s, dir) => {
+    import s.implicits._
+    val docs = docsWithDups(s, dir)
+    val clusters = Dedup.dupClusters(Dedup.minhashNearDups(docs, "doc_id", "text"))
+    Dedup.survivorship(docs, clusters, "doc_id", length($"text").cast("long"))
+      .orderBy($"cluster_id")
+  }
+
+  val d9SurvivorshipSql: String =
+    s"""WITH RECURSIVE $d2PairsCtes,
+       |$clusterCtes,
+       |m AS (SELECT c.cluster_id, c.doc_id, length(d.text) AS q
+       |      FROM clusters c JOIN docs d USING (doc_id)),
+       |sel AS (SELECT cluster_id, doc_id, q,
+       |          row_number() OVER (PARTITION BY cluster_id
+       |                             ORDER BY q DESC, doc_id) AS rn,
+       |          count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |        FROM m)
+       |SELECT cluster_id, doc_id AS survivor_id, n_members,
+       |       q AS survivor_quality
+       |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
+  /** D10: the dedup APPLIED — corpus minus every non-survivor cluster
+    * member (Dedup.applySurvivorship: broadcast anti-join, one corpus
+    * scan), summarized per source. This is the operator a training
+    * pipeline actually runs: pairs → clusters → survivor keep-list →
+    * filtered corpus. */
+  val d10DedupApply: Q = (s, dir) => {
+    import s.implicits._
+    val docs = docsWithDups(s, dir)
+    val clusters = Dedup.dupClusters(Dedup.minhashNearDups(docs, "doc_id", "text"))
+    Dedup.applySurvivorship(docs, clusters, "doc_id", length($"text").cast("long"))
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"source")
+  }
+
+  val d10DedupApplySql: String =
+    s"""WITH RECURSIVE $d2PairsCtes,
+       |$clusterCtes,
+       |m AS (SELECT c.cluster_id, c.doc_id, length(d.text) AS q
+       |      FROM clusters c JOIN docs d USING (doc_id)),
+       |sel AS (SELECT cluster_id, doc_id,
+       |          row_number() OVER (PARTITION BY cluster_id
+       |                             ORDER BY q DESC, doc_id) AS rn
+       |        FROM m),
+       |losers AS (SELECT doc_id FROM sel WHERE rn > 1)
+       |SELECT d.source, count(*) AS n_docs
+       |FROM docs d LEFT JOIN losers l USING (doc_id)
+       |WHERE l.doc_id IS NULL
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   /** D7: incremental near-dup detection — the injected dups play the
     * daily increment against the original corpus; candidates come only
@@ -878,6 +944,8 @@ object TextPipeline {
     "d3_simhash"       -> d3Simhash,
     "d6_dup_clusters"  -> d6DupClusters,
     "d7_incremental_dedup" -> d7Incremental,
+    "d9_survivorship"  -> d9Survivorship,
+    "d10_dedup_apply"  -> d10DedupApply,
     "d8_simhash_neardups"  -> d8SimhashNearDups,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
@@ -908,6 +976,8 @@ object TextPipeline {
     "d3_simhash"       -> d3SimhashSql,
     "d6_dup_clusters"  -> d6DupClustersSql,
     "d7_incremental_dedup" -> d7IncrementalSql,
+    "d9_survivorship"  -> d9SurvivorshipSql,
+    "d10_dedup_apply"  -> d10DedupApplySql,
     "d8_simhash_neardups"  -> d8SimhashNearDupsSql,
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
     "d5_embedding_neardup" -> d5EmbeddingNearDupSql,

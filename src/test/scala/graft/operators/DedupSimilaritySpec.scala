@@ -130,4 +130,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 2.0 / nCells * 0.7,
       s"IVF recall $recall below the $nCells-cell floor")
   }
+
+  test("survivorship keeps highest quality, ties break to smallest id") {
+    import org.apache.spark.sql.functions.{col, length}
+    val d = Seq(
+      (1L, "aaaa"), (2L, "aaaaaa"), (3L, "aaaaaa"), // cluster 1: 2 and 3 tie on quality
+      (4L, "bbbb"), (5L, "bb"),                     // cluster 4: 4 wins on quality
+      (6L, "untouched")
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val surv = Dedup.survivorship(d, clusters, "doc_id", length(col("text")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(surv === Set((1L, 2L, 3L, 6L), (4L, 4L, 2L, 4L)))
+    val kept = Dedup.applySurvivorship(d, clusters, "doc_id",
+        length(col("text")).cast("long"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L, 6L), "survivors + unclustered docs remain")
+  }
 }
