@@ -37,6 +37,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the 30-query run generates ~600 codegen units; the default
+      // 100-entry class cache would evict mid-run and re-pay janino
+      // compiles inside timed reps (measured as multi-second spikes
+      // in single-task broadcast-build stages)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -120,20 +120,26 @@ object Similarity {
     }
 
   /** SRP bucket id of an array&lt;double&gt; column: bit j = sign of the
-    * projection onto plane j. The projection is summed on DECIMAL —
-    * exact and order-free, so a sign can never flip from float
-    * summation order (the one hazard that would make an LSH bucket
-    * engine- or partitioning-dependent). Pure per-row expression work:
-    * the planes ride along as literals, no join, no shuffle. */
-  def srpBucket(vcol: String, planes: Array[Array[Long]]): Column =
+    * projection onto plane j. Elements are quantized to
+    * `floor(x·2^20)` first — an EXACT double op (a float's 24-bit
+    * mantissa merely shifts exponent), after which every product
+    * (≤2^34) and the 64-term sum (≤2^40) is an integer exactly
+    * representable in a double: the projection is order-free and
+    * SIMD-proof without decimal arithmetic, so a sign can never flip
+    * from float summation order (the one hazard that would make an
+    * LSH bucket engine- or partitioning-dependent). The projections
+    * run through the codegen'd native [[dot]] — the r3 DECIMAL
+    * aggregate-HOF form computed the same order-free sign ~50× slower
+    * (interpreted lambda + BigDecimal per element). Pure per-row
+    * expression work: the planes ride along as literals, no join, no
+    * shuffle. */
+  def srpBucket(vcol: String, planes: Array[Array[Long]]): Column = {
+    val vq = expr(s"transform($vcol, x -> CAST(floor(x * 1048576.0) AS DOUBLE))")
     planes.zipWithIndex.map { case (ks, j) =>
-      val proj = expr(
-        s"""aggregate(zip_with($vcol, array(${ks.mkString(",")}),
-           |  (x, k) -> CAST(x AS DECIMAL(28,10)) * CAST(k AS DECIMAL(4,0))),
-           |  CAST(0 AS DECIMAL(38,10)),
-           |  (acc, y) -> CAST(acc + y AS DECIMAL(38,10)))""".stripMargin)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+      val plane = array(ks.map(k => lit(k.toDouble)): _*)
+      when(dot(vq, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** LSH-bucketed ANN — the shuffle-free-index scale path next to IVF:
     * candidates hash to one SRP bucket each (per-row expressions, no

@@ -202,8 +202,11 @@ object CurationQueries {
     * (no index-build shuffle); queries multi-probe their bucket plus
     * the 6 hamming-1 flips; exact cosine rerank inside probed buckets.
     * The hyperplane matrix is md5-seeded integers, so the oracle
-    * rebuilds it bit-identically, and projections are summed on
-    * DECIMAL so a sign bit can never flip from float summation order. */
+    * rebuilds it bit-identically, and elements are floor-quantized to
+    * 2^20 so every projection term and sum is an exact integer in
+    * doubles — a sign bit can never flip from float summation order,
+    * and the whole bucket assignment stays in codegen (native
+    * dot_product; no decimal, no interpreted lambda). */
   val n5AnnLsh: Q = (s, dir) => {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
@@ -221,7 +224,7 @@ object CurationQueries {
       |  FROM range(0, 6) t1(j), range(0, 64) t2(i)),
       |proj AS (
       |  SELECT e.vec_id, p.j,
-      |    sum(CAST(e.v[p.i + 1] AS DECIMAL(28,10)) * CAST(p.k AS DECIMAL(4,0))) AS pr
+      |    sum(floor(e.v[p.i + 1] * 1048576.0) * p.k) AS pr
       |  FROM e, planes p GROUP BY 1, 2),
       |bk AS (
       |  SELECT vec_id,
