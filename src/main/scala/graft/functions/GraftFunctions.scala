@@ -67,10 +67,15 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point (new sessions). */
+/** `spark.sql.extensions` entry point (new sessions): the custom SQL
+  * functions plus the range-join rewrite
+  * ([[graft.plans.RangeJoinRewrite]] — naive interval predicates
+  * become bucket equi-joins instead of nested-loop joins). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (id, inf, builder) =>
       ext.injectFunction((id, inf, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
