@@ -293,8 +293,11 @@ object AdvancedOps {
       .orderBy($"vec_id")
   }
 
-  val n7KmeansSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** Two-step Lloyd CTE chain over a `(vec_id, v)` source:
+    * `a2(vec_id, cid, score)` = final assignments. Shared by n7 and
+    * d11 (which clusters an injected corpus). */
+  private def kmeansCtes(eSql: String): String =
+    s"""e AS ($eSql),
       |c0 AS (
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
       |         v AS cv
@@ -325,8 +328,11 @@ object AdvancedOps {
       |              - 2 * list_dot_product(e.v, c1.cv), 6) ASC,
       |        c1.cid ASC) AS rn
       |    FROM e, c1)
-      |  WHERE rn = 1)
-      |SELECT vec_id, cid AS cluster, score FROM a2 ORDER BY vec_id""".stripMargin
+      |  WHERE rn = 1)""".stripMargin
+
+  val n7KmeansSql: String =
+    s"""WITH ${kmeansCtes("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")}
+       |SELECT vec_id, cid AS cluster, score FROM a2 ORDER BY vec_id""".stripMargin
 
   // ---- an16: cohort retention ---------------------------------------
 
@@ -428,8 +434,112 @@ object AdvancedOps {
       |  (vc IS NOT NULL) AS observed
       |FROM j ORDER BY user_id, slot""".stripMargin
 
+  // ---- an17: triangle counting --------------------------------------
+
+  /** AN17: triangle counting over the supplier co-fulfilment graph
+    * (suppliers adjacent when they ship lines of the same order), by
+    * DEGREE-ORDERED orientation — the MapReduce-era standard (Suri &
+    * Vassilvitskii, "Counting Triangles and the Curse of the Last
+    * Reducer", WWW'11): each undirected edge points from its
+    * (degree, id)-smaller endpoint, wedges are built only from
+    * out-edges (out-degree is O(√E) on any graph), and a wedge is a
+    * triangle iff the undirected edge closing it exists. The wedge
+    * join — the only superlinear step — is bounded by Σ outdeg², not
+    * Σ deg²: the difference between feasible and last-reducer death
+    * on power-law graphs at 100 TB. Degrees are a tiny relation,
+    * broadcast onto the edge list. */
+  val an17Triangles: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+    val e = li.as("a").join(li.as("b"), "ok")
+      .filter($"a.sk" < $"b.sk")
+      .select($"a.sk".as("u"), $"b.sk".as("v")).distinct()
+    val deg = e.select($"u".as("n")).unionByName(e.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(broadcast(deg.select($"n".as("u"), $"d".as("du"))), "u")
+      .join(broadcast(deg.select($"n".as("v"), $"d".as("dv"))), "v")
+    // u < v already, so the equal-degree tie keeps s = u
+    val fwd = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
+    val orient = ed.select(
+      when(fwd, $"u").otherwise($"v").as("s"),
+      when(fwd, $"v").otherwise($"u").as("t"))
+    val x = orient.select($"s", $"t".as("t1"))
+    val y = orient.select($"s", $"t".as("t2"))
+    val wedges = x.join(y, "s").filter($"t1" < $"t2")
+    val tri = wedges.join(e, $"t1" === $"u" && $"t2" === $"v")
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  val an17TrianglesSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+      |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+      |      FROM li a JOIN li b USING (ok) WHERE a.sk < b.sk),
+      |deg AS (SELECT n, count(*) AS d
+      |        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+      |o AS (SELECT
+      |        CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
+      |        CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t
+      |      FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+      |w AS (SELECT x.t AS t1, y.t AS t2 FROM o x JOIN o y ON x.s = y.s AND x.t < y.t),
+      |tri AS (SELECT count(*) AS c FROM w JOIN e ON e.u = w.t1 AND e.v = w.t2)
+      |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+      |       (SELECT count(*) FROM e) AS n_edges,
+      |       (SELECT c FROM tri) AS n_triangles""".stripMargin
+
+  // ---- d11: semantic dedup ------------------------------------------
+
+  /** D11: semantic (embedding-space) dedup, SemDeDup-style (Abbas et
+    * al., 2023): k-means clusters ARE the blocking structure — pairs
+    * are scored only within a learned cluster, never across the
+    * corpus — then cosine ≥ 0.99 within a cluster marks a semantic
+    * duplicate. Composes n7's deterministic Lloyd (broadcast
+    * centroids, k·dim-row partial-sum shuffles, points never
+    * reshuffled) with d5's block-scoped pair scoring; exact copies
+    * are injected so true positives exist, and identical vectors
+    * provably land in the same cluster (assignment is a rounded
+    * score with cid tie-break). At 100 TB: cluster count scales with
+    * corpus size, keeping per-cluster pair work bounded. */
+  val d11SemanticDedup: Q = (s, dir) => {
+    import s.implicits._
+    val e0 = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val e = e0.unionByName(
+      e0.filter($"vec_id" % 83 === 0)
+        .select(($"vec_id" + 100000).as("vec_id"), $"v"))
+    val lab = graft.operators.Clustering.lloyd(s, e, k = 8, iters = 2)
+      .select($"vec_id", $"cid")
+    val withLab = e.join(lab, "vec_id")
+      .select($"vec_id", $"cid", $"v".as("embedding"))
+    graft.operators.Similarity.nearDupPairs(withLab, "cid", 0.99)
+      .orderBy($"v1", $"v2")
+  }
+
+  private val d11InjectedSql: String =
+    """SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 100000, embedding::DOUBLE[]
+      |FROM embeddings WHERE vec_id % 83 = 0""".stripMargin
+
+  val d11SemanticDedupSql: String =
+    s"""WITH ${kmeansCtes(d11InjectedSql)},
+       |sel AS (SELECT a2.vec_id, a2.cid, e.v FROM a2 JOIN e USING (vec_id)),
+       |scored AS (
+       |  SELECT x.vec_id AS v1, y.vec_id AS v2,
+       |    round(list_dot_product(x.v, y.v) /
+       |          (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+       |      AS cos
+       |  FROM sel x JOIN sel y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+       |SELECT v1, v2, cos FROM scored WHERE cos >= 0.99
+       |ORDER BY v1, v2""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "e10_resample"     -> e10Resample,
+    "an17_triangles"   -> an17Triangles,
+    "d11_semantic_dedup" -> d11SemanticDedup,
     "an15_pagerank"    -> an15PageRank,
     "u7_scd2"          -> u7Scd2,
     "e8_funnel"        -> e8Funnel,
@@ -441,6 +551,8 @@ object AdvancedOps {
 
   val oracle: Map[String, String] = Map(
     "e10_resample"     -> e10ResampleSql,
+    "an17_triangles"   -> an17TrianglesSql,
+    "d11_semantic_dedup" -> d11SemanticDedupSql,
     "an15_pagerank"    -> an15PageRankSql,
     "u7_scd2"          -> u7Scd2Sql,
     "e8_funnel"        -> e8FunnelSql,

@@ -371,7 +371,41 @@ object CurationQueries {
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY qd * scale DESC, vec_id) <= 10
       |ORDER BY qid, qd DESC, vec_id""".stripMargin
 
+  /** T17: inverted-index build — word → (document frequency, head
+    * posting block), the IR/retrieval structure over the corpus. The
+    * posting list is capped at a 20-id head BLOCK the scale-safe way:
+    * a per-word `row_number ≤ 20` BEFORE the collect, so no aggregate
+    * buffer ever holds a hot word's full posting list (a stopword at
+    * 100 TB has billions of postings; block-based storage is how real
+    * indexes shard them). `df` stays exact over the full list via a
+    * separate count aggregate — two shuffles over the deduplicated
+    * (word, doc) stream, both map-side combined. */
+  val t17InvertedIndex: Q = (s, dir) => {
+    import s.implicits._
+    val wd = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+      .distinct()
+    val dfreq = wd.groupBy($"word").agg(count(lit(1)).as("df"))
+    val byWord = org.apache.spark.sql.expressions.Window
+      .partitionBy($"word").orderBy($"doc_id")
+    val head = wd
+      .withColumn("rn", row_number().over(byWord))
+      .filter($"rn" <= 20)
+      .groupBy($"word")
+      .agg(sort_array(collect_list($"doc_id")).as("postings"))
+    dfreq.join(head, "word").orderBy($"word")
+  }
+
+  val t17InvertedIndexSql: String =
+    """SELECT word, count(DISTINCT doc_id) AS df,
+      |  (list(DISTINCT doc_id ORDER BY doc_id))[1:20] AS postings
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE word <> ''
+      |GROUP BY word ORDER BY word""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "t17_inverted_index" -> t17InvertedIndex,
     "t10_pii_redact"  -> t10PiiRedact,
     "t11_repetition"  -> t11Repetition,
     "t12_domain_mix"  -> t12DomainMix,
@@ -393,5 +427,6 @@ object CurationQueries {
     "t15_url_extract" -> t15UrlExtractSql,
     "n6_quantized_topk" -> n6QuantizedTopKSql,
     "t16_html_strip"  -> t16HtmlStripSql,
+    "t17_inverted_index" -> t17InvertedIndexSql,
   )
 }
