@@ -404,7 +404,84 @@ object EventQueries {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** E11: watermarked tumbling-window aggregation run as a REAL
+    * streaming query in APPEND mode — the strictest streaming
+    * contract: a window row may only be emitted once the watermark
+    * has passed its end, so the result set is exactly the finalized
+    * windows. Two far-future sentinel batches advance the watermark
+    * past every real window and fire the evictions (the e4 pattern).
+    * Counts only — a streamed double sum accumulates in arrival
+    * order and can never be hash-compared across engines. Oracle:
+    * the batch tumbling aggregation (window starts are clock hours,
+    * compared as exact epoch micros). */
+  val e11StreamTumbling: Q = (s, dir) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val ev = Tables.load(s, dir, "events").select($"ts", $"event_type", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e11").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    val stream = s.readStream.schema(ev.schema).parquet(tmp)
+    val q = Streams.windowedCounts(stream)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("e11_win").start()
+    q.processAllAvailable()
+    def sentinel(sec: Long): Unit =
+      Seq((new java.sql.Timestamp(sec * 1000L), "__sentinel", 0.0))
+        .toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(tmp)
+    sentinel(4102444800L) // 2100-01-01: watermark passes every real window
+    q.processAllAvailable()
+    sentinel(4102444860L) // next batch fires the evictions
+    q.processAllAvailable()
+    q.stop()
+    s.table("e11_win").filter($"event_type" =!= "__sentinel")
+      .select(unix_micros($"hour_start").as("hs_us"), $"event_type", $"n")
+      .orderBy($"hs_us", $"event_type")
+  }
+
+  val e11StreamTumblingSql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS hs_us, event_type,
+      |       count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** E12: streaming dedup in the gate — documents (with injected
+    * exact duplicates) replayed through `dropDuplicatesWithinWatermark`
+    * on the canonical fingerprint. WHICH copy survives depends on
+    * arrival order (legitimately nondeterministic), so the gate
+    * checks the arrival-order-free contract instead: exactly ONE
+    * survivor per batch-distinct fingerprint, none missing, none
+    * extra. The oracle replays the fingerprint (shared md5 canon
+    * formula with t4) over the same injected corpus. */
+  val e12StreamDedup: Q = (s, dir) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val d0 = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val docs = d0.unionByName(
+        d0.filter($"doc_id" % 10 === 0)
+          .select(($"doc_id" + 500000).as("doc_id"), $"text"))
+      // deterministic synthetic event time inside one dedup horizon;
+      // offset past epoch 0 (a row AT the initial watermark is late)
+      .withColumn("ts", timestamp_micros(($"doc_id" % 600L + 3600L) * 1000000L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e12").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val stream = s.readStream.schema(docs.schema).parquet(tmp)
+    Streams.runOnce(Streams.dedupStream(stream), "e12_dedup")
+    s.table("e12_dedup")
+      .groupBy($"fp").agg(count(lit(1)).as("n_survivors"))
+      .orderBy($"fp")
+  }
+
+  val e12StreamDedupSql: String =
+    """SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+      |       1::BIGINT AS n_survivors
+      |FROM (SELECT text FROM documents
+      |      UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0)
+      |ORDER BY fp""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "e11_stream_tumbling" -> e11StreamTumbling,
+    "e12_stream_dedup" -> e12StreamDedup,
     "j4_asof_join"  -> j4AsOf,
     "e1_window_agg" -> e1WindowAgg,
     "e2_sessionize" -> e2Sessionize,
@@ -419,6 +496,8 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "e11_stream_tumbling" -> e11StreamTumblingSql,
+    "e12_stream_dedup" -> e12StreamDedupSql,
     "j4_asof_join"  -> j4AsOfSql,
     "e1_window_agg" -> e1WindowAggSql,
     "e2_sessionize" -> e2SessionizeSql,
