@@ -403,7 +403,88 @@ object CoreRelational {
       |WHERE o_orderpriority NOT IN ('3-MEDIUM', '4-NOT SPECIFIED') AND o_orderstatus <> 'F'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** J8: snapshot reconciliation — the data-engineering diff of two
+    * table versions: one FULL OUTER hash join on the key classifies
+    * every row as added / removed / changed / unchanged (the input to
+    * CDC backfills and data-quality dashboards; u6 is the write side
+    * of this read-side op). The "new" snapshot is derived
+    * deterministically from the base (drops, balance updates,
+    * additions), so the oracle rebuilds both sides. Changed-ness
+    * compares exact integer cents. One key shuffle; at 100 TB both
+    * snapshots bucket/partition on the key and the join co-locates. */
+  val j8SnapshotDiff: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables.load(s, dir, "customer")
+      .select($"c_custkey", floor($"c_acctbal" * 100).cast("long").as("bal_c"))
+    val next = base
+      .filter($"c_custkey" % 97 =!= 0) // deletions
+      .select($"c_custkey",
+        when($"c_custkey" % 13 === 0, $"bal_c" + 500L).otherwise($"bal_c").as("bal_c"))
+      .unionByName( // additions
+        base.filter($"c_custkey" % 89 === 0)
+          .select(($"c_custkey" + 1000000).as("c_custkey"), $"bal_c"))
+    val b = base.select($"c_custkey", $"bal_c".as("bal_old"))
+    val n = next.select($"c_custkey", $"bal_c".as("bal_new"))
+    b.join(n, Seq("c_custkey"), "full_outer")
+      .select($"c_custkey",
+        when($"bal_old".isNull, lit("added"))
+          .when($"bal_new".isNull, lit("removed"))
+          .when($"bal_old" =!= $"bal_new", lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy($"status").agg(count(lit(1)).as("n"))
+      .orderBy($"status")
+  }
+
+  val j8SnapshotDiffSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_old
+      |  FROM customer),
+      |next AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 13 = 0 THEN bal_old + 500 ELSE bal_old END AS bal_new
+      |  FROM base WHERE c_custkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, bal_old FROM base WHERE c_custkey % 89 = 0),
+      |d AS (
+      |  SELECT CASE WHEN b.c_custkey IS NULL THEN 'added'
+      |              WHEN n.c_custkey IS NULL THEN 'removed'
+      |              WHEN b.bal_old <> n.bal_new THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM base b FULL OUTER JOIN next n USING (c_custkey))
+      |SELECT status, count(*) AS n FROM d GROUP BY status ORDER BY status""".stripMargin
+
+  /** AN18: explicit GROUPING SETS — the third member of the grouping
+    * lattice family next to ROLLUP (an6) and CUBE (an10), through the
+    * native `Dataset.groupingSets` API: only the four combinations a
+    * report actually needs, not the full lattice. grouping_id
+    * disambiguates a NULL group key from a NULL value; measures are
+    * exact (count + integer cents). Same single partial/final
+    * hash-aggregate shape as any groupBy — each row expands to one
+    * record per matching set, map-side combined. */
+  val an18GroupingSets: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderstatus".as("st"), $"o_orderpriority".as("pri"),
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+    o.groupingSets(
+        Seq(Seq($"st", $"pri"), Seq($"st"), Seq($"pri"), Seq()),
+        $"st", $"pri")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"), sum($"cents").as("cents"))
+      .orderBy($"gid", $"st", $"pri")
+  }
+
+  val an18GroupingSetsSql: String =
+    """SELECT st, pri, CAST(grouping(st) * 2 + grouping(pri) AS BIGINT) AS gid,
+      |       count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+      |FROM (SELECT o_orderstatus AS st, o_orderpriority AS pri,
+      |        CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |      FROM orders)
+      |GROUP BY GROUPING SETS ((st, pri), (st), (pri), ())
+      |ORDER BY gid, st, pri""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "j8_snapshot_diff"  -> j8SnapshotDiff,
+    "an18_grouping_sets" -> an18GroupingSets,
     "q1_agg"            -> q1Agg,
     "j1_fact_dims"      -> j1FactDims,
     "a2_distinct"       -> a2Distinct,
@@ -423,6 +504,8 @@ object CoreRelational {
   )
 
   val oracle: Map[String, String] = Map(
+    "j8_snapshot_diff"  -> j8SnapshotDiffSql,
+    "an18_grouping_sets" -> an18GroupingSetsSql,
     "q1_agg"            -> q1AggSql,
     "j1_fact_dims"      -> j1FactDimsSql,
     "a2_distinct"       -> a2DistinctSql,
