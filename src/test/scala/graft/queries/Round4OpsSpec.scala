@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-computed invariants for the round-4 query operators, beyond
+  * the DuckDB oracle (which proves engine parity, not intent). */
+class Round4OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("an17: K4 has exactly 4 triangles under degree-ordered counting") {
+    // fabricate a lineitem-shaped K4: one order shared by 4 suppliers
+    // gives C(4,2)=6 edges, C(4,3)=4 triangles
+    val li = Seq.tabulate(4)(i => (1L, (i + 1).toLong))
+      .toDF("l_orderkey", "l_suppkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft-k4").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = AdvancedOps.an17Triangles(spark, dir).collect().head
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 6L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+  }
+
+  test("t17: df is exact while postings cap at the 20-smallest doc ids") {
+    val out = CurationQueries.t17InvertedIndex(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val postings = r.getSeq[Long](r.fieldIndex("postings"))
+      assert(postings.length === math.min(df, 20L).toInt,
+        s"word ${r.getString(0)}: block size vs df")
+      assert(postings === postings.sorted, "head block is ordered")
+    }
+    // a word present in >20 docs must still report the full df
+    val hot = rows.filter(_.getAs[Long]("df") > 20)
+    assert(hot.nonEmpty, "fixture has at least one hot word")
+  }
+
+  test("e10: forward fill carries the last observed value across gaps") {
+    val out = AdvancedOps.e10Resample(spark, sf)
+      .filter($"user_id" === 7L).orderBy($"slot").collect()
+    assert(out.nonEmpty)
+    // first slot of every user is observed (grid starts at first event)
+    assert(out.head.getAs[Boolean]("observed"))
+    // unobserved slots repeat the previous filled value; slots are contiguous
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("slot") === a.getAs[Long]("slot") + 1, "gapless grid")
+        if (!b.getAs[Boolean]("observed"))
+          assert(b.getAs[Long]("vc_ff") === a.getAs[Long]("vc_ff"), "fill carries")
+      case _ =>
+    }
+  }
+
+  test("d11: injected exact copies are always found as semantic dups") {
+    val pairs = AdvancedOps.d11SemanticDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = (0L until 500L by 83L).map(id => (id, id + 100000L)).toSet
+    val copies = pairs.filter { case (v1, v2, _) => v2 - v1 == 100000L && v1 % 83 == 0 }
+    assert(copies.map(p => (p._1, p._2)).toSet === expected,
+      "every injected copy pair survives clustering + threshold")
+    copies.foreach { case (_, _, cos) => assert(cos === 1.0) }
+  }
+
+  test("j8: diff classes partition both snapshots") {
+    val m = CoreRelational.j8SnapshotDiff(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nBase = graft.Tables.load(spark, sf, "customer").count()
+    val nRemoved = m.getOrElse("removed", 0L)
+    val nAdded = m.getOrElse("added", 0L)
+    // every base row is removed/changed/unchanged; added rows are extra
+    assert(m.getOrElse("changed", 0L) + m.getOrElse("unchanged", 0L) + nRemoved === nBase)
+    assert(nAdded > 0 && nRemoved > 0)
+  }
+}
