@@ -469,9 +469,14 @@ object AdvancedOps {
     val y = orient.select($"s", $"t".as("t2"))
     val wedges = x.join(y, "s").filter($"t1" < $"t2")
     val tri = wedges.join(e, $"t1" === $"u" && $"t2" === $"v")
-    deg.agg(count(lit(1)).as("n_nodes"))
-      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    // three scalar aggregates as ROWS (union, not a 1×1×1 join — the
+    // global plan audit forbids nested-loop joins, even trivial ones)
+    deg.agg(count(lit(1)).as("value")).select(lit("n_nodes").as("metric"), $"value")
+      .unionByName(e.agg(count(lit(1)).as("value"))
+        .select(lit("n_edges").as("metric"), $"value"))
+      .unionByName(tri.agg(count(lit(1)).as("value"))
+        .select(lit("n_triangles").as("metric"), $"value"))
+      .orderBy($"metric")
   }
 
   val an17TrianglesSql: String =
@@ -484,11 +489,14 @@ object AdvancedOps {
       |        CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
       |        CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t
       |      FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
-      |w AS (SELECT x.t AS t1, y.t AS t2 FROM o x JOIN o y ON x.s = y.s AND x.t < y.t),
-      |tri AS (SELECT count(*) AS c FROM w JOIN e ON e.u = w.t1 AND e.v = w.t2)
-      |SELECT (SELECT count(*) FROM deg) AS n_nodes,
-      |       (SELECT count(*) FROM e) AS n_edges,
-      |       (SELECT c FROM tri) AS n_triangles""".stripMargin
+      |w AS (SELECT x.t AS t1, y.t AS t2 FROM o x JOIN o y ON x.s = y.s AND x.t < y.t)
+      |SELECT 'n_nodes' AS metric, count(*) AS value FROM deg
+      |UNION ALL
+      |SELECT 'n_edges', count(*) FROM e
+      |UNION ALL
+      |SELECT 'n_triangles', count(*)
+      |FROM w JOIN e ON e.u = w.t1 AND e.v = w.t2
+      |ORDER BY metric""".stripMargin
 
   // ---- d11: semantic dedup ------------------------------------------
 
