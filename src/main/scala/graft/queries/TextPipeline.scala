@@ -757,8 +757,11 @@ object TextPipeline {
       |  GROUP BY 1, 2),
       |cent AS (SELECT cell, list(c ORDER BY pos) AS cv FROM cm GROUP BY cell)""".stripMargin
 
-  val n2AnnIvfSql: String =
-    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+  /** The IVF probe-and-score CTE chain up to `scored(qid, vec_id,
+    * cos)` — shared by n2 (top-10 listing) and n8 (recall vs brute
+    * force). */
+  private val ivfScoredCtes: String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
        |$centroidCtes,
        |probes AS (
@@ -775,10 +778,53 @@ object TextPipeline {
        |    round(list_dot_product(p.qv, e.v) /
        |          (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
        |  FROM e JOIN probes p ON e.label = p.cell
-       |  WHERE e.vec_id <> p.qid)
+       |  WHERE e.vec_id <> p.qid)""".stripMargin
+
+  val n2AnnIvfSql: String =
+    s"""WITH $ivfScoredCtes
        |SELECT qid, vec_id, cos FROM scored
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10
        |ORDER BY qid, cos DESC, vec_id""".stripMargin
+
+  /** N8: recall@10 of the IVF index against exact brute force — the
+    * evaluation metric every ANN deployment tunes nProbe/cell-count
+    * by, as a query over the same deterministic rankings n1 and n2
+    * gate on. Both top-10 sets are fully tie-broken, so recall is an
+    * exact integer (basis points). The exact side pays one broadcast
+    * fan-out over the (tiny) query set — the same cost n1 already
+    * pays; the IVF side probes 2 cells. At scale this runs on a
+    * SAMPLE of queries (here: the 5 gate queries). */
+  val n8Recall: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter($"vec_id" < 5)
+    val exact = Similarity.cosineTopK(emb, q, k = 10).select($"qid", $"vec_id")
+    val approx = Similarity.ivfTopK(emb, q, "label", k = 10, nProbe = 2)
+      .select($"qid", $"vec_id").withColumn("hit", lit(1))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy($"qid")
+      .agg(sum(coalesce($"hit", lit(0))).as("n_hits"))
+      .select($"qid", $"n_hits", ($"n_hits" * 1000).as("recall_bp"))
+      .orderBy($"qid")
+  }
+
+  val n8RecallSql: String =
+    s"""WITH $ivfScoredCtes,
+       |approx AS (
+       |  SELECT qid, vec_id FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10),
+       |escored AS (
+       |  SELECT q.qid, e.vec_id,
+       |    round(list_dot_product(q.qv, e.v) /
+       |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+       |  FROM e, q WHERE e.vec_id <> q.qid),
+       |exact AS (
+       |  SELECT qid, vec_id FROM escored
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10)
+       |SELECT x.qid, count(a.vec_id) AS n_hits,
+       |       count(a.vec_id) * 1000 AS recall_bp
+       |FROM exact x LEFT JOIN approx a USING (qid, vec_id)
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
 
   /** N3: the IVF index build itself — exact per-cell centroids (the
     * deterministic distributed mean every clustering/IVF pipeline
@@ -954,6 +1000,7 @@ object TextPipeline {
     "n1_cosine_topk"   -> n1CosineTopK,
     "n2_ann_ivf"       -> n2AnnIvf,
     "n3_centroids"     -> n3Centroids,
+    "n8_recall"        -> n8Recall,
     "m1_binary_meta"   -> m1BinaryMeta,
     "m2_frame_sample"  -> m2FrameSample,
     "m3_image_meta"    -> m3ImageMeta,
@@ -986,6 +1033,7 @@ object TextPipeline {
     "n1_cosine_topk"   -> n1CosineTopKSql,
     "n2_ann_ivf"       -> n2AnnIvfSql,
     "n3_centroids"     -> n3CentroidsSql,
+    "n8_recall"        -> n8RecallSql,
     "m1_binary_meta"   -> m1BinaryMetaSql,
     "m2_frame_sample"  -> m2FrameSampleSql,
     "m3_image_meta"    -> m3ImageMetaSql,
