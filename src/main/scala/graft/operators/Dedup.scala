@@ -388,6 +388,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo's
+    * merge/purge) — the blocking strategy orthogonal to hashing
+    * families: sort the corpus by a canonical key and compare each
+    * record only to its `w` successors in sort order. Distributed
+    * form: the canon-key PREFIX is the block (prefix ranges ARE
+    * contiguous sort ranges), rows sort within their block, and the
+    * pair join is block-equality plus a ±w rank residual — so the
+    * only shuffle is the block partitioning and no window ever spans
+    * the corpus (pairs across block boundaries are the method's
+    * documented recall trade, bounded by w per boundary). A cheap
+    * edit-distance measure over the 30-char key head filters the
+    * candidates; both the rank and the distance are exact integers
+    * on any engine.
+    *
+    * Returns (d1, d2, lev): unordered candidate pairs with head edit
+    * distance ≤ `maxLev`. */
+  def sortedNeighborhoodCandidates(docs: DataFrame, idCol: String,
+      textCol: String, w: Int = 3, prefixLen: Int = 2,
+      maxLev: Int = 5): DataFrame = {
+    val k = docs.select(col(idCol).as("doc_id"),
+      regexp_replace(lower(col(textCol)), "[^a-z0-9]", "").as("ck"))
+    val s = k.select(col("doc_id"), col("ck"),
+        substring(col("ck"), 1, prefixLen).as("blk"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blk")).orderBy(col("ck"), col("doc_id"))))
+    val a = s.select(col("blk"), col("rn").as("rn1"),
+      col("doc_id").as("id1"), col("ck").as("ck1"))
+    val b = s.select(col("blk"), col("rn").as("rn2"),
+      col("doc_id").as("id2"), col("ck").as("ck2"))
+    a.join(b, Seq("blk"))
+      .filter(col("rn2") > col("rn1") && col("rn2") <= col("rn1") + w)
+      .select(least(col("id1"), col("id2")).as("d1"),
+        greatest(col("id1"), col("id2")).as("d2"),
+        levenshtein(substring(col("ck1"), 1, 30), substring(col("ck2"), 1, 30))
+          .cast("long").as("lev"))
+      .filter(col("lev") <= maxLev)
+  }
+
   /** Canonical-survivor selection over duplicate clusters: per cluster,
     * keep the member with the highest `qualityCol`, ties broken by the
     * smallest id. The argmax is ONE `max(struct(quality, -id))`

@@ -559,6 +559,39 @@ object TextPipeline {
        |SELECT d1, d2, jaccard FROM res WHERE d2 >= 1000000
        |ORDER BY d1, d2""".stripMargin
 
+  /** D12: sorted-neighborhood dedup candidates — the record-linkage
+    * blocking strategy orthogonal to the hashing families (d2 LSH, d3
+    * SimHash banding, d4 n-gram, d5/d11 embedding blocks): canon-key
+    * prefix blocks = contiguous sort ranges, rows compare only to
+    * their w=3 successors in block-local sort order, 30-char-head
+    * edit distance ≤ 5 filters candidates. The injected near-dups
+    * differ only at the tail, so they sort adjacent and must be
+    * caught. All-integer ranks and distances; no corpus-spanning
+    * window. */
+  val d12SortedNeighborhood: Q = (s, dir) => {
+    import s.implicits._
+    Dedup.sortedNeighborhoodCandidates(docsWithDups(s, dir), "doc_id", "text")
+      .orderBy($"d1", $"d2")
+  }
+
+  val d12SortedNeighborhoodSql: String =
+    s"""WITH docs AS ($docsWithDupsSql),
+       |k AS (SELECT doc_id,
+       |        regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS ck
+       |      FROM docs),
+       |st AS (SELECT doc_id, ck, substr(ck, 1, 2) AS blk,
+       |        row_number() OVER (PARTITION BY substr(ck, 1, 2)
+       |                           ORDER BY ck, doc_id) AS rn
+       |      FROM k),
+       |pairs AS (
+       |  SELECT least(a.doc_id, b.doc_id) AS d1,
+       |         greatest(a.doc_id, b.doc_id) AS d2,
+       |         levenshtein(substr(a.ck, 1, 30), substr(b.ck, 1, 30)) AS lev
+       |  FROM st a JOIN st b
+       |    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 3)
+       |SELECT d1, d2, lev FROM pairs WHERE lev <= 5
+       |ORDER BY d1, d2""".stripMargin
+
   /** D3: SimHash signatures (60-bit, term-frequency weighted). */
   val d3Simhash: Q = (s, dir) => {
     import s.implicits._
@@ -992,6 +1025,7 @@ object TextPipeline {
     "d7_incremental_dedup" -> d7Incremental,
     "d9_survivorship"  -> d9Survivorship,
     "d10_dedup_apply"  -> d10DedupApply,
+    "d12_sorted_neighborhood" -> d12SortedNeighborhood,
     "d8_simhash_neardups"  -> d8SimhashNearDups,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
@@ -1025,6 +1059,7 @@ object TextPipeline {
     "d7_incremental_dedup" -> d7IncrementalSql,
     "d9_survivorship"  -> d9SurvivorshipSql,
     "d10_dedup_apply"  -> d10DedupApplySql,
+    "d12_sorted_neighborhood" -> d12SortedNeighborhoodSql,
     "d8_simhash_neardups"  -> d8SimhashNearDupsSql,
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
     "d5_embedding_neardup" -> d5EmbeddingNearDupSql,
