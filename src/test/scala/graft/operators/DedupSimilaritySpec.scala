@@ -131,6 +131,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"IVF recall $recall below the $nCells-cell floor")
   }
 
+  test("sorted-neighborhood catches tail-edit near-dups, skips unrelated texts") {
+    val withTail = docs.filter($"doc_id" =!= 4).unionByName(
+      Seq((10L, "the quick brown fox jumps over the lazy dog near the river bank today EXTRA"))
+        .toDF("doc_id", "text"))
+    val pairs = Dedup.sortedNeighborhoodCandidates(withTail, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1 and 10 share the whole head (tail-only edit) and sort adjacent;
+    // 1–2 differ within the 30-char head by <=5 edits too (today/tonight
+    // is past char 30, so head distance is 0)
+    assert(pairs.contains((1L, 10L)))
+    // unrelated docs (3, 5) never pair with the fox docs
+    assert(!pairs.exists { case (a, b) => (a == 3 || b == 3) && (a != b) && Set(1L, 2L, 10L).contains(if (a == 3) b else a) })
+  }
+
   test("survivorship keeps highest quality, ties break to smallest id") {
     import org.apache.spark.sql.functions.{col, length}
     val d = Seq(
