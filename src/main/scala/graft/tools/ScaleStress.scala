@@ -32,6 +32,10 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional section filter: `runMain graft.tools.ScaleStress d12 t17`
+    val only: Set[String] = args.toSet
+    def sect(name: String): Boolean = only.isEmpty || only.contains(name)
+
     val base = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
 
@@ -66,7 +70,7 @@ object ScaleStress {
       println(f"[stress] $label%-36s ${dt}%7.2f s  (out=$out)")
     }
 
-    Seq(1, 5, 20).foreach { n =>
+    if (sect("d2")) Seq(1, 5, 20).foreach { n =>
       // cache (not localCheckpoint): unpersist on a checkpointed
       // Dataset is a no-op — checkpoint blocks outlive the loop and
       // would shrink execution memory for the next, bigger corpus
@@ -76,6 +80,7 @@ object ScaleStress {
         Dedup.minhashNearDups(docs, "doc_id", "text") }
       docs.unpersist(blocking = true)
     }
+    if (sect("d2")) {
     val patho = identical(20).cache()
     val rows = patho.count()
     time(s"patho n=20 rows=$rows d2 uncapped") {
@@ -83,6 +88,7 @@ object ScaleStress {
     time(s"patho n=20 rows=$rows d2 cap=10") {
       Dedup.minhashNearDups(patho, "doc_id", "text", maxBucket = Some(10)) }
     patho.unpersist(blocking = true)
+    }
 
     // 3. LSH ANN (n5) — candidate side replicated N×: bucket
     // assignment is per-row, candidate generation joins only the
@@ -94,7 +100,7 @@ object ScaleStress {
         emb.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
           col("embedding"), col("label"))
       }.reduce(_.unionByName(_))
-    Seq(1, 5, 20).foreach { n =>
+    if (sect("n5")) Seq(1, 5, 20).foreach { n =>
       val cand = embN(n).cache()
       val nr = cand.count()
       time(s"ann n=$n rows=$nr n5 lshTopK") {
@@ -111,7 +117,7 @@ object ScaleStress {
           col("text"), col("source"))
       }.reduce(_.unionByName(_))
     val bench = base.filter(col("doc_id") % 211 === 5)
-    Seq(1, 5, 20).foreach { n =>
+    if (sect("t13")) Seq(1, 5, 20).foreach { n =>
       val corpus = docsN(n).cache()
       val nr = corpus.count()
       time(s"decon n=$n rows=$nr t13") {
@@ -131,7 +137,7 @@ object ScaleStress {
         orders.select((col("o_orderkey") + lit(r.toLong * 100000000L)).as("o_orderkey"),
           col("o_custkey"))
       }.reduce(_.unionByName(_))
-    Seq(1, 5, 20).foreach { n =>
+    if (sect("j6")) Seq(1, 5, 20).foreach { n =>
       val probe = ordersN(n).cache()
       val nr = probe.count()
       time(s"bloom n=$n rows=$nr j6 reduce") {
@@ -142,12 +148,53 @@ object ScaleStress {
     // 6. Quantized top-k (n6) — candidate side replicated N×, query
     // side fixed: integer dots against a broadcast query set, per-row
     // work only before the per-query top-k, so time should grow ~N.
-    Seq(1, 5, 20).foreach { n =>
+    if (sect("n6")) Seq(1, 5, 20).foreach { n =>
       val cand = embN(n).cache()
       val nr = cand.count()
       time(s"qtopk n=$n rows=$nr n6 quantizedTopK") {
         Quantize.quantizedTopK(cand, emb.filter(col("vec_id") < 5), "vec_id", "embedding") }
       cand.unpersist(blocking = true)
+    }
+
+    // 7. Sorted-neighborhood (d12) — disjoint replicas: the replica
+    // word tag heads every canon key, so each replica sorts into its
+    // own prefix blocks; near-dup density constant. MEASURED skew
+    // mode: at n=20 the default 2-char prefix collapses replicas
+    // r10..r19 into the single "r1" block (11× the rows in one
+    // block-local sort) — the canonical too-coarse-block failure.
+    // prefixLen=3 restores balance; the knob IS the fix.
+    if (sect("d12")) Seq(1, 5, 20).foreach { n =>
+      val docs = disjoint(n).cache()
+      val nr = docs.count()
+      time(s"sn n=$n rows=$nr d12 prefix=2") {
+        Dedup.sortedNeighborhoodCandidates(docs, "doc_id", "text") }
+      if (n == 20)
+        time(s"sn n=$n rows=$nr d12 prefix=3") {
+          Dedup.sortedNeighborhoodCandidates(docs, "doc_id", "text", prefixLen = 3) }
+      docs.unpersist(blocking = true)
+    }
+
+    // 8. Inverted index (t17 shape) — IDENTICAL replicas: constant
+    // vocabulary, per-word df grows ~N — the hot-word regime the
+    // head-block cap exists for. df stays an exact count; the
+    // posting collect is bounded at 20 ids per word regardless of N.
+    if (sect("t17")) Seq(1, 5, 20).foreach { n =>
+      val corpus = docsN(n).cache()
+      val nr = corpus.count()
+      time(s"iidx n=$n rows=$nr t17 hot-df") {
+        val wd = corpus
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "").distinct()
+        val dfreq = wd.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val byWord = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("word")).orderBy(col("doc_id"))
+        val head = wd.withColumn("rn", row_number().over(byWord))
+          .filter(col("rn") <= 20)
+          .groupBy(col("word"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+        dfreq.join(head, "word")
+      }
+      corpus.unpersist(blocking = true)
     }
     spark.stop()
   }
