@@ -67,6 +67,29 @@ class Round4OpsSpec extends AnyFunSuite {
     copies.foreach { case (_, _, cos) => assert(cos === 1.0) }
   }
 
+  test("an18: the lattice has exactly the four requested grouping sets") {
+    val rows = CoreRelational.an18GroupingSets(spark, sf).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid")).view.mapValues(_.length).toMap
+    val o = graft.Tables.load(spark, sf, "orders")
+    val nSt = o.select("o_orderstatus").distinct().count().toInt
+    val nPri = o.select("o_orderpriority").distinct().count().toInt
+    val nBoth = o.select("o_orderstatus", "o_orderpriority").distinct().count().toInt
+    assert(byGid === Map(0L -> nBoth, 1L -> nSt, 2L -> nPri, 3L -> 1))
+    // the grand total row equals the table count
+    val total = rows.filter(_.getAs[Long]("gid") == 3L).head.getAs[Long]("n")
+    assert(total === o.count())
+  }
+
+  test("n8: recall is well-formed and IVF@nProbe=all would be exact") {
+    val rows = TextPipeline.n8Recall(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= 10)
+      assert(r.getAs[Long]("recall_bp") === hits * 1000)
+    }
+  }
+
   test("j8: diff classes partition both snapshots") {
     val m = CoreRelational.j8SnapshotDiff(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
