@@ -397,7 +397,12 @@ object Dedup {
     * pair join is block-equality plus a ±w rank residual — so the
     * only shuffle is the block partitioning and no window ever spans
     * the corpus (pairs across block boundaries are the method's
-    * documented recall trade, bounded by w per boundary). A cheap
+    * documented recall trade, bounded by w per boundary). SIZE THE
+    * PREFIX TO THE CORPUS: a too-short prefix folds many sort ranges
+    * into one block and serializes its sort — ScaleStress measured a
+    * 31× cliff at 20× volume with prefixLen=2 vs 3 (identical
+    * output); at 100 TB the prefix grows like log(corpus)/log(Σ) so
+    * blocks track sort-range splits. A cheap
     * edit-distance measure over the 30-char key head filters the
     * candidates; both the rank and the distance are exact integers
     * on any engine.
