@@ -18,7 +18,9 @@ object Bench {
     "t11_repetition", "t12_domain_mix", "n4_quantize", "n6_quantized_topk",
     "c1_curate", "m3_image_meta", "g1_explode_words", "u1_except",
     "j6_bloom_semijoin", "u6_cdc_upsert", "s12_zorder_layout", "an14_cms_topk",
-    "an15_pagerank", "e8_funnel")
+    "an15_pagerank", "e8_funnel",
+    "e10_resample", "an18_grouping_sets", "j8_snapshot_diff",
+    "d12_sorted_neighborhood")
 
   /** Minimum repetitions per query; reported time is the median, so
     * single-run jitter (JIT, GC, page cache) can't masquerade as a
