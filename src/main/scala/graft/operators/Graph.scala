@@ -42,7 +42,7 @@ object Graph {
     val teleport = (15L * init) / 100L
     val ed = edges.join(deg, "src").repartition(col("src")).cache()
     var ranks = deg.select(col("src").as("node"), lit(init).as("r"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       // name-based using-join: `ranks` is derived from `ed`, so
       // cross-DataFrame column references would be ambiguous self-join
       // attributes; the fresh alias keeps resolution unambiguous
@@ -52,6 +52,13 @@ object Graph {
         .agg(sum(col("contrib")).as("s"))
         .select(col("dst").as("node"),
           (lit(teleport) + expr("(85 * s) div 100")).as("r"))
+      // Truncate lineage every 3 rounds (the dupClusters pattern,
+      // Dedup.scala): without it the plan nests one join+agg per
+      // iteration, so analysis/codegen cost grows with `iters` and
+      // real PageRank iteration counts (20-50) die in the optimizer
+      // long before any executor works. The checkpoint materializes
+      // |V| rows — the same rows the next shuffle moves anyway.
+      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }

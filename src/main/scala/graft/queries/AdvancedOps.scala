@@ -122,11 +122,19 @@ object AdvancedOps {
 
   /** E8: ordered funnel conversion (view → click → purchase) — the
     * sequential-pattern query (MATCH_RECOGNIZE's common case) in ONE
-    * key shuffle: events collect to a per-user time-sorted array and a
-    * single `aggregate` scan advances a stage machine (a later stage
-    * only fires on events after the previous stage fired). The
-    * three-self-join formulation the oracle uses is the same answer
-    * with |stages| shuffles; the scan form does it in one. All event
+    * key shuffle: running-min windows over the per-user time order
+    * advance the stage machine row by row (a later stage only fires on
+    * events after the previous stage fired — `tus > fv` against the
+    * running first-view is exactly `tus > tv` against the global one,
+    * because in time order any view AFTER a click is larger than it).
+    * All three windows share one partitioning+sort, and the groupBy
+    * rides the same hash partitioning, so the whole funnel is a single
+    * exchange. Per-row window state is O(1) and a pathological hot
+    * user (bot traffic, 10^7 events) is just a large sorted partition
+    * run in WindowExec's spillable buffer — unlike a
+    * collect_list-then-scan form, no aggregate buffer ever holds one
+    * user's full event array. The three-self-join formulation the
+    * oracle uses is the same answer with |stages| shuffles. All event
     * timestamps are distinct in this corpus, so first-after ==
     * strictly-greater and both formulations agree exactly. */
   val e8Funnel: Q = (s, dir) => {
@@ -136,26 +144,23 @@ object AdvancedOps {
       .select($"user_id", unix_micros($"ts").as("tus"),
         when($"event_type" === "view", 1)
           .when($"event_type" === "click", 2).otherwise(3).as("sr"))
-    val scanned = ev.groupBy($"user_id")
-      .agg(sort_array(collect_list(struct($"tus", $"sr"))).as("seq"))
-      .select($"user_id", expr(
-        """aggregate(seq,
-          |  named_struct('st', 0, 'tv', CAST(0 AS BIGINT),
-          |               'tc', CAST(0 AS BIGINT), 'tp', CAST(0 AS BIGINT)),
-          |  (acc, x) -> CASE
-          |    WHEN acc.st = 0 AND x.sr = 1 THEN
-          |      named_struct('st', 1, 'tv', x.tus, 'tc', acc.tc, 'tp', acc.tp)
-          |    WHEN acc.st = 1 AND x.sr = 2 THEN
-          |      named_struct('st', 2, 'tv', acc.tv, 'tc', x.tus, 'tp', acc.tp)
-          |    WHEN acc.st = 2 AND x.sr = 3 THEN
-          |      named_struct('st', 3, 'tv', acc.tv, 'tc', acc.tc, 'tp', x.tus)
-          |    ELSE acc END)""".stripMargin).as("f"))
-    scanned.agg(
+    val w = Window.partitionBy($"user_id").orderBy($"tus")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = ev
+      .withColumn("fv", min(when($"sr" === 1, $"tus")).over(w))
+      .withColumn("qc", when($"sr" === 2 && $"tus" > $"fv", $"tus"))
+      .withColumn("fc", min($"qc").over(w))
+      .withColumn("qp", when($"sr" === 3 && $"tus" > $"fc", $"tus"))
+    val perUser = staged.groupBy($"user_id").agg(
+      min(when($"sr" === 1, $"tus")).as("tv"),
+      min($"qc").as("tc"),
+      min($"qp").as("tp"))
+    perUser.agg(
       count(lit(1)).as("n_users"),
-      count(when($"f.st" >= 1, 1)).as("n_view"),
-      count(when($"f.st" >= 2, 1)).as("n_click"),
-      count(when($"f.st" === 3, 1)).as("n_purchase"),
-      coalesce(sum(when($"f.st" === 3, $"f.tp" - $"f.tv")), lit(0L))
+      count($"tv").as("n_view"),
+      count($"tc").as("n_click"),
+      count($"tp").as("n_purchase"),
+      coalesce(sum(when($"tp".isNotNull, $"tp" - $"tv")), lit(0L))
         .as("sum_lag_us"))
   }
 
@@ -393,7 +398,10 @@ object AdvancedOps {
     val ev = Tables.load(s, dir, "events")
       .select($"user_id", $"event_id", unix_micros($"ts").as("tus"),
         floor($"value" * 100).cast("long").as("vc"))
-      .withColumn("slot", expr(s"tus div $W"))
+      // floor-division slot (pmod keeps the numerator an exact multiple
+      // of W): bare `div` truncates toward zero and would disagree with
+      // the oracle's `//` floor for pre-1970 timestamps
+      .withColumn("slot", expr(s"(tus - pmod(tus, $W)) div $W"))
     val slotv = ev.groupBy($"user_id", $"slot")
       .agg(max(struct($"tus", $"event_id", $"vc")).as("w"))
       .select($"user_id", $"slot", $"w.vc".as("vc"))

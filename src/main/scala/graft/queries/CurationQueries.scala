@@ -125,10 +125,15 @@ object CurationQueries {
 
   /** N4: symmetric int8 quantization of the embedding column with
     * exact integer self-dot and round-6 max reconstruction error
-    * (floor-quantization — engine round() ties can't diverge). */
+    * (floor-quantization — engine round() ties can't diverge). The
+    * library operator emits `q` as array<bigint>; the GATE projection
+    * joins it to a canonical comma string because the driver's pandas
+    * verifier cannot sort/hash array cells — the check stays exact
+    * (same digits, same order) while the harness sees a scalar. */
   val n4Quantize: Q = (s, dir) => {
     import s.implicits._
     Quantize.quantize(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+      .withColumn("q", array_join($"q", ","))
       .orderBy($"vec_id")
   }
 
@@ -142,7 +147,7 @@ object CurationQueries {
       |         ELSE list_transform(v, x -> greatest(-127, CAST(floor(x * 127.0 / max_abs) AS BIGINT)))
       |    END AS q
       |  FROM m)
-      |SELECT vec_id, max_abs, q,
+      |SELECT vec_id, max_abs, array_to_string(q, ',') AS q,
       |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qdot,
       |  CASE WHEN max_abs = 0 THEN 0.0
       |       ELSE round(list_max(list_transform(range(len(v)),
@@ -215,8 +220,11 @@ object CurationQueries {
       .orderBy($"qid", $"cos".desc, $"vec_id")
   }
 
-  val n5AnnLshSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** The SRP-LSH probe-and-score CTE chain up to `scored(qid, vec_id,
+    * cos)` — shared by n5 (top-10 listing) and n9 (recall vs brute
+    * force), mirroring TextPipeline's ivfScoredCtes/n8 pairing. */
+  private val lshScoredCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |planes AS (
       |  SELECT j, i,
       |    ('0x' || substr(md5('lsh:' || j::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT
@@ -242,10 +250,54 @@ object CurationQueries {
       |    round(list_dot_product(p.qv, c.v) /
       |          (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
       |  FROM c JOIN probes p USING (bucket)
-      |  WHERE c.vec_id <> p.qid)
-      |SELECT qid, vec_id, cos FROM scored
-      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10
-      |ORDER BY qid, cos DESC, vec_id""".stripMargin
+      |  WHERE c.vec_id <> p.qid)""".stripMargin
+
+  val n5AnnLshSql: String =
+    s"""WITH $lshScoredCtes
+       |SELECT qid, vec_id, cos FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10
+       |ORDER BY qid, cos DESC, vec_id""".stripMargin
+
+  /** N9: recall@10 of the SRP-LSH index against exact brute force —
+    * n8's quality gate for the SECOND ANN path: hamming-1 multiprobe
+    * over 6-bit sign buckets, measured against the same fully
+    * tie-broken exact ranking, so recall is an exact integer (basis
+    * points). Pins SRP-LSH retrieval QUALITY, not just its plan shape;
+    * at scale this runs on a sample of queries (here: the 5 gate
+    * queries). */
+  val n9LshRecall: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter($"vec_id" < 5)
+    val exact = graft.operators.Similarity.cosineTopK(emb, q, k = 10)
+      .select($"qid", $"vec_id")
+    val approx = graft.operators.Similarity
+      .lshTopK(emb, q, dim = 64, nBits = 6, k = 10)
+      .select($"qid", $"vec_id").withColumn("hit", lit(1))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy($"qid")
+      .agg(sum(coalesce($"hit", lit(0))).as("n_hits"))
+      .select($"qid", $"n_hits", ($"n_hits" * 1000).as("recall_bp"))
+      .orderBy($"qid")
+  }
+
+  val n9LshRecallSql: String =
+    s"""WITH $lshScoredCtes,
+       |approx AS (
+       |  SELECT qid, vec_id FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10),
+       |escored AS (
+       |  SELECT q.qid, e.vec_id,
+       |    round(list_dot_product(q.qv, e.v) /
+       |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+       |  FROM e, q WHERE e.vec_id <> q.qid),
+       |exact AS (
+       |  SELECT qid, vec_id FROM escored
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10)
+       |SELECT x.qid, count(a.vec_id) AS n_hits,
+       |       count(a.vec_id) * 1000 AS recall_bp
+       |FROM exact x LEFT JOIN approx a USING (qid, vec_id)
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
 
   /** T15: URL/domain extraction — the web-corpus provenance op:
     * pull URLs out of text, reduce to domains, count per domain.
@@ -379,7 +431,9 @@ object CurationQueries {
     * 100 TB has billions of postings; block-based storage is how real
     * indexes shard them). `df` stays exact over the full list via a
     * separate count aggregate — two shuffles over the deduplicated
-    * (word, doc) stream, both map-side combined. */
+    * (word, doc) stream, both map-side combined. The posting block is
+    * emitted as a canonical comma-joined string (the driver's pandas
+    * verifier cannot sort/hash array cells; same digits either way). */
   val t17InvertedIndex: Q = (s, dir) => {
     import s.implicits._
     val wd = Tables.load(s, dir, "documents")
@@ -393,13 +447,13 @@ object CurationQueries {
       .withColumn("rn", row_number().over(byWord))
       .filter($"rn" <= 20)
       .groupBy($"word")
-      .agg(sort_array(collect_list($"doc_id")).as("postings"))
+      .agg(array_join(sort_array(collect_list($"doc_id")), ",").as("postings"))
     dfreq.join(head, "word").orderBy($"word")
   }
 
   val t17InvertedIndexSql: String =
     """SELECT word, count(DISTINCT doc_id) AS df,
-      |  (list(DISTINCT doc_id ORDER BY doc_id))[1:20] AS postings
+      |  array_to_string((list(DISTINCT doc_id ORDER BY doc_id))[1:20], ',') AS postings
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
       |WHERE word <> ''
       |GROUP BY word ORDER BY word""".stripMargin
@@ -411,6 +465,7 @@ object CurationQueries {
     "t12_domain_mix"  -> t12DomainMix,
     "n4_quantize"     -> n4Quantize,
     "n5_ann_lsh"      -> n5AnnLsh,
+    "n9_lsh_recall"   -> n9LshRecall,
     "t13_decontaminate" -> t13Decontaminate,
     "t15_url_extract" -> t15UrlExtract,
     "n6_quantized_topk" -> n6QuantizedTopK,
@@ -423,6 +478,7 @@ object CurationQueries {
     "t12_domain_mix"  -> t12DomainMixSql,
     "n4_quantize"     -> n4QuantizeSql,
     "n5_ann_lsh"      -> n5AnnLshSql,
+    "n9_lsh_recall"   -> n9LshRecallSql,
     "t13_decontaminate" -> t13DecontaminateSql,
     "t15_url_extract" -> t15UrlExtractSql,
     "n6_quantized_topk" -> n6QuantizedTopKSql,

@@ -196,6 +196,25 @@ object ScaleStress {
       }
       corpus.unpersist(blocking = true)
     }
+    // 9. PageRank (an15) — iteration-depth curve on the fixed trade
+    // graph: with per-3-rounds localCheckpoint the per-iteration cost
+    // must stay FLAT out to real iteration counts (20-40); without
+    // lineage truncation the nested plan makes analysis cost grow
+    // with depth and dies long before the executors are the problem.
+    if (sect("an15")) {
+      val o = Tables.load(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))).cache()
+      val ne = edges.count()
+      Seq(3, 10, 20, 40).foreach { iters =>
+        time(f"pagerank edges=$ne iters=$iters%-3d an15") {
+          graft.operators.Graph.pageRank(edges, iters) }
+      }
+      edges.unpersist(blocking = true)
+    }
     spark.stop()
   }
 }

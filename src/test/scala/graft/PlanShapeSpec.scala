@@ -55,13 +55,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // constructing it executes a real streaming query, and its
     // returned plan is a memory-sink read, not the streaming topology.
     import graft.tools.PlanAudit
-    // d11 inherits n7's Lloyd assignment: the broadcast side is the
-    // k=8 centroid relation, bounded by construction like n7's
     // d11 inherits n7's Lloyd assignment (broadcast k=8 centroids);
-    // n8 composes n1's exact side (broadcast 5-query fan-out)
+    // n8/n9 compose n1's exact side (broadcast 5-query fan-out)
     val bnljAllowed = Set("n1_cosine_topk", "n2_ann_ivf", "n6_quantized_topk",
-      "n7_kmeans", "d11_semantic_dedup", "n8_recall", "j6_bloom_semijoin",
-      "t8_stratified_sample", "t9_tfidf", "t13_decontaminate")
+      "n7_kmeans", "d11_semantic_dedup", "n8_recall", "n9_lsh_recall",
+      "j6_bloom_semijoin", "t8_stratified_sample", "t9_tfidf",
+      "t13_decontaminate")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(PlanAudit.excluded.contains).flatMap { name =>
         val plan = sparkPlan(name).toString

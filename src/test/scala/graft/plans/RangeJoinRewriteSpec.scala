@@ -5,10 +5,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** The optimizer rule must (a) change the naive theta-join's physical
-  * plan from a nested-loop join to a hash-able equi-join and (b) never
-  * change its rows — across inclusive/strict bounds, negatives that
-  * stress floor division, empty intervals, and overlapping intervals. */
+/** The optimizer rule must (a) give the naive theta-join a hash-able
+  * equi branch (the `_graft_pbkt` bucket key) so narrow intervals
+  * never take the nested-loop path and (b) never change its rows —
+  * across inclusive/strict bounds, negatives that stress floor
+  * division, empty intervals, overlapping intervals, open-interval
+  * sentinels at Long.MIN/MAX, and intervals wider than the bucket cap
+  * (which must route to the bounded fallback branch, not a
+  * too-long-sequence error). */
 class RangeJoinRewriteSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -22,12 +26,14 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     (5L, -5L, 5L), (6L, 0L, 400L), (7L, 240L, 241L)
   ).toDF("iid", "lo", "hi")
 
-  private def withRule[T](f: => T): T = {
+  private def withRule[T](conf: Map[String, String] = Map.empty)(f: => T): T = {
     spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
     spark.conf.set(RangeJoinRewrite.WidthKey, "100")
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
     try f finally {
       spark.experimental.extraOptimizations = Nil
       spark.conf.unset(RangeJoinRewrite.WidthKey)
+      conf.keys.foreach(spark.conf.unset)
     }
   }
 
@@ -37,16 +43,17 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
   private def planOf(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  test("half-open predicate: same rows, no nested-loop join") {
+  test("half-open predicate: same rows, bucketed equi branch present") {
     val naive = points.join(intervals, $"p" >= $"lo" && $"p" < $"hi")
     val expected = rows(naive) // rule not installed yet
     assert(planOf(naive).contains("BroadcastNestedLoopJoin"),
       "precondition: the naive plan is the nested-loop trap")
-    withRule {
+    withRule() {
       val rewritten = points.join(intervals, $"p" >= $"lo" && $"p" < $"hi")
       val plan = planOf(rewritten)
-      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-        s"rewrite should remove the nested-loop join:\n$plan")
+      assert(plan.contains("_graft_pbkt"),
+        s"rewrite should add the bucket equi-key:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
       assert(rows(rewritten) === expected)
     }
   }
@@ -58,9 +65,9 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       $"lo" <= $"p" && $"hi" > $"p")
     conds.foreach { c =>
       val expected = rows(points.join(intervals, c))
-      withRule {
+      withRule() {
         val rewritten = points.join(intervals, c)
-        assert(!planOf(rewritten).contains("BroadcastNestedLoopJoin"))
+        assert(planOf(rewritten).contains("_graft_pbkt"))
         assert(rows(rewritten) === expected, s"condition $c")
       }
     }
@@ -68,15 +75,15 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
 
   test("interval side on the left still rewrites") {
     val expected = rows(intervals.join(points, $"p" >= $"lo" && $"p" < $"hi"))
-    withRule {
+    withRule() {
       val rewritten = intervals.join(points, $"p" >= $"lo" && $"p" < $"hi")
-      assert(!planOf(rewritten).contains("BroadcastNestedLoopJoin"))
+      assert(planOf(rewritten).contains("_graft_pbkt"))
       assert(rows(rewritten) === expected)
     }
   }
 
   test("a join that already has an equi-key is left alone") {
-    withRule {
+    withRule() {
       val df = points.join(intervals, $"p" === $"lo" && $"p" < $"hi")
       // planner gets a hash join either way; the rule must not touch it
       assert(!planOf(df).contains("_graft_pbkt"))
@@ -86,10 +93,58 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
   test("residual conjuncts survive the rewrite") {
     val c = $"p" >= $"lo" && $"p" < $"hi" && $"pid" =!= $"iid"
     val expected = rows(points.join(intervals, c))
-    withRule {
+    withRule() {
       val rewritten = points.join(intervals, c)
-      assert(!planOf(rewritten).contains("BroadcastNestedLoopJoin"))
+      assert(planOf(rewritten).contains("_graft_pbkt"))
       assert(rows(rewritten) === expected)
+    }
+  }
+
+  // ---- sentinel bounds and the wide-interval fallback ----------------
+
+  // open-ended sentinels next to normal intervals: the MAX-sentinel row
+  // spans ~2^63/w buckets and MUST take the fallback branch (Sequence
+  // would throw); the MIN lower bound exercises the pmod wrap guard.
+  lazy val sentinels = Seq(
+    (1L, 0L, 100L),                       // normal
+    (2L, 150L, Long.MaxValue),            // open upper sentinel
+    (3L, Long.MinValue, -200L),           // open lower sentinel
+    (4L, Long.MinValue, Long.MaxValue)    // matches everything
+  ).toDF("iid", "lo", "hi")
+
+  test("open-interval sentinels: exact rows, no sequence explosion") {
+    val c = $"p" >= $"lo" && $"p" < $"hi"
+    val expected = rows(points.join(sentinels, c))
+    withRule() {
+      val rewritten = points.join(sentinels, c)
+      assert(rows(rewritten) === expected)
+    }
+  }
+
+  test("inclusive sentinel upper bound (p <= Long.MaxValue) keeps its matches") {
+    val c = $"p" >= $"lo" && $"p" <= $"hi"
+    val expected = rows(points.join(sentinels, c))
+    assert(expected.nonEmpty)
+    withRule() {
+      assert(rows(points.join(sentinels, c)) === expected)
+    }
+  }
+
+  test("maxBuckets cap routes multi-bucket intervals to the fallback, rows exact") {
+    val c = $"p" >= $"lo" && $"p" < $"hi"
+    val expected = rows(points.join(intervals, c))
+    // cap of 1: every interval wider than one bucket uses the fallback
+    withRule(Map(RangeJoinRewrite.MaxBucketsKey -> "1")) {
+      assert(rows(points.join(intervals, c)) === expected)
+    }
+  }
+
+  test("bucketWidth = 0 fails fast instead of silently matching nothing") {
+    withRule(Map(RangeJoinRewrite.WidthKey -> "0")) {
+      val ex = intercept[Exception] {
+        points.join(intervals, $"p" >= $"lo" && $"p" < $"hi").collect()
+      }
+      assert(ex.getMessage.contains(RangeJoinRewrite.WidthKey))
     }
   }
 }

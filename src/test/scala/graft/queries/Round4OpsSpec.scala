@@ -31,7 +31,7 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val df = r.getAs[Long]("df")
-      val postings = r.getSeq[Long](r.fieldIndex("postings"))
+      val postings = r.getAs[String]("postings").split(",").map(_.toLong).toSeq
       assert(postings.length === math.min(df, 20L).toInt,
         s"word ${r.getString(0)}: block size vs df")
       assert(postings === postings.sorted, "head block is ordered")
