@@ -37,6 +37,18 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(r(1L) === leaf && r(2L) === leaf && r(3L) === leaf)
   }
 
+  test("pageRank: 20-iteration depth converges to the 2-cycle fixpoint (lineage truncated)") {
+    // real iteration counts are the operator contract (the r4 verdict's
+    // latent hazard): without the per-3-rounds localCheckpoint this
+    // nests 20 join+agg layers and dies in the optimizer, not the
+    // executors. The 2-cycle is a per-round fixpoint, so depth cannot
+    // change the answer — determinism AND completion are the assertion.
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 20).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(0L -> 500000000000L, 1L -> 500000000000L))
+  }
+
   test("pageRank: rank mass is conserved up to truncation leak") {
     val df = AdvancedOps.an15PageRank(spark, sf)
     val total = df.agg(sum($"rank")).as[Long].head()

@@ -120,6 +120,72 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.contains((2L, 1L, 5.0)))   // open session flushed by timeout
   }
 
+  test("stateful sessionizer recovers open-session state across restart") {
+    // stronger than source-offset recovery: the OPEN session built in
+    // pass 1 lives only in the state store; after a kill, pass 2's gap
+    // closure can only produce the right session if that state was
+    // checkpointed and recovered
+    val root = Files.createTempDirectory("graft-state-restart")
+    val land = root.resolve("landing"); Files.createDirectories(land)
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+    def ts(min: Long) = new Timestamp((1000 + min) * 60000L)
+    var batchNo = 0
+    def landEvents(evs: Streams.Event*): Unit = {
+      batchNo += 1
+      // ONE part-file per land: with maxFilesPerTrigger=1 a multi-file
+      // land would split one logical batch across micro-batches, and
+      // the watermark from the first fragment can drop the second
+      // fragment's earlier events as late
+      evs.toSeq.toDS().coalesce(1)
+        .write.mode("append").parquet(land.resolve(s"b$batchNo").toString)
+    }
+    val schema = Seq.empty[Streams.Event].toDS().schema
+    def runPass(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // one landed dir per micro-batch
+        .parquet(land.toString + "/*")
+      val q = Streams.sessionizeStream(src.as[Streams.Event], "10 minutes")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop() // kill
+    }
+    // pass 1: u1 has an open 2-event session, u2 an open 1-event one —
+    // nothing emits; all of it is state
+    landEvents(
+      Streams.Event(1L, ts(0), 1.0),
+      Streams.Event(1L, ts(10), 2.0),
+      Streams.Event(2L, ts(5), 5.0))
+    runPass()
+    // (Try: an emit-nothing pass may leave the sink dir absent or
+    // metadata-only, where a parquet read cannot infer a schema)
+    val pass1Rows =
+      scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
+    assert(pass1Rows === 0L, "pass 1 must emit nothing")
+    // pass 2 (recovered state): gap > 30m closes u1's first session;
+    // the far-future events advance the watermark and fire timeouts.
+    // Two trailing batches: timeouts fire in a batch AFTER the one
+    // that advanced the watermark, and a data batch is a firing
+    // opportunity processAllAvailable is guaranteed to wait for (a
+    // watermark-triggered no-data batch can race q.stop()).
+    landEvents(Streams.Event(1L, ts(50), 3.0))
+    landEvents(Streams.Event(3L, ts(10000), 0.0))
+    landEvents(Streams.Event(3L, ts(10001), 0.0))
+    landEvents(Streams.Event(3L, ts(10002), 0.0))
+    runPass()
+    val got = spark.read.parquet(out)
+      .select($"user_id", $"n_events", $"session_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // (1,2,3.0) is provable ONLY from recovered state: start/last/total
+    // of the pre-kill open session
+    assert(got.contains((1L, 2L, 3.0)), s"recovered gap closure missing: $got")
+    assert(got.contains((2L, 1L, 5.0)), s"recovered timeout flush missing: $got")
+  }
+
   test("streaming dedup passes exactly one doc per fingerprint (== batch distinct)") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select($"doc_id", $"text")
