@@ -196,6 +196,48 @@ object ScaleStress {
       }
       corpus.unpersist(blocking = true)
     }
+    // 9b. Funnel (e8) — HOT-USER regime: the sf corpus plus one
+    // synthetic bot user with N million view/click events. The
+    // window-form stage machine (r5) keeps O(1) per-row state and
+    // spills the bot's sorted run; the retired collect_list form held
+    // the bot's whole event array in ONE aggregation buffer row. Time
+    // should grow ~N and never OOM.
+    if (sect("e8")) {
+      val ev0 = Tables.load(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      Seq(1, 4, 8).foreach { n =>
+        val bot = spark.range(n * 1000000L).select(
+          lit(999999999L).as("user_id"),
+          timestamp_micros(lit(1600000000000000L) + col("id") * 1000000L).as("ts"),
+          when(col("id") % 3 === 0, "view")
+            .when(col("id") % 3 === 1, "click").otherwise("purchase").as("event_type"))
+        val events = ev0.unionByName(bot).cache()
+        val rows = events.count()
+        time(s"funnel bot=${n}M rows=$rows e8") {
+          import spark.implicits._
+          val evf = events
+            .filter($"event_type".isin("view", "click", "purchase"))
+            .select($"user_id", unix_micros($"ts").as("tus"),
+              when($"event_type" === "view", 1)
+                .when($"event_type" === "click", 2).otherwise(3).as("sr"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id").orderBy($"tus")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)
+          val staged = evf
+            .withColumn("fv", min(when($"sr" === 1, $"tus")).over(w))
+            .withColumn("qc", when($"sr" === 2 && $"tus" > $"fv", $"tus"))
+            .withColumn("fc", min($"qc").over(w))
+            .withColumn("qp", when($"sr" === 3 && $"tus" > $"fc", $"tus"))
+          staged.groupBy($"user_id").agg(
+            min(when($"sr" === 1, $"tus")).as("tv"),
+            min($"qc").as("tc"), min($"qp").as("tp"))
+            .agg(count(lit(1)).as("n_users"), count($"tp").as("n_purchase"))
+        }
+        events.unpersist(blocking = true)
+      }
+    }
+
     // 9. PageRank (an15) — iteration-depth curve on the fixed trade
     // graph: with per-3-rounds localCheckpoint the per-iteration cost
     // must stay FLAT out to real iteration counts (20-40); without
