@@ -350,7 +350,12 @@ object AdvancedOps {
   val an16CohortRetention: Q = (s, dir) => {
     import s.implicits._
     val act = Tables.load(s, dir, "events")
-      .select($"user_id", expr("unix_micros(ts) div 604800000000").as("wk"))
+      // floor-division week index (pmod form, as in e10): bare `div`
+      // truncates toward zero and diverges from the oracle's `//`
+      // floor for pre-1970 timestamps
+      .select($"user_id",
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 604800000000)) div 604800000000")
+          .as("wk"))
       .distinct()
     val first = act.groupBy($"user_id").agg(min($"wk").as("cw"))
     val ret = act.join(first, "user_id")
