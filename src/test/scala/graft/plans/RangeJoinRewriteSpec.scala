@@ -147,4 +147,46 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       assert(ex.getMessage.contains(RangeJoinRewrite.WidthKey))
     }
   }
+
+  test("extensions path: injectOptimizerRule rewrites, sentinels included, fixed point stable") {
+    // the PRODUCTION registration: a real session built with
+    // GraftExtensions, where the rule runs inside the optimizer's
+    // fixed-point batches interleaved with every other rule — this is
+    // where a lost skip-tag on the wide fallback join would re-rewrite
+    // forever (max-iterations warnings / plan bloat)
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force TestSpark init before swapping sessions
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      ext.conf.set(RangeJoinRewrite.WidthKey, "100")
+      import ext.implicits._
+      val ptRows = (-250L to 250L by 7L).zipWithIndex
+        .map { case (p, i) => (i.toLong, p) }
+      val ivRows = Seq(
+        (1L, 0L, 100L), (2L, 150L, Long.MaxValue), (3L, 10L, 10L),
+        (4L, Long.MinValue, -200L))
+      val pts = ptRows.toDF("pid", "p")
+      val ivs = ivRows.toDF("iid", "lo", "hi")
+      val joined = pts.join(ivs, $"p" >= $"lo" && $"p" < $"hi")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("_graft_pbkt"),
+        s"extensions-injected rule did not fire:\n$plan")
+      val got = joined.select($"pid", $"iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        (pid, p) <- ptRows
+        (iid, lo, hi) <- ivRows if p >= lo && p < hi
+      } yield (pid, iid)).toSet
+      assert(got === expected)
+    } finally {
+      ext.conf.unset(RangeJoinRewrite.WidthKey)
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
