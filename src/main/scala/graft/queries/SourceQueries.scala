@@ -125,6 +125,40 @@ object SourceQueries {
       |FROM documents WHERE doc_id % 2 = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** S2/K3: the MongoDB staging path as a file round-trip — write the
+    * documents table as a mongoimport-ready canonical-extended-JSON
+    * export (K3, `insert_many` payload: DB/MongoDB.py:36-41), read it
+    * back through the wrapper-unwrapping reader (S2, the notebook's
+    * export read: DB/ETL.ipynb c4-c5), and emit the typed columns.
+    * The synthetic `fetched` timestamp lands before 1970 for low
+    * doc_ids, so the `$date` epoch-millis wrapper is exercised on
+    * negative values too. Oracle = the same values computed straight
+    * from parquet: any wrapper the codec mangled would hash-mismatch. */
+  val s13MongoExtjson: Q = (s, dir) => {
+    import s.implicits._
+    val out = tmp("graft-s13") + "/mongo"
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars",
+        timestamp_millis((($"doc_id" * 86400000L) % 4102444800000L)
+          - 3155760000000L).as("fetched"))
+    graft.etl.MongoStage.writeExtJsonl(docs, "doc_id", out)
+    val schema = StructType(Seq(
+      StructField("_id", StringType), StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType),
+      StructField("fetched", TimestampType)))
+    graft.etl.MongoStage.readExtJsonl(s, out, schema)
+      .select($"_id".as("oid"), $"doc_id", $"text", $"lang", $"source",
+        $"n_chars", unix_millis($"fetched").as("fetched_ms"))
+      .orderBy($"doc_id")
+  }
+
+  val s13MongoExtjsonSql: String =
+    """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 24) AS oid,
+      |       doc_id, text, lang, source, n_chars,
+      |       (doc_id * 86400000) % 4102444800000 - 3155760000000 AS fetched_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** A1: the count-audit operator (ref: before/after cleaning counts,
     * DB/ETL.ipynb c13/c27) as one relation of named counts. */
   val a1CountAudit: Q = (s, dir) => {
@@ -152,6 +186,7 @@ object SourceQueries {
     "s9_orc_read"   -> s9OrcRead,
     "s10_text_read" -> s10TextRead,
     "s11_merge_schema" -> s11MergeSchema,
+    "s13_mongo_extjson" -> s13MongoExtjson,
     "a1_count_audit" -> a1CountAudit,
   )
 
@@ -161,6 +196,7 @@ object SourceQueries {
     "s9_orc_read"   -> s9OrcReadSql,
     "s10_text_read" -> s10TextReadSql,
     "s11_merge_schema" -> s11MergeSchemaSql,
+    "s13_mongo_extjson" -> s13MongoExtjsonSql,
     "a1_count_audit" -> a1CountAuditSql,
   )
 }
