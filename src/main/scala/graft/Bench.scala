@@ -36,6 +36,47 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg"))).split(" ").head.toDouble
   } catch { case _: Throwable => -1.0 }
 
+  /** (wantedTicks, stealTicks) from /proc/stat, where wanted =
+    * user+nice+system+irq+softirq+steal — the cycles the guest tried
+    * to run, EXCLUDING idle/iowait. Guest loadavg is blind to
+    * HYPERVISOR contention: on a stolen-cpu host the same query
+    * measured 6.5 s and 71 s with guest loadavg < 1 both times (r5,
+    * SCALING.md). Steal over WANTED cycles is the honest ratio — on a
+    * 32-cpu guest where a query keeps 4 cpus busy, an all-cpu steal
+    * average of 9% is really ~45% of the cycles the job asked for. */
+  def cpuTicks(): (Long, Long) = try {
+    val c = scala.io.Source.fromFile("/proc/stat").getLines()
+      .next().trim.split("\\s+").drop(1).map(_.toLong)
+    val steal = if (c.length > 7) c(7) else 0L
+    (c(0) + c(1) + c(2) + c(5) + c(6) + steal, steal)
+  } catch { case _: Throwable => (0L, 0L) }
+
+  /** Stolen share (%) of wanted cpu cycles between two samples. */
+  def stealPct(a: (Long, Long), b: (Long, Long)): Double = {
+    val dw = b._1 - a._1
+    if (dw <= 0) 0.0 else 100.0 * (b._2 - a._2) / dw
+  }
+
+  /** Seconds for a fixed 400M-step xorshift loop — a deterministic
+    * single-thread probe of EFFECTIVE cpu speed. Steal% misses host
+    * slowdowns that aren't accounted as steal (sibling-hyperthread
+    * contention, host frequency scaling): r5 measured the same Spark
+    * job at 20 s and 44 s with steal at 0.1% both times. Two probes
+    * bracketing the run give a reader the normalizer that turns "the
+    * number moved" into "the machine moved". ≈0.85 s on this host
+    * when healthy (measured r5). */
+  def calibrate(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 400000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) System.err.println("") // defeat dead-code elimination
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,15 +86,24 @@ object Bench {
     // to 10×30 s — then run regardless but flag the JSON so a reader
     // can discard the numbers.
     val loadLimit = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "2.0").toDouble
+    val stealLimit = sys.env.getOrElse("SPARK_GRAFT_MAX_STEAL", "5.0").toDouble
+    // a 3 s sample window is enough to see double-digit steal
+    def sampleSteal(): Double = {
+      val a = cpuTicks(); Thread.sleep(3000); stealPct(a, cpuTicks())
+    }
     var waits = 0
-    while (loadavg() > loadLimit && waits < 10) {
+    var steal = sampleSteal()
+    while ((loadavg() > loadLimit || steal > stealLimit) && waits < 10) {
       System.err.println(
-        s"[bench] loadavg ${loadavg()} > $loadLimit — waiting 30 s for a quiet machine")
+        s"[bench] loadavg ${loadavg()} / steal $steal% — waiting 30 s for a quiet machine")
       Thread.sleep(30000)
+      steal = sampleSteal()
       waits += 1
     }
     val startLoad = loadavg()
-    val busyStart = startLoad > loadLimit
+    val busyStart = startLoad > loadLimit || steal > stealLimit
+    val runTicks0 = cpuTicks()
+    val calib0 = { calibrate(); calibrate() } // first rep pays JIT
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -108,7 +158,11 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val load = loadavg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"errors":$errors,"reps":$reps,"loadavg":"$load","loadavg_start":"$startLoad","busy_start":$busyStart,"sf":"$sfDir"}""")
+    val runSteal = String.format(java.util.Locale.ROOT, "%.1f",
+      Double.box(stealPct(runTicks0, cpuTicks())))
+    def f3(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"errors":$errors,"reps":$reps,"loadavg":"$load","loadavg_start":"$startLoad","busy_start":$busyStart,"steal_pct_run":$runSteal,"calib_sec_start":${f3(calib0)},"calib_sec_end":${f3(calibrate())},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -63,11 +63,17 @@ object ScaleStress {
           col("text"), col("source")))
       }.reduce(_.unionByName(_))
 
+    // per-block hypervisor-steal share: on a Firecracker guest the
+    // SAME block measured 6.5 s and 71 s across runs with guest
+    // loadavg < 1 — a curve datapoint without its steal% is
+    // uninterpretable (see Bench.cpuTicks)
     def time(label: String)(df: => DataFrame): Unit = {
+      val s0 = graft.Bench.cpuTicks()
       val t0 = System.nanoTime()
       val out = df.count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[stress] $label%-36s ${dt}%7.2f s  (out=$out)")
+      val steal = graft.Bench.stealPct(s0, graft.Bench.cpuTicks())
+      println(f"[stress] $label%-36s ${dt}%7.2f s  (out=$out, steal=$steal%.1f%%)")
     }
 
     if (sect("d2")) Seq(1, 5, 20).foreach { n =>
