@@ -34,11 +34,11 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * monotonicity (`p > lo ⟹ bucket(p) ≥ bucket(lo)`, `p ≤/< hi ⟹
   * bucket(p) ≤ bucket(hi)`), costs at most one extra candidate bucket
   * per end, and cannot overflow at the `Long.MIN/MAX` sentinels the
-  * way `hi + 1` arithmetic does. Buckets use sign-correct floor
-  * division `(x - pmod(x, w)) div w`; for `x` within one width of
-  * `Long.MinValue` that subtraction itself would wrap, so those rows
-  * are pinned to the lowest bucket (lower bounds) or one above it
-  * (upper bounds) — over-covering, never dropping. Empty intervals
+  * way `hi + 1` arithmetic does. Every bucket — point and bounds —
+  * is the EXACT floor `x div w` via sign-correct `(x - pmod(x, w))
+  * div w`, with the `Long.MinValue`-adjacent wrap region (where that
+  * subtraction would overflow — an ANSI runtime error) short-circuited
+  * to its true bucket, a rule-time literal. Empty intervals
   * (`bucket(lo) > bucket(hi)`) explode to zero buckets via an `If`
   * guard — Sequence would otherwise run DOWNWARD and manufacture
   * candidates.
@@ -92,21 +92,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def fdiv(e: Expression, w: Long): Expression =
     IntegralDivide(Subtract(e, Pmod(e, Literal(w))), Literal(w))
 
-  /** Bucket of a LOWER bound: for x < MIN + w the `x - pmod(x, w)`
-    * numerator wraps positive, so pin those rows to the true lowest
-    * bucket floor(MIN / w) — an under-estimate is safe on this end. */
-  private def bucketLo(e: Expression, w: Long): Expression =
-    If(LessThan(e, Literal(Long.MinValue + w)),
-      Literal(Math.floorDiv(Long.MinValue, w)),
-      fdiv(e, w))
-
-  /** Bucket of an UPPER bound: same wrap guard, but pinned one bucket
-    * ABOVE the lowest (the [MIN, MIN+w) range straddles two buckets
-    * and an upper bound must over-cover, never under). */
-  private def bucketHi(e: Expression, w: Long): Expression =
-    If(LessThan(e, Literal(Long.MinValue + w)),
-      Literal(Math.floorDiv(Long.MinValue, w) + 1L),
-      fdiv(e, w))
+  /** EXACT bucket floor(x / w), overflow-free for every long. The
+    * `x - pmod(x, w)` numerator wraps only for x below the lowest
+    * full bucket boundary `(floor(MIN/w)+1)·w`; every such x is by
+    * definition in bucket floor(MIN/w), a literal computable at rule
+    * time. Exactness matters for three reasons: the POINT side must
+    * get its true bucket (an approximate bucket mis-keys the
+    * equi-join), ANSI mode (Spark 4 default) turns the wrap into a
+    * runtime ARITHMETIC_OVERFLOW that kills the whole query the
+    * moment one MIN-adjacent value appears, and with ANSI off the
+    * wrapped subtraction silently drops matching rows. */
+  private def bucketOf(e: Expression, w: Long): Expression = {
+    val lowest = Math.floorDiv(Long.MinValue, w)
+    // (lowest+1)·w ∈ (MIN, MIN+w] — in range, no overflow
+    val boundary = (lowest + 1L) * w
+    If(LessThan(e, Literal(boundary)), Literal(lowest), fdiv(e, w))
+  }
 
   private def isLongAttr(e: Expression): Boolean =
     e.isInstanceOf[AttributeReference] && e.dataType == LongType
@@ -179,19 +180,23 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     triple.map { case (p, lo, hi, pointIsLeft) =>
       val (pointPlan, intervalPlan) = if (pointIsLeft) (j.left, j.right) else (j.right, j.left)
 
-      val pbkt = Alias(fdiv(p, w), "_graft_pbkt")()
+      val pbkt = Alias(bucketOf(p, w), "_graft_pbkt")()
       val pointProj = Project(pointPlan.output :+ pbkt, pointPlan)
 
-      val bl = bucketLo(lo, w)
-      val bh = bucketHi(hi, w)
+      val bl = bucketOf(lo, w)
+      val bh = bucketOf(hi, w)
       // bucket span guard: a sentinel bound (hi = Long.MaxValue) spans
       // ~2^63/w buckets — Sequence would throw or OOM. Rows over the
-      // cap go to the fallback theta branch instead. The wrapped-span
-      // clause (span < 0 is only reachable by 64-bit overflow, w = 1
-      // with a near-full-range interval) also routes to the fallback.
-      val span = Subtract(bh, bl)
+      // cap go to the fallback theta branch instead. The check is
+      // ADDITION-based (`bh > bl + (maxB-1)`) behind a literal guard
+      // that makes the add provably in-range: `bh - bl` could itself
+      // overflow for w = 1 with a near-full-range interval, which
+      // under ANSI is a runtime error, not a routable condition. When
+      // bl > MAX - (maxB-1) the span cannot reach maxB, so the row is
+      // narrow without any arithmetic.
       val wideCond = And(LessThanOrEqual(bl, bh),
-        Or(LessThan(span, Literal(0L)), GreaterThan(span, Literal(maxB - 1L))))
+        And(LessThanOrEqual(bl, Literal(Long.MaxValue - (maxB - 1L))),
+          GreaterThan(bh, Add(bl, Literal(maxB - 1L)))))
       // NOT(wide) admits empty-range rows (bl > bh → zero buckets via
       // the If below) and, per SQL 3VL, drops null-bound rows in BOTH
       // branches — exactly inner-join semantics for a null bound.

@@ -120,7 +120,7 @@ object AdvancedOps {
 
   // ---- e8: funnel ----------------------------------------------------
 
-  /** E8: ordered funnel conversion (view → click → purchase) — the
+  /** The ordered-funnel stage machine (view → click → purchase) — the
     * sequential-pattern query (MATCH_RECOGNIZE's common case) in ONE
     * key shuffle: running-min windows over the per-user time order
     * advance the stage machine row by row (a later stage only fires on
@@ -136,25 +136,37 @@ object AdvancedOps {
     * user's full event array. The three-self-join formulation the
     * oracle uses is the same answer with |stages| shuffles. All event
     * timestamps are distinct in this corpus, so first-after ==
-    * strictly-greater and both formulations agree exactly. */
+    * strictly-greater and both formulations agree exactly.
+    *
+    * Input: raw events (user_id, ts, event_type); output one row per
+    * user: (user_id, tv, tc, tp) = first view, first qualifying
+    * click, first qualifying purchase (null where never reached).
+    * Shared by the e8 gate query and the ScaleStress hot-user harness
+    * so the stress curve can never describe a query that drifted from
+    * the production one. */
+  def funnelPerUser(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2).otherwise(3).as("sr"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("fv", min(when(col("sr") === 1, col("tus"))).over(w))
+      .withColumn("qc", when(col("sr") === 2 && col("tus") > col("fv"), col("tus")))
+      .withColumn("fc", min(col("qc")).over(w))
+      .withColumn("qp", when(col("sr") === 3 && col("tus") > col("fc"), col("tus")))
+      .groupBy(col("user_id")).agg(
+        min(when(col("sr") === 1, col("tus"))).as("tv"),
+        min(col("qc")).as("tc"),
+        min(col("qp")).as("tp"))
+  }
+
+  /** E8: the funnel summary row over [[funnelPerUser]]. */
   val e8Funnel: Q = (s, dir) => {
     import s.implicits._
-    val ev = Tables.load(s, dir, "events")
-      .filter($"event_type".isin("view", "click", "purchase"))
-      .select($"user_id", unix_micros($"ts").as("tus"),
-        when($"event_type" === "view", 1)
-          .when($"event_type" === "click", 2).otherwise(3).as("sr"))
-    val w = Window.partitionBy($"user_id").orderBy($"tus")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val staged = ev
-      .withColumn("fv", min(when($"sr" === 1, $"tus")).over(w))
-      .withColumn("qc", when($"sr" === 2 && $"tus" > $"fv", $"tus"))
-      .withColumn("fc", min($"qc").over(w))
-      .withColumn("qp", when($"sr" === 3 && $"tus" > $"fc", $"tus"))
-    val perUser = staged.groupBy($"user_id").agg(
-      min(when($"sr" === 1, $"tus")).as("tv"),
-      min($"qc").as("tc"),
-      min($"qp").as("tp"))
+    val perUser = funnelPerUser(Tables.load(s, dir, "events"))
     perUser.agg(
       count(lit(1)).as("n_users"),
       count($"tv").as("n_view"),

@@ -221,23 +221,9 @@ object ScaleStress {
         val rows = events.count()
         time(s"funnel bot=${n}M rows=$rows e8") {
           import spark.implicits._
-          val evf = events
-            .filter($"event_type".isin("view", "click", "purchase"))
-            .select($"user_id", unix_micros($"ts").as("tus"),
-              when($"event_type" === "view", 1)
-                .when($"event_type" === "click", 2).otherwise(3).as("sr"))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy($"user_id").orderBy($"tus")
-            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-              org.apache.spark.sql.expressions.Window.currentRow)
-          val staged = evf
-            .withColumn("fv", min(when($"sr" === 1, $"tus")).over(w))
-            .withColumn("qc", when($"sr" === 2 && $"tus" > $"fv", $"tus"))
-            .withColumn("fc", min($"qc").over(w))
-            .withColumn("qp", when($"sr" === 3 && $"tus" > $"fc", $"tus"))
-          staged.groupBy($"user_id").agg(
-            min(when($"sr" === 1, $"tus")).as("tv"),
-            min($"qc").as("tc"), min($"qp").as("tp"))
+          // the PRODUCTION stage machine, not a clone — the curve must
+          // describe the query the gate runs
+          graft.queries.AdvancedOps.funnelPerUser(events)
             .agg(count(lit(1)).as("n_users"), count($"tp").as("n_purchase"))
         }
         events.unpersist(blocking = true)

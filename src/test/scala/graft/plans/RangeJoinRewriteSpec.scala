@@ -139,6 +139,43 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("MIN-adjacent point values bucket exactly (no ANSI overflow, no lost rows)") {
+    // p in [Long.MinValue, boundary) used to hit the unguarded
+    // `p - pmod(p, w)` wrap: ANSI ARITHMETIC_OVERFLOW (killing the
+    // query even when the point matches nothing), non-ANSI a wrong
+    // bucket that silently dropped genuine matches
+    val minPts = Seq(
+      (0L, Long.MinValue), (1L, Long.MinValue + 3L),
+      (2L, Long.MinValue + 150L), (3L, -50L), (4L, 50L))
+      .toDF("pid", "p")
+    val minIvs = Seq(
+      (1L, Long.MinValue, Long.MinValue + 10L),   // narrow, in wrap region
+      (2L, Long.MinValue + 100L, Long.MinValue + 200L),
+      (3L, 0L, 100L)).toDF("iid", "lo", "hi")
+    val c = $"p" >= $"lo" && $"p" < $"hi"
+    val expected = rows(minPts.join(minIvs, c))
+    assert(expected === Set((0L, 1L), (1L, 1L), (2L, 2L), (4L, 3L)))
+    withRule() {
+      val rewritten = minPts.join(minIvs, c)
+      assert(planOf(rewritten).contains("_graft_pbkt"))
+      assert(rows(rewritten) === expected)
+    }
+  }
+
+  test("width 1 with a near-full-range interval routes to fallback, not span overflow") {
+    // bh - bl here exceeds Long.MaxValue: a subtraction-based span
+    // guard is itself an ANSI runtime error; the addition-based guard
+    // must route the row to the theta fallback instead
+    val wideIvs = Seq(
+      (1L, -6000000000000000000L, 6000000000000000000L),
+      (2L, 0L, 50L)).toDF("iid", "lo", "hi")
+    val c = $"p" >= $"lo" && $"p" < $"hi"
+    val expected = rows(points.join(wideIvs, c))
+    withRule(Map(RangeJoinRewrite.WidthKey -> "1")) {
+      assert(rows(points.join(wideIvs, c)) === expected)
+    }
+  }
+
   test("bucketWidth = 0 fails fast instead of silently matching nothing") {
     withRule(Map(RangeJoinRewrite.WidthKey -> "0")) {
       val ex = intercept[Exception] {
@@ -176,6 +213,18 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("_graft_pbkt"),
         s"extensions-injected rule did not fire:\n$plan")
+      // exactly-once structure: one Union (narrow + wide fallback),
+      // one Generate, two Joins. A lost skipTag (e.g. a future
+      // optimizer rule rebuilding the fallback Join via case-class
+      // copy, which drops tags) would re-rewrite the fallback and
+      // nest another Union/Generate — caught here. Probed empirically
+      // against parquet relations with pushdown + IsNotNull inference
+      // active: Spark 4.1.2's batches preserve the tag.
+      val opt = joined.queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Union => LUnion, Generate => LGenerate, Join => LJoin}
+      assert(opt.collect { case u: LUnion => u }.size == 1)
+      assert(opt.collect { case g: LGenerate => g }.size == 1)
+      assert(opt.collect { case jn: LJoin => jn }.size == 2)
       val got = joined.select($"pid", $"iid").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val expected = (for {
