@@ -53,7 +53,12 @@ object MongoStage {
     * long/int/double become their `{"$numberX":"..."}` wrappers
     * (numeric wrappers quote the value, per the BSON spec); strings,
     * booleans and arrays pass through as plain JSON. Null fields are
-    * omitted, matching a Mongo document with the field absent. */
+    * omitted, matching a Mongo document with the field absent.
+    * Wrappers apply to TOP-LEVEL fields only — values inside nested
+    * structs/arrays are rendered as plain JSON (numbers unquoted,
+    * timestamps ISO), which `mongoimport` still accepts; widen the
+    * field mapping here if a nested field ever needs its exact BSON
+    * type pinned. */
   def toExtJson(df: DataFrame, idFrom: String): Column = {
     def wrap(inner: Column, tag: String): Column = struct(inner.as(tag))
     val fields = df.schema.fields.map { f =>
