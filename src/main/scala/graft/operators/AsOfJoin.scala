@@ -63,7 +63,11 @@ object AsOfJoin {
     val payloadType = org.apache.spark.sql.types.StructType(
       payloadCols.map(c => right.schema(c).copy(name = c)))
 
-    val taggedRight = right.select(
+    // A NULL rightTime can never satisfy `rightTime <= leftTime` (SQL
+    // 3VL), but the asc sort puts NULLS FIRST: un-filtered, such a
+    // row's payload would attach to every left row preceding the
+    // first real right row. Drop them up front.
+    val taggedRight = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++
         Seq(col(rightTime).as("__t"), lit(1).as("__isRight"),
             col(tieBreaker).as("__tie"),

@@ -60,6 +60,14 @@ object Bloom {
     * itself is pure per-row arithmetic — zero shuffle of the big
     * side, which is the entire point of the pattern. */
   def probe(big: DataFrame, keyCol: String, filter: DataFrame, k: Int, m: Int): DataFrame = {
+    // same contract AsOfJoin enforces on payload names: a big-side
+    // column named like the probe internals would resolve ambiguously
+    // and then be silently dropped with them
+    val reserved = Seq("bloom", "bloom_pass") ++
+      (0 until k).flatMap(i => Seq(s"_p$i", s"_hit$i"))
+    val clash = reserved.filter(big.columns.contains)
+    require(clash.isEmpty,
+      s"probe's internal columns $clash collide with big-side columns; rename them")
     val withBits = (0 until k).foldLeft(big.crossJoin(broadcast(filter))) { (df, i) =>
       df.withColumn(s"_p$i", position(col(keyCol), i, m))
         .withColumn(s"_hit$i",

@@ -53,6 +53,8 @@ object Clustering {
     * aggregate scalar. Output: final (vec_id, cid, score). */
   def lloyd(spark: SparkSession, points: DataFrame, k: Int, iters: Int): DataFrame = {
     import spark.implicits._
+    require(iters >= 1, s"lloyd needs iters >= 1, got $iters")
+    require(k >= 1, s"lloyd needs k >= 1, got $k")
     val seeds = points.orderBy(col("vec_id")).limit(k).collect()
       .sortBy(_.getLong(0)).zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }.toSeq

@@ -141,6 +141,13 @@ object Corpus {
     */
   def domainMix(docs: DataFrame, idCol: String, sourceCol: String,
       weightCol: Column): DataFrame = {
+    // `bucket` (the row's salted md5 keep-bucket) is a DOCUMENTED
+    // output column, not a leak: it is the audit trail that makes
+    // every keep/drop decision explainable and re-checkable (the t12
+    // gate pins it against the oracle). Guard the name up front — a
+    // pre-existing `bucket` column would be silently overwritten.
+    require(!docs.columns.contains("bucket"),
+      "domainMix emits an audit column named 'bucket'; rename the input's bucket column")
     val counts = docs.groupBy(col(sourceCol).as("src"))
       .agg(count(lit(1)).as("n_s"))
       .withColumn("w_s", weightCol)

@@ -134,10 +134,15 @@ object Dedup {
         long.join(ok, Seq("band", "bk"))
     }
 
-  def candidatePairs(buckets: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
-    val long = buckets.select(col("doc_id"),
+  /** (doc_id, band, bk) long format of the band0..bandN bucket
+    * columns — the one definition of the banding shape, shared by the
+    * batch and incremental candidate paths so they cannot drift. */
+  private def bucketsLongFormat(buckets: DataFrame): DataFrame =
+    buckets.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band", "bk")))
-    val pruned = pruneHotBuckets(long, maxBucket)
+
+  def candidatePairs(buckets: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
+    val pruned = pruneHotBuckets(bucketsLongFormat(buckets), maxBucket)
     val l = pruned.select(col("doc_id").as("d1"), col("band"), col("bk"))
     val r = pruned.select(col("doc_id").as("d2"), col("band"), col("bk"))
     l.join(r, Seq("band", "bk")).filter(col("d1") < col("d2"))
@@ -207,8 +212,7 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double = 0.5,
       maxBucket: Option[Int] = None): DataFrame = {
     val base = shingleBaseHashes(corpus.unionByName(newDocs), idCol, textCol)
-    val long = lshBuckets(base).select(col("doc_id"),
-      posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band", "bk")))
+    val long = bucketsLongFormat(lshBuckets(base))
     // same hot-bucket guard as candidatePairs — the daily-increment
     // path is MORE exposed to boilerplate cliques, not less (the
     // corpus side accumulates them forever); bucket size is counted

@@ -41,17 +41,27 @@ object Graph {
     val init = scale / n
     val teleport = (15L * init) / 100L
     val ed = edges.join(deg, "src").repartition(col("src")).cache()
+    val nodes = deg.select(col("src").as("node"))
     var ranks = deg.select(col("src").as("node"), lit(init).as("r"))
     (1 to iters).foreach { i =>
       // name-based using-join: `ranks` is derived from `ed`, so
       // cross-DataFrame column references would be ambiguous self-join
       // attributes; the fresh alias keeps resolution unambiguous
-      ranks = ed.join(ranks.select(col("node").as("src"), col("r")), "src")
+      val contribs = ed.join(ranks.select(col("node").as("src"), col("r")), "src")
         .select(col("dst"), expr("r div deg").as("contrib"))
         .groupBy("dst")
         .agg(sum(col("contrib")).as("s"))
-        .select(col("dst").as("node"),
-          (lit(teleport) + expr("(85 * s) div 100")).as("r"))
+      // next ranks come from the FULL node set, not just receivers: a
+      // node with out-edges but no in-edges (legal under the stated
+      // contract) would otherwise vanish from `ranks` after one
+      // iteration — dropped from the output AND silently withholding
+      // its contributions from iteration 2 on. It keeps its teleport
+      // share (s = 0) like real PageRank. Both sides arrive hashed on
+      // the node key, so the left join adds no extra exchange.
+      ranks = nodes
+        .join(contribs.select(col("dst").as("node"), col("s")), Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
       // Truncate lineage every 3 rounds (the dupClusters pattern,
       // Dedup.scala): without it the plan nests one join+agg per
       // iteration, so analysis/codegen cost grows with `iters` and
@@ -60,6 +70,11 @@ object Graph {
       // |V| rows — the same rows the next shuffle moves anyway.
       if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks
+    // eager-materialize the result BEFORE releasing the cached edge
+    // relation: the tail iterations are still lazy plans over `ed`,
+    // and a session-lifetime |E|-sized cache leak evicts everyone else
+    val out = ranks.localCheckpoint()
+    ed.unpersist(blocking = false)
+    out
   }
 }

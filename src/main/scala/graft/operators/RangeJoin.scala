@@ -25,25 +25,56 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  private def bucketOf(v: Column, width: Long): Column =
-    floor(v / lit(width.toDouble)).cast("long")
+  /** EXACT bucket floor(x / w) as a column over a named temp, in pure
+    * integer arithmetic. The earlier double form (`floor(v / w.toDouble)`)
+    * mis-bucketed BIGINT values at/beyond 2^53 (doubles have 53
+    * mantissa bits), silently dropping matches from the equi-join —
+    * the same hazard [[graft.plans.RangeJoinRewrite.bucketOf]] fixes
+    * at the optimizer level. `x - pmod(x, w)` wraps only below the
+    * lowest full bucket boundary; those values are by definition in
+    * bucket floor(MIN / w), a compile-time literal (under ANSI the
+    * wrap would otherwise be a runtime ARITHMETIC_OVERFLOW). */
+  private def withExactBucket(df: DataFrame, src: Column, out: String,
+      w: Long): DataFrame = {
+    val lowest = Math.floorDiv(Long.MinValue, w)
+    val boundary = (lowest + 1L) * w // ∈ (MIN, MIN+w] — in range
+    // the numerator must be guarded too: an unconditional projection
+    // column evaluates for every row, wrap region included
+    df.withColumn("_rj_num",
+        when(src < lit(boundary), lit(0L))
+          .otherwise(src - pmod(src, lit(w))))
+      .withColumn(out,
+        when(src < lit(boundary), lit(lowest))
+          .otherwise(expr(s"_rj_num div CAST($w AS BIGINT)")))
+      .drop("_rj_num")
+  }
 
   /** Equi-join `points` to every interval containing them.
-    * `points(pointCol)` and `intervals(loCol, hiCol)` are numeric;
-    * intervals are half-open `[lo, hi)`. Output: point columns +
-    * interval columns, exactly the naive-predicate join. */
+    * `points(pointCol)` and `intervals(loCol, hiCol)` are BIGINT;
+    * intervals are half-open `[lo, hi)` and assumed NARROW relative
+    * to `bucketWidth` (O(1) buckets each) — for arbitrary/sentinel
+    * interval widths use the optimizer rule
+    * [[graft.plans.RangeJoinRewrite]], which routes wide rows to a
+    * bounded fallback. Output: point columns + interval columns,
+    * exactly the naive-predicate join. */
   def pointInInterval(points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Long): DataFrame = {
-    // interval side: one row per overlapped bucket (small side only)
-    val spans = intervals.withColumn("_bkt",
-      explode(sequence(bucketOf(col(loCol), bucketWidth),
-        // hi is exclusive: the bucket of hi-epsilon, not of hi itself
-        greatest(bucketOf(col(hiCol), bucketWidth) -
-          when(pmod(col(hiCol), lit(bucketWidth.toDouble)) === 0.0, 1L).otherwise(0L),
-          bucketOf(col(loCol), bucketWidth)))))
-    points
-      .withColumn("_bkt", bucketOf(col(pointCol), bucketWidth))
+    // interval side: one row per overlapped bucket (small side only).
+    // hi is exclusive, so the top bucket is bucket(hi - 1); the
+    // hi = Long.MinValue guard keeps the decrement ANSI-safe (such an
+    // interval is empty — the greatest() clamp plus residual filter
+    // make its manufactured single bucket harmless).
+    val lowest = Math.floorDiv(Long.MinValue, bucketWidth)
+    val withBl = withExactBucket(intervals, col(loCol), "_bl", bucketWidth)
+    val withBh = withExactBucket(withBl,
+      when(col(hiCol) <= lit(Long.MinValue), col(hiCol))
+        .otherwise(col(hiCol) - lit(1L)), "_bh", bucketWidth)
+    val spans = withBh
+      .withColumn("_bkt", explode(sequence(col("_bl"),
+        greatest(col("_bh"), col("_bl")))))
+      .drop("_bl", "_bh")
+    withExactBucket(points, col(pointCol), "_bkt", bucketWidth)
       .join(spans, Seq("_bkt"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("_bkt")

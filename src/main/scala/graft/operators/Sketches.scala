@@ -43,15 +43,19 @@ object Sketches {
 
   /** Point estimates for `keys`: min over the key's d cells. The
     * sketch is broadcast (≤ d·w rows); the only shuffle is the tiny
-    * per-key min. */
+    * per-key min. The probe is a LEFT join with absent cells read as
+    * 0 — the sketch is stored SPARSE (untouched cells have no row),
+    * and an inner join would drop empty cells from the min: an unseen
+    * key would overestimate (min over its non-empty cells only) or
+    * vanish from the output entirely instead of estimating 0. */
   def cmsEstimate(keys: DataFrame, keyCol: String, sketch: DataFrame, d: Int, w: Int): DataFrame = {
     val jp = explode(array((0 until d).map(j =>
       struct(lit(j).as("j"), cmsPosition(col(keyCol), j, w).as("pos"))): _*)).as("jp")
     keys
       .select(col(keyCol), jp)
       .select(col(keyCol), col("jp.j").as("j"), col("jp.pos").as("pos"))
-      .join(broadcast(sketch), Seq("j", "pos"))
+      .join(broadcast(sketch), Seq("j", "pos"), "left")
       .groupBy(keyCol)
-      .agg(min(col("cell")).as("est"))
+      .agg(min(coalesce(col("cell"), lit(0L))).as("est"))
   }
 }

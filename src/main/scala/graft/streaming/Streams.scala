@@ -46,6 +46,57 @@ object Streams {
   def tsMicros(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
+  /** Batch-exact placement of one time-sorted micro-batch of
+    * (t, value) events against the open session (start, last, n, acc)
+    * — the ONE session state machine all three sessionizers share.
+    * Returns (new open session, closed sessions in time order).
+    *
+    * Late-but-within-watermark events (t before the open session)
+    * get BATCH semantics, not a blind fold: events before `start`
+    * cluster by the same gap rule, the last cluster chains into the
+    * open session when it lands within one gap of `start` — lowering
+    * session_start exactly as a global sort would — and earlier
+    * clusters emit as their own sessions. Interior events
+    * (start ≤ t ≤ last) only count; events after `last` extend or
+    * roll over as usual. */
+  private def placeBatch[A](open: Option[(Long, Long, Long, A)],
+      sorted: Seq[(Long, A)], add: (A, A) => A)
+      : (Option[(Long, Long, Long, A)], Vector[(Long, Long, Long, A)]) = {
+    val closed = Vector.newBuilder[(Long, Long, Long, A)]
+    val (pre, rest) = open match {
+      case Some((st, _, _, _)) => sorted.span(_._1 < st)
+      case None => (Seq.empty[(Long, A)], sorted)
+    }
+    var preCur: Option[(Long, Long, Long, A)] = None
+    pre.foreach { case (t, v) =>
+      preCur match {
+        case Some((s0, l0, n0, a0)) if t - l0 <= gapMicros =>
+          preCur = Some((s0, t, n0 + 1, add(a0, v)))
+        case Some(c) =>
+          closed += c; preCur = Some((t, t, 1L, v))
+        case None => preCur = Some((t, t, 1L, v))
+      }
+    }
+    var cur = (open, preCur) match {
+      case (Some((st, la, n, a)), Some((s0, l0, n0, a0))) =>
+        if (st - l0 <= gapMicros) Some((s0, la, n + n0, add(a, a0)))
+        else { closed += ((s0, l0, n0, a0)); open }
+      case _ => open
+    }
+    rest.foreach { case (t, v) =>
+      cur match {
+        case Some((st, la, n, a)) if t <= la => // interior: count only
+          cur = Some((st, la, n + 1, add(a, v)))
+        case Some((st, la, n, a)) if t - la <= gapMicros =>
+          cur = Some((st, t, n + 1, add(a, v)))
+        case Some(c) =>
+          closed += c; cur = Some((t, t, 1L, v))
+        case None => cur = Some((t, t, 1L, v))
+      }
+    }
+    (cur, closed.result())
+  }
+
   /** Batch-harness sessionizer: emits a session when a gap exceeds 30
     * minutes; the final open session per user stays in state (single
     * batch, no timeout fires). Production streams use
@@ -59,22 +110,16 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, it, state: GroupState[SessionState]) =>
           val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.value))
-          var cur = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          sorted.foreach { e =>
-            val t = tsMicros(e.ts)
-            cur match {
-              case Some(s) if t - s.last <= gapMicros =>
-                cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
-              case Some(s) =>
-                out += Session(uid, s.start, s.last, s.n, s.total)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
-            }
+            .map(e => (tsMicros(e.ts), e.value))
+          val (cur, closed) = placeBatch(
+            state.getOption.map(s => (s.start, s.last, s.n, s.total)),
+            sorted, (a: Double, b: Double) => a + b)
+          cur.foreach { case (s0, l0, n0, a0) =>
+            state.update(SessionState(s0, l0, n0, a0))
           }
-          cur.foreach(state.update)
-          out.iterator
+          closed.iterator.map { case (s0, l0, n0, a0) =>
+            Session(uid, s0, l0, n0, a0)
+          }
       }
   }
 
@@ -84,10 +129,20 @@ object Streams {
     * unbounded stream.
     *
     * Ordering is guarded inside the group, not assumed from upstream:
-    * each micro-batch is sorted by event time, and an event that
-    * arrives late-but-within-watermark at `t <= state.last` still folds
-    * into the open session (extending n/total, keeping last = max)
-    * rather than corrupting the gap logic. Events later than the
+    * each micro-batch is sorted by event time, and a
+    * late-but-within-watermark event at `t <= state.last` is placed
+    * by BATCH semantics — interior (`t >= start`): counted into the
+    * open session; within one gap before `start`: the session extends
+    * BACKWARD (session_start lowers to t, exactly what a global sort
+    * would produce); more than a gap before `start`: it belongs to an
+    * earlier, already-passed session and is emitted as its own
+    * session immediately. The one residual divergence from batch:
+    * two such ancient-late events within a gap of EACH OTHER arriving
+    * in different micro-batches emit as two sessions where batch
+    * would merge them — keeping every passed session open in state
+    * until its watermark horizon would be the cost of closing that
+    * window (same-batch ancient-late events DO merge, because the
+    * batch is processed in sorted order). Events later than the
     * watermark are dropped by Spark before the function runs. */
   def sessionizeStream(events: Dataset[Event],
       watermarkDelay: String = "30 minutes"): Dataset[Session] = {
@@ -106,28 +161,18 @@ object Streams {
             Iterator.single(Session(uid, s.start, s.last, s.n, s.total))
           } else {
             val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.value))
-            var cur = state.getOption
-            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-            sorted.foreach { e =>
-              val t = tsMicros(e.ts)
-              cur match {
-                case Some(s) if t <= s.last => // late within watermark
-                  cur = Some(s.copy(n = s.n + 1, total = s.total + e.value))
-                case Some(s) if t - s.last <= gapMicros =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
-                case Some(s) =>
-                  out += Session(uid, s.start, s.last, s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
+              .map(e => (tsMicros(e.ts), e.value))
+            val (cur, closed) = placeBatch(
+              state.getOption.map(s => (s.start, s.last, s.n, s.total)),
+              sorted, (a: Double, b: Double) => a + b)
+            cur.foreach { case (s0, l0, n0, a0) =>
+              state.update(SessionState(s0, l0, n0, a0))
               // flush once the watermark passes the session's close
-              state.setTimeoutTimestamp(s.last / 1000L + gapMicros / 1000L)
+              state.setTimeoutTimestamp(l0 / 1000L + gapMicros / 1000L)
             }
-            out.iterator
+            closed.iterator.map { case (s0, l0, n0, a0) =>
+              Session(uid, s0, l0, n0, a0)
+            }
           }
       }
   }
@@ -161,28 +206,17 @@ object Streams {
             Iterator.single(SessionExact(uid, s.start, s.last, s.n, s.totalScaled))
           } else {
             val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.value))
-            var cur = state.getOption
-            val out = scala.collection.mutable.ArrayBuffer.empty[SessionExact]
-            sorted.foreach { e =>
-              val t = tsMicros(e.ts)
-              cur match {
-                case Some(s) if t <= s.last =>
-                  cur = Some(s.copy(n = s.n + 1, totalScaled = s.totalScaled + scaled(e.value)))
-                case Some(s) if t - s.last <= gapMicros =>
-                  cur = Some(s.copy(last = t, n = s.n + 1,
-                    totalScaled = s.totalScaled + scaled(e.value)))
-                case Some(s) =>
-                  out += SessionExact(uid, s.start, s.last, s.n, s.totalScaled)
-                  cur = Some(SessionStateExact(t, t, 1, scaled(e.value)))
-                case None =>
-                  cur = Some(SessionStateExact(t, t, 1, scaled(e.value)))
-              }
+              .map(e => (tsMicros(e.ts), scaled(e.value)))
+            val (cur, closed) = placeBatch(
+              state.getOption.map(s => (s.start, s.last, s.n, s.totalScaled)),
+              sorted, (a: Long, b: Long) => a + b)
+            cur.foreach { case (s0, l0, n0, a0) =>
+              state.update(SessionStateExact(s0, l0, n0, a0))
+              state.setTimeoutTimestamp(l0 / 1000L + gapMicros / 1000L)
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last / 1000L + gapMicros / 1000L)
+            closed.iterator.map { case (s0, l0, n0, a0) =>
+              SessionExact(uid, s0, l0, n0, a0)
             }
-            out.iterator
           }
       }
   }

@@ -40,6 +40,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got === Map(1L -> Some("one"), 2L -> Some("two"), 3L -> None))
   }
 
+  test("a NULL right timestamp never matches anything") {
+    // SQL semantics: rightTime <= leftTime is NULL for a null
+    // timestamp → no match. Unfiltered, the null would sort NULLS
+    // FIRST in the window and attach its payload to every left row
+    // preceding the first real right row.
+    val left = Seq((1L, 3L, "early"), (1L, 20L, "late")).toDF("k", "t", "tag")
+    val right = Seq((1L, Option(10L), "real"), (1L, Option.empty[Long], "ghost"))
+      .toDF("k", "rt", "payload")
+    val got = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt",
+        Seq("payload"), "payload")
+      .select("tag", "payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("early") === None, "null-time payload must not leak backward")
+    assert(got("late") === Some("real"))
+  }
+
   test("payload fields come atomically from the same right row") {
     // the most recent right row has a NULL in one payload column; that
     // NULL must NOT be back-filled from the older right row

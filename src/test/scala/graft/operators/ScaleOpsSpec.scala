@@ -97,6 +97,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(atBoundary.count() > 0 && atBoundary.intersect(fast).count() === 0)
   }
 
+  test("range join is exact beyond 2^53 and at Long.MIN-adjacent points") {
+    // the retired double-division bucket (floor(v / w.toDouble)) lost
+    // mantissa bits past 2^53 and silently dropped matches; the MIN
+    // neighborhood exercises the ANSI-safe wrap guard
+    val big = (0L to 4L).map(i => (i, (1L << 53) - 2L + i)).toDF("id", "p")
+    val minPts = Seq((100L, Long.MinValue), (101L, Long.MinValue + 3L))
+      .toDF("id", "p")
+    val pts = big.unionByName(minPts)
+    val ivs = Seq(
+      (1L, (1L << 53) - 10L, (1L << 53) + 1L),
+      (2L, Long.MinValue, Long.MinValue + 10L)).toDF("iid", "lo", "hi")
+    val fast = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi",
+      bucketWidth = 2L).select("id", "iid")
+    val naive = pts.join(ivs, $"p" >= $"lo" && $"p" < $"hi").select("id", "iid")
+    assert(naive.count() > 0)
+    assert(fast.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(fast).count() === 0)
+  }
+
   test("range join plan is an equi-join on buckets, not a nested-loop join") {
     val points = (0L to 100L).toDF("p")
     val intervals = Seq((1L, 10L, 30L)).toDF("iid", "lo", "hi")
@@ -120,6 +139,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     val under = Sketches.cmsEstimate(counts, "k", sketch, d, w)
       .join(counts, Seq("k")).filter($"est" < $"n")
     assert(under.count() === 0)
+  }
+
+  test("cms estimates unseen keys as >= 0 rows, never dropping them") {
+    // the sketch is SPARSE: an unseen key probing empty cells must
+    // still get a row (est = 0 when any of its d cells is untouched),
+    // not vanish through an inner join or overestimate via a
+    // min-over-non-empty-cells
+    val counts = Seq(("a", 5L), ("b", 3L)).toDF("k", "n")
+    val sketch = Sketches.cmsBuild(counts, "k", "n", 4, 256)
+    val probes = Seq("a", "zz_unseen_1", "zz_unseen_2").toDF("k")
+    val est = Sketches.cmsEstimate(probes, "k", sketch, 4, 256)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est.keySet === Set("a", "zz_unseen_1", "zz_unseen_2"))
+    assert(est("a") >= 5L)
+    // with 2 keys × 4 hashes in 256 cells, an unseen key colliding in
+    // ALL 4 rows is ~impossible: est must be exactly 0
+    assert(est("zz_unseen_1") === 0L && est("zz_unseen_2") === 0L)
   }
 
   test("cms is exact when the width makes collisions vanish") {

@@ -49,6 +49,27 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(r === Map(0L -> 500000000000L, 1L -> 500000000000L))
   }
 
+  test("pageRank: a source-only node keeps its teleport rank and its contributions") {
+    // c has out-edges but no in-edges — legal under the operator
+    // contract (every node appears as a source). The receiver-only
+    // iteration used to drop c from `ranks` after round 1: missing
+    // from the output AND withholding its mass from round 2 on.
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 0L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet === Set(0L, 1L, 2L), s"node set $r")
+    // N=3, init=333333333333, teleport=(15*init)/100
+    val tp = 15L * (1000000000000L / 3L) / 100L
+    assert(r(2L) === tp, s"source-only node must sit at teleport rank, got ${r(2L)}")
+    // node 0 receives from BOTH 1 and 2 every round; with c dropped it
+    // would receive only 1's mass — strictly less than this
+    val it1_0 = tp + 85L * (333333333333L + 333333333333L) / 100L
+    val it1_1 = tp + 85L * 333333333333L / 100L
+    val it2_0 = tp + 85L * (it1_1 + tp) / 100L
+    val it3_0 = tp + 85L * ((tp + 85L * (it1_0) / 100L) + tp) / 100L
+    assert(r(0L) === it3_0, s"expected $it3_0 got ${r(0L)}")
+  }
+
   test("pageRank: rank mass is conserved up to truncation leak") {
     val df = AdvancedOps.an15PageRank(spark, sf)
     val total = df.agg(sum($"rank")).as[Long].head()

@@ -120,6 +120,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.contains((2L, 1L, 5.0)))   // open session flushed by timeout
   }
 
+  test("late events get batch placement: backward extension and pre-session split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp((5000 + min) * 60000L)
+    val src = MemoryStream[Streams.Event]
+    // long watermark delay so the late events stay admissible
+    val q = Streams.sessionizeStream(src.toDS(), "10 hours").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("late_sess").start()
+    // batch 1: open session [100, 110] for user 1
+    src.addData(
+      Streams.Event(1L, ts(100), 1.0),
+      Streams.Event(1L, ts(110), 2.0))
+    q.processAllAvailable()
+    // batch 2, all late-but-within-watermark for user 1:
+    //  ts(80): 20m before start — chains (gap 30m) → start lowers to 80
+    //  ts(10), ts(30): > gap before start, 20m apart — ONE pre-session
+    src.addData(
+      Streams.Event(1L, ts(80), 4.0),
+      Streams.Event(1L, ts(10), 8.0),
+      Streams.Event(1L, ts(30), 16.0))
+    q.processAllAvailable()
+    // far-future watermark push fires the open session's timeout
+    src.addData(Streams.Event(9L, ts(100000), 0.0))
+    q.processAllAvailable()
+    src.addData(Streams.Event(9L, ts(100001), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT session_start, session_end, n_events, session_value FROM late_sess WHERE user_id = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    def us(min: Long) = (5000 + min) * 60000000L
+    // pre-session: the two ancient events merged (same batch, 20m gap)
+    assert(got.contains((us(10), us(30), 2L, 24.0)), s"pre-session missing: $got")
+    // main session: start lowered to 80 by the chained late event
+    assert(got.contains((us(80), us(110), 3L, 7.0)), s"backward extension missing: $got")
+  }
+
   test("stateful sessionizer recovers open-session state across restart") {
     // stronger than source-offset recovery: the OPEN session built in
     // pass 1 lives only in the state store; after a kill, pass 2's gap
