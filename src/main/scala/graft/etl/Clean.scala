@@ -52,12 +52,21 @@ object Clean {
 
   /** P2 + U1-as-filter: drop "<X> not found" sentinel rows (c14) —
     * the negated filter Catalyst would plan for the reference's
-    * subtract anyway, without the wide distinct shuffle. */
-  def filterDateSentinels(df: DataFrame): DataFrame =
+    * subtract anyway, without the wide distinct shuffle. NULL-safe to
+    * match subtract exactly: a NULL Date/Year/Day/Month makes the
+    * reference's `== sentinel` predicate NULL, so the row never lands
+    * in the subtracted set and SURVIVES — each negated test therefore
+    * coalesces to keep, instead of the bare `!startsWith` whose NULL
+    * propagates into a drop. (On the committed corpus no P1 survivor
+    * has a NULL date field, so the goldens are unchanged; this is
+    * library-operator correctness for rawer inputs.) */
+  def filterDateSentinels(df: DataFrame): DataFrame = {
+    def keep(c: String, sentinel: String): Column =
+      coalesce(!col(c).startsWith(sentinel), lit(true))
     df.filter(
-      !col("Date").startsWith("Date not") && !col("Year").startsWith("Year not") &&
-      !col("Day").startsWith("Day not") && !col("Month").startsWith("Month not") &&
-      col("Date").isNotNull)
+      keep("Date", "Date not") && keep("Year", "Year not") &&
+      keep("Day", "Day not") && keep("Month", "Month not"))
+  }
 
   /** P3 + P4: citations dropna (c15) and non-empty arrays (c16/c17). */
   def filterEmptiness(df: DataFrame): DataFrame =
@@ -85,10 +94,20 @@ object Clean {
 
   /** P5 + P6: remove email artifacts — drop countries entries that ARE
     * emails, and affiliation entries whose country matches the email
-    * pattern (c22, intent semantics). */
+    * pattern (c22).
+    *
+    * NULL handling differs BY DESIGN between the two branches:
+    *  - `countries` is intent semantics (the reference's
+    *    array_contains-against-regex-literal is a no-op, SURVEY §7
+    *    hazard 2), and a NULL entry is not an email — keep it, so the
+    *    predicate coalesces to true on NULL (Spark's array `filter`
+    *    HOF drops NULL-predicate elements otherwise);
+    *  - the affiliation branch mirrors the reference's REAL HOF
+    *    (`filter(x -> x.country not rlike ...)`, c22), whose NULL
+    *    predicate drops NULL-country entries — byte parity kept. */
   def filterEmails(df: DataFrame): DataFrame =
     df.withColumn("countries",
-        filter(col("countries"), c => !c.rlike(emailPattern)))
+        filter(col("countries"), c => coalesce(!c.rlike(emailPattern), lit(true))))
       .withColumn("authors_with_affiliations",
         filter(col("authors_with_affiliations"),
           a => !a.getField("country").rlike(emailPattern)))

@@ -30,7 +30,12 @@ object EtlMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val merged = Ingest.readMerged(spark, inputs)
-    val clean = Clean(merged)
+    // one materialization serves every downstream action: without the
+    // cache, each of the 8 tables' CSV write + INSERT write + count
+    // (plus the JSONL sink and the two audit counts) re-runs the full
+    // ingest window shuffle and cleaning chain — ~27 recomputations of
+    // the corpus scan for one pipeline run
+    val clean = Clean(merged).cache()
     val star = StarSchema.build(clean)
     // compat mode must stay referentially consistent: the bridges are
     // rebuilt against the compat dims' ids (the reference's c43/c45
@@ -68,6 +73,7 @@ object EtlMain {
       println(s"[etl] $name=${df.count()}")
     }
     Writers.writeJsonl(clean, s"$outDir/clean_jsonl")
+    clean.unpersist()
     spark.stop()
   }
 }

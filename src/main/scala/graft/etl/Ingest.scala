@@ -63,6 +63,17 @@ object Ingest {
     *  - upd variants already carry publisher; passthrough.
     * Dedup on doi at ingest (P10 — the scraper's visited-URL set),
     * keeping the enriched row over the raw one when both exist.
+    *
+    * NULL-doi rows are EXEMPT from the dedup: a missing doi is an
+    * unscraped identifier, not a shared key, so distinct doi-less
+    * articles must all survive (partitionBy would otherwise collapse
+    * every one of them into a single arbitrary row — silent data
+    * loss). Empty-STRING dois still dedup: "" is a value the scraper
+    * wrote, and the committed corpus's 4 such rows are true junk
+    * duplicates. The survivor choice is a TOTAL order — preference,
+    * website, then a content hash — so which duplicate survives is
+    * identical on every run and every partitioning (the same
+    * determinism argument as the A3 surrogate keys).
     */
   def normalize(merged: DataFrame): DataFrame = {
     val withPublisher = merged.withColumn("publisher",
@@ -72,14 +83,17 @@ object Ingest {
           lit("").as("Quartile"),
           col("journal_name").as("name"))))
       .drop("journal_name", "ISSN", "_id")
-    // prefer rows with a quartile (enriched) per doi, then stable doc order
+    // prefer rows with a quartile (enriched) per doi, then stable doc
+    // order; final content-hash key makes the ordering total (ties =
+    // byte-identical rows, which are interchangeable)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doi")).orderBy(
       when(col("publisher.Quartile") =!= "", 0).otherwise(1),
-      col("website"))
+      col("website"),
+      md5(to_json(struct(col("*")))))
     withPublisher
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") === 1 || col("doi").isNull)
       .drop("__rn")
   }
 

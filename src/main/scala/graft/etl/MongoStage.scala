@@ -61,7 +61,10 @@ object MongoStage {
     * type pinned. */
   def toExtJson(df: DataFrame, idFrom: String): Column = {
     def wrap(inner: Column, tag: String): Column = struct(inner.as(tag))
-    val fields = df.schema.fields.map { f =>
+    // the generated `_id` REPLACES any source `_id` column — emitting
+    // both would produce a duplicate JSON key (last-wins in most
+    // parsers, silently losing the ObjectId)
+    val fields = df.schema.fields.filter(_.name != "_id").map { f =>
       val c = col(f.name)
       val wrapped = f.dataType match {
         case TimestampType =>
@@ -73,7 +76,11 @@ object MongoStage {
       }
       when(c.isNotNull, wrapped).as(f.name)
     }
-    val idField = wrap(objectId(col(idFrom)), "$oid").as("_id")
+    // NULL idFrom → omit `_id` entirely (mongoimport then assigns one),
+    // never `"_id":{}` — md5(NULL) is NULL and ignoreNullFields would
+    // render the wrapper as an empty document, which mongoimport rejects
+    val idField = when(col(idFrom).isNotNull,
+      wrap(objectId(col(idFrom)), "$oid")).as("_id")
     to_json(struct(idField +: fields.toSeq: _*))
   }
 
@@ -118,8 +125,12 @@ object MongoStage {
       .select(from_json(normalizeExtJson(col("value")), parseSchema).as("d"))
       .select("d.*")
     tsFields.foldLeft(parsed) { (df, name) =>
+      // try_cast on BOTH branches: the rlike digit guard admits
+      // strings beyond Long range (e.g. 20 digits), where a plain
+      // cast throws under ANSI — the exact dead-job failure this
+      // method's contract rules out
       df.withColumn(name, when(col(name).rlike("^-?\\d+$"),
-          timestamp_millis(col(name).cast(LongType)))
+          timestamp_millis(expr(s"try_cast(`$name` AS BIGINT)")))
         .otherwise(expr(s"try_cast(`$name` AS TIMESTAMP)")))
     }
   }

@@ -30,14 +30,21 @@ object StarSchema {
     df.withColumn(idCol,
       (row_number().over(Window.orderBy(orderCols.map(col): _*)) - 1).cast("long"))
 
-  /** publishers dim (c31): natural key ISSN. */
+  /** publishers dim (c31): natural key ISSN. The representative
+    * (Name, Quartile) is the lexicographic-min PAIR taken together —
+    * `min(struct)`, one map-side-combinable aggregate — never
+    * independent min(Name)/min(Quartile), which fabricates
+    * combinations no input row carried (the committed corpus has 15
+    * ISSNs with more than one (Name, Quartile) spelling). */
   def publishers(clean: DataFrame): DataFrame =
     clean.select(
         col("publisher.ISSN").as("ISSN"),
-        col("publisher.name").as("Name"),
-        col("publisher.Quartile").as("Quartile"))
+        struct(
+          col("publisher.name").as("Name"),
+          col("publisher.Quartile").as("Quartile")).as("nq"))
       .groupBy("ISSN")
-      .agg(min("Name").as("Name"), min("Quartile").as("Quartile"))
+      .agg(min("nq").as("nq"))
+      .select(col("ISSN"), col("nq.Name").as("Name"), col("nq.Quartile").as("Quartile"))
 
   /** keywords dim (c33), deduped on the keyword string. */
   def keywords(clean: DataFrame): DataFrame =
@@ -52,13 +59,24 @@ object StarSchema {
     withId(clean.select(col("topic").as("Topic")).distinct(), "TopicID", Seq("Topic"))
       .select("TopicID", "Topic")
 
-  /** dates dim (c37): natural key the display date string. */
+  /** dates dim (c37): natural key the display date string — and ONLY
+    * it, matching the fact join key in [[articles]]. Deduping on the
+    * wider (date, Day, Month, Year) tuple while joining on the string
+    * alone would fan the fact table out whenever two rows spell the
+    * derived fields differently ("1" vs "01"); the derived fields are
+    * aggregated to the min tuple per date string instead (1:1 on the
+    * committed corpus, so the golden 661 is unchanged). */
   def dates(clean: DataFrame): DataFrame =
     withId(
       clean.select(
         col("Date").as("PublicationDate"),
-        col("Day"), col("Month"), col("Year")).distinct(),
-      "DateID", Seq("PublicationDate", "Day", "Month", "Year"))
+        struct(col("Day"), col("Month"), col("Year")).as("dmy"))
+        .groupBy("PublicationDate")
+        .agg(min("dmy").as("dmy"))
+        .select(col("PublicationDate"),
+          col("dmy.Day").as("Day"), col("dmy.Month").as("Month"),
+          col("dmy.Year").as("Year")),
+      "DateID", Seq("PublicationDate"))
       .select("DateID", "PublicationDate", "Day", "Month", "Year")
 
   /** authors dim (c39): natural key (FullName, Country, University) —

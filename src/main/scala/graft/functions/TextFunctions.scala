@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** n-gram-free heuristic language ID: counts characteristic stopwords
-    * per language and picks the argmax (ties → English, then alphabetic
-    * order). Deterministic; good enough for corpus routing.
+    * per language and picks the argmax (ties → first of the fixed
+    * probe order en, fr, de, es; all-zero → "und" — the behavior the
+    * langId/langIdRegex equivalence spec and the t1 oracle pin).
+    * Deterministic; good enough for corpus routing.
     */
   val langStopwords: Map[String, String] = Map(
     "en" -> "\\b(the|a|of|and|to|in|is)\\b",

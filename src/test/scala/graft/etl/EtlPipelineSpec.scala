@@ -181,5 +181,91 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(rows.head.getString(0).contains("TRUNCATED"))
   }
 
+  test("normalize keeps every NULL-doi row (missing key is not a shared key)") {
+    // three distinct articles without a doi + one real dup pair
+    val p = write(dir, "nodoi.json",
+      """[
+        |{"title": "NoDoi One", "topic": "AI", "website": "IEEE Xplore", "journal_name": "J1"},
+        |{"title": "NoDoi Two", "topic": "AI", "website": "IEEE Xplore", "journal_name": "J1"},
+        |{"title": "NoDoi Three", "topic": "IoT", "website": "IEEE Xplore", "journal_name": "J1"},
+        |{"title": "Dup", "doi": "https://doi.org/10.1109/z1", "topic": "AI", "website": "IEEE Xplore", "journal_name": "J1"},
+        |{"title": "Dup", "doi": "https://doi.org/10.1109/z1", "topic": "AI", "website": "IEEE Xplore", "journal_name": "J2"}
+        |]""".stripMargin)
+    val norm = Ingest.normalize(Ingest.readArticles(spark, p))
+    assert(norm.filter(col("doi").isNull).count() === 3) // all three survive
+    assert(norm.count() === 4)                           // dup pair still dedups
+  }
+
+  test("normalize survivor choice is deterministic across partitionings") {
+    // same doi, same preference tier, same website — only the content
+    // hash tie-break distinguishes; survivor must not depend on layout
+    val p = write(dir, "tie.json",
+      """[
+        |{"title": "Tie A", "doi": "https://doi.org/10.1109/t1", "topic": "AI", "website": "IEEE Xplore", "journal_name": "J1"},
+        |{"title": "Tie B", "doi": "https://doi.org/10.1109/t1", "topic": "AI", "website": "IEEE Xplore", "journal_name": "J1"}
+        |]""".stripMargin)
+    val raw = Ingest.readArticles(spark, p)
+    val t1 = Ingest.normalize(raw).select("title").collect().map(_.getString(0)).toSeq
+    val t2 = Ingest.normalize(raw.repartition(7)).select("title").collect().map(_.getString(0)).toSeq
+    val t3 = Ingest.normalize(raw.coalesce(1)).select("title").collect().map(_.getString(0)).toSeq
+    assert(t1 === t2 && t2 === t3)
+  }
+
+  test("date-sentinel filter keeps NULL-field rows (reference subtract parity)") {
+    import spark.implicits._
+    // subtract removes only rows where a predicate is TRUE; NULL
+    // fields make it NULL → row kept (ETL.ipynb c14)
+    val df = Seq(
+      (Option("5 March 2021"), Option("2021"), Option("5"), Option("March")),
+      (Option("5 March 2021"), None, Option("5"), Option("March")),  // null Year: keep
+      (None, None, None, None),                                      // all null: keep
+      (Option("Date not found"), Option("2021"), Option("5"), Option("March"))) // sentinel: drop
+      .toDF("Date", "Year", "Day", "Month")
+    assert(Clean.filterDateSentinels(df).count() === 3)
+  }
+
+  test("email filter keeps NULL countries entries, drops NULL-country affiliations (c22 parity)") {
+    import spark.implicits._
+    val df = Seq(1).toDF("i")
+      .select(
+        org.apache.spark.sql.functions.expr(
+          "array('France', cast(null as string), 'a@b.com')").as("countries"),
+        org.apache.spark.sql.functions.expr(
+          "array(named_struct('author','A','country','France','location','x','university','U')," +
+          " named_struct('author','B','country',cast(null as string),'location','x','university','U')," +
+          " named_struct('author','C','country','c@d.edu','location','x','university','U'))")
+          .as("authors_with_affiliations"))
+    val out = Clean.filterEmails(df).collect().head
+    // intent branch: null entry is not an email — kept
+    assert(out.getAs[scala.collection.Seq[String]]("countries").toSeq === Seq("France", null))
+    // reference-parity branch: the c22 HOF's NULL predicate drops B
+    val affs = out.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("authors_with_affiliations")
+    assert(affs.map(_.getAs[String]("author")).toSeq === Seq("A"))
+  }
+
+  test("publishers dim emits a co-occurring (Name, Quartile) pair, never a fabricated one") {
+    import spark.implicits._
+    val cleanLike = Seq(("9999", "Internet of Things", "Q1"), ("9999", "IEEE IoT Journal", "Q2"))
+      .toDF("i", "n", "q")
+      .select(org.apache.spark.sql.functions.struct(
+        col("i").as("ISSN"), col("q").as("Quartile"), col("n").as("name")).as("publisher"))
+    val row = StarSchema.publishers(cleanLike).collect().head
+    // min(struct): lexicographic-min PAIR — independent mins would
+    // fabricate ("IEEE IoT Journal", "Q1"), which no input row carried
+    assert((row.getAs[String]("Name"), row.getAs[String]("Quartile")) ===
+      (("IEEE IoT Journal", "Q2")))
+  }
+
+  test("dates dim key equals the fact join key — spelling drift cannot fan the fact out") {
+    import spark.implicits._
+    val cleanLike = Seq(
+      ("1 January 2020", "1", "January", "2020"),
+      ("1 January 2020", "01", "January", "2020")) // int-vs-string drift
+      .toDF("Date", "Day", "Month", "Year")
+    val dim = StarSchema.dates(cleanLike)
+    assert(dim.count() === 1) // one row per PublicationDate — join-safe
+    assert(dim.select("Day").collect().head.getString(0) === "01") // min tuple, deterministic
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

@@ -100,6 +100,36 @@ class MongoStageSpec extends AnyFunSuite {
       java.time.Instant.parse("2024-05-13T10:00:00Z").toEpochMilli)
   }
 
+  test("a source _id column is replaced, never emitted as a duplicate JSON key") {
+    import spark.implicits._
+    val df = Seq(("stale-id", 4L)).toDF("_id", "doc_id")
+    val line = df.select(MongoStage.toExtJson(df, "doc_id")).head.getString(0)
+    assert("\"_id\"".r.findAllIn(line).size === 1) // exactly one _id key
+    assert(line.contains(""""_id":{"$oid":"""") && !line.contains("stale-id"))
+  }
+
+  test("NULL idFrom omits _id entirely instead of emitting \"_id\":{}") {
+    import spark.implicits._
+    val df = Seq((Option.empty[Long], "x"), (Some(5L), "y")).toDF("doc_id", "text")
+    val lines = df.select(MongoStage.toExtJson(df, "doc_id").as("l"))
+      .collect().map(_.getString(0)).sortBy(_.length)
+    val nullLine = lines.find(_.contains("\"x\"")).get
+    assert(!nullLine.contains("_id"))        // absent → mongoimport assigns
+    assert(!nullLine.contains("{}"))
+    assert(lines.find(_.contains("\"y\"")).get.contains(""""_id":{"$oid":""""))
+  }
+
+  test("an over-Long numeric $date nulls the field instead of killing the job (ANSI)") {
+    val dir = Files.createTempDirectory("graft-mongo-big").toString
+    import spark.implicits._
+    Seq("""{"doc_id":{"$numberLong":"6"},"at":{"$date":{"$numberLong":"92233720368547758080"}}}""")
+      .toDF("value").write.mode("overwrite").text(dir)
+    val got = MongoStage.readExtJsonl(spark, dir, StructType(Seq(
+      StructField("doc_id", LongType), StructField("at", TimestampType)))).head
+    assert(got.getLong(0) === 6L)
+    assert(got.isNullAt(1)) // malformed date stays a null CELL, not a dead job
+  }
+
   test("objectId is a deterministic 24-hex surrogate") {
     import spark.implicits._
     val ids = Seq(1L, 1L, 2L).toDF("k")
