@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Build an ADVERSARIAL copy of an sf dir that exercises the
+engine/oracle agreement OUTSIDE the generated data's domain:
+
+  - documents gain rows containing vertical tab 0x0B (the byte where
+    Java/Python `\\s` and RE2 `\\s` disagree) mixed with tabs/newlines
+    -> exercises t2/t3/c1/f8 whitespace classes and f1/f5 `\\s*` gaps;
+  - events gain pre-1970 rows (negative epoch micros) around week /
+    hour / 30-min bucket boundaries -> exercises the floor-division
+    forms in an16/e10/e3 (DuckDB's integer `//` TRUNCATES toward zero
+    — verified on duckdb 1.0.0: -7 // 2 = -3 — so the oracle SQL must
+    floor explicitly via the pmod construction, as the Spark side does).
+
+Usage:
+  python3 scripts/adversarial_fixture.py [src_sf_dir] [dst_dir]
+  sbt "runMain graft.Verify <dst> /tmp/advout t2_quality_score,t3_token_count,c1_curate,f1_affiliation_split,f5_cleanup,f8_whitelist_clean,an16_cohort,e10_resample,e3_sliding_window"
+  python3 scripts/check_oracle.py <dst> /tmp/advout   # expect 9 pass / 0 fail
+"""
+import datetime
+import os
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/advfix"
+
+shutil.rmtree(dst, ignore_errors=True)
+os.makedirs(dst)
+for f in os.listdir(src):
+    shutil.copy(os.path.join(src, f), dst)
+
+
+def rewrite(name, fn):
+    p = os.path.join(dst, name)
+    t = pq.read_table(p)
+    pq.write_table(fn(t), p)
+
+
+def docs(t):
+    d = t.to_pylist()
+    proto = dict(d[0])
+    mx = max(r["doc_id"] for r in d)
+    texts = [
+        "a\x0bb the of and",            # \x0b between word runs
+        "lead\x0b\x0b trail\x0b",       # runs + trailing
+        "the\x0bof\tand\nis a to in",   # every whitespace kind mixed
+        "x,\x0bY",                      # \x0b right after the f1 comma
+    ]
+    for i, txt in enumerate(texts):
+        r = dict(proto)
+        r["doc_id"] = mx + 1 + i
+        r["text"] = txt
+        r["n_chars"] = len(txt)
+        d.append(r)
+    return pa.Table.from_pylist(d, schema=t.schema)
+
+
+def events(t):
+    d = t.to_pylist()
+    proto = dict(d[0])
+    mx = max(r["event_id"] for r in d)
+    epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+    # boundary-adjacent negative micros: -1 (one tick before epoch),
+    # exact -30min, one past a week, one past an hour, -2
+    for i, us in enumerate([-1, -1800000000, -604800000001, -3600000001, -2]):
+        r = dict(proto)
+        r["event_id"] = mx + 1 + i
+        r["ts"] = epoch + datetime.timedelta(microseconds=us)
+        r["user_id"] = 10_000_000 + (i % 2)
+        d.append(r)
+    return pa.Table.from_pylist(d, schema=t.schema)
+
+
+rewrite("documents.parquet", docs)
+rewrite("events.parquet", events)
+print(f"adversarial fixture written to {dst}")

@@ -33,7 +33,15 @@ object TextFunctions {
     * contract is the ORACLE's ASCII semantics — implemented natively
     * by [[TextStats]] and, for the Spark-regex reference path, by
     * explicit ASCII lookarounds instead of `\b`. The SQL oracle keeps
-    * `\b` (RE2 is already ASCII). */
+    * `\b` (RE2 is already ASCII).
+    *
+    * `\s` is not portable EITHER, in the other direction: Java and
+    * Python class vertical tab 0x0B as whitespace, RE2's `\s` is only
+    * `[\t\n\f\r ]`. Here the engine contract is the JAVA/PYTHON set
+    * (reference parity — the whitelist and splits come from Python
+    * code), so every ORACLE SQL spells it as the explicit class
+    * `[ \t\n\x0b\f\r]` instead of `\s` (t2/t3/c1/f1/f5/f8), and
+    * [[TextStats.isSpaceByte]] includes 0x0B to match. */
   private def asciiBounded(pattern: String): String =
     pattern
       .replace("\\b(", "(?<![a-zA-Z0-9_])(")

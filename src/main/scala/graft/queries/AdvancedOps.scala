@@ -362,9 +362,11 @@ object AdvancedOps {
   val an16CohortRetention: Q = (s, dir) => {
     import s.implicits._
     val act = Tables.load(s, dir, "events")
-      // floor-division week index (pmod form, as in e10): bare `div`
-      // truncates toward zero and diverges from the oracle's `//`
-      // floor for pre-1970 timestamps
+      // floor-division week index (pmod form, as in e10). NOTE the
+      // oracle floors EXPLICITLY too: DuckDB's integer `//` TRUNCATES
+      // toward zero (verified on the gate's duckdb 1.0.0:
+      // -7 // 2 = -3), so its SQL uses the same pmod construction —
+      // both engines floor, and pre-1970 timestamps bucket identically
       .select($"user_id",
         expr("(unix_micros(ts) - pmod(unix_micros(ts), 604800000000)) div 604800000000")
           .as("wk"))
@@ -383,7 +385,9 @@ object AdvancedOps {
 
   val an16CohortRetentionSql: String =
     """WITH act AS (
-      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+      |  SELECT DISTINCT user_id,
+      |    (epoch_us(ts) - ((epoch_us(ts) % 604800000000) + 604800000000) % 604800000000)
+      |      // 604800000000 AS wk
       |  FROM events),
       |first AS (SELECT user_id, min(wk) AS cw FROM act GROUP BY user_id),
       |ret AS (
@@ -416,8 +420,10 @@ object AdvancedOps {
       .select($"user_id", $"event_id", unix_micros($"ts").as("tus"),
         floor($"value" * 100).cast("long").as("vc"))
       // floor-division slot (pmod keeps the numerator an exact multiple
-      // of W): bare `div` truncates toward zero and would disagree with
-      // the oracle's `//` floor for pre-1970 timestamps
+      // of W, where truncation == floor). The oracle uses the SAME
+      // pmod form: DuckDB's `//` truncates toward zero (verified,
+      // duckdb 1.0.0: -7 // 2 = -3), so a bare `//` there would
+      // disagree with this floor for pre-1970 timestamps
       .withColumn("slot", expr(s"(tus - pmod(tus, $W)) div $W"))
     val slotv = ev.groupBy($"user_id", $"slot")
       .agg(max(struct($"tus", $"event_id", $"vc")).as("w"))
@@ -438,7 +444,8 @@ object AdvancedOps {
     """WITH ev AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS tus,
       |         CAST(floor(value * 100) AS BIGINT) AS vc,
-      |         epoch_us(ts) // 3600000000 AS slot
+      |         (epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000)
+      |           // 3600000000 AS slot
       |  FROM events),
       |slotv AS (
       |  SELECT user_id, slot, vc FROM (

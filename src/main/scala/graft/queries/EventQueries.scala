@@ -153,7 +153,10 @@ object EventQueries {
 
   /** E3: sliding event-time windows (1 h length, 30 min slide) — each
     * event lands in two windows; the oracle enumerates the two aligned
-    * starts per event. */
+    * starts per event. Spark's `window()` FLOOR-aligns to the epoch,
+    * so the oracle's alignment uses the exact pmod floor form — a bare
+    * `//` would truncate toward zero (duckdb 1.0.0: -7 // 2 = -3) and
+    * drop one of the two windows for every pre-1970 event. */
   val e3SlidingWindow: Q = (s, dir) => {
     import s.implicits._
     Tables.load(s, dir, "events")
@@ -166,7 +169,8 @@ object EventQueries {
   val e3SlidingWindowSql: String =
     """WITH placed AS (
       |  SELECT event_type,
-      |    (epoch_us(ts) // 1800000000) * 1800000000 - off AS win_start,
+      |    epoch_us(ts) - ((epoch_us(ts) % 1800000000) + 1800000000) % 1800000000
+      |      - off AS win_start,
       |    epoch_us(ts) AS t
       |  FROM events, (SELECT unnest([0, 1800000000]) AS off))
       |SELECT win_start, event_type, count(*) AS n

@@ -15,7 +15,7 @@ object ScalarFuncs {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** F1: affiliation split `(.+?),\s*([^,]+)$` → (university, country),
+  /** F1: affiliation split `(.+?),[ \t\n\x0b\f\r]*([^,]+)$` → (university, country),
     * unparseable → (full text, "Unknown")
     * (ScienceDirect/ScienceDirect.py:115-125). */
   val f1AffiliationSplit: Q = (s, dir) => {
@@ -43,10 +43,10 @@ object ScalarFuncs {
       |         ELSE s_name || ', ' || n_name END AS aff
       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
       |SELECT s_suppkey, aff,
-      |  CASE WHEN regexp_extract(aff, '(.+?),\s*([^,]+)$', 2) = '' THEN aff
-      |       ELSE regexp_extract(aff, '(.+?),\s*([^,]+)$', 1) END AS university,
-      |  CASE WHEN regexp_extract(aff, '(.+?),\s*([^,]+)$', 2) = '' THEN 'Unknown'
-      |       ELSE regexp_extract(aff, '(.+?),\s*([^,]+)$', 2) END AS country
+      |  CASE WHEN regexp_extract(aff, '(.+?),[ \t\n\x0b\f\r]*([^,]+)$', 2) = '' THEN aff
+      |       ELSE regexp_extract(aff, '(.+?),[ \t\n\x0b\f\r]*([^,]+)$', 1) END AS university,
+      |  CASE WHEN regexp_extract(aff, '(.+?),[ \t\n\x0b\f\r]*([^,]+)$', 2) = '' THEN 'Unknown'
+      |       ELSE regexp_extract(aff, '(.+?),[ \t\n\x0b\f\r]*([^,]+)$', 2) END AS country
       |FROM a ORDER BY s_suppkey""".stripMargin
 
   /** F2: split on ", ", last part = country, rest rejoined = university;
@@ -115,7 +115,7 @@ object ScalarFuncs {
   val f5CleanupSql: String =
     """SELECT p_partkey,
       |  trim(regexp_replace(regexp_replace('Published in: ' || p_type || ' (Early Access)',
-      |       '^Published in: ', '', 'g'), '\s*\([^)]*\)$', '', 'g')) AS journal
+      |       '^Published in: ', '', 'g'), '[ \t\n\x0b\f\r]*\([^)]*\)$', '', 'g')) AS journal
       |FROM part ORDER BY p_partkey""".stripMargin
 
   /** F6: ISSN normalize — text after ':', trimmed, '-' removed
@@ -167,8 +167,8 @@ object ScalarFuncs {
 
   val f8WhitelistCleanSql: String =
     """SELECT doc_id,
-      |  regexp_replace('«' || text || '»!@#', '[^A-Za-zÀ-ÿ0-9\s''-]', '', 'g') AS cleaned,
-      |  regexp_replace(source, '[^A-Za-zÀ-ÿ0-9\s''-]', '', 'g') AS src
+      |  regexp_replace('«' || text || '»!@#', '[^A-Za-zÀ-ÿ0-9 \t\n\x0b\f\r''-]', '', 'g') AS cleaned,
+      |  regexp_replace(source, '[^A-Za-zÀ-ÿ0-9 \t\n\x0b\f\r''-]', '', 'g') AS src
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** F11: SQL-literal encoding — NULL for missing, numbers verbatim,

@@ -57,8 +57,8 @@ object TextPipeline {
       |    (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT * 10000)
       |      // greatest(length(text), 1)::BIGINT AS alpha_bp,
       |    (least(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) * 10,
-      |           len(regexp_split_to_array(trim(text), '\s+')))::BIGINT * 10000)
-      |      // greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)::BIGINT AS stop_bp
+      |           len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')))::BIGINT * 10000)
+      |      // greatest(len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')), 1)::BIGINT AS stop_bp
       |  FROM documents)
       |SELECT doc_id, (len_bp + alpha_bp + stop_bp) // 3 AS quality
       |FROM m ORDER BY doc_id""".stripMargin
@@ -102,8 +102,8 @@ object TextPipeline {
        |    (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT * 10000)
        |      // greatest(length(text), 1)::BIGINT AS alpha_bp,
        |    (least(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b')) * 10,
-       |           len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT * 10000)
-       |      // greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)::BIGINT AS stop_bp
+       |           len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')))::BIGINT * 10000)
+       |      // greatest(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')), 1)::BIGINT AS stop_bp
        |  FROM langed),
        |scored AS (
        |  SELECT doc_id, lang_pred,
@@ -320,8 +320,8 @@ object TextPipeline {
 
   val t3TokensSql: String =
     """SELECT doc_id,
-      |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
-      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpeish_tokens
+      |  len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]')) AS bpeish_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** T4: canonical fingerprint (md5 of normalized text). */
