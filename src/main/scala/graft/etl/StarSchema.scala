@@ -26,9 +26,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object StarSchema {
 
+  // dense 0-based ids via the two-phase distributed rank — even the
+  // dims that are "small" at this corpus (authors is the one that
+  // grows; SURVEY §2) never pass through a single-partition window
   private def withId(df: DataFrame, idCol: String, orderCols: Seq[String]): DataFrame =
-    df.withColumn(idCol,
-      (row_number().over(Window.orderBy(orderCols.map(col): _*)) - 1).cast("long"))
+    graft.operators.Ranking.globalRowNumber(df, orderCols.map(col), idCol)
+      .withColumn(idCol, (col(idCol) - 1).cast("long"))
 
   /** publishers dim (c31): natural key ISSN. The representative
     * (Name, Quartile) is the lexicographic-min PAIR taken together —

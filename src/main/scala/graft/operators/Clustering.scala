@@ -47,6 +47,17 @@ object Clustering {
       assigned.select(col("cid"), col("v").as("embedding")), "cid")
       .select(col("cell").as("cid"), col("cv"))
 
+  /** The SemDeDup-style blocking knob made executable: the k that
+    * keeps expected per-cluster pair work bounded as the corpus
+    * grows. With n points in blocks of ~`targetBlock`, within-block
+    * scoring does ~n·targetBlock/2 comparisons — linear in n for a
+    * fixed target — so k MUST grow like n/targetBlock (a constant k
+    * degrades to O(n²/k)). d11 passes a fixed k=8 only because its
+    * gate corpus is fixed-size; a deployment sizes k here. */
+  def blockCount(n: Long, targetBlock: Long = 4096L): Int =
+    math.max(1L, (n + targetBlock - 1) / targetBlock)
+      .min(Int.MaxValue.toLong).toInt
+
   /** `iters` Lloyd assignment steps with mean updates between them
     * (iters=2 ⇒ assign → update → assign). Seeds: the k lowest-id
     * points — k driver-side rows, the bounded analogue of an

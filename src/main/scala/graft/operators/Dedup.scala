@@ -427,8 +427,14 @@ object Dedup {
       col("doc_id").as("id1"), col("ck").as("ck1"))
     val b = s.select(col("blk"), col("rn").as("rn2"),
       col("doc_id").as("id2"), col("ck").as("ck2"))
-    a.join(b, Seq("blk"))
-      .filter(col("rn2") > col("rn1") && col("rn2") <= col("rn1") + w)
+    // the ±w band is part of the EQUI-KEY, not a post-join filter:
+    // each row probes exactly its w successor ranks, so the join
+    // intermediate is ≤ w·N rows. Joining on blk alone and filtering
+    // rn2 ∈ (rn1, rn1+w] afterwards would materialize the within-block
+    // cross product first — quadratic in block size, exactly the
+    // corpus-spanning work this operator exists to avoid.
+    val probes = a.withColumn("rn2", explode(expr(s"sequence(rn1 + 1, rn1 + $w)")))
+    probes.join(b, Seq("blk", "rn2"))
       .select(least(col("id1"), col("id2")).as("d1"),
         greatest(col("id1"), col("id2")).as("d2"),
         levenshtein(substring(col("ck1"), 1, 30), substring(col("ck2"), 1, 30))

@@ -163,7 +163,16 @@ object AdvancedOps {
         min(col("qp")).as("tp"))
   }
 
-  /** E8: the funnel summary row over [[funnelPerUser]]. */
+  /** E8: the funnel summary row over [[funnelPerUser]].
+    *
+    * `sum_lag_us` is an int64 sum of unbounded per-user lags; with
+    * ~1e9 converting users and decade-length lags it can exceed 2^63.
+    * Both engines fail LOUDLY and identically there — Spark 4 runs
+    * ANSI mode (sum overflow throws; no silent wrap) and the oracle's
+    * CAST of DuckDB's HUGEINT sum to BIGINT errors the same way. A
+    * deployment that needs the metric beyond that bound sums in
+    * DECIMAL(38,0); the int64 form is kept because the gate compares
+    * exact integers. */
   val e8Funnel: Q = (s, dir) => {
     import s.implicits._
     val perUser = funnelPerUser(Tables.load(s, dir, "events"))
@@ -203,9 +212,11 @@ object AdvancedOps {
     * across many documents. Planted: a third of the corpus carries a
     * trailing 5-word template. Detection is a tiny aggregation over
     * trailing 5-grams (one row per doc); any tail shared by ≥ 25 docs
-    * is boilerplate, broadcast back, and stripped per-row. No corpus
-    * shuffle: the corpus-sized side is touched by exactly one map
-    * pass. */
+    * is boilerplate, joined back on the tail, and stripped per-row.
+    * The template set is corpus-dependent (a web crawl has millions
+    * of qualifying templates), so the join-back carries no broadcast
+    * hint — AQE broadcasts it while it fits and falls back to a hash
+    * join on the tail key when it no longer does. */
   val t14BoilerplateStrip: Q = (s, dir) => {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
@@ -221,7 +232,7 @@ object AdvancedOps {
       .groupBy($"tail").agg(count(lit(1)).as("n_docs"))
       .filter($"n_docs" >= 25)
       .select($"tail", lit(true).as("is_boiler"))
-    docs.join(broadcast(boiler), Seq("tail"), "left")
+    docs.join(boiler, Seq("tail"), "left")
       .select($"doc_id", coalesce($"is_boiler", lit(false)).as("stripped"),
         $"nw".as("n_words"),
         when($"is_boiler", $"nw" - 5).otherwise($"nw").as("n_words_clean"),
@@ -478,8 +489,11 @@ object AdvancedOps {
     * triangle iff the undirected edge closing it exists. The wedge
     * join — the only superlinear step — is bounded by Σ outdeg², not
     * Σ deg²: the difference between feasible and last-reducer death
-    * on power-law graphs at 100 TB. Degrees are a tiny relation,
-    * broadcast onto the edge list. */
+    * on power-law graphs at 100 TB. The degree relation is one row
+    * per NODE — sf-proportional, so it is joined plainly (key
+    * shuffle); AQE broadcasts it at small scale, and forcing the
+    * broadcast would collect a graph-sized relation to the driver at
+    * exactly the scale this orientation exists for. */
   val an17Triangles: Q = (s, dir) => {
     import s.implicits._
     val li = Tables.load(s, dir, "lineitem")
@@ -490,8 +504,8 @@ object AdvancedOps {
     val deg = e.select($"u".as("n")).unionByName(e.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("d"))
     val ed = e
-      .join(broadcast(deg.select($"n".as("u"), $"d".as("du"))), "u")
-      .join(broadcast(deg.select($"n".as("v"), $"d".as("dv"))), "v")
+      .join(deg.select($"n".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
     // u < v already, so the equal-degree tie keeps s = u
     val fwd = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
     val orient = ed.select(
@@ -541,8 +555,11 @@ object AdvancedOps {
     * reshuffled) with d5's block-scoped pair scoring; exact copies
     * are injected so true positives exist, and identical vectors
     * provably land in the same cluster (assignment is a rounded
-    * score with cid tie-break). At 100 TB: cluster count scales with
-    * corpus size, keeping per-cluster pair work bounded. */
+    * score with cid tie-break). At 100 TB the cluster count must
+    * GROW with the corpus — `Clustering.blockCount(n)` is the
+    * executable sizing rule (k ≈ n/4096 keeps pair work linear); the
+    * k=8 here is the fixed-size gate corpus's instance of it, not a
+    * constant the operator owns. */
   val d11SemanticDedup: Q = (s, dir) => {
     import s.implicits._
     val e0 = Tables.load(s, dir, "embeddings")

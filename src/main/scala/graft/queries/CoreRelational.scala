@@ -51,7 +51,11 @@ object CoreRelational {
 
   /** J1: multi-way left equi-join fact→dims with broadcast dims
     * (ref: articles⟕topics⟕date⟕publishers, DB/ETL.ipynb c41).
-    */
+    * nation/region are FORCE-broadcast (25/5 rows by schema — bounded
+    * forever); customer is NOT: it grows with sf, so the hint that is
+    * free at sf0.1 is a driver OOM at 100 TB. AQE's runtime size check
+    * broadcasts it when it actually fits and shuffle-joins otherwise —
+    * the decision belongs to stats, not the query text. */
   val j1FactDims: Q = (s, dir) => {
     import s.implicits._
     val orders   = Tables.load(s, dir, "orders")
@@ -59,7 +63,7 @@ object CoreRelational {
     val nation   = Tables.load(s, dir, "nation")
     val region   = Tables.load(s, dir, "region")
     orders
-      .join(broadcast(customer), $"o_custkey" === $"c_custkey", "left")
+      .join(customer, $"o_custkey" === $"c_custkey", "left")
       .join(broadcast(nation), $"c_nationkey" === $"n_nationkey", "left")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey", "left")
       .groupBy($"r_name", $"n_name")

@@ -34,8 +34,11 @@ object ScaleOps {
       .select($"c_custkey")
     val orders = Tables.load(s, dir, "orders")
     val probed = Bloom.probe(orders, "o_custkey", Bloom.build(cust, "c_custkey", K, M), K, M)
+    // the ground-truth join is the DIAGNOSTIC side of this query (a
+    // deployment uses the bloom to avoid it); the build set is
+    // sf-proportional, so no broadcast hint — AQE decides from size
     probed
-      .join(broadcast(cust.distinct()), $"o_custkey" === $"c_custkey", "left")
+      .join(cust.distinct(), $"o_custkey" === $"c_custkey", "left")
       .select($"bloom_pass", $"c_custkey".isNotNull.as("is_match"))
       .agg(
         count(lit(1)).as("n_rows"),

@@ -27,8 +27,12 @@ object StarSchemaQueries {
     val words = Tables.load(s, dir, "documents")
       .select($"doc_id", explode(split($"text", " ")).as("word"))
       .filter($"word" =!= "")
-    val dim = words.select($"word").distinct()
-      .withColumn("word_id", row_number().over(Window.orderBy($"word")) - 1)
+    // dense word ids via the two-phase distributed rank: a web-scale
+    // vocabulary (noise tokens grow with the corpus) must never pass
+    // through a single-partition Window.orderBy
+    val dim = graft.operators.Ranking.globalRowNumber(
+        words.select($"word").distinct(), Seq($"word"), "word_id")
+      .withColumn("word_id", $"word_id" - 1)
     words.distinct()
       .join(dim, "word")
       .select($"doc_id", $"word_id")
@@ -52,8 +56,9 @@ object StarSchemaQueries {
     import s.implicits._
     val toks = Tables.load(s, dir, "part")
       .select($"p_partkey", explode(split($"p_type", " ")).as("tok"))
-    val dim = toks.select($"tok").distinct()
-      .withColumn("tok_id", row_number().over(Window.orderBy($"tok")) - 1)
+    val dim = graft.operators.Ranking.globalRowNumber(
+        toks.select($"tok").distinct(), Seq($"tok"), "tok_id")
+      .withColumn("tok_id", $"tok_id" - 1)
     toks.distinct()
       .join(dim, "tok")
       .select($"p_partkey", $"tok_id")
@@ -116,8 +121,20 @@ object StarSchemaQueries {
   val an2TopKPerGroup: Q = (s, dir) => {
     import s.implicits._
     val li = Tables.load(s, dir, "lineitem")
-    li.groupBy($"l_returnflag", $"l_partkey")
+    val agg = li.groupBy($"l_returnflag", $"l_partkey")
       .agg(round(sum($"l_extendedprice".cast(dec)), 2).as("rev"))
+    // two-stage top-k: the per-group aggregate still has one row per
+    // (flag, partkey) — sf-proportional, and the flag has ~3 distinct
+    // values, so a direct per-flag window sorts ~N/3 of the relation
+    // in one task. Stage 1 takes top-3 within 32 deterministic salt
+    // buckets (bounded tasks); the global top-3 is a subset of those
+    // ≤ 96 survivors per flag, so stage 2's window is bounded.
+    val salted = agg
+      .withColumn("salt", pmod($"l_partkey", lit(32)))
+      .withColumn("rk1", row_number().over(
+        Window.partitionBy($"l_returnflag", $"salt").orderBy($"rev".desc, $"l_partkey")))
+      .filter($"rk1" <= 3)
+    salted
       .withColumn("rk", row_number().over(
         Window.partitionBy($"l_returnflag").orderBy($"rev".desc, $"l_partkey")))
       .filter($"rk" <= 3)
@@ -137,11 +154,17 @@ object StarSchemaQueries {
       |ORDER BY l_returnflag, rk""".stripMargin
 
   /** AN3: quartile bucketing with ntile — account-balance quartiles per
-    * nation (the SCImago "Quartile" analytic re-expressed). */
+    * nation (the SCImago "Quartile" analytic re-expressed). The engine
+    * side uses the two-phase distributed ntile (Ranking.globalNtile:
+    * range partition → local ranks → broadcast offsets), never
+    * `ntile().over(Window.orderBy(...))`, whose missing partition key
+    * moves the whole table into one task's sort — the oracle keeps the
+    * plain window form and the outputs agree exactly. */
   val an3Ntile: Q = (s, dir) => {
     import s.implicits._
-    Tables.load(s, dir, "customer")
-      .withColumn("q", ntile(4).over(Window.orderBy($"c_acctbal", $"c_custkey")))
+    graft.operators.Ranking.globalNtile(
+        Tables.load(s, dir, "customer"),
+        Seq($"c_acctbal", $"c_custkey"), buckets = 4, out = "q")
       .groupBy($"q")
       .agg(count(lit(1)).as("n"),
         round(min($"c_acctbal").cast(dec), 2).cast("double").as("min_bal"),
@@ -161,15 +184,27 @@ object StarSchemaQueries {
   /** AN5: exact discrete median per group — the element at rank
     * ceil(n/2) under a fully tie-broken order. percentile_disc without
     * interpolation, so the value is engine-exact (float interpolation
-    * formulas differ between engines; rank selection cannot). */
+    * formulas differ between engines; rank selection cannot).
+    *
+    * The rank-selected VALUE depends only on the value order, so the
+    * engine computes it from the per-(group, value) HISTOGRAM: the
+    * median is the value whose cumulative count first reaches the
+    * target rank. The cumulative window runs over distinct values per
+    * group — bounded by the value DOMAIN (l_quantity: 50), not the
+    * corpus — where the oracle's row-window form would sort ~N/3 raw
+    * rows per task under a 3-value partition key. Outputs agree
+    * exactly; only the plan differs. */
   val an5MedianDisc: Q = (s, dir) => {
     import s.implicits._
-    val byFlag = Window.partitionBy($"l_returnflag")
-      .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
-    Tables.load(s, dir, "lineitem")
-      .withColumn("rn", row_number().over(byFlag))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
-      .filter($"rn" === expr("(n + 1) div 2")) // integer div: Column./ is double division
+    val hist = Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("c"))
+    val cumw = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum($"c").over(cumw))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"l_returnflag")))
+      .filter($"cum" - $"c" < expr("(n + 1) div 2") && $"cum" >= expr("(n + 1) div 2"))
       .select($"l_returnflag", $"l_quantity".as("median_qty"))
       .orderBy($"l_returnflag")
   }

@@ -56,11 +56,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // returned plan is a memory-sink read, not the streaming topology.
     import graft.tools.PlanAudit
     // d11 inherits n7's Lloyd assignment (broadcast k=8 centroids);
-    // n8/n9 compose n1's exact side (broadcast 5-query fan-out)
+    // n8/n9 compose n1's exact side (broadcast 5-query fan-out);
+    // an3's Ranking.globalNtile crossJoins its ONE-ROW broadcast
+    // total (the t9-style scalar fan-out) to derive tile boundaries
     val bnljAllowed = Set("n1_cosine_topk", "n2_ann_ivf", "n6_quantized_topk",
       "n7_kmeans", "d11_semantic_dedup", "n8_recall", "n9_lsh_recall",
       "j6_bloom_semijoin", "t8_stratified_sample", "t9_tfidf",
-      "t13_decontaminate")
+      "t13_decontaminate", "an3_ntile")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(PlanAudit.excluded.contains).flatMap { name =>
         val plan = sparkPlan(name).toString
