@@ -117,22 +117,37 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Force through the NOOP SINK, never count(): under count() the
+    // optimizer deletes the operator under test — column pruning
+    // reduced n4's quantization and t3's tokenizers to bare scans,
+    // and j4's as-of union-merge constant-folded away entirely — so
+    // those medians were scan time misreported as operator cost
+    // (verified on the optimized plans, r5). The noop sink consumes
+    // every output column, so the full query (including its final
+    // sort) executes as a user materializing results would run it.
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // untimed warm-up: JIT + codegen + parquet footer caches
     Tables.load(spark, sfDir, "lineitem").count()
-    val qs = headline.filter(SparkEntry.queries.contains)
+    // a renamed/removed headline query must be a hard failure, not a
+    // silent drop that a reader mistakes for a cross-round speedup
+    val missing = headline.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty,
+      s"headline queries missing from SparkEntry.queries: ${missing.mkString(", ")}")
+    val qs = headline
     // a query that throws reports the sentinel -1, not its time-to-failure
     val results = qs.map { name =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       // per-query untimed warm-up: the first execution pays plan
       // compilation + codegen; timing it poisons median AND spread
       var failed =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); false }
+        try { force(SparkEntry.queries(name)(spark, sfDir)); false }
         catch { case _: Throwable => true }
       var spent = 0.0
       while (!failed && times.size < maxReps &&
              (times.size < reps || spent < minSampleSecs)) {
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count()
+        try { force(SparkEntry.queries(name)(spark, sfDir))
               val dt = (System.nanoTime() - t0) / 1e9
               times += dt; spent += dt }
         catch { case _: Throwable => failed = true }
@@ -162,7 +177,9 @@ object Bench {
       Double.box(stealPct(runTicks0, cpuTicks())))
     def f3(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"errors":$errors,"reps":$reps,"loadavg":"$load","loadavg_start":"$startLoad","busy_start":$busyStart,"steal_pct_run":$runSteal,"calib_sec_start":${f3(calib0)},"calib_sec_end":${f3(calibrate())},"sf":"$sfDir"}""")
+    // "forcing" stamp: r5 switched count() -> noop write, which makes
+    // medians comparable only within runs carrying the same stamp
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"spread":$sjson,"errors":$errors,"reps":$reps,"forcing":"noop_write","loadavg":"$load","loadavg_start":"$startLoad","busy_start":$busyStart,"steal_pct_run":$runSteal,"calib_sec_start":${f3(calib0)},"calib_sec_end":${f3(calibrate())},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,6 +21,12 @@ object Verify {
     val attempted = SparkEntry.queries.keySet
       .filter(name => only.forall(_.contains(name)))
     attempted.toSeq.sorted.foreach { name =>
+      // a stale dump from a prior run into the same outDir must never
+      // stand in for a query that now fails BEFORE its overwrite-write
+      // starts (analysis/planning errors) — delete first, so "attempted
+      // with no dump" fails the gate as designed
+      val stale = new java.io.File(s"$outDir/$name")
+      if (stale.exists()) new scala.reflect.io.Directory(stale).deleteRecursively()
       try SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -70,8 +70,33 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Marks the wide-interval fallback join so fixed-point optimizer
     * batches do not re-rewrite it (its condition is still the bare
-    * theta predicate this rule matches). */
+    * theta predicate this rule matches). The tag is the FAST guard;
+    * [[containsRewriteArtifacts]] is the robust one — sibling rules
+    * (e.g. PushPredicateThroughJoin) rebuild Join nodes without
+    * copying tags. */
   private[plans] val skipTag = TreeNodeTag[Boolean]("graft.rangeJoin.skip")
+
+  /** True when a subtree already carries this rule's output: a
+    * `_graft_`-prefixed bucket column, or a Filter whose condition
+    * contains the `Pmod` our bucket floor introduces (the wide-branch
+    * route predicate — it survives Join rebuilds and filter merges
+    * because it lives in the CHILD, not on the rebuilt node). Joins
+    * over such subtrees are never rewritten again, which (a) makes
+    * the rule idempotent even if the skip tag is lost, and (b) scopes
+    * the rewrite to the INNERMOST of stacked range joins — each
+    * rewrite embeds both children twice (bucketed + fallback branch),
+    * so rewriting K nested levels would copy the base scans 2^K
+    * times. A pipeline with several genuine range joins should
+    * pre-bucket via graft.operators.RangeJoin instead. */
+  private def containsRewriteArtifacts(p: LogicalPlan): Boolean =
+    p.exists {
+      case f: Filter => f.condition.exists(_.isInstanceOf[Pmod])
+      case node => node.expressions.exists(_.exists {
+        case a: Alias => a.name.startsWith("_graft_")
+        case ar: AttributeReference => ar.name.startsWith("_graft_")
+        case _ => false
+      })
+    }
 
   private def width: Long = {
     val w = SQLConf.get.getConfString(WidthKey, "3600000000").toLong
@@ -139,7 +164,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(_, _, Inner, Some(cond), _) if j.getTagValue(skipTag).isEmpty =>
+    case j @ Join(_, _, Inner, Some(cond), _)
+        if j.getTagValue(skipTag).isEmpty &&
+          !containsRewriteArtifacts(j.left) && !containsRewriteArtifacts(j.right) =>
       rewrite(j, cond).getOrElse(j)
   }
 

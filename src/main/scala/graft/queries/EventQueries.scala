@@ -293,18 +293,21 @@ object EventQueries {
       .writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .format("memory").queryName("e4_sessions").start()
-    q.processAllAvailable()
     // sentinel 1 pushes the watermark past every open session's close;
-    // sentinel 2 triggers the batch in which their timeouts fire
+    // sentinel 2 triggers the batch in which their timeouts fire.
+    // finally: a sentinel-write failure must not leak the live query
+    // into the shared session for the rest of the Verify run
     def sentinel(sec: Long): Unit =
       Seq((-1L, new java.sql.Timestamp(sec * 1000L), 0.0))
         .toDF("user_id", "ts", "value")
         .write.mode("append").parquet(tmp)
-    sentinel(4102444800L) // 2100-01-01
-    q.processAllAvailable()
-    sentinel(4102444860L)
-    q.processAllAvailable()
-    q.stop()
+    try {
+      q.processAllAvailable()
+      sentinel(4102444800L) // 2100-01-01
+      q.processAllAvailable()
+      sentinel(4102444860L)
+      q.processAllAvailable()
+    } finally q.stop()
     s.table("e4_sessions").filter($"user_id" =!= -1L)
       .select($"user_id", $"session_start", $"session_end",
         $"n_events", $"value_scaled")
@@ -359,8 +362,8 @@ object EventQueries {
     val q = joined.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .format("memory").queryName("e6_attrib").start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     s.table("e6_attrib")
       .select($"purchase_id", $"click_id", $"user_id", $"lag_us")
       .orderBy($"purchase_id", $"click_id")
@@ -449,16 +452,17 @@ object EventQueries {
       .writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .format("memory").queryName("e11_win").start()
-    q.processAllAvailable()
     def sentinel(sec: Long): Unit =
       Seq((new java.sql.Timestamp(sec * 1000L), "__sentinel", 0.0))
         .toDF("ts", "event_type", "value")
         .write.mode("append").parquet(tmp)
-    sentinel(4102444800L) // 2100-01-01: watermark passes every real window
-    q.processAllAvailable()
-    sentinel(4102444860L) // next batch fires the evictions
-    q.processAllAvailable()
-    q.stop()
+    try {
+      q.processAllAvailable()
+      sentinel(4102444800L) // 2100-01-01: watermark passes every real window
+      q.processAllAvailable()
+      sentinel(4102444860L) // next batch fires the evictions
+      q.processAllAvailable()
+    } finally q.stop()
     s.table("e11_win").filter($"event_type" =!= "__sentinel")
       .select(unix_micros($"hour_start").as("hs_us"), $"event_type", $"n")
       .orderBy($"hs_us", $"event_type")

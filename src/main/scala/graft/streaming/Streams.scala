@@ -193,7 +193,16 @@ object Streams {
   def sessionizeStreamExact(events: Dataset[Event],
       watermarkDelay: String = "30 minutes"): Dataset[SessionExact] = {
     import events.sparkSession.implicits._
-    def scaled(v: Double): Long = math.round(v * 10000d)
+    // half AWAY FROM ZERO, matching SQL round() on both engines:
+    // math.round alone is half-toward-+infinity, which differs on
+    // negative exact halves (-0.03125 · 1e4 = -312.5 → SQL -313,
+    // math.round -312) — the gate data is positive so only a spec
+    // pins this, but the "bit-identical to batch" contract must hold
+    // for negative values too
+    def scaled(v: Double): Long = {
+      val x = v * 10000d
+      if (x >= 0) math.round(x) else -math.round(-x)
+    }
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -292,7 +301,9 @@ object Streams {
       .format("memory")
       .queryName(queryName)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    // finally: an exception from processAllAvailable must not leak a
+    // live query (and its state/memory sink) into the shared session
+    try q.processAllAvailable()
+    finally q.stop()
   }
 }

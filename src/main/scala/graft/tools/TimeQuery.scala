@@ -16,27 +16,36 @@ object TimeQuery {
       if (args.length > 1) args(1).split(",").toSeq
       else Seq("n2_ann_ivf")
     val reps = if (args.length > 2) args(2).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SAME session shape as Bench (cpu default, shuffle partitions,
+    // codegen cache): a bisection tool that measures under a different
+    // parallelism/caching regime than the bench it bisects produces
+    // numbers that cannot be compared with the bench's
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.load(spark, sfDir, "lineitem").count()
     for (name <- names) {
       val q = graft.SparkEntry.queries(name)
-      q(spark, sfDir).count() // warm-up
+      // noop-sink forcing, as in Bench: count() lets the optimizer
+      // prune the operator under test out of the measured plan
+      def force(): Unit =
+        q(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val rows = q(spark, sfDir).count() // untimed warm-up + row count
+      force()                            // warm the forced plan too
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val n = q(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        (dt, n)
+        force()
+        (System.nanoTime() - t0) / 1e9
       }
-      println(f"TIMEQ $name rows=${times.head._2} " +
-        times.map(t => f"${t._1}%.3f").mkString(" "))
+      println(f"TIMEQ $name rows=$rows " +
+        times.map(t => f"$t%.3f").mkString(" "))
     }
     spark.stop()
   }

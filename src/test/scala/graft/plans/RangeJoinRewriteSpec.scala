@@ -238,4 +238,50 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("stacked range joins: only the innermost rewrites (no 2^K subtree copies)") {
+    // each rewrite embeds BOTH join children twice (bucketed branch +
+    // wide fallback), so rewriting K nested range joins would copy the
+    // base scans 2^K times; containsRewriteArtifacts scopes the rule
+    // to the innermost join and leaves the outer theta join alone
+    withRule() {
+      val iv2 = Seq((10L, -50L, 60L), (11L, 90L, 200L)).toDF("iid2", "lo2", "hi2")
+      val stacked = points
+        .join(intervals, $"p" >= $"lo" && $"p" < $"hi")
+        .join(iv2, $"p" >= $"lo2" && $"p" < $"hi2")
+      val opt = stacked.queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Union => LUnion}
+      assert(opt.collect { case u: LUnion => u }.size == 1,
+        s"stacked joins must rewrite exactly one level:\n$opt")
+      // rows still exact: the outer join keeps theta semantics
+      val got = stacked.select($"pid", $"iid", $"iid2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ptRows = points.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val ivRows = intervals.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val expected = (for {
+        (pid, p) <- ptRows
+        (iid, lo, hi) <- ivRows if p >= lo && p < hi
+        (iid2, lo2, hi2) <- Seq((10L, -50L, 60L), (11L, 90L, 200L)) if p >= lo2 && p < hi2
+      } yield (pid, iid, iid2)).toSet
+      assert(got === expected)
+    }
+  }
+
+  test("rule is idempotent without the skip tag (artifact guard)") {
+    // simulate a sibling rule rebuilding the fallback Join without its
+    // tag: applying the rule to its OWN OUTPUT (tags absent after
+    // logical-plan reconstruction) must be a fixed point
+    withRule() {
+      val joined = points.join(intervals, $"p" >= $"lo" && $"p" < $"hi")
+      val once = RangeJoinRewrite(joined.queryExecution.analyzed)
+      // strip every tag by round-tripping through case-class copy
+      val untagged = once.transformUp { case n => n.makeCopy(n.productIterator
+        .map(_.asInstanceOf[AnyRef]).toArray) }
+      val twice = RangeJoinRewrite(untagged)
+      import org.apache.spark.sql.catalyst.plans.logical.{Union => LUnion}
+      assert(twice.collect { case u: LUnion => u }.size ===
+        once.collect { case u: LUnion => u }.size,
+        "re-applying the rule to an untagged rewrite must not nest another Union")
+    }
+  }
 }

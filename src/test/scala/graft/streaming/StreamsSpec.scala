@@ -120,6 +120,29 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.contains((2L, 1L, 5.0)))   // open session flushed by timeout
   }
 
+  test("exact sessionizer rounds half AWAY FROM ZERO on negative values (SQL round parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp((1000 + min) * 60000L)
+    val src = MemoryStream[Streams.Event]
+    val q = Streams.sessionizeStreamExact(src.toDS(), "10 minutes").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("sessneg").start()
+    // -0.03125 · 1e4 = -312.5 exactly: SQL round (both engines) gives
+    // -313; bare math.round would give -312 — the gate corpus is
+    // all-positive, so only this spec pins the negative contract
+    src.addData(Streams.Event(7L, ts(0), -0.03125), Streams.Event(7L, ts(1), 0.03125))
+    q.processAllAvailable()
+    src.addData(Streams.Event(8L, ts(10000), 0.0))
+    q.processAllAvailable()
+    src.addData(Streams.Event(8L, ts(10001), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT user_id, value_scaled FROM sessneg WHERE user_id = 7")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((7L, -313L + 313L)))  // -313 + 313 = 0: both halves away from zero
+  }
+
   test("late events get batch placement: backward extension and pre-session split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
