@@ -109,6 +109,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // keep events.ts a plain TIMESTAMP regardless of how the parquet
+      // was written (isAdjustedToUTC drifted across generator versions)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // the 30-query run generates ~600 codegen units; the default
       // 100-entry class cache would evict mid-run and re-pay janino
       // compiles inside timed reps (measured as multi-second spikes

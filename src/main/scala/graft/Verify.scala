@@ -14,12 +14,16 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep events.ts a plain TIMESTAMP regardless of how the parquet
+      // was written (isAdjustedToUTC drifted across generator versions)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val attempted = SparkEntry.queries.keySet
       .filter(name => only.forall(_.contains(name)))
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     attempted.toSeq.sorted.foreach { name =>
       // a stale dump from a prior run into the same outDir must never
       // stand in for a query that now fails BEFORE its overwrite-write
@@ -31,6 +35,7 @@ object Verify {
         .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // manifest of what was ATTEMPTED, so the oracle gate can tell a
@@ -53,6 +58,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A crashed query must be LOUD, not a silent omission from the
+    // driver's CORRECTNESS file (round 6 shipped a 12-query regression
+    // as "114/114 pass" because failures only went to stderr). Write a
+    // machine-readable failures.json and exit non-zero so any caller —
+    // the round-start preflight, CI, the driver — sees red immediately.
+    Files.writeString(Paths.get(s"$outDir/failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size}/${attempted.size} attempted queries FAILED: " +
+          failures.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

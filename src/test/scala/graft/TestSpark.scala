@@ -10,6 +10,11 @@ object TestSpark {
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata regeneration once flipped events.ts to TIMESTAMP_NTZ
+      // (isAdjustedToUTC=false) and silently broke every event-time
+      // operator; with UTC pinned above, plain TIMESTAMP is the same
+      // instant and keeps window()/watermarks analyzable
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
