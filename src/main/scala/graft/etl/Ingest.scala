@@ -91,10 +91,17 @@ object Ingest {
       when(col("publisher.Quartile") =!= "", 0).otherwise(1),
       col("website"),
       md5(to_json(struct(col("*")))))
-    withPublisher
+    // NULL-doi rows are exempt (see above) — route them AROUND the
+    // window, not through it: partitionBy hashes every null to the
+    // same task, so a corpus that is 10% doi-less would put 10% of
+    // 100 TB on one executor just to keep rows the filter would pass
+    // anyway. The two branches are disjoint filters over one scan.
+    val deduped = withPublisher
+      .filter(col("doi").isNotNull)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 || col("doi").isNull)
+      .filter(col("__rn") === 1)
       .drop("__rn")
+    deduped.unionByName(withPublisher.filter(col("doi").isNull))
   }
 
   def readMerged(spark: SparkSession, paths: Seq[String]): DataFrame =

@@ -58,7 +58,17 @@ object MongoStage {
     * structs/arrays are rendered as plain JSON (numbers unquoted,
     * timestamps ISO), which `mongoimport` still accepts; widen the
     * field mapping here if a nested field ever needs its exact BSON
-    * type pinned. */
+    * type pinned.
+    *
+    * PRECISION CONTRACT: BSON dates are epoch-MILLIS, so `$date` via
+    * `unix_millis` truncates sub-millisecond precision — a Spark
+    * TimestampType value with `micros % 1000 != 0` round-trips
+    * through [[writeExtJsonl]]/[[readExtJsonl]] floored to the
+    * millisecond. This is Mongo's own ceiling, not a lossy choice
+    * here (the reference stages through real BSON and pays the same
+    * truncation); pre-round timestamps or carry an extra micros
+    * column if exactness below 1 ms matters. Pinned by
+    * MongoStageSpec. */
   def toExtJson(df: DataFrame, idFrom: String): Column = {
     def wrap(inner: Column, tag: String): Column = struct(inner.as(tag))
     // the generated `_id` REPLACES any source `_id` column — emitting

@@ -60,6 +60,14 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Long): DataFrame = {
+    // same contract Bloom.probe enforces on payload names: an input
+    // column named like the bucketing internals would resolve
+    // ambiguously and then be silently dropped with them
+    val reserved = Seq("_rj_num", "_bl", "_bh", "_bkt")
+    val clash = reserved.filter(c =>
+      points.columns.contains(c) || intervals.columns.contains(c))
+    require(clash.isEmpty,
+      s"pointInInterval's internal columns $clash collide with input columns; rename them")
     // interval side: one row per overlapped bucket (small side only).
     // hi is exclusive, so the top bucket is bucket(hi - 1); the
     // hi = Long.MinValue guard keeps the decrement ANSI-safe (such an

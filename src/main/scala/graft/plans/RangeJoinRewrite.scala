@@ -78,19 +78,29 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** True when a subtree already carries this rule's output: a
     * `_graft_`-prefixed bucket column, or a Filter whose condition
-    * contains the `Pmod` our bucket floor introduces (the wide-branch
-    * route predicate — it survives Join rebuilds and filter merges
-    * because it lives in the CHILD, not on the rebuilt node). Joins
-    * over such subtrees are never rewritten again, which (a) makes
-    * the rule idempotent even if the skip tag is lost, and (b) scopes
-    * the rewrite to the INNERMOST of stacked range joins — each
-    * rewrite embeds both children twice (bucketed + fallback branch),
-    * so rewriting K nested levels would copy the base scans 2^K
-    * times. A pipeline with several genuine range joins should
-    * pre-bucket via graft.operators.RangeJoin instead. */
+    * contains the EXACT bucket-floor shape [[fdiv]] emits —
+    * `(x - pmod(x, w)) div w` over the same attribute and width (the
+    * wide-branch route predicate — it survives Join rebuilds and
+    * filter merges because it lives in the CHILD, not on the rebuilt
+    * node). Matching the full shape, not any bare `Pmod`, keeps user
+    * plans with ordinary modulo filters (`pmod(x, 2) = 0`) eligible
+    * for the rewrite. Joins over artifact subtrees are never
+    * rewritten again, which (a) makes the rule idempotent even if the
+    * skip tag is lost, and (b) scopes the rewrite to the INNERMOST of
+    * stacked range joins — each rewrite embeds both children twice
+    * (bucketed + fallback branch), so rewriting K nested levels would
+    * copy the base scans 2^K times. A pipeline with several genuine
+    * range joins should pre-bucket via graft.operators.RangeJoin
+    * instead. */
+  private def isBucketFloor(e: Expression): Boolean = e match {
+    case IntegralDivide(Subtract(x, Pmod(x2, Literal(w1, LongType), _), _), Literal(w2, LongType), _) =>
+      w1 == w2 && x.semanticEquals(x2)
+    case _ => false
+  }
+
   private def containsRewriteArtifacts(p: LogicalPlan): Boolean =
     p.exists {
-      case f: Filter => f.condition.exists(_.isInstanceOf[Pmod])
+      case f: Filter => f.condition.exists(isBucketFloor)
       case node => node.expressions.exists(_.exists {
         case a: Alias => a.name.startsWith("_graft_")
         case ar: AttributeReference => ar.name.startsWith("_graft_")

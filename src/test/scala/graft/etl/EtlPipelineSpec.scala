@@ -196,6 +196,35 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(norm.count() === 4)                           // dup pair still dedups
   }
 
+  test("normalize routes NULL-doi rows AROUND the window (no single-task skew)") {
+    // every null doi hashes to ONE window partition; at scale a 10%
+    // doi-less corpus would put 10% of the data on one task just to be
+    // kept verbatim. Plan shape: the Window's input subtree must filter
+    // to isnotnull(doi), and the null branch must be window-free.
+    val p = write(dir, "nodoi_plan.json",
+      """[
+        |{"title": "NoDoi One", "topic": "AI", "website": "IEEE Xplore", "journal_name": "J1"},
+        |{"title": "WithDoi", "doi": "https://doi.org/10.1109/z9", "topic": "AI", "website": "IEEE Xplore", "journal_name": "J1"}
+        |]""".stripMargin)
+    val norm = Ingest.normalize(Ingest.readArticles(spark, p))
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val opt = norm.queryExecution.optimizedPlan
+    val windows = opt.collect { case w: LWindow => w }
+    assert(windows.size === 1, s"expected exactly one window branch:\n$opt")
+    assert(windows.head.exists {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.exists {
+          case org.apache.spark.sql.catalyst.expressions.IsNotNull(a) =>
+            a.references.map(_.name).toSeq.contains("doi")
+          case _ => false
+        }
+      case _ => false
+    }, s"window must consume only doi-not-null rows:\n${windows.head}")
+    // and the output is still exactly right
+    assert(norm.count() === 2)
+    assert(norm.filter(col("doi").isNull).count() === 1)
+  }
+
   test("normalize survivor choice is deterministic across partitionings") {
     // same doi, same preference tier, same website — only the content
     // hash tie-break distinguishes; survivor must not depend on layout

@@ -130,6 +130,24 @@ class MongoStageSpec extends AnyFunSuite {
     assert(got.isNullAt(1)) // malformed date stays a null CELL, not a dead job
   }
 
+  test("sub-millisecond timestamps floor to the millisecond (BSON $date precision contract)") {
+    // BSON dates are epoch-millis; toExtJson's unix_millis truncates
+    // the 456 µs tail. This pins the documented contract so a future
+    // "fix" to micros doesn't silently break mongoimport compatibility.
+    val dir = Files.createTempDirectory("graft-mongo-us").toString
+    import spark.implicits._
+    val micros = 1715594400123456L // 2024-05-13T10:00:00.123456Z
+    val df = Seq(Tuple1(1L)).toDF("doc_id")
+      .withColumn("at", timestamp_micros(lit(micros)))
+    MongoStage.writeExtJsonl(df, "doc_id", dir)
+    val back = MongoStage.readExtJsonl(spark, dir, StructType(Seq(
+      StructField("doc_id", LongType), StructField("at", TimestampType)))).head
+    val gotMicros = back.getTimestamp(1).toInstant
+    assert(gotMicros.toEpochMilli === micros / 1000L)       // floored to ms
+    assert(gotMicros.getNano % 1000000 === 0,
+      "round-trip must land exactly on a millisecond boundary")
+  }
+
   test("objectId is a deterministic 24-hex surrogate") {
     import spark.implicits._
     val ids = Seq(1L, 1L, 2L).toDF("k")

@@ -116,6 +116,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(naive.exceptAll(fast).count() === 0)
   }
 
+  test("range join rejects inputs whose columns collide with its internals") {
+    // same contract Bloom.probe enforces: a payload column named like
+    // the bucketing internals (_rj_num/_bl/_bh/_bkt) would resolve
+    // ambiguously and then be silently dropped — fail fast instead
+    val pts = (0L to 10L).toDF("p").withColumn("_bkt", $"p")
+    val ivs = Seq((1L, 0L, 5L)).toDF("iid", "lo", "hi")
+    val ex = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", 16L)
+    }
+    assert(ex.getMessage.contains("_bkt"))
+    val ivs2 = ivs.withColumn("_bl", $"lo")
+    val ex2 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval((0L to 10L).toDF("p"), "p", ivs2, "lo", "hi", 16L)
+    }
+    assert(ex2.getMessage.contains("_bl"))
+  }
+
   test("range join plan is an equi-join on buckets, not a nested-loop join") {
     val points = (0L to 100L).toDF("p")
     val intervals = Seq((1L, 10L, 30L)).toDF("iid", "lo", "hi")

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{lit, pmod}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -264,6 +265,41 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
         (iid2, lo2, hi2) <- Seq((10L, -50L, 60L), (11L, 90L, 200L)) if p >= lo2 && p < hi2
       } yield (pid, iid, iid2)).toSet
       assert(got === expected)
+    }
+  }
+
+  test("user modulo filter (pmod(p,2)=0) does not suppress the rewrite") {
+    // the artifact guard matches the exact bucket-floor shape
+    // `(x - pmod(x, w)) div w`, NOT any bare Pmod — an ordinary user
+    // plan with a modulo predicate must still escape the nested loop
+    val c = $"p" >= $"lo" && $"p" < $"hi"
+    val evens = points.filter(pmod($"p", lit(2L)) === 0L)
+    val expected = rows(evens.join(intervals, c))
+    assert(expected.nonEmpty)
+    withRule() {
+      val rewritten = points.filter(pmod($"p", lit(2L)) === 0L)
+        .join(intervals, c)
+      val plan = planOf(rewritten)
+      assert(plan.contains("_graft_pbkt"),
+        s"a user pmod filter must not be mistaken for a prior rewrite:\n$plan")
+      // (the plan still carries the wide-interval FALLBACK theta branch
+      // — a nested-loop join over the normally-empty wide set — so the
+      // equi-branch marker, not BNLJ absence, is the proof it fired)
+      assert(!plan.contains("CartesianProduct"))
+      assert(rows(rewritten) === expected)
+    }
+  }
+
+  test("modulo filter on the interval side does not suppress the rewrite either") {
+    val c = $"p" >= $"lo" && $"p" < $"hi"
+    val oddIvs = intervals.filter(pmod($"iid", lit(2L)) === 1L)
+    val expected = rows(points.join(oddIvs, c))
+    assert(expected.nonEmpty)
+    withRule() {
+      val rewritten = points.join(
+        intervals.filter(pmod($"iid", lit(2L)) === 1L), c)
+      assert(planOf(rewritten).contains("_graft_pbkt"))
+      assert(rows(rewritten) === expected)
     }
   }
 
