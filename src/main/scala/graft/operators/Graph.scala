@@ -36,7 +36,15 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // deg is |V| rows — bounded — and referenced EVERYWHERE: the node
+    // count, the edge co-partition, the full node set each iteration,
+    // the initial ranks, and (when small) a broadcast per iteration.
+    // Uncached, every one of those re-runs the whole upstream edge
+    // build — for the gate's an15 that is orders ⋈ lineitem +
+    // distinct repeated ~6× per run (visible as six identical
+    // scan/agg stage groups in the Profile trace; the cache removes
+    // all but the first).
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
     val n = deg.count() // one driver scalar, like any COUNT(*)
     val init = scale / n
     val teleport = (15L * init) / 100L
@@ -75,6 +83,7 @@ object Graph {
     // and a session-lifetime |E|-sized cache leak evicts everyone else
     val out = ranks.localCheckpoint()
     ed.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     out
   }
 }
