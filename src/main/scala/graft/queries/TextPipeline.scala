@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Ranking, Similarity}
 
 /** Training-data-pipeline operators over documents/embeddings: text
   * analysis, exact & near dedup, similarity search, multimodal binary
@@ -258,6 +258,38 @@ object TextPipeline {
       |WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 10))::BIGINT % 1000) * c.n
       |      < m.n_min * 1000
       |ORDER BY d.doc_id""".stripMargin
+
+  /** T18: deterministic epoch shuffle — the training-loader primitive
+    * "give every document a reproducible pseudo-random position for
+    * epoch K, and its round-robin shard". Order key is
+    * md5(seed:doc_id): changing the seed permutes the corpus, the same
+    * seed reproduces the identical permutation on any cluster, any
+    * partitioning, any engine — none of which is true of rand() or of
+    * zipWithIndex over an unpinned ordering. Positions come from
+    * [[graft.operators.Ranking.globalRowNumber]] (range partition →
+    * local rank → broadcast of ≤ numPartitions offsets), NOT a global
+    * `row_number() OVER (ORDER BY …)` — the oracle keeps that form,
+    * but on Spark it is the move-the-corpus-to-one-task plan that
+    * dies first at 100 TB. doc_id tie-break keeps the order total
+    * (md5 collisions aside, it is already injective). */
+  val t18EpochShuffle: Q = (s, dir) => {
+    import s.implicits._
+    val seed = "epoch7"
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        md5(concat(lit(seed), lit(":"), $"doc_id".cast("string"))).as("skey"))
+    Ranking.globalRowNumber(docs, Seq(col("skey"), col("doc_id")), "pos")
+      .select($"doc_id", $"pos", pmod($"pos" - 1L, lit(8L)).as("shard"))
+      .orderBy($"pos")
+  }
+
+  val t18EpochShuffleSql: String =
+    """SELECT doc_id,
+      |  row_number() OVER (ORDER BY md5('epoch7:' || doc_id::VARCHAR), doc_id)
+      |    AS pos,
+      |  (row_number() OVER (ORDER BY md5('epoch7:' || doc_id::VARCHAR), doc_id)
+      |    - 1) % 8 AS shard
+      |FROM documents ORDER BY pos""".stripMargin
 
   /** T9: TF-IDF top terms per document — the classic relevance scoring
     * a retrieval/curation pipeline needs. tf and df are exact integer
@@ -1016,6 +1048,7 @@ object TextPipeline {
     "t6_chunking"      -> t6Chunking,
     "t7_packing"       -> t7Packing,
     "t8_stratified_sample" -> t8StratifiedSample,
+    "t18_epoch_shuffle" -> t18EpochShuffle,
     "t9_tfidf"         -> t9Tfidf,
     "c1_curate"        -> c1Curate,
     "d1_exact_dedup"   -> d1ExactDedup,
@@ -1050,6 +1083,7 @@ object TextPipeline {
     "t6_chunking"      -> t6ChunkingSql,
     "t7_packing"       -> t7PackingSql,
     "t8_stratified_sample" -> t8StratifiedSampleSql,
+    "t18_epoch_shuffle" -> t18EpochShuffleSql,
     "t9_tfidf"         -> t9TfidfSql,
     "c1_curate"        -> c1CurateSql,
     "d1_exact_dedup"   -> d1ExactDedupSql,

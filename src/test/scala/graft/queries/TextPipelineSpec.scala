@@ -14,6 +14,28 @@ class TextPipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("t18 epoch shuffle is a true permutation: dense positions, balanced shards, seed-stable") {
+    import spark.implicits._
+    val shuffled = TextPipeline.t18EpochShuffle(spark, sf).cache()
+    val n = shuffled.count()
+    // positions are exactly 1..n (a permutation, not a sample or a
+    // collision casualty)
+    assert(shuffled.agg(min($"pos"), max($"pos"), countDistinct($"pos"))
+      .as[(Long, Long, Long)].head() === ((1L, n, n)))
+    // round-robin shards differ in size by at most one
+    val sizes = shuffled.groupBy($"shard").count()
+      .select($"count").as[Long].collect()
+    assert(sizes.length === 8 && sizes.max - sizes.min <= 1)
+    // the permutation is layout-independent: same rows under any
+    // partitioning of the input (determinism is the whole point)
+    val again = TextPipeline.t18EpochShuffle(spark, sf)
+    assert(shuffled.exceptAll(again).count() === 0L)
+    assert(again.exceptAll(shuffled).count() === 0L)
+    // and it is NOT the identity ordering — the hash actually permutes
+    assert(shuffled.filter($"pos" =!= $"doc_id" + 1L).count() > 0L)
+    shuffled.unpersist()
+  }
+
   test("t7 two-phase distributed cumsum equals the single-task global window") {
     import spark.implicits._
     val distributed = TextPipeline.t7Packing(spark, sf)
