@@ -58,11 +58,12 @@ object Clustering {
     math.max(1L, (n + targetBlock - 1) / targetBlock)
       .min(Int.MaxValue.toLong).toInt
 
-  /** `iters` Lloyd assignment steps with mean updates between them
-    * (iters=2 ⇒ assign → update → assign). Seeds: the k lowest-id
-    * points — k driver-side rows, the bounded analogue of an
-    * aggregate scalar. Output: final (vec_id, cid, score). */
-  def lloyd(spark: SparkSession, points: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** The centroids the `iters`-th assignment of [[lloyd]] scores
+    * against: k lowest-id seeds refined by `iters - 1` mean updates.
+    * This IS the trained codebook — [[Quantize.pqCodebooks]] trains
+    * one per subspace. */
+  def lloydCentroids(spark: SparkSession, points: DataFrame, k: Int,
+      iters: Int): DataFrame = {
     import spark.implicits._
     require(iters >= 1, s"lloyd needs iters >= 1, got $iters")
     require(k >= 1, s"lloyd needs k >= 1, got $k")
@@ -70,11 +71,17 @@ object Clustering {
       .sortBy(_.getLong(0)).zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }.toSeq
     var cents = seeds.toDF("cid", "cv")
-    var a: DataFrame = null
-    (1 to iters).foreach { i =>
-      a = assign(points, cents)
-      if (i < iters) cents = meanCentroids(a)
+    (1 until iters).foreach { _ =>
+      cents = meanCentroids(assign(points, cents))
     }
-    a.select(col("vec_id"), col("cid"), col("score"))
+    cents
   }
+
+  /** `iters` Lloyd assignment steps with mean updates between them
+    * (iters=2 ⇒ assign → update → assign). Seeds: the k lowest-id
+    * points — k driver-side rows, the bounded analogue of an
+    * aggregate scalar. Output: final (vec_id, cid, score). */
+  def lloyd(spark: SparkSession, points: DataFrame, k: Int, iters: Int): DataFrame =
+    assign(points, lloydCentroids(spark, points, k, iters))
+      .select(col("vec_id"), col("cid"), col("score"))
 }

@@ -59,6 +59,89 @@ object Quantize {
       .select(col("qid"), col("vec_id"), col("qd"))
   }
 
+  // ---- product quantization (PQ) -----------------------------------
+  //
+  // Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+  // Search" (TPAMI 2011): split each d-dim vector into m subvectors,
+  // k-means each subspace independently, store a vector as its m
+  // nearest-centroid ids — m bytes-ish instead of 4·d — and answer
+  // queries with Asymmetric Distance Computation: one m·k lookup
+  // table per query, scored against CODES only. This is the memory
+  // path for web-scale ANN: at 100 TB of float32 embeddings the codes
+  // relation is ~64× smaller, scoring never touches a float vector,
+  // and the only corpus-sized operations are broadcast fan-outs and
+  // one skinny aggregation. Training reuses the deterministic
+  // [[Clustering]] Lloyd (lowest-id seeds, round-6 scores, decimal
+  // means), so the whole index is engine-replayable — the DuckDB
+  // oracle rebuilds codebooks, codes, and ADC rankings bit-for-bit.
+
+  /** Train one codebook per subspace: (sub, cid, cv) with cv of
+    * length dim/m. m full passes over the points (one Lloyd per
+    * subspace); at scale, train on a sample and encode the corpus —
+    * encode is the only part that must see every row. */
+  def pqCodebooks(points: DataFrame, m: Int, dim: Int, k: Int,
+      iters: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val subDim = dim / m
+    (0 until m).map { s =>
+      val sub = points.select(col("vec_id"),
+        slice(col("v"), s * subDim + 1, subDim).as("v"))
+      Clustering.lloydCentroids(points.sparkSession, sub, k, iters)
+        .select(lit(s).as("sub"), col("cid"), col("cv"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Encode every vector as its per-subspace nearest-centroid id, in
+    * LONG form (vec_id, sub, code) — the join-ready layout ADC scores
+    * against. m broadcast fan-outs over the point set; no shuffle of
+    * the vectors themselves. */
+  def pqEncode(points: DataFrame, codebooks: DataFrame, m: Int,
+      dim: Int): DataFrame = {
+    val subDim = dim / m
+    (0 until m).map { s =>
+      Clustering.assign(
+        points.select(col("vec_id"), slice(col("v"), s * subDim + 1, subDim).as("v")),
+        codebooks.filter(col("sub") === s).select(col("cid"), col("cv")))
+        .select(col("vec_id"), lit(s).as("sub"), col("cid").as("code"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** ADC top-k: for each query, build the m·k lookup table
+    * `d(sub, cid) = round(<cv,cv> − 2·<q_sub,cv>, 6)` (rank-equal to
+    * ‖q_sub − cv‖², the per-query ‖q_sub‖² constant cancels), then
+    * score every encoded vector by the sum of its m looked-up cells.
+    * The per-cell rounding pins the doubles; the SUM runs in
+    * DECIMAL(18,6) so addition order cannot move a ulp — the cast
+    * back to double is exact at these magnitudes. The corpus-side
+    * work is one broadcast-LUT join over the skinny codes relation +
+    * one (qid, vec_id) aggregation — float vectors are never touched,
+    * which is the entire reason PQ wins at scale.
+    * Output: (qid, vec_id, adist) — k rows per query, nearest first. */
+  def pqTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      m: Int, dim: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subDim = dim / m
+    val dot = graft.functions.DotProduct.dot_product _
+    val lut = (0 until m).map { s =>
+      queries.select(col("vec_id").as("qid"),
+          slice(col("v"), s * subDim + 1, subDim).as("qv"))
+        .join(codebooks.filter(col("sub") === s), lit(true))
+        .select(col("qid"), col("sub"), col("cid"),
+          round(dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")), 6)
+            .as("d"))
+    }.reduce(_.unionByName(_))
+    codes
+      .join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d").cast("decimal(18,6)")).cast("double").as("adist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("adist"))
+  }
+
   /** Per-row: max_abs (the dequant scale numerator), q (array<bigint>
     * in [-127,127]), qdot = exact integer <q,q> (what a quantized
     * scorer computes), err = round-6 max elementwise |x - q*m/127|

@@ -727,6 +727,116 @@ object TextPipeline {
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10
       |ORDER BY qid, cos DESC, vec_id""".stripMargin
 
+  /** N10/N11: product quantization — split the 64-dim embedding into
+    * 4 subspaces, Lloyd-train a k=8 codebook per subspace (lowest-id
+    * seeds, 2 iterations — the [[graft.operators.Clustering]]
+    * determinism discipline), encode every vector as 4 centroid ids,
+    * and answer queries by Asymmetric Distance Computation over the
+    * CODES (per-query 4×8 lookup table; float vectors untouched at
+    * query time). The oracle replays codebook training, encoding, and
+    * the ADC ranking exactly: round-6 assignment scores with cid
+    * tie-breaks, DECIMAL means, and a DECIMAL(18,6) ADC sum so
+    * addition order can't move a ulp on either engine. */
+  val n10PqCodes: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val books = graft.operators.Quantize.pqCodebooks(e, m = 4, dim = 64, k = 8, iters = 2)
+    graft.operators.Quantize.pqEncode(e, books, m = 4, dim = 64)
+      .groupBy($"vec_id")
+      .agg(transform(array_sort(collect_list(struct($"sub", $"code"))),
+        x => x.getField("code")).as("codes"))
+      .orderBy($"vec_id")
+  }
+
+  /** One subspace's oracle chain: slice → k=8 lowest-id seeds → assign
+    * (round-6, cid tie-break) → DECIMAL mean → final codebook c1_S →
+    * nearest-code assignment code_S. Mirrors `Clustering.lloyd` at
+    * iters=2 exactly (the n7 replay, per subspace). */
+  private def pqSubCtes(sub: Int, subDim: Int): String = {
+    val lo = sub * subDim + 1
+    val hi = (sub + 1) * subDim
+    s"""e$sub AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+       |c0_$sub AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+       |         v AS cv
+       |  FROM (SELECT vec_id, v FROM e$sub ORDER BY vec_id LIMIT 8)),
+       |a1_$sub AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e$sub.vec_id, e$sub.v, c0_$sub.cid,
+       |      row_number() OVER (PARTITION BY e$sub.vec_id ORDER BY
+       |        round(list_dot_product(c0_$sub.cv, c0_$sub.cv)
+       |              - 2 * list_dot_product(e$sub.v, c0_$sub.cv), 6) ASC,
+       |        c0_$sub.cid ASC) AS rn
+       |    FROM e$sub, c0_$sub)
+       |  WHERE rn = 1),
+       |m1_$sub AS (
+       |  SELECT cid, pos,
+       |    round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+       |      AS c
+       |  FROM (SELECT cid, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a1_$sub)
+       |  GROUP BY 1, 2),
+       |c1_$sub AS (SELECT cid, list(c ORDER BY pos) AS cv FROM m1_$sub GROUP BY cid),
+       |code_$sub AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e$sub.vec_id, c1_$sub.cid,
+       |      row_number() OVER (PARTITION BY e$sub.vec_id ORDER BY
+       |        round(list_dot_product(c1_$sub.cv, c1_$sub.cv)
+       |              - 2 * list_dot_product(e$sub.v, c1_$sub.cv), 6) ASC,
+       |        c1_$sub.cid ASC) AS rn
+       |    FROM e$sub, c1_$sub)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private val pqCommonCtes: String =
+    (s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"""
+      +: (0 until 4).map(pqSubCtes(_, 16))).mkString(",\n") +
+      """,
+        |codes AS (
+        |  SELECT vec_id, 0 AS sub, cid FROM code_0
+        |  UNION ALL SELECT vec_id, 1, cid FROM code_1
+        |  UNION ALL SELECT vec_id, 2, cid FROM code_2
+        |  UNION ALL SELECT vec_id, 3, cid FROM code_3)""".stripMargin
+
+  val n10PqCodesSql: String =
+    s"""WITH $pqCommonCtes
+       |SELECT vec_id, list(cid ORDER BY sub) AS codes
+       |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  val n11PqAdcTopK: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val books = graft.operators.Quantize.pqCodebooks(e, m = 4, dim = 64, k = 8, iters = 2)
+    val codes = graft.operators.Quantize.pqEncode(e, books, m = 4, dim = 64)
+    graft.operators.Quantize.pqTopK(codes, books, e.filter($"vec_id" < 3),
+        m = 4, dim = 64, k = 10)
+      .orderBy($"qid", $"adist", $"vec_id")
+  }
+
+  val n11PqAdcTopKSql: String = {
+    val lutSubs = (0 until 4).map { s =>
+      val lo = s * 16 + 1
+      val hi = (s + 1) * 16
+      s"""SELECT q.qid, $s AS sub, c.cid,
+         |    round(list_dot_product(c.cv, c.cv)
+         |          - 2 * list_dot_product(q.qv[$lo:$hi], c.cv), 6) AS d
+         |  FROM q, c1_$s c""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $pqCommonCtes,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+       |lut AS (
+       |  $lutSubs),
+       |scored AS (
+       |  SELECT l.qid, cd.vec_id,
+       |    CAST(sum(CAST(l.d AS DECIMAL(18,6))) AS DOUBLE) AS adist
+       |  FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.cid = cd.cid
+       |  GROUP BY 1, 2)
+       |SELECT qid, vec_id, adist FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id ASC) <= 10
+       |ORDER BY qid, adist, vec_id""".stripMargin
+  }
+
   /** D5: embedding-cosine near-dup pairs, label-blocked, with injected
     * exact copies so true positives exist (same construction in the
     * oracle). */
@@ -1065,6 +1175,8 @@ object TextPipeline {
     "g2_posexplode"    -> g2Posexplode,
     "a4_profile"       -> a4Profile,
     "n1_cosine_topk"   -> n1CosineTopK,
+    "n10_pq_codes"     -> n10PqCodes,
+    "n11_pq_adc_topk"  -> n11PqAdcTopK,
     "n2_ann_ivf"       -> n2AnnIvf,
     "n3_centroids"     -> n3Centroids,
     "n8_recall"        -> n8Recall,
@@ -1100,6 +1212,8 @@ object TextPipeline {
     "g2_posexplode"    -> g2PosexplodeSql,
     "a4_profile"       -> a4ProfileSql,
     "n1_cosine_topk"   -> n1CosineTopKSql,
+    "n10_pq_codes"     -> n10PqCodesSql,
+    "n11_pq_adc_topk"  -> n11PqAdcTopKSql,
     "n2_ann_ivf"       -> n2AnnIvfSql,
     "n3_centroids"     -> n3CentroidsSql,
     "n8_recall"        -> n8RecallSql,

@@ -144,6 +144,38 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     }
   }
 
+  test("product quantization: code shape, self-retrieval, ADC ranks like true L2 on separated clusters") {
+    // 3 well-separated groups of 8-dim vectors (m=2 subspaces of 4):
+    // group g lives near g*10 in every coordinate, with tiny per-id
+    // jitter so vectors are distinct but clusters are unambiguous
+    val emb = (0L until 30L).map { i =>
+      val g = (i % 3).toDouble
+      (i, Array.fill(8)(0.0).zipWithIndex.map { case (_, d) => g * 10.0 + (i.toDouble / 100.0) + d * 0.01 })
+    }.toDF("vec_id", "v")
+    val books = Quantize.pqCodebooks(emb, m = 2, dim = 8, k = 3, iters = 2)
+    // codebooks: one per subspace, k entries of subDim length
+    assert(books.count() === 6)
+    assert(books.select(size($"cv")).distinct().as[Int].collect().toSeq === Seq(4))
+    val codes = Quantize.pqEncode(emb, books, m = 2, dim = 8)
+    // every vector gets exactly m codes, each in [0, k)
+    assert(codes.count() === 60)
+    assert(codes.filter($"code" < 0 || $"code" >= 3).count() === 0)
+    assert(codes.groupBy($"vec_id").count().filter($"count" =!= 2).count() === 0)
+    // same-group vectors share their code word (clusters are separated
+    // by 10 vs jitter ~0.4, so Lloyd cannot split a group)
+    val distinctWords = codes.groupBy($"vec_id")
+      .agg(array_sort(collect_list(struct($"sub", $"code"))).as("w"))
+      .join(emb.select($"vec_id", ($"vec_id" % 3).as("g")), "vec_id")
+      .groupBy($"g").agg(countDistinct($"w").as("nw"))
+    assert(distinctWords.filter($"nw" =!= 1).count() === 0)
+    // ADC: querying with a member of group 0 must rank ALL of group 0
+    // (10 vectors, code-identical, adist ties broken by vec_id) first
+    val top = Quantize.pqTopK(codes, books, emb.filter($"vec_id" === 0L),
+        m = 2, dim = 8, k = 10)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(top === (0L until 30L by 3L).toSet)
+  }
+
   test("quantize reconstruction error is bounded by one quantization step") {
     val emb = (1 to 200).map { i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 31 + j * 7) * (i % 5 + 1)))
