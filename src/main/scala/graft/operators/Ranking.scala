@@ -34,8 +34,22 @@ object Ranking {
       numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // PIN the range layout: the counts aggregate and the rank join
+    // below BOTH read `parted`, each as its own subplan execution.
+    // RangePartitioner derives its bounds by SAMPLING its input, so if
+    // the exchange is not reused between those executions (AQE
+    // re-plan under load, eviction), the second can sample different
+    // bounds — and offsets computed from layout A joined to rows
+    // living in layout B assign duplicated/skipped global ids. That is
+    // silent id corruption, observed once as a ±1 golden-count flake
+    // on the real corpus. The lazy localCheckpoint pins ONE
+    // materialized layout both readers share (lazy: plan construction
+    // stays side-effect-free; the first action materializes it). An
+    // executor loss after materialization fails the job LOUDLY —
+    // recompute-with-different-bounds is exactly what must not happen.
     val parted = df.repartitionByRange(n, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
     // offsets: cumulative count over the ≤ n partition rows — the only
     // unpartitioned window in the plan, bounded by the partition count

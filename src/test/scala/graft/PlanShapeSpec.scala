@@ -58,11 +58,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // d11 inherits n7's Lloyd assignment (broadcast k=8 centroids);
     // n8/n9 compose n1's exact side (broadcast 5-query fan-out);
     // an3's Ranking.globalNtile crossJoins its ONE-ROW broadcast
-    // total (the t9-style scalar fan-out) to derive tile boundaries
+    // total (the t9-style scalar fan-out) to derive tile boundaries;
+    // n10/n11 are PQ — per-subspace Lloyd assignment (broadcast k=8
+    // sub-codebooks) and the per-query LUT build (3 queries × 8
+    // centroids), both bounded by construction
     val bnljAllowed = Set("n1_cosine_topk", "n2_ann_ivf", "n6_quantized_topk",
       "n7_kmeans", "d11_semantic_dedup", "n8_recall", "n9_lsh_recall",
       "j6_bloom_semijoin", "t8_stratified_sample", "t9_tfidf",
-      "t13_decontaminate", "an3_ntile")
+      "t13_decontaminate", "an3_ntile", "n10_pq_codes", "n11_pq_adc_topk")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(PlanAudit.excluded.contains).flatMap { name =>
         val plan = sparkPlan(name).toString
