@@ -117,12 +117,14 @@ object Quantize {
     * one (qid, vec_id) aggregation — float vectors are never touched,
     * which is the entire reason PQ wins at scale.
     * Output: (qid, vec_id, adist) — k rows per query, nearest first. */
-  def pqTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
-      m: Int, dim: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Per-query ADC lookup table: (qid, sub, cid, d) with
+    * `d = round(<cv,cv> − 2·<q_sub,cv>, 6)` — m·k rows per query,
+    * broadcastable by construction. */
+  def pqLut(codebooks: DataFrame, queries: DataFrame, m: Int,
+      dim: Int): DataFrame = {
     val subDim = dim / m
     val dot = graft.functions.DotProduct.dot_product _
-    val lut = (0 until m).map { s =>
+    (0 until m).map { s =>
       queries.select(col("vec_id").as("qid"),
           slice(col("v"), s * subDim + 1, subDim).as("qv"))
         .join(codebooks.filter(col("sub") === s), lit(true))
@@ -130,9 +132,53 @@ object Quantize {
           round(dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")), 6)
             .as("d"))
     }.reduce(_.unionByName(_))
+  }
+
+  def pqTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      m: Int, dim: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lut = pqLut(codebooks, queries, m, dim)
     codes
       .join(broadcast(lut),
         codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d").cast("decimal(18,6)")).cast("double").as("adist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("adist"))
+  }
+
+  /** IVF+PQ: the production ANN composition — a coarse quantizer
+    * routes each query to `nProbe` cells, and ADC scores ONLY the
+    * codes living in those cells. At 100 TB this multiplies the two
+    * wins: the scan is |probed cells| / |cells| of the corpus, and
+    * what it scans is codes, not vectors. Cells here are a
+    * pre-assigned column (the [[Similarity.ivfTopK]] contract — a
+    * label, a k-means cid, an LSH bucket); codebooks are trained
+    * corpus-wide, NOT per-cell residuals (the simpler no-residual
+    * IVFPQ variant — exactness of the oracle replay is worth more
+    * here than the recall a residual codebook buys).
+    * `members`: (vec_id, cell) — cell membership of every encoded
+    * vector. `probes`: (qid, cell) — the routing, top-nProbe cells
+    * per query. Output as [[pqTopK]]. */
+  def ivfPqTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      members: DataFrame, probes: DataFrame, m: Int, dim: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lut = pqLut(codebooks, queries, m, dim)
+      .select(col("qid").as("_lqid"), col("sub").as("_lsub"),
+        col("cid").as("_lcid"), col("d"))
+    val cands = members.select(col("vec_id"), col("cell"))
+      .join(broadcast(probes.select(col("qid"), col("cell").as("_pcell"))),
+        col("cell") === col("_pcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    cands
+      .join(codes, "vec_id")
+      .join(broadcast(lut),
+        col("qid") === col("_lqid") && col("sub") === col("_lsub") &&
+          col("code") === col("_lcid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("d").cast("decimal(18,6)")).cast("double").as("adist"))
       .withColumn("rn", row_number().over(

@@ -814,7 +814,7 @@ object TextPipeline {
       .orderBy($"qid", $"adist", $"vec_id")
   }
 
-  val n11PqAdcTopKSql: String = {
+  private val pqLutSql: String = {
     val lutSubs = (0 until 4).map { s =>
       val lo = s * 16 + 1
       val hi = (s + 1) * 16
@@ -823,10 +823,14 @@ object TextPipeline {
          |          - 2 * list_dot_product(q.qv[$lo:$hi], c.cv), 6) AS d
          |  FROM q, c1_$s c""".stripMargin
     }.mkString("\n  UNION ALL ")
-    s"""WITH $pqCommonCtes,
-       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+    s"""q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
        |lut AS (
-       |  $lutSubs),
+       |  $lutSubs)""".stripMargin
+  }
+
+  val n11PqAdcTopKSql: String =
+    s"""WITH $pqCommonCtes,
+       |$pqLutSql,
        |scored AS (
        |  SELECT l.qid, cd.vec_id,
        |    CAST(sum(CAST(l.d AS DECIMAL(18,6))) AS DOUBLE) AS adist
@@ -835,7 +839,71 @@ object TextPipeline {
        |SELECT qid, vec_id, adist FROM scored
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id ASC) <= 10
        |ORDER BY qid, adist, vec_id""".stripMargin
+
+  /** N12: IVF+PQ — the production ANN composition. The n2 coarse
+    * routing (exact per-label centroids, top-2 cells per query by
+    * round-6 cosine) restricts scoring to the probed cells' members;
+    * ADC over the n10 codes does the scoring — vectors are touched
+    * only to build the per-query 4×8 LUT. Corpus-wide codebooks (the
+    * no-residual IVFPQ variant; see
+    * [[graft.operators.Quantize.ivfPqTopK]]). */
+  val n12IvfPq: Q = (s, dir) => {
+    import s.implicits._
+    val raw = Tables.load(s, dir, "embeddings")
+    val e = raw.select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    val books = graft.operators.Quantize.pqCodebooks(
+      e.select($"vec_id", $"v"), m = 4, dim = 64, k = 8, iters = 2)
+    val codes = graft.operators.Quantize.pqEncode(
+      e.select($"vec_id", $"v"), books, m = 4, dim = 64)
+    val cents = graft.operators.Similarity.centroidVectors(raw, "label")
+    val q = e.filter($"vec_id" < 3).select($"vec_id", $"v")
+    val dot = graft.functions.DotProduct.dot_product _
+    import org.apache.spark.sql.expressions.Window
+    val probes = q.select($"vec_id".as("qid"), $"v".as("qv"))
+      .join(broadcast(cents), lit(true))
+      .select($"qid", $"cell",
+        round(dot($"qv", $"cv") / (sqrt(dot($"qv", $"qv")) * sqrt(dot($"cv", $"cv"))), 6)
+          .as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"ccos".desc, $"cell".asc)))
+      .filter($"rn" <= 2)
+      .select($"qid", $"cell")
+    graft.operators.Quantize.ivfPqTopK(codes, books, q,
+        members = e.select($"vec_id", $"label".as("cell")), probes = probes,
+        m = 4, dim = 64, k = 10)
+      .orderBy($"qid", $"adist", $"vec_id")
   }
+
+  // lazy: references centroidCtes, declared later in this object —
+  // an eager val would capture null at object-init time
+  lazy val n12IvfPqSql: String =
+    s"""WITH $pqCommonCtes,
+       |el AS (SELECT vec_id, label AS cell FROM embeddings),
+       |$centroidCtes,
+       |$pqLutSql,
+       |probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, cent.cell,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        round(list_dot_product(q.qv, cent.cv) /
+       |              (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+       |        cent.cell) AS rn
+       |    FROM q, cent)
+       |  WHERE rn <= 2),
+       |cands AS (
+       |  SELECT p.qid, el.vec_id
+       |  FROM el JOIN probes p ON el.cell = p.cell
+       |  WHERE el.vec_id <> p.qid),
+       |scored AS (
+       |  SELECT c.qid, c.vec_id,
+       |    CAST(sum(CAST(l.d AS DECIMAL(18,6))) AS DOUBLE) AS adist
+       |  FROM cands c
+       |  JOIN codes cd ON cd.vec_id = c.vec_id
+       |  JOIN lut l ON l.qid = c.qid AND l.sub = cd.sub AND l.cid = cd.cid
+       |  GROUP BY 1, 2)
+       |SELECT qid, vec_id, adist FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id ASC) <= 10
+       |ORDER BY qid, adist, vec_id""".stripMargin
 
   /** D5: embedding-cosine near-dup pairs, label-blocked, with injected
     * exact copies so true positives exist (same construction in the
@@ -1177,6 +1245,7 @@ object TextPipeline {
     "n1_cosine_topk"   -> n1CosineTopK,
     "n10_pq_codes"     -> n10PqCodes,
     "n11_pq_adc_topk"  -> n11PqAdcTopK,
+    "n12_ivf_pq"       -> n12IvfPq,
     "n2_ann_ivf"       -> n2AnnIvf,
     "n3_centroids"     -> n3Centroids,
     "n8_recall"        -> n8Recall,
@@ -1214,6 +1283,7 @@ object TextPipeline {
     "n1_cosine_topk"   -> n1CosineTopKSql,
     "n10_pq_codes"     -> n10PqCodesSql,
     "n11_pq_adc_topk"  -> n11PqAdcTopKSql,
+    "n12_ivf_pq"       -> n12IvfPqSql,
     "n2_ann_ivf"       -> n2AnnIvfSql,
     "n3_centroids"     -> n3CentroidsSql,
     "n8_recall"        -> n8RecallSql,
