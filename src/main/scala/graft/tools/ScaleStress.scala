@@ -249,6 +249,37 @@ object ScaleStress {
       }
       edges.unpersist(blocking = true)
     }
+    // ---- PQ: encode + ADC at growing corpus sizes --------------------
+    // codebooks train ONCE on the base embeddings (the sample-train /
+    // full-encode deployment shape); encode and ADC should both be
+    // linear in N — encode is m broadcast fan-outs, ADC one
+    // broadcast-LUT join over the codes + a skinny aggregation.
+    if (sect("pq")) {
+      val embBase = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      def embN(replicas: Int): DataFrame =
+        (0 until replicas).map { r =>
+          embBase.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"), col("v"))
+        }.reduce(_.unionByName(_))
+      val books = Quantize.pqCodebooks(embBase, m = 4, dim = 64, k = 8, iters = 2)
+        .cache()
+      books.count()
+      val queries = embBase.filter(col("vec_id") < 3).cache()
+      queries.count()
+      Seq(1, 5, 20).foreach { n =>
+        val emb = embN(n).cache()
+        val rows = emb.count()
+        val codes = Quantize.pqEncode(emb, books, m = 4, dim = 64).cache()
+        time(s"pq encode n=$n rows=$rows") { codes }
+        time(s"pq adc-top10 n=$n rows=$rows") {
+          Quantize.pqTopK(codes, books, queries, m = 4, dim = 64, k = 10) }
+        codes.unpersist(blocking = true)
+        emb.unpersist(blocking = true)
+      }
+      books.unpersist(blocking = true)
+      queries.unpersist(blocking = true)
+    }
+
     spark.stop()
   }
 }
