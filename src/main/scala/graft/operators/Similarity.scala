@@ -40,6 +40,58 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
 
+  /** MMR diversity re-ranking (Carbonell & Goldstein, "The Use of MMR,
+    * Diversity-Based Reranking", SIGIR 1998): greedily pick k items
+    * maximizing `λ·rel − (1−λ)·max-sim-to-already-picked` — the
+    * curation step that keeps a training sample from collapsing onto
+    * near-duplicates of the best match.
+    *
+    * `cands`: (vec_id, v, rel) — a BOUNDED candidate page (a top-k0
+    * retrieval result, not a corpus). MMR is inherently sequential in
+    * k, so each of the k steps is one tiny job over the candidate
+    * page: pairwise round-6 cosines are computed ONCE (k0² rows,
+    * bounded by construction), and the driver holds only the picked
+    * (id, score) rows — the lloyd-seeds pattern. Scores are EXACT
+    * DECIMAL arithmetic over the round-6 rel/sim inputs (λ as a
+    * decimal literal), so the greedy argmax — where one ulp flips the
+    * entire remaining selection — replays identically on any engine.
+    * Output: (pick, vec_id, score), pick = 1..k in selection order. */
+  def mmrRerank(cands: DataFrame, k: Int,
+      lambda: BigDecimal = BigDecimal("0.7")): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val c = cands.select(col("vec_id"), col("v"), col("rel")).cache()
+    val sims = c.select(col("vec_id").as("a"), col("v").as("va"))
+      .join(c.select(col("vec_id").as("b"), col("v").as("vb")),
+        col("a") =!= col("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("sim"))
+      .cache()
+    sims.count()
+    val oneMinus = BigDecimal(1) - lambda
+    var selected = Vector.empty[(Int, Long, java.math.BigDecimal)]
+    (1 to k).foreach { i =>
+      val selIds = selected.map(_._2)
+      val base =
+        if (selIds.isEmpty) c.withColumn("ms", lit(null).cast("double"))
+        else c.filter(!col("vec_id").isin(selIds: _*))
+          .join(sims.filter(col("b").isin(selIds: _*))
+            .groupBy(col("a")).agg(max(col("sim")).as("ms")),
+            col("vec_id") === col("a"), "left")
+      val pick = base.select(col("vec_id"),
+          (col("rel").cast("decimal(18,6)") * lit(lambda) -
+            lit(oneMinus) * coalesce(col("ms"), lit(0.0)).cast("decimal(18,6)"))
+            .as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(1).collect()
+      if (pick.nonEmpty)
+        selected :+= ((i, pick.head.getLong(0), pick.head.getDecimal(1)))
+    }
+    c.unpersist(blocking = false)
+    sims.unpersist(blocking = false)
+    selected.map { case (p, id, sc) => (p, id, sc.doubleValue) }
+      .toDF("pick", "vec_id", "score")
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (qid, vec_id, cos), k rows per query, ranked by rounded
     * cosine desc then vec_id (fully deterministic). Norms are computed

@@ -905,6 +905,68 @@ object TextPipeline {
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id ASC) <= 10
        |ORDER BY qid, adist, vec_id""".stripMargin
 
+  /** N13: MMR diversity re-ranking — top-20 cosine candidates for
+    * query vec 0, greedily re-ranked to 5 picks by
+    * `0.7·rel − 0.3·max-sim-to-picked` (exact DECIMAL scoring over
+    * round-6 inputs; see [[graft.operators.Similarity.mmrRerank]]).
+    * The oracle unrolls the k=5 greedy steps as chained CTEs — each
+    * step's argmax (score desc, vec_id) replays bit-for-bit because
+    * every score is exact decimal arithmetic. */
+  val n13Mmr: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val dot = graft.functions.DotProduct.dot_product _
+    val q = e.filter($"vec_id" === 0L).select($"v".as("qv"))
+    val cand = e.filter($"vec_id" =!= 0L)
+      .join(broadcast(q), lit(true))
+      .select($"vec_id", $"v",
+        round(dot($"qv", $"v") / (sqrt(dot($"qv", $"qv")) * sqrt(dot($"v", $"v"))), 6)
+          .as("rel"))
+      .orderBy($"rel".desc, $"vec_id".asc)
+      .limit(20)
+    graft.operators.Similarity.mmrRerank(cand, k = 5)
+      .orderBy($"pick")
+  }
+
+  val n13MmrSql: String = {
+    val steps = (1 to 5).map { i =>
+      val prev = s"sel${i - 1}"
+      s"""sc$i AS (
+         |  SELECT c.vec_id,
+         |    CAST(c.rel AS DECIMAL(18,6)) * 0.7
+         |      - 0.3 * CAST(coalesce(
+         |          (SELECT max(s.sim) FROM sims s JOIN $prev x ON s.b = x.vec_id
+         |           WHERE s.a = c.vec_id), 0) AS DECIMAL(18,6)) AS score
+         |  FROM cand c
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)),
+         |p$i AS (SELECT $i AS pick, vec_id, score FROM sc$i
+         |        ORDER BY score DESC, vec_id LIMIT 1),
+         |sel$i AS (SELECT vec_id FROM $prev UNION ALL SELECT vec_id FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qv AS (SELECT v FROM e WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT e.vec_id, e.v,
+       |    round(list_dot_product(qv.v, e.v) /
+       |          (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(e.v, e.v))), 6)
+       |      AS rel
+       |  FROM e, qv WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, e.vec_id LIMIT 20),
+       |sims AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    round(list_dot_product(a.v, b.v) /
+       |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+       |      AS sim
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |sel0 AS (SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0),
+       |$steps
+       |SELECT pick, vec_id, CAST(score AS DOUBLE) AS score
+       |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+       |      UNION ALL SELECT * FROM p4 UNION ALL SELECT * FROM p5)
+       |ORDER BY pick""".stripMargin
+  }
+
   /** D5: embedding-cosine near-dup pairs, label-blocked, with injected
     * exact copies so true positives exist (same construction in the
     * oracle). */
@@ -1246,6 +1308,7 @@ object TextPipeline {
     "n10_pq_codes"     -> n10PqCodes,
     "n11_pq_adc_topk"  -> n11PqAdcTopK,
     "n12_ivf_pq"       -> n12IvfPq,
+    "n13_mmr"          -> n13Mmr,
     "n2_ann_ivf"       -> n2AnnIvf,
     "n3_centroids"     -> n3Centroids,
     "n8_recall"        -> n8Recall,
@@ -1284,6 +1347,7 @@ object TextPipeline {
     "n10_pq_codes"     -> n10PqCodesSql,
     "n11_pq_adc_topk"  -> n11PqAdcTopKSql,
     "n12_ivf_pq"       -> n12IvfPqSql,
+    "n13_mmr"          -> n13MmrSql,
     "n2_ann_ivf"       -> n2AnnIvfSql,
     "n3_centroids"     -> n3CentroidsSql,
     "n8_recall"        -> n8RecallSql,

@@ -66,7 +66,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "n7_kmeans", "d11_semantic_dedup", "n8_recall", "n9_lsh_recall",
       "j6_bloom_semijoin", "t8_stratified_sample", "t9_tfidf",
       "t13_decontaminate", "an3_ntile", "n10_pq_codes", "n11_pq_adc_topk",
-      "n12_ivf_pq")
+      "n12_ivf_pq", "n13_mmr")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(PlanAudit.excluded.contains).flatMap { name =>
         val plan = sparkPlan(name).toString

@@ -176,6 +176,28 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     assert(top === (0L until 30L by 3L).toSet)
   }
 
+  test("mmrRerank diversifies: near-duplicate candidates cannot monopolize the picks") {
+    // candidate page: 3 near-identical "clones" of the best match
+    // (rel .99/.98/.97, pairwise sim ~1) + 3 distinct items (rel .9/.8/.7,
+    // mutually dissimilar). Plain top-4 by rel = all three clones + one
+    // distinct; MMR(λ=0.7) must pick ONE clone then the distinct items —
+    // sim ~1 costs a clone 0.3 while a distinct item loses almost nothing.
+    def v(x: Double, y: Double) = Array(x, y, 0.1, 0.1)
+    val cands = Seq(
+      (1L, v(10, 0.00), 0.99), (2L, v(10, 0.01), 0.98), (3L, v(10, 0.02), 0.97),
+      (4L, v(0.0, 10.0), 0.90), (5L, v(-10, 0.0), 0.80), (6L, v(0.0, -10), 0.70)
+    ).toDF("vec_id", "v", "rel")
+    val picks = Similarity.mmrRerank(cands, k = 4)
+      .orderBy($"pick").select($"vec_id").as[Long].collect().toSeq
+    assert(picks.head === 1L, "first pick is pure relevance")
+    assert(picks.toSet === Set(1L, 4L, 5L, 6L),
+      s"MMR must spend picks 2-4 on the diverse items, got $picks")
+    // determinism across layouts
+    val again = Similarity.mmrRerank(cands.repartition(7), k = 4)
+      .orderBy($"pick").select($"vec_id").as[Long].collect().toSeq
+    assert(again === picks)
+  }
+
   test("quantize reconstruction error is bounded by one quantization step") {
     val emb = (1 to 200).map { i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 31 + j * 7) * (i % 5 + 1)))
