@@ -1038,6 +1038,44 @@ object TextPipeline {
       |SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars) FROM documents
       |ORDER BY col_name""".stripMargin
 
+  /** A6: declared-constraints data-quality audit (the dbt-test /
+    * expectations staple): null counts, distinct counts, and
+    * primary-key duplicate rows for a declared column set — in ONE
+    * scan. Unlike a4's one-agg-per-column union (one pass per
+    * column), every metric here is an expression of a single
+    * aggregate row, unpivoted with `stack` — at 100 TB the audit
+    * costs one read of the table no matter how many constraints are
+    * declared. */
+  val a6DqAudit: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .agg(
+        count(lit(1)).as("n"),
+        count($"o_orderkey").as("kn"), countDistinct($"o_orderkey").as("kd"),
+        count($"o_custkey").as("cn"), countDistinct($"o_custkey").as("cd"),
+        count($"o_orderstatus").as("sn"), countDistinct($"o_orderstatus").as("sd"))
+      .select(expr(
+        """stack(3,
+          |  'o_orderkey',    n - kn, kd, kn - kd,
+          |  'o_custkey',     n - cn, cd, CAST(NULL AS BIGINT),
+          |  'o_orderstatus', n - sn, sd, CAST(NULL AS BIGINT)
+          |) AS (col_name, n_null, n_distinct, pk_dup_rows)""".stripMargin))
+      .orderBy($"col_name")
+  }
+
+  val a6DqAuditSql: String =
+    """WITH m AS (
+      |  SELECT count(*) AS n,
+      |    count(o_orderkey) AS kn, count(DISTINCT o_orderkey) AS kd,
+      |    count(o_custkey) AS cn, count(DISTINCT o_custkey) AS cd,
+      |    count(o_orderstatus) AS sn, count(DISTINCT o_orderstatus) AS sd
+      |  FROM orders)
+      |SELECT 'o_orderkey' AS col_name, n - kn AS n_null, kd AS n_distinct,
+      |       kn - kd AS pk_dup_rows FROM m
+      |UNION ALL SELECT 'o_custkey', n - cn, cd, CAST(NULL AS BIGINT) FROM m
+      |UNION ALL SELECT 'o_orderstatus', n - sn, sd, CAST(NULL AS BIGINT) FROM m
+      |ORDER BY col_name""".stripMargin
+
   /** N2: IVF-style ANN — the 100 TB scale path (probe the nProbe
     * nearest cells only). Centroids are DECIMAL-exact elementwise
     * means rounded to 6 (Similarity.centroidsExact), so cell probing
@@ -1304,6 +1342,7 @@ object TextPipeline {
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "g2_posexplode"    -> g2Posexplode,
     "a4_profile"       -> a4Profile,
+    "a6_dq_audit"      -> a6DqAudit,
     "n1_cosine_topk"   -> n1CosineTopK,
     "n10_pq_codes"     -> n10PqCodes,
     "n11_pq_adc_topk"  -> n11PqAdcTopK,
@@ -1343,6 +1382,7 @@ object TextPipeline {
     "d5_embedding_neardup" -> d5EmbeddingNearDupSql,
     "g2_posexplode"    -> g2PosexplodeSql,
     "a4_profile"       -> a4ProfileSql,
+    "a6_dq_audit"      -> a6DqAuditSql,
     "n1_cosine_topk"   -> n1CosineTopKSql,
     "n10_pq_codes"     -> n10PqCodesSql,
     "n11_pq_adc_topk"  -> n11PqAdcTopKSql,
