@@ -32,6 +32,8 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            return 0.0  # collapse IEEE signed zero: -0.0 == 0.0 but str() differs
         return v
     if isinstance(v, list):
         return tuple(norm(x) for x in v)

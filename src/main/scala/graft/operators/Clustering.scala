@@ -33,8 +33,13 @@ object Clustering {
   def assign(points: DataFrame, cents: DataFrame): DataFrame =
     points.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("cid"),
-        round(dot(col("cv"), col("cv")) - lit(2) * dot(col("v"), col("cv")), 6)
-          .as("score"))
+        // `+ 0.0` normalizes IEEE signed zero: when the true score
+        // rounds to zero, Spark and DuckDB can land on opposite zero
+        // signs (-0.0 == 0.0 but hashes/strings differ — surfaced as
+        // a spurious n7 mismatch at sf0.1). Identity for every other
+        // value; ordering unaffected (-0.0 and 0.0 compare equal).
+        (round(dot(col("cv"), col("cv")) - lit(2) * dot(col("v"), col("cv")), 6)
+          + lit(0.0)).as("score"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("score").asc, col("cid").asc)))
       .filter(col("rn") === 1).drop("rn")

@@ -350,7 +350,7 @@ object AdvancedOps {
       |  SELECT vec_id, cid, score FROM (
       |    SELECT e.vec_id, c1.cid,
       |      round(list_dot_product(c1.cv, c1.cv)
-      |            - 2 * list_dot_product(e.v, c1.cv), 6) AS score,
+      |            - 2 * list_dot_product(e.v, c1.cv), 6) + 0 AS score,
       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |        round(list_dot_product(c1.cv, c1.cv)
       |              - 2 * list_dot_product(e.v, c1.cv), 6) ASC,
