@@ -104,7 +104,7 @@ object Similarity {
     val scored = cand
       .join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6).as("cos"))
+        (round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6) + lit(0.0)).as("cos"))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
@@ -128,7 +128,7 @@ object Similarity {
     val b = e.select(col("blk"), col("vec_id").as("v2"), col("v").as("vb"), col("nv").as("nb"))
     a.join(b, Seq("blk")).filter(col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+        (round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) + lit(0.0)).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -218,7 +218,7 @@ object Similarity {
     cand.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6).as("cos"))
+        (round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6) + lit(0.0)).as("cos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
       .filter(col("rn") <= k)
@@ -256,7 +256,7 @@ object Similarity {
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6).as("cos"))
+        (round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6) + lit(0.0)).as("cos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
       .filter(col("rn") <= k)

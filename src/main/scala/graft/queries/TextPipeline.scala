@@ -720,7 +720,7 @@ object TextPipeline {
       |scored AS (
       |  SELECT q.qid, e.vec_id,
       |    round(list_dot_product(q.qv, e.v) /
-      |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6)
+      |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) + 0
       |      AS cos
       |  FROM q, e WHERE e.vec_id <> q.qid)
       |SELECT qid, vec_id, cos FROM scored
@@ -989,7 +989,7 @@ object TextPipeline {
       |scored AS (
       |  SELECT a.vec_id AS v1, b.vec_id AS v2,
       |    round(list_dot_product(a.v, b.v) /
-      |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) + 0
       |      AS cos
       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
       |SELECT v1, v2, cos FROM scored WHERE cos >= 0.99
@@ -1119,7 +1119,7 @@ object TextPipeline {
        |scored AS (
        |  SELECT p.qid, e.vec_id,
        |    round(list_dot_product(p.qv, e.v) /
-       |          (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+       |          (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) + 0 AS cos
        |  FROM e JOIN probes p ON e.label = p.cell
        |  WHERE e.vec_id <> p.qid)""".stripMargin
 
@@ -1159,7 +1159,7 @@ object TextPipeline {
        |escored AS (
        |  SELECT q.qid, e.vec_id,
        |    round(list_dot_product(q.qv, e.v) /
-       |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+       |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) + 0 AS cos
        |  FROM e, q WHERE e.vec_id <> q.qid),
        |exact AS (
        |  SELECT qid, vec_id FROM escored
