@@ -344,10 +344,12 @@ object CoreRelational {
         round($"sx".cast("double") / $"n", 6).as("mean_qty"),
         round(($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double"))
           / ($"n" * ($"n" - 1)), 6).as("var_qty"),
-        round(($"n" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double"))
+        // + 0.0: correlation is sign-indefinite — a value rounding to
+        // zero must not diverge on IEEE zero sign across engines
+        (round(($"n" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double"))
           / (sqrt($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double"))
             * sqrt($"n" * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double"))), 6)
-          .as("corr_qty_price"))
+          + lit(0.0)).as("corr_qty_price"))
       .orderBy($"l_returnflag")
   }
 
@@ -366,7 +368,7 @@ object CoreRelational {
       |        / (n * (n - 1)), 6) AS var_qty,
       |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |        / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |           * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |           * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0
       |    AS corr_qty_price
       |FROM s ORDER BY l_returnflag""".stripMargin
 
