@@ -81,6 +81,20 @@ class FetchSpec extends AnyFunSuite {
     assert(FetchCounters.closes.get() === 2)
   }
 
+  test("fetch edge cases: empty URL set, maxAttempts=1 quarantines flaky without retry") {
+    import spark.implicits._
+    FetchCounters.reset()
+    // empty input: no rows, and the per-partition open/close still pairs up
+    val none = Fetch.fetchAll(spark.emptyDataset[String], new MockFetcher,
+      parallelism = 2, maxAttempts = 3).collect()
+    assert(none.isEmpty)
+    assert(FetchCounters.opens.get() === FetchCounters.closes.get())
+    // maxAttempts=1: the flaky URL gets exactly one try and quarantines
+    val one = Fetch.fetchAll(Seq("https://x/flaky").toDS(), new MockFetcher,
+      parallelism = 1, maxAttempts = 1).collect().head
+    assert(one.body.isEmpty && one.error === Some("HTTP 503") && one.attempts === 1)
+  }
+
   test("extract end-to-end: mock-fetched articles flow through Ingest → Clean") {
     import spark.implicits._
     FetchCounters.reset()
