@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join with prefix filtering — the
+  * AllPairs/PPJoin candidate-generation family (Bayardo et al.,
+  * "Scaling Up All Pairs Similarity Search", WWW 2007; Xiao et al.,
+  * "Efficient Similarity Joins for Near Duplicate Detection",
+  * WWW 2008), the third pillar of near-dup detection next to MinHash
+  * (probabilistic, [[Dedup.minhashNearDups]]) and SimHash (bitwise,
+  * [[Dedup.simhash]]): EXACT Jaccard output with subquadratic
+  * candidate generation.
+  *
+  * Why it scales: order every document's token set by ascending
+  * document frequency (rarest first). For Jaccard ≥ τ, two sets MUST
+  * share a token within their first `|t| - ceil(τ·|t|) + 1` tokens of
+  * that order (prefix-filter lemma), so the candidate join runs over
+  * the PREFIX relation only — and prefixes are made of the rarest
+  * tokens, so bucket sizes stay small exactly where a naive
+  * token-inverted-index join explodes (stopwords land at the END of
+  * the order and never enter a prefix unless the doc is nearly all
+  * stopwords). No O(n²) pair space, no data-sized unpartitioned
+  * window: the per-doc prefix rank partitions by doc_id, and the
+  * frequency order is carried as the (df, tok) key itself rather than
+  * a globally materialized rank.
+  *
+  * Everything until the final reported division is int64 arithmetic —
+  * the threshold test is `τDen·|A∩B| ≥ τNum·|A∪B|` on exact counts —
+  * so an ANSI-SQL oracle replays the join bit-for-bit.
+  */
+object SetSimJoin {
+
+  /** Distinct word set per document: (doc_id, tok). NOTE: raw word
+    * sets only separate corpora with a broad vocabulary — on a
+    * small-vocabulary corpus the background word-set Jaccard is high
+    * and k-word shingles ([[Dedup.shingles]]) are the right token;
+    * [[jaccardJoin]] takes the token relation so callers choose. */
+  def wordSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+
+  /** All pairs (d1 < d2) with Jaccard(tokens(d1), tokens(d2)) ≥
+    * τNum/τDen, exactly, over a DISTINCT token relation
+    * `tok(doc_id, tok)`. Output: (d1, d2, inter, uni, jaccard) with
+    * jaccard = round(inter/uni, 6), ordered by (d1, d2).
+    *
+    * Plan: tokens → df counts → per-doc prefix (row_number within
+    * doc over (df, tok) ascending, kept while rank ≤
+    * `len - ceil(τ·len) + 1`) → prefix self-join on tok with the
+    * length filter `τDen·min(len) ≥ τNum·max(len)` → distinct pairs →
+    * one intersection join over the FULL token sets of candidates →
+    * exact integer threshold. */
+  def jaccardJoin(tok: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be a rational in (0, 1]: got $tauNum/$tauDen")
+    val len = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val df = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+
+    // prefix length p = len - ceil(tau*len) + 1, in exact int64:
+    // ceil(a/b) = (a + b - 1) div b for positive a, b
+    val prefix = tok
+      .join(df, "tok")
+      .join(len, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)))
+      .filter(col("rn") <= expr(s"len - (($tauNum * len + ${tauDen - 1}) DIV $tauDen) + 1"))
+      .select(col("doc_id"), col("tok"), col("len"))
+
+    // candidate pairs: shared prefix token + the length bound
+    // |A| >= tau*|B| (for |A| <= |B|) in exact integer form
+    val cands = prefix.select(col("doc_id").as("d1"), col("tok"), col("len").as("l1"))
+      .join(prefix.select(col("doc_id").as("d2"), col("tok"), col("len").as("l2")), "tok")
+      .filter(col("d1") < col("d2") &&
+        lit(tauDen) * least(col("l1"), col("l2")) >= lit(tauNum) * greatest(col("l1"), col("l2")))
+      .select("d1", "d2", "l1", "l2")
+      .distinct()
+
+    // verify candidates with one exact intersection count over the
+    // full token sets (candidates only — never the corpus pair space)
+    val inter = cands
+      .join(tok.select(col("doc_id").as("d1"), col("tok")), Seq("d1"))
+      .join(tok.select(col("doc_id").as("d2"), col("tok")), Seq("d2", "tok"))
+      .groupBy("d1", "d2", "l1", "l2")
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .withColumn("uni", col("l1") + col("l2") - col("inter"))
+      .filter(lit(tauDen) * col("inter") >= lit(tauNum) * col("uni"))
+      .select(col("d1"), col("d2"), col("inter"), col("uni"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+}

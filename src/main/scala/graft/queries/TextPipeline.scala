@@ -704,6 +704,54 @@ object TextPipeline {
        |WHERE round(i::DOUBLE / (n1.n + n2.n - i)::DOUBLE, 4) >= 0.7
        |ORDER BY d1, d2""".stripMargin
 
+  /** D13: exact Jaccard set-similarity self-join with prefix filtering
+    * (AllPairs/PPJoin, [[graft.operators.SetSimJoin]]) over the 3-word
+    * shingle sets at τ = 1/2 — the EXACT counterpart to d2's
+    * probabilistic MinHash over the same corpus: candidates come only
+    * from shared rarest-first prefix shingles, verification is one
+    * intersection join over candidates, and the threshold test is
+    * int64 arithmetic the oracle replays verbatim. d2's LSH can miss a
+    * true pair (s-curve); this join cannot — on this corpus it is the
+    * recall oracle for d2. */
+  val d13PrefixSimjoin: Q = (s, dir) => {
+    val tok = Dedup.shingles(docsWithDups(s, dir), "doc_id", "text", k = 3)
+      .withColumnRenamed("shingle", "tok")
+    graft.operators.SetSimJoin.jaccardJoin(tok, tauNum = 1, tauDen = 2)
+  }
+
+  val d13PrefixSimjoinSql: String =
+    s"""WITH docs AS ($docsWithDupsSql),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+       |tok AS (
+       |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tok
+       |  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i
+       |        FROM w WHERE len(l) >= 3)),
+       |ln AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+       |df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+       |pre AS (
+       |  SELECT doc_id, tok, len
+       |  FROM (
+       |    SELECT t.doc_id, t.tok, l.len,
+       |      row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df ASC, t.tok ASC) AS rn
+       |    FROM tok t JOIN df d ON t.tok = d.tok JOIN ln l ON t.doc_id = l.doc_id)
+       |  WHERE rn <= len - ((1 * len + 1) // 2) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.len AS l1, b.len AS l2
+       |  FROM pre a JOIN pre b ON a.tok = b.tok
+       |  WHERE a.doc_id < b.doc_id
+       |    AND 2 * least(a.len, b.len) >= 1 * greatest(a.len, b.len)),
+       |inter AS (
+       |  SELECT c.d1, c.d2, c.l1, c.l2, count(*) AS inter
+       |  FROM cand c
+       |  JOIN tok t1 ON t1.doc_id = c.d1
+       |  JOIN tok t2 ON t2.doc_id = c.d2 AND t2.tok = t1.tok
+       |  GROUP BY c.d1, c.d2, c.l1, c.l2)
+       |SELECT d1, d2, inter, l1 + l2 - inter AS uni,
+       |  round(inter::DOUBLE / (l1 + l2 - inter), 6) AS jaccard
+       |FROM inter
+       |WHERE 2 * inter >= 1 * (l1 + l2 - inter)
+       |ORDER BY d1, d2""".stripMargin
+
   // ---- similarity search -------------------------------------------
 
   /** N1: brute-force cosine top-10 for query vectors (vec_id < 5). */
@@ -1339,6 +1387,7 @@ object TextPipeline {
     "d12_sorted_neighborhood" -> d12SortedNeighborhood,
     "d8_simhash_neardups"  -> d8SimhashNearDups,
     "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d13_prefix_simjoin" -> d13PrefixSimjoin,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "g2_posexplode"    -> g2Posexplode,
     "a4_profile"       -> a4Profile,
@@ -1379,6 +1428,7 @@ object TextPipeline {
     "d12_sorted_neighborhood" -> d12SortedNeighborhoodSql,
     "d8_simhash_neardups"  -> d8SimhashNearDupsSql,
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
+    "d13_prefix_simjoin" -> d13PrefixSimjoinSql,
     "d5_embedding_neardup" -> d5EmbeddingNearDupSql,
     "g2_posexplode"    -> g2PosexplodeSql,
     "a4_profile"       -> a4ProfileSql,
