@@ -166,4 +166,56 @@ object Corpus {
       .filter(col("bucket") < col("keep_bp"))
       .drop("src", "keep_bp")
   }
+
+  // ---- statistical LM quality scoring ------------------------------
+
+  /** Corpus-trained bigram language-model scores — the classic
+    * perplexity-style quality signal (a cheap stand-in for the
+    * "score with a small LM, drop the tail" curation step, e.g.
+    * CCNet's LM filter): train add-one-smoothed bigram statistics on
+    * the corpus itself, then score every document by its mean log2
+    * bigram probability. Low scores = improbable word sequences
+    * (boilerplate, mojibake, shuffled text); unusually high scores =
+    * degenerate repetition.
+    *
+    * p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), V = |vocabulary|.
+    *
+    * Determinism contract: counts are exact int64; each bigram's
+    * log2 is rounded to 6 decimals and summed as DECIMAL(18,6) so
+    * addition order cannot move a ulp on any engine; the mean is the
+    * rounded DECIMAL sum over the exact bigram count.
+    *
+    * Scale shape: one explode over corpus tokens, two map-side-
+    * combined count aggregations (bigram, unigram-prefix), one join
+    * back on the bigram key and one on the prefix key — every stage
+    * hash-partitioned on bounded keys, the vocabulary scalar crosses
+    * as a 1-row broadcast. No corpus-sized window, no driver
+    * materialization. At 100 TB the count relations are themselves
+    * distributed — nothing assumes they fit anywhere.
+    *
+    * Output: (doc_id, n_bigrams, avg_log2p), docs with ≥ 2 words. */
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs.select(col(idCol).as("doc_id"),
+        explode(wordNgrams(col(textCol), 2)).as("bigram"))
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+    val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs
+      .select(explode(filter(split(col(textCol), " "), x => x =!= "")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    bg.join(c2, "bigram")
+      .join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        round(log2((col("c2") + 1).cast("double") / (col("c1") + col("v"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      // the DECIMAL sum is exact (order-free); it converts to double
+      // losslessly at this magnitude (micro-units < 2^53), so the
+      // final division + round is one identical IEEE op per engine —
+      // never a decimal division, whose result scale is engine-defined
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round(sum(col("logp")).cast("double") / count(lit(1)), 6) + lit(0.0))
+          .as("avg_log2p"))
+  }
 }

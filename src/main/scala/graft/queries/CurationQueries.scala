@@ -458,7 +458,38 @@ object CurationQueries {
       |WHERE word <> ''
       |GROUP BY word ORDER BY word""".stripMargin
 
+  /** T19: corpus-trained add-one-smoothed bigram LM scores
+    * ([[Corpus.bigramLmScores]]) — the perplexity-style quality
+    * signal. Exact int64 counts; per-bigram log2 rounded to 6
+    * decimals and summed as DECIMAL so addition order can't move a
+    * ulp; final mean divided in double from the exact decimal sum. */
+  val t19BigramLm: Q = (s, dir) => {
+    import s.implicits._
+    Corpus.bigramLmScores(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  val t19BigramLmSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, l[i] AS w1, l[i] || ' ' || l[i+1] AS bigram
+      |  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+      |        FROM w WHERE len(l) >= 2)),
+      |c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      |v AS (SELECT count(DISTINCT x) AS v FROM (SELECT unnest(l) AS x FROM w)),
+      |sc AS (
+      |  SELECT doc_id,
+      |    round(log2((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)), 6)::DECIMAL(18,6) AS logp
+      |  FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) + 0 AS avg_log2p
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "t19_bigram_lm"   -> t19BigramLm,
     "t17_inverted_index" -> t17InvertedIndex,
     "t10_pii_redact"  -> t10PiiRedact,
     "t11_repetition"  -> t11Repetition,
@@ -473,6 +504,7 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "t19_bigram_lm"   -> t19BigramLmSql,
     "t10_pii_redact"  -> t10PiiRedactSql,
     "t11_repetition"  -> t11RepetitionSql,
     "t12_domain_mix"  -> t12DomainMixSql,

@@ -206,4 +206,42 @@ class CorpusQuantizeSpec extends AnyFunSuite {
       .filter($"err" > $"max_abs" / 127.0 + 1e-6)
     assert(step.count() === 0)
   }
+
+  // ---- Corpus.bigramLmScores ---------------------------------------
+
+  test("bigram LM: hand-computed add-one probabilities on a 3-doc corpus") {
+    val df = Seq(
+      (1L, "a b a"),   // bigrams: (a b), (b a)
+      (2L, "a b"),     // (a b)
+      (3L, "b a b"),   // (b a), (a b)
+      (4L, "x")        // < 2 words — no row
+    ).toDF("doc_id", "text")
+    val out = Corpus.bigramLmScores(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // c2("a b")=3, c2("b a")=2; c1(a)=3, c1(b)=2; V=3 (a, b, x)
+    // p(b|a)=(3+1)/(3+3)=2/3 -> log2 = -0.584963 (rounded)
+    // p(a|b)=(2+1)/(2+3)=0.6 -> log2 = -0.736966
+    val pBA = BigDecimal(-0.584963)
+    val pAB = BigDecimal(-0.736966)
+    def avg(xs: BigDecimal*): Double =
+      (xs.sum / xs.length).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(t => (t._1, t._2)) === Seq((1L, 2L), (2L, 1L), (3L, 2L)))
+    assert(out(0)._3 === avg(pBA, pAB))
+    assert(out(1)._3 === avg(pBA))
+    assert(out(2)._3 === avg(pAB, pBA))
+  }
+
+  test("bigram LM: scores are negative and repetition scores higher than noise") {
+    val df = Seq(
+      (1L, "spark spark spark spark spark spark spark spark"),
+      (2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val out = Corpus.bigramLmScores(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(out.values.forall(_ < 0.0))
+    // "spark spark" repeats 7x -> high p; the all-distinct doc's
+    // bigrams are each singletons -> low p
+    assert(out(1L) > out(2L))
+  }
 }
