@@ -262,4 +262,99 @@ object Similarity {
       .filter(col("rn") <= k)
       .drop("rn")
   }
+
+  // ---- Johnson–Lindenstrauss random projection ----------------------
+
+  /** Deterministic JL projection matrix — `kDim` rows × `dim` integer
+    * components in [-1000, 1000] from md5("jl:&lt;row&gt;:&lt;dim&gt;"), the
+    * [[hyperplanes]] construction under its own seed family (sharing
+    * seeds with SRP-LSH would correlate the two sketches). Dense
+    * ±bounded-integer entries are a standard JL distribution
+    * (Achlioptas, "Database-friendly random projections", PODS 2001
+    * shows even sparse ±1 suffices); integer components keep the
+    * projection exact. */
+  def jlPlanes(kDim: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(kDim) { j =>
+      Array.tabulate(dim) { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"jl:$j:$i".getBytes("UTF-8"))
+        val hex = d.take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+      }
+    }
+
+  /** Project an array&lt;double&gt; column to `planes.length` EXACT integer
+    * coordinates (as array&lt;double&gt;): elements quantized to
+    * `floor(x·2^20)` (exact — see [[srpBucket]]'s analysis), then each
+    * coordinate is an integer dot product whose every term (≤ 2^32)
+    * and sum (≤ 2^40 at dim 64) is exactly representable in a double —
+    * order-free, engine-independent, replayable in ANSI SQL. Pure
+    * per-row expression work through the codegen'd [[dot]]; the
+    * planes ride along as literals. The 100 TB story: the projected
+    * corpus is dim/kDim× smaller, and every downstream exact-cosine
+    * rank runs on the sketch — this is the dimensionality-reduction
+    * leg of the ANN family (IVF partitions, SRP buckets, PQ encodes,
+    * JL shrinks). */
+  def jlProject(vcol: String, planes: Array[Array[Long]]): Column = {
+    val vq = expr(s"transform($vcol, x -> CAST(floor(x * 1048576.0) AS DOUBLE))")
+    array(planes.map { ks =>
+      dot(vq, array(ks.map(k => lit(k.toDouble)): _*))
+    }: _*)
+  }
+
+  /** Exact top-k cosine search in JL-projected space: project both
+    * sides with the same deterministic matrix, then [[cosineTopK]]'s
+    * broadcast-scored ranking on the kDim-dim sketches. Returns
+    * (qid, vec_id, cos) where cos is the PROJECTED-space cosine —
+    * an approximation whose quality n14's recall gate measures. */
+  def jlTopK(candidates: DataFrame, queries: DataFrame, dim: Int,
+      kDim: Int = 16, k: Int = 10): DataFrame = {
+    val planes = jlPlanes(kDim, dim)
+    val cand = candidates.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("fv"))
+      .withColumn("v", jlProject("fv", planes))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val q = queries.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("fq"))
+      .withColumn("qv", jlProject("fq", planes))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
+    cand
+      .join(broadcast(q.select(col("qid"), col("qv"), col("nq"))),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6) + lit(0.0)).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Sketch-prefilter + exact re-rank — the deployment shape of JL
+    * projection: the corpus-sized scoring pass runs ONLY on the
+    * dim/kDim× smaller sketches ([[jlTopK]], k0 candidates per
+    * query), then exact full-space cosine re-ranks just those k0 rows
+    * per query. At 100 TB the full vectors are touched k0·|queries|
+    * times instead of |corpus|·|queries| — raw sketch ranking trades
+    * too much recall (n14's gate measures it), re-ranking recovers
+    * most of it for k0 ≪ |corpus|. Output: (qid, vec_id, cos) with
+    * EXACT full-space cosines, k per query. */
+  def jlRerankTopK(candidates: DataFrame, queries: DataFrame, dim: Int,
+      kDim: Int = 16, k0: Int = 50, k: Int = 10): DataFrame = {
+    val pre = jlTopK(candidates, queries, dim, kDim, k0)
+      .select(col("qid"), col("vec_id"))
+    val cand = candidates.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val q = queries.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
+    pre.join(cand, "vec_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        (round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6) + lit(0.0)).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
 }

@@ -299,6 +299,78 @@ object CurationQueries {
        |FROM exact x LEFT JOIN approx a USING (qid, vec_id)
        |GROUP BY x.qid ORDER BY x.qid""".stripMargin
 
+  /** N14: Johnson–Lindenstrauss projection + exact re-rank recall —
+    * project the 64-dim embeddings to 16 exact-integer dims with the
+    * deterministic ±[0,1000] md5 matrix ([[graft.operators.Similarity.jlPlanes]]),
+    * prefilter to the top-50 per query in SKETCH space (the only
+    * corpus-sized scoring pass — on 4× smaller vectors), exact-re-rank
+    * those 50 in full space, and report recall@10 against the
+    * full-space exact top-10. The dimensionality-reduction leg of the
+    * ANN family: IVF partitions, SRP-LSH buckets, PQ encodes, JL
+    * shrinks. Quantized projection arithmetic is exact integer (see
+    * srpBucket's analysis), so the oracle rebuilds the identical
+    * matrix, sketches, and both rankings from the seed strings. */
+  val n14JlRecall: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter($"vec_id" < 5)
+    val exact = graft.operators.Similarity.cosineTopK(emb, q, k = 10)
+      .select($"qid", $"vec_id")
+    val approx = graft.operators.Similarity
+      .jlRerankTopK(emb, q, dim = 64, kDim = 16, k0 = 50, k = 10)
+      .select($"qid", $"vec_id").withColumn("hit", lit(1))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy($"qid")
+      .agg(sum(coalesce($"hit", lit(0))).as("n_hits"))
+      .select($"qid", $"n_hits", ($"n_hits" * 1000).as("recall_bp"))
+      .orderBy($"qid")
+  }
+
+  val n14JlRecallSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |planes AS (
+      |  SELECT j, i,
+      |    ('0x' || substr(md5('jl:' || j::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT % 2001 - 1000 AS c
+      |  FROM range(16) t1(j), range(64) t2(i)),
+      |vq AS (
+      |  SELECT vec_id, i, CAST(floor(v[i + 1] * 1048576.0) AS BIGINT) AS x
+      |  FROM e, range(64) t(i)),
+      |proj AS (
+      |  SELECT vec_id, j, sum(x * c) AS p
+      |  FROM vq JOIN planes USING (i) GROUP BY vec_id, j),
+      |pv AS (
+      |  SELECT vec_id, (list(p::DOUBLE ORDER BY j)) AS v FROM proj GROUP BY vec_id),
+      |pq AS (SELECT vec_id AS qid, v AS qv FROM pv WHERE vec_id < 5),
+      |ascored AS (
+      |  SELECT pq.qid, pv.vec_id,
+      |    round(list_dot_product(pq.qv, pv.v) /
+      |          (sqrt(list_dot_product(pq.qv, pq.qv)) * sqrt(list_dot_product(pv.v, pv.v))), 6) + 0 AS cos
+      |  FROM pq, pv WHERE pv.vec_id <> pq.qid),
+      |cand AS (
+      |  SELECT qid, vec_id FROM ascored
+      |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 50),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |rerank AS (
+      |  SELECT c.qid, c.vec_id,
+      |    round(list_dot_product(q.qv, e.v) /
+      |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) + 0 AS cos
+      |  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.qid = c.qid),
+      |approx AS (
+      |  SELECT qid, vec_id FROM rerank
+      |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10),
+      |escored AS (
+      |  SELECT q.qid, e.vec_id,
+      |    round(list_dot_product(q.qv, e.v) /
+      |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+      |  FROM q, e WHERE e.vec_id <> q.qid),
+      |exact AS (
+      |  SELECT qid, vec_id FROM escored
+      |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10)
+      |SELECT x.qid, count(a.vec_id) AS n_hits,
+      |       count(a.vec_id) * 1000 AS recall_bp
+      |FROM exact x LEFT JOIN approx a USING (qid, vec_id)
+      |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+
   /** T15: URL/domain extraction — the web-corpus provenance op:
     * pull URLs out of text, reduce to domains, count per domain.
     * URLs are planted deterministically (same construction in the
@@ -497,6 +569,7 @@ object CurationQueries {
     "n4_quantize"     -> n4Quantize,
     "n5_ann_lsh"      -> n5AnnLsh,
     "n9_lsh_recall"   -> n9LshRecall,
+    "n14_jl_recall"   -> n14JlRecall,
     "t13_decontaminate" -> t13Decontaminate,
     "t15_url_extract" -> t15UrlExtract,
     "n6_quantized_topk" -> n6QuantizedTopK,
@@ -511,6 +584,7 @@ object CurationQueries {
     "n4_quantize"     -> n4QuantizeSql,
     "n5_ann_lsh"      -> n5AnnLshSql,
     "n9_lsh_recall"   -> n9LshRecallSql,
+    "n14_jl_recall"   -> n14JlRecallSql,
     "t13_decontaminate" -> t13DecontaminateSql,
     "t15_url_extract" -> t15UrlExtractSql,
     "n6_quantized_topk" -> n6QuantizedTopKSql,

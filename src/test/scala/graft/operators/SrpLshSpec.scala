@@ -75,4 +75,55 @@ class SrpLshSpec extends AnyFunSuite {
     // self never returned
     assert(out.filter($"qid" === $"vec_id").count() === 0)
   }
+
+  // ---- JL random projection ----------------------------------------
+
+  test("jl planes: deterministic, bounded, and a different family than SRP") {
+    val p1 = Similarity.jlPlanes(8, 16)
+    assert(p1.map(_.toSeq).toSeq === Similarity.jlPlanes(8, 16).map(_.toSeq).toSeq)
+    p1.flatten.foreach(k => assert(k >= -1000 && k <= 1000))
+    // distinct seed family: must not equal the SRP hyperplanes
+    assert(p1.map(_.toSeq).toSeq !== Similarity.hyperplanes(8, 16).map(_.toSeq).toSeq)
+  }
+
+  test("jl projection is exact integer arithmetic, stable under repartition") {
+    val planes = Similarity.jlPlanes(4, 16)
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", Similarity.jlProject("embedding", planes).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val a = proj(emb.repartition(2))
+    val b = proj(emb.repartition(17))
+    assert(a === b)
+    // every coordinate is an exact integer (quantized input × int plane)
+    a.values.flatten.foreach(x => assert(x == math.rint(x)))
+    // hand-check one coordinate on a known vector
+    val v = emb.filter($"vec_id" === 0).as[(Long, Seq[Double])].head()._2
+    val expected = v.zip(planes(0)).map { case (x, k) =>
+      math.floor(x * 1048576.0) * k }.sum
+    assert(a(0L)(0) === expected)
+  }
+
+  test("jl re-rank with k0 = corpus size equals exact top-k") {
+    val q = emb.filter($"vec_id" < 3)
+    val exact = Similarity.cosineTopK(emb, q, k = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    val rr = Similarity.jlRerankTopK(emb, q, dim = 16, kDim = 8,
+        k0 = 90, k = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rr === exact)
+  }
+
+  test("jl re-rank recall is at least raw-sketch recall") {
+    val q = emb.filter($"vec_id" < 3)
+    val exact = Similarity.cosineTopK(emb, q, k = 5)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Int =
+      df.select($"qid", $"vec_id").as[(Long, Long)].collect()
+        .count(exact.contains)
+    val raw = hits(Similarity.jlTopK(emb, q, dim = 16, kDim = 4, k = 5))
+    val rr = hits(Similarity.jlRerankTopK(emb, q, dim = 16, kDim = 4, k0 = 20, k = 5))
+    assert(rr >= raw)
+    // structured corpus: the prefilter+rerank pipeline is near-exact here
+    assert(rr >= (exact.size * 2) / 3, s"rerank hits $rr of ${exact.size}")
+  }
 }
