@@ -70,6 +70,36 @@ object SourceQueries {
   val s9OrcReadSql: String =
     "SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id"
 
+  /** S14: Hive-partitioned layout + partition-pruned read — the
+    * complement to s12's z-order (intra-file skipping): directory-
+    * level pruning, the first and cheapest scan reducer at 100 TB.
+    * Orders are written `partitionBy(o_year)`; the year-filtered read
+    * back must touch ONLY that year's directory — the plan carries
+    * the predicate as a PartitionFilter, not a data Filter
+    * (SourcePruneSpec pins this on the executed plan). The oracle is
+    * the plain filtered aggregate: pruning must be invisible to
+    * results. */
+  val s14PartitionPrune: Q = (s, dir) => {
+    import s.implicits._
+    val out = tmp("graft-s14") + "/orders_by_year"
+    Tables.load(s, dir, "orders")
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    val dec = "decimal(18,4)"
+    s.read.parquet(out)
+      .filter($"o_year" === 1997)
+      .groupBy(month($"o_orderdate").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast(dec)), 2).cast("double").as("total_price"))
+      .orderBy($"o_month")
+  }
+
+  val s14PartitionPruneSql: String =
+    """SELECT month(o_orderdate) AS o_month, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+      |FROM orders WHERE year(o_orderdate) = 1997
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** S10: plain-text line source — the rawest landing format a corpus
     * pipeline ingests (one document per line). Write → `spark.read
     * .text` round-trip; line order is filesystem-dependent, so the
@@ -184,6 +214,7 @@ object SourceQueries {
     "s1_json_read"  -> s1JsonRead,
     "s7_csv_read"   -> s7CsvRead,
     "s9_orc_read"   -> s9OrcRead,
+    "s14_partition_prune" -> s14PartitionPrune,
     "s10_text_read" -> s10TextRead,
     "s11_merge_schema" -> s11MergeSchema,
     "s13_mongo_extjson" -> s13MongoExtjson,
@@ -194,6 +225,7 @@ object SourceQueries {
     "s1_json_read"  -> s1JsonReadSql,
     "s7_csv_read"   -> s7CsvReadSql,
     "s9_orc_read"   -> s9OrcReadSql,
+    "s14_partition_prune" -> s14PartitionPruneSql,
     "s10_text_read" -> s10TextReadSql,
     "s11_merge_schema" -> s11MergeSchemaSql,
     "s13_mongo_extjson" -> s13MongoExtjsonSql,

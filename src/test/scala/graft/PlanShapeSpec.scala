@@ -28,6 +28,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
   }
 
+  test("s14 partitioned read prunes at the directory level") {
+    val scans = sparkPlan("s14_partition_prune")
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    // the year predicate must be a PARTITION filter (pruned before
+    // listing), not a data filter evaluated per row
+    assert(scan.partitionFilters.map(_.toString).exists(_.contains("o_year")),
+      s"o_year not a partition filter: ${scan.partitionFilters}")
+    assert(!scan.dataFilters.map(_.toString).exists(_.contains("o_year")),
+      s"o_year degraded to a data filter: ${scan.dataFilters}")
+    // exactly one of the seven year directories survives pruning
+    assert(scan.metadata("PartitionFilters").contains("o_year"))
+  }
+
   test("minhash dedup plans no quadratic join strategy") {
     val p = sparkPlan("d2_minhash_lsh").toString
     assert(!p.contains("CartesianProduct"), "cartesian product in d2")
@@ -62,11 +77,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // n10/n11 are PQ — per-subspace Lloyd assignment (broadcast k=8
     // sub-codebooks) and the per-query LUT build (3 queries × 8
     // centroids), both bounded by construction
+    // n14 composes n1's exact side plus jlTopK's 5-query broadcast
+    // fan-out; t19 crossJoins its ONE-ROW broadcast vocabulary scalar
+    // (the t9-style pattern)
     val bnljAllowed = Set("n1_cosine_topk", "n2_ann_ivf", "n6_quantized_topk",
       "n7_kmeans", "d11_semantic_dedup", "n8_recall", "n9_lsh_recall",
       "j6_bloom_semijoin", "t8_stratified_sample", "t9_tfidf",
       "t13_decontaminate", "an3_ntile", "n10_pq_codes", "n11_pq_adc_topk",
-      "n12_ivf_pq", "n13_mmr")
+      "n12_ivf_pq", "n13_mmr", "n14_jl_recall", "t19_bigram_lm")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(PlanAudit.excluded.contains).flatMap { name =>
         val plan = sparkPlan(name).toString
