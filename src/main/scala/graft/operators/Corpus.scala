@@ -218,4 +218,56 @@ object Corpus {
         (round(sum(col("logp")).cast("double") / count(lit(1)), 6) + lit(0.0))
           .as("avg_log2p"))
   }
+
+  // ---- repeated-substring span detection ---------------------------
+
+  /** Repeated-substring spans — SUB-document dedup, the signal doc-
+    * level dedup (d1/d2) cannot see: runs of k consecutive words that
+    * occur ≥ 2 times anywhere in the corpus (license headers,
+    * boilerplate navigation, quoted chunks). The windowed-fingerprint
+    * formulation of suffix-array substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022): every k-word window is fingerprinted, fingerprints
+    * seen ≥ 2× mark their windows, and each document's marked window
+    * positions are merged into maximal spans with a per-doc
+    * gaps-and-islands pass.
+    *
+    * Scale shape: one window explode (corpus-linear), one map-side-
+    * combined fingerprint count on bounded keys, one hash semi-join
+    * back, and windows partitioned BY doc_id for the merge — no
+    * corpus-sized unpartitioned window, no driver materialization.
+    * All arithmetic is integer positions; md5 fingerprints group
+    * identically on any engine.
+    *
+    * Output: (doc_id, span_start, span_end, n_windows) — 1-based
+    * inclusive word indexes of each maximal repeated span, ordered. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 10): DataFrame = {
+    val wp = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> struct(CAST(i AS BIGINT) AS pos, md5(concat_ws(' ', slice(w, i, $k))) AS h))"))
+        .as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.h").as("h"))
+    val rep = wp.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("h")
+    val hits = wp.join(rep, "h").select("doc_id", "pos")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      // islands: a window starts a new span when it does not overlap
+      // or touch the previous marked window (positions ascend, window
+      // length is constant, so lag(pos) is the running max start)
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull ||
+          col("pos") > lag(col("pos"), 1).over(byDoc) + k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("island")
+  }
 }

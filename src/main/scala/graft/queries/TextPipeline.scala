@@ -704,6 +704,41 @@ object TextPipeline {
        |WHERE round(i::DOUBLE / (n1.n + n2.n - i)::DOUBLE, 4) >= 0.7
        |ORDER BY d1, d2""".stripMargin
 
+  /** T20: repeated-substring spans ([[graft.operators.Corpus.repeatedSpans]])
+    * over the planted-dup corpus — sub-document dedup: maximal runs of
+    * 10-word windows occurring ≥ 2× corpus-wide, merged per doc by a
+    * doc-partitioned gaps-and-islands pass. Integer positions + md5
+    * fingerprints → the oracle replays every step exactly. */
+  val t20RepeatedSpans: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Corpus.repeatedSpans(docsWithDups(s, dir), "doc_id", "text", k = 10)
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  val t20RepeatedSpansSql: String =
+    s"""WITH docs AS ($docsWithDupsSql),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+       |wp AS (
+       |  SELECT doc_id, i AS pos, md5(array_to_string(l[i : i + 9], ' ')) AS h
+       |  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 8)) AS i
+       |        FROM w WHERE len(l) >= 10)),
+       |rep AS (SELECT h FROM wp GROUP BY h HAVING count(*) >= 2),
+       |hits AS (SELECT doc_id, pos FROM wp JOIN rep USING (h)),
+       |fl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 10
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM fl)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
+       |  count(*) AS n_windows
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
   /** D13: exact Jaccard set-similarity self-join with prefix filtering
     * (AllPairs/PPJoin, [[graft.operators.SetSimJoin]]) over the 3-word
     * shingle sets at τ = 1/2 — the EXACT counterpart to d2's
@@ -1388,6 +1423,7 @@ object TextPipeline {
     "d8_simhash_neardups"  -> d8SimhashNearDups,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d13_prefix_simjoin" -> d13PrefixSimjoin,
+    "t20_repeated_spans" -> t20RepeatedSpans,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "g2_posexplode"    -> g2Posexplode,
     "a4_profile"       -> a4Profile,
@@ -1429,6 +1465,7 @@ object TextPipeline {
     "d8_simhash_neardups"  -> d8SimhashNearDupsSql,
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
     "d13_prefix_simjoin" -> d13PrefixSimjoinSql,
+    "t20_repeated_spans" -> t20RepeatedSpansSql,
     "d5_embedding_neardup" -> d5EmbeddingNearDupSql,
     "g2_posexplode"    -> g2PosexplodeSql,
     "a4_profile"       -> a4ProfileSql,

@@ -232,6 +232,40 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     assert(out(2)._3 === avg(pAB, pBA))
   }
 
+  // ---- Corpus.repeatedSpans ----------------------------------------
+
+  test("repeated spans: planted boilerplate is found with exact boundaries") {
+    // 12-word boilerplate shared by docs 1 and 2 at different offsets;
+    // doc 3 is clean. k=4 windows -> 9 repeated window starts per doc,
+    // merging to ONE maximal span covering exactly the boilerplate.
+    val boiler = "this page is licensed under the creative commons attribution share alike license"
+    val df = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta iota kappa"),
+      (3L, "totally unrelated clean document with no repeated content at all ok")
+    ).toDF("doc_id", "text")
+    val out = Corpus.repeatedSpans(df, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: boilerplate occupies words 3..14 (1-based); doc 2: words 1..12
+    assert(out === Seq((1L, 3L, 14L, 9L), (2L, 1L, 12L, 9L)))
+  }
+
+  test("repeated spans: two separated repeats in one doc stay two islands") {
+    // filler words are DISTINCT — a run of identical fillers would
+    // itself create repeated windows and bridge the two islands
+    val rep = "one two three four"
+    val df = Seq(
+      (1L, s"$rep fa fb fc fd fe $rep"),
+      (2L, s"$rep other words here")
+    ).toDF("doc_id", "text")
+    val out = Corpus.repeatedSpans(df, "doc_id", "text", k = 4)
+      .filter($"doc_id" === 1).orderBy($"span_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(out === Seq((1L, 4L), (10L, 13L)))
+  }
+
   test("bigram LM: scores are negative and repetition scores higher than noise") {
     val df = Seq(
       (1L, "spark spark spark spark spark spark spark spark"),
