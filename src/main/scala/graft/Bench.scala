@@ -20,7 +20,9 @@ object Bench {
     "j6_bloom_semijoin", "u6_cdc_upsert", "s12_zorder_layout", "an14_cms_topk",
     "an15_pagerank", "e8_funnel",
     "e10_resample", "an18_grouping_sets", "j8_snapshot_diff",
-    "d12_sorted_neighborhood", "t18_epoch_shuffle", "n12_ivf_pq")
+    "d12_sorted_neighborhood", "t18_epoch_shuffle", "n12_ivf_pq",
+    "d13_prefix_simjoin", "t19_bigram_lm", "t20_repeated_spans",
+    "n14_jl_recall")
 
   /** Minimum repetitions per query; reported time is the median, so
     * single-run jitter (JIT, GC, page cache) can't masquerade as a

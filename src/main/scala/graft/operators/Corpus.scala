@@ -195,9 +195,15 @@ object Corpus {
     *
     * Output: (doc_id, n_bigrams, avg_log2p), docs with ≥ 2 words. */
   def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the bigram relation feeds three consumers (itself, c2, c1);
+    // materialize it once instead of re-running the split+explode per
+    // consumer (measured 5.4 s → materialized form at sf0.1,
+    // SCALING.md). Corpus-linear rows; the cluster-scale equivalent
+    // is persisting the tokenized relation.
     val bg = docs.select(col(idCol).as("doc_id"),
         explode(wordNgrams(col(textCol), 2)).as("bigram"))
       .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .localCheckpoint()
     val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = docs
@@ -251,6 +257,9 @@ object Corpus {
           s"i -> struct(CAST(i AS BIGINT) AS pos, md5(concat_ws(' ', slice(w, i, $k))) AS h))"))
         .as("x"))
       .select(col("doc_id"), col("x.pos").as("pos"), col("x.h").as("h"))
+      // two consumers (fingerprint counts + the hit join): materialize
+      // the windowed explode once — same rationale as bigramLmScores
+      .localCheckpoint()
     val rep = wp.groupBy("h").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("h")
     val hits = wp.join(rep, "h").select("doc_id", "pos")

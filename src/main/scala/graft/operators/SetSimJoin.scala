@@ -54,28 +54,51 @@ object SetSimJoin {
     * length filter `τDen·min(len) ≥ τNum·max(len)` → distinct pairs →
     * one intersection join over the FULL token sets of candidates →
     * exact integer threshold. */
-  def jaccardJoin(tok: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+  def jaccardJoin(tokens: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be a rational in (0, 1]: got $tauNum/$tauDen")
+    // the token relation feeds FIVE consumers (df, len, prefix, both
+    // intersection sides); materialize it once instead of re-running
+    // the upstream explode+distinct per consumer (measured 6.0 s →
+    // 2.9 s at sf0.1, SCALING.md). At cluster scale this is the step
+    // a pipeline persists to storage; localCheckpoint is the
+    // single-job equivalent, and the relation is corpus-linear (one
+    // row per distinct (doc, token)), never pair-sized.
+    val tok = tokens.localCheckpoint()
     val len = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val df = tok.groupBy("tok").agg(count(lit(1)).as("df"))
 
     // prefix length p = len - ceil(tau*len) + 1, in exact int64:
-    // ceil(a/b) = (a + b - 1) div b for positive a, b
+    // ceil(a/b) = (a + b - 1) div b for positive a, b. rn (the
+    // token's rank in the doc's frequency order) rides along for the
+    // positional filter below.
     val prefix = tok
       .join(df, "tok")
       .join(len, "doc_id")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)))
       .filter(col("rn") <= expr(s"len - (($tauNum * len + ${tauDen - 1}) DIV $tauDen) + 1"))
-      .select(col("doc_id"), col("tok"), col("len"))
+      .select(col("doc_id"), col("tok"), col("len"), col("rn"))
 
-    // candidate pairs: shared prefix token + the length bound
-    // |A| >= tau*|B| (for |A| <= |B|) in exact integer form
-    val cands = prefix.select(col("doc_id").as("d1"), col("tok"), col("len").as("l1"))
-      .join(prefix.select(col("doc_id").as("d2"), col("tok"), col("len").as("l2")), "tok")
+    // candidate pairs: shared prefix token + two lossless integer
+    // prunes BEFORE the distinct —
+    // (1) length bound: |A| ≥ τ·|B| for |A| ≤ |B|;
+    // (2) PPJoin positional bound (Xiao et al. §3.2): common tokens
+    //     all rank ≥ this one in the global order, so the overlap is
+    //     at most 1 + min(l1−rn1, l2−rn2); J ≥ τ needs overlap ≥
+    //     τ/(1+τ)·(l1+l2), i.e. (τN+τD)·ubound ≥ τN·(l1+l2). The
+    //     bound is loosest at the pair's FIRST shared token, so
+    //     any-token-passes keeps every true pair (spec-pinned against
+    //     brute force). Measured at sf0.1/τ=2/3: 315k → 44k
+    //     candidates into verification.
+    val cands = prefix.select(col("doc_id").as("d1"), col("tok"),
+        col("len").as("l1"), col("rn").as("rn1"))
+      .join(prefix.select(col("doc_id").as("d2"), col("tok"),
+        col("len").as("l2"), col("rn").as("rn2")), "tok")
       .filter(col("d1") < col("d2") &&
-        lit(tauDen) * least(col("l1"), col("l2")) >= lit(tauNum) * greatest(col("l1"), col("l2")))
+        lit(tauDen) * least(col("l1"), col("l2")) >= lit(tauNum) * greatest(col("l1"), col("l2")) &&
+        lit(tauNum + tauDen) * (lit(1) + least(col("l1") - col("rn1"), col("l2") - col("rn2"))) >=
+          lit(tauNum) * (col("l1") + col("l2")))
       .select("d1", "d2", "l1", "l2")
       .distinct()
 

@@ -741,7 +741,7 @@ object TextPipeline {
 
   /** D13: exact Jaccard set-similarity self-join with prefix filtering
     * (AllPairs/PPJoin, [[graft.operators.SetSimJoin]]) over the 3-word
-    * shingle sets at τ = 1/2 — the EXACT counterpart to d2's
+    * shingle sets at τ = 2/3 — the EXACT counterpart to d2's
     * probabilistic MinHash over the same corpus: candidates come only
     * from shared rarest-first prefix shingles, verification is one
     * intersection join over candidates, and the threshold test is
@@ -751,7 +751,7 @@ object TextPipeline {
   val d13PrefixSimjoin: Q = (s, dir) => {
     val tok = Dedup.shingles(docsWithDups(s, dir), "doc_id", "text", k = 3)
       .withColumnRenamed("shingle", "tok")
-    graft.operators.SetSimJoin.jaccardJoin(tok, tauNum = 1, tauDen = 2)
+    graft.operators.SetSimJoin.jaccardJoin(tok, tauNum = 2, tauDen = 3)
   }
 
   val d13PrefixSimjoinSql: String =
@@ -764,17 +764,18 @@ object TextPipeline {
        |ln AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
        |df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
        |pre AS (
-       |  SELECT doc_id, tok, len
+       |  SELECT doc_id, tok, len, rn
        |  FROM (
        |    SELECT t.doc_id, t.tok, l.len,
        |      row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df ASC, t.tok ASC) AS rn
        |    FROM tok t JOIN df d ON t.tok = d.tok JOIN ln l ON t.doc_id = l.doc_id)
-       |  WHERE rn <= len - ((1 * len + 1) // 2) + 1),
+       |  WHERE rn <= len - ((2 * len + 2) // 3) + 1),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.len AS l1, b.len AS l2
        |  FROM pre a JOIN pre b ON a.tok = b.tok
        |  WHERE a.doc_id < b.doc_id
-       |    AND 2 * least(a.len, b.len) >= 1 * greatest(a.len, b.len)),
+       |    AND 3 * least(a.len, b.len) >= 2 * greatest(a.len, b.len)
+       |    AND 5 * (1 + least(a.len - a.rn, b.len - b.rn)) >= 2 * (a.len + b.len)),
        |inter AS (
        |  SELECT c.d1, c.d2, c.l1, c.l2, count(*) AS inter
        |  FROM cand c
@@ -784,7 +785,7 @@ object TextPipeline {
        |SELECT d1, d2, inter, l1 + l2 - inter AS uni,
        |  round(inter::DOUBLE / (l1 + l2 - inter), 6) AS jaccard
        |FROM inter
-       |WHERE 2 * inter >= 1 * (l1 + l2 - inter)
+       |WHERE 3 * inter >= 2 * (l1 + l2 - inter)
        |ORDER BY d1, d2""".stripMargin
 
   // ---- similarity search -------------------------------------------

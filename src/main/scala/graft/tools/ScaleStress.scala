@@ -280,6 +280,42 @@ object ScaleStress {
       queries.unpersist(blocking = true)
     }
 
+    // d13 prefix-filtered exact similarity join: disjoint replicas →
+    // candidates only from shared rarest-prefix shingles, so time
+    // should track corpus size ~linearly (prefixes never collide
+    // across replicas). identical replicas → duplicate cliques: the
+    // EXACT join's output itself is quadratic in clique size, so the
+    // curve documents why exact dedup (d1) must run before a
+    // threshold join, same pipeline order as d2's hot-bucket story.
+    if (sect("d13")) {
+      import graft.operators.SetSimJoin
+      def tok(d: DataFrame) =
+        Dedup.shingles(d, "doc_id", "text", k = 3).withColumnRenamed("shingle", "tok")
+      Seq(1, 5, 20).foreach { n =>
+        val d = disjoint(n).cache(); val rows = d.count()
+        time(s"d13 prefix-join disjoint n=$n rows=$rows") {
+          SetSimJoin.jaccardJoin(tok(d), 2, 3) }
+        d.unpersist(blocking = true)
+      }
+      Seq(2, 4).foreach { n =>
+        val d = identical(n).cache(); val rows = d.count()
+        time(s"d13 prefix-join identical n=$n rows=$rows") {
+          SetSimJoin.jaccardJoin(tok(d), 2, 3) }
+        d.unpersist(blocking = true)
+      }
+    }
+
+    // t20 repeated-substring spans: window fingerprint counts are
+    // map-side combined and the merge windows partition by doc_id —
+    // disjoint replicas (per-replica word tags, so no cross-replica
+    // fingerprint collisions) should scale ~linearly.
+    if (sect("t20")) Seq(1, 5, 20).foreach { n =>
+      val d = disjoint(n).cache(); val rows = d.count()
+      time(s"t20 repeated-spans disjoint n=$n rows=$rows") {
+        Corpus.repeatedSpans(d, "doc_id", "text", k = 10) }
+      d.unpersist(blocking = true)
+    }
+
     spark.stop()
   }
 }
