@@ -167,6 +167,40 @@ object Corpus {
       .drop("src", "keep_bp")
   }
 
+  // ---- weighted sampling -------------------------------------------
+
+  /** Deterministic weighted sampling without replacement — the
+    * Efraimidis–Spirakis A-ES scheme ("Weighted random sampling with
+    * a reservoir", IPL 2006): each row draws a uniform u from a
+    * salted md5 of its id and ranks by the key ln(u)/w (the monotone
+    * log form of u^(1/w)); the top-m keys ARE a weighted sample
+    * without replacement. The curation use: sample a training subset
+    * where a document's inclusion odds follow its quality/length
+    * weight, reproducibly — same id ⇒ same draw on any engine, any
+    * partitioning, any corpus size.
+    *
+    * Determinism contract: u is the exact dyadic rational
+    * (bucket+1)/2^24 from a 24-bit md5 prefix, so ln(u)/w is the same
+    * IEEE double everywhere; the key is rounded to 6 decimals with
+    * (key, id) ordering so a last-ulp log divergence cannot flip the
+    * selection. Weights must be ≥ 1.
+    *
+    * Scale shape: one per-row expression pass + a global top-m —
+    * Spark plans TakeOrderedAndProject (per-partition heaps, merge m
+    * rows on the driver), never a full sort/shuffle of the corpus.
+    * Output: (id, weight, key) — the m selected rows, best first. */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: Column,
+      m: Int, salt: String = "ws"): DataFrame = {
+    val u = (pmod(conv(substring(md5(concat(lit(salt + ":"),
+        col(idCol).cast("string"))), 1, 6), 16, 10).cast("long"),
+        lit(1L << 24)) + 1).cast("double") / lit((1L << 24).toDouble)
+    docs
+      .select(col(idCol), weightCol.cast("double").as("weight"),
+        (round(log(u) / weightCol.cast("double"), 6) + lit(0.0)).as("key"))
+      .orderBy(col("key").desc, col(idCol).asc)
+      .limit(m)
+  }
+
   // ---- statistical LM quality scoring ------------------------------
 
   /** Corpus-trained bigram language-model scores — the classic

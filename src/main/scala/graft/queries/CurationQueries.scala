@@ -560,7 +560,28 @@ object CurationQueries {
       |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) + 0 AS avg_log2p
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** T21: deterministic weighted sampling without replacement
+    * ([[Corpus.weightedSample]], Efraimidis–Spirakis A-ES) — top-100
+    * by ln(u)/w over a salted-md5 uniform, weighted by document
+    * length. The plan is a per-row expression pass + global top-m
+    * (TakeOrderedAndProject — per-partition heaps, never a corpus
+    * sort). The exact dyadic uniform + round-6 key with id tiebreak
+    * makes the selection engine-exact. */
+  val t21WeightedSample: Q = (s, dir) => {
+    import s.implicits._
+    Corpus.weightedSample(Tables.load(s, dir, "documents"),
+      "doc_id", $"n_chars", m = 100)
+  }
+
+  val t21WeightedSampleSql: String =
+    """SELECT doc_id, n_chars::DOUBLE AS weight,
+      |  round(ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 6))::BIGINT % 16777216 + 1)::DOUBLE
+      |        / 16777216.0) / n_chars::DOUBLE, 6) + 0 AS key
+      |FROM documents
+      |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "t21_weighted_sample" -> t21WeightedSample,
     "t19_bigram_lm"   -> t19BigramLm,
     "t17_inverted_index" -> t17InvertedIndex,
     "t10_pii_redact"  -> t10PiiRedact,
@@ -577,6 +598,7 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "t21_weighted_sample" -> t21WeightedSampleSql,
     "t19_bigram_lm"   -> t19BigramLmSql,
     "t10_pii_redact"  -> t10PiiRedactSql,
     "t11_repetition"  -> t11RepetitionSql,

@@ -232,6 +232,33 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     assert(out(2)._3 === avg(pAB, pBA))
   }
 
+  // ---- Corpus.weightedSample ---------------------------------------
+
+  test("weighted sample: equals a driver-side replay, stable under repartition") {
+    val df = (1L to 200L).map(i => (i, 1.0 + (i % 7))).toDF("doc_id", "w")
+    def key(id: Long, w: Double): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ws:$id".getBytes("UTF-8"))
+      val hex = d.take(3).map("%02x".format(_)).mkString
+      val u = ((java.lang.Long.parseLong(hex, 16) % (1L << 24)) + 1).toDouble / (1L << 24)
+      BigDecimal(math.log(u) / w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    }
+    val expected = (1L to 200L).map(i => (i, key(i, 1.0 + (i % 7))))
+      .sortBy { case (id, k) => (-k, id) }.take(25)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Corpus.weightedSample(d, "doc_id", $"w", m = 25)
+        .select("doc_id", "key").as[(Long, Double)].collect().toSeq
+    assert(run(df.repartition(3)) === expected)
+    assert(run(df.repartition(11)) === expected)
+  }
+
+  test("weighted sample plans a top-m, not a corpus sort") {
+    val df = (1L to 100L).map(i => (i, 2.0)).toDF("doc_id", "w")
+    val plan = Corpus.weightedSample(df, "doc_id", $"w", m = 10)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-m in plan:\n$plan")
+  }
+
   // ---- Corpus.repeatedSpans ----------------------------------------
 
   test("repeated spans: planted boilerplate is found with exact boundaries") {
