@@ -238,17 +238,23 @@ object Corpus {
         explode(wordNgrams(col(textCol), 2)).as("bigram"))
       .withColumn("w1", element_at(split(col("bigram"), " "), 1))
       .localCheckpoint()
-    val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c2 = bg.groupBy("w1", "bigram").agg(count(lit(1)).as("c2"))
+    // c1(w1) = Σ c2 over that prefix — derived from the vocab-sized
+    // count relation, NOT by re-aggregating the corpus-sized instance
+    // relation a second time
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val vocab = docs
       .select(explode(filter(split(col(textCol), " "), x => x =!= "")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
-    bg.join(c2, "bigram")
-      .join(c1, "w1")
+    // per-bigram log-probability scored ONCE on the vocab-sized
+    // relation, then joined to the instances (AQE broadcasts it when
+    // it fits; key-partitioned hash join when it doesn't)
+    val scored = c2.join(c1, "w1")
       .crossJoin(broadcast(vocab))
-      .withColumn("logp",
+      .select(col("bigram"),
         round(log2((col("c2") + 1).cast("double") / (col("c1") + col("v"))), 6)
-          .cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("logp"))
+    bg.join(scored, "bigram")
       .groupBy("doc_id")
       // the DECIMAL sum is exact (order-free); it converts to double
       // losslessly at this magnitude (micro-units < 2^53), so the
