@@ -96,4 +96,32 @@ class PropertySpec extends AnyFunSuite {
     assert(ids === ids.indices.map(_.toLong)) // dense 0..n-1
     assert(d1.map(_._2).size === d1.size) // natural key unique
   }
+
+  test("prefix-filtered similarity join equals brute force on random corpora") {
+    import graft.operators.SetSimJoin
+    // small vocab forces heavy token sharing — the regime where a
+    // buggy prefix/positional prune would actually drop pairs
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docGen = Gen.chooseNum(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpora = samples(Gen.listOfN(3, Gen.listOfN(25, docGen)))
+    for ((texts, ci) <- corpora.zipWithIndex) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sets = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split(" ").toSet }.toMap
+      for ((n, d) <- Seq((1, 2), (3, 4))) {
+        val got = SetSimJoin.jaccardJoin(
+            SetSimJoin.wordSets(df, "doc_id", "text"), n, d)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val want = (for {
+          a <- sets.keys; b <- sets.keys if a < b
+          i = (sets(a) & sets(b)).size.toLong
+          u = (sets(a) | sets(b)).size.toLong
+          if d * i >= n * u
+        } yield (a, b, i)).toSet
+        assert(got === want, s"corpus $ci tau=$n/$d")
+      }
+    }
+  }
 }
