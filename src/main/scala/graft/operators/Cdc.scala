@@ -40,4 +40,36 @@ object Cdc {
     * unions with a change log. */
   def asBase(base: DataFrame, versionCol: String = "version", opCol: String = "op"): DataFrame =
     base.withColumn(versionCol, lit(0L)).withColumn(opCol, lit("U"))
+
+  /** Incremental aggregate maintenance — the materialized-view delta
+    * merge: combine two PARTIAL aggregate relations (the stored MV
+    * over the base, the fresh aggregate over a delta batch) into the
+    * aggregate of their union without rescanning the base. Works for
+    * any algebraic aggregate; measure columns declare their merge
+    * function by name prefix — `cnt_*`/`sum_*` re-sum, `min_*`
+    * re-mins, `max_*` re-maxes (avg = cnt+sum pair, derived on read).
+    *
+    * The 100 TB point: the base side is |groups| rows, not |base|
+    * rows — maintenance cost is O(|delta| + |groups|), the reason
+    * MVs exist. One union + one hash aggregate on the group key;
+    * both sides already partition by that key when the MV is stored
+    * bucketed, making the merge shuffle-free on the base side. */
+  def mergePartialAggs(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"partial aggregates must share a schema: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    val measures = a.columns.filterNot(keys.contains)
+    val bad = measures.filterNot(c =>
+      c.startsWith("cnt_") || c.startsWith("sum_") ||
+        c.startsWith("min_") || c.startsWith("max_"))
+    require(bad.isEmpty,
+      s"measure columns must be cnt_/sum_/min_/max_-prefixed (algebraic merge): ${bad.mkString(",")}")
+    val aggs = measures.map {
+      case c if c.startsWith("min_") => min(col(c)).as(c)
+      case c if c.startsWith("max_") => max(col(c)).as(c)
+      case c => sum(col(c)).as(c)
+    }
+    a.unionByName(b)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -215,7 +215,42 @@ object ScaleOps {
       |FROM p JOIN b ON p.point >= b.lo AND p.point < b.hi
       |ORDER BY p.o_orderkey, b.band_id""".stripMargin
 
+  /** U8: incremental aggregate maintenance
+    * ([[graft.operators.Cdc.mergePartialAggs]]) — the materialized-
+    * view delta merge: the stored per-priority aggregate over the
+    * base partition combines with the fresh aggregate over a delta
+    * batch into the aggregate of the union, O(|delta|+|groups|), no
+    * base rescan. The oracle recomputes from scratch — merge-equals-
+    * recompute IS the correctness statement. DECIMAL sums keep the
+    * merge exact. */
+  val u8IncrementalAgg: Q = (s, dir) => {
+    import s.implicits._
+    val dec = "decimal(18,4)"
+    val o = Tables.load(s, dir, "orders")
+    def partial(df: DataFrame) = df.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("cnt_orders"),
+        sum($"o_totalprice".cast(dec)).as("sum_price"),
+        min($"o_totalprice".cast(dec)).as("min_price"),
+        max($"o_totalprice".cast(dec)).as("max_price"))
+    val mv = partial(o.filter($"o_orderkey" % 10 =!= 0))      // the stored view
+    val delta = partial(o.filter($"o_orderkey" % 10 === 0))   // today's batch
+    graft.operators.Cdc.mergePartialAggs(mv, delta, Seq("o_orderpriority"))
+      .select($"o_orderpriority", $"cnt_orders",
+        round($"sum_price", 2).cast("double").as("sum_price"),
+        round($"min_price", 2).cast("double").as("min_price"),
+        round($"max_price", 2).cast("double").as("max_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val u8IncrementalAggSql: String =
+    """SELECT o_orderpriority, count(*) AS cnt_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+      |  CAST(round(min(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS min_price,
+      |  CAST(round(max(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS max_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "u8_incremental_agg" -> u8IncrementalAgg,
     "j6_bloom_semijoin" -> j6BloomSemijoin,
     "u6_cdc_upsert"     -> u6CdcUpsert,
     "s12_zorder_layout" -> s12ZorderLayout,
@@ -224,6 +259,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "u8_incremental_agg" -> u8IncrementalAggSql,
     "j6_bloom_semijoin" -> j6BloomSemijoinSql,
     "u6_cdc_upsert"     -> u6CdcUpsertSql,
     "s12_zorder_layout" -> s12ZorderLayoutSql,

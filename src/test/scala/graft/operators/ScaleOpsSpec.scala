@@ -210,4 +210,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(zArea < 1300, s"z-ordered avg area $zArea")
     assert(hashArea > 4 * zArea, s"hash $hashArea vs z $zArea")
   }
+
+  // ---- Cdc.mergePartialAggs ------------------------------------------
+
+  test("incremental agg maintenance: merge of partials equals full recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 300L).map(i => (i, s"g${i % 4}", (i * 7 % 100).toDouble))
+      .toDF("id", "grp", "v")
+    def partial(df: org.apache.spark.sql.DataFrame) = df.groupBy($"grp")
+      .agg(count(lit(1)).as("cnt_n"), sum($"v").as("sum_v"),
+        min($"v").as("min_v"), max($"v").as("max_v"))
+    // three arbitrary disjoint batches, merged pairwise
+    val merged = Cdc.mergePartialAggs(
+      Cdc.mergePartialAggs(
+        partial(rows.filter($"id" % 3 === 0)),
+        partial(rows.filter($"id" % 3 === 1)), Seq("grp")),
+      partial(rows.filter($"id" % 3 === 2)), Seq("grp"))
+    val full = partial(rows)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(norm(merged) === norm(full))
+  }
+
+  test("incremental agg maintenance: non-algebraic measure names are rejected") {
+    import org.apache.spark.sql.functions._
+    val p = (1L to 10L).toDF("id").groupBy($"id")
+      .agg(avg($"id").as("avg_v"))
+    val e = intercept[IllegalArgumentException] {
+      Cdc.mergePartialAggs(p, p, Seq("id"))
+    }
+    assert(e.getMessage.contains("avg_v"))
+  }
 }
