@@ -580,7 +580,60 @@ object CurationQueries {
       |FROM documents
       |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin
 
+  /** C2: exact quality-percentile gate — drop the bottom decile by
+    * integer quality score. The percentile is EXACT and scale-correct
+    * for integer scores: the distinct-score histogram is bounded by
+    * the score domain (basis points, ≤ 10001 rows), so it collapses
+    * to ONE row via sort_array(collect_list) and a HOF fold picks the
+    * smallest score whose cumulative count reaches ceil(n/10) — no
+    * corpus sort, no unpartitioned window, just two aggregations and
+    * a broadcast threshold filter. The lloyd-seeds bounded-collect
+    * discipline. */
+  val c2QualityGate: Q = (s, dir) => {
+    import s.implicits._
+    val scored = Tables.load(s, dir, "documents")
+      .select($"doc_id", graft.functions.TextFunctions.qualityScore($"text").as("quality"))
+    val hist = scored.groupBy($"quality").agg(count(lit(1)).as("n"))
+    val thr = hist
+      .agg(sort_array(collect_list(struct($"quality", $"n"))).as("h"))
+      .withColumn("total", expr("aggregate(h, CAST(0 AS BIGINT), (a, x) -> a + x.n)"))
+      .select(expr(
+        """aggregate(h,
+          |  named_struct('cum', CAST(0 AS BIGINT), 'thr', CAST(-1 AS BIGINT)),
+          |  (a, x) -> IF(a.thr >= 0, a,
+          |    named_struct('cum', a.cum + x.n,
+          |      'thr', IF((a.cum + x.n) * 10 >= total, x.quality, CAST(-1 AS BIGINT))))
+          |).thr""".stripMargin).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter($"quality" >= $"thr")
+      .select($"doc_id", $"quality", $"thr")
+      .orderBy($"doc_id")
+  }
+
+  val c2QualityGateSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    least(length(text), 500)::BIGINT * 20 AS len_bp,
+      |    (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT * 10000)
+      |      // greatest(length(text), 1)::BIGINT AS alpha_bp,
+      |    (least(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) * 10,
+      |           len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')))::BIGINT * 10000)
+      |      // greatest(len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')), 1)::BIGINT AS stop_bp
+      |  FROM documents),
+      |scored AS (SELECT doc_id, (len_bp + alpha_bp + stop_bp) // 3 AS quality FROM m),
+      |hist AS (SELECT quality, count(*) AS n FROM scored GROUP BY quality),
+      |cum AS (
+      |  SELECT quality,
+      |    sum(n) OVER (ORDER BY quality ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(n) OVER () AS total
+      |  FROM hist),
+      |thr AS (SELECT min(quality) AS thr FROM cum WHERE cum * 10 >= total)
+      |SELECT s.doc_id, s.quality, t.thr
+      |FROM scored s, thr t WHERE s.quality >= t.thr
+      |ORDER BY s.doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "c2_quality_gate" -> c2QualityGate,
     "t21_weighted_sample" -> t21WeightedSample,
     "t19_bigram_lm"   -> t19BigramLm,
     "t17_inverted_index" -> t17InvertedIndex,
@@ -598,6 +651,7 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "c2_quality_gate" -> c2QualityGateSql,
     "t21_weighted_sample" -> t21WeightedSampleSql,
     "t19_bigram_lm"   -> t19BigramLmSql,
     "t10_pii_redact"  -> t10PiiRedactSql,

@@ -84,7 +84,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "n7_kmeans", "d11_semantic_dedup", "n8_recall", "n9_lsh_recall",
       "j6_bloom_semijoin", "t8_stratified_sample", "t9_tfidf",
       "t13_decontaminate", "an3_ntile", "n10_pq_codes", "n11_pq_adc_topk",
-      "n12_ivf_pq", "n13_mmr", "n14_jl_recall", "t19_bigram_lm")
+      "n12_ivf_pq", "n13_mmr", "n14_jl_recall", "t19_bigram_lm",
+      "c2_quality_gate") // c2: ONE-ROW broadcast threshold crossJoin
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(PlanAudit.excluded.contains).flatMap { name =>
         val plan = sparkPlan(name).toString
