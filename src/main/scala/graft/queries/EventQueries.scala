@@ -378,6 +378,65 @@ object EventQueries {
       | AND epoch_us(p.ts) - epoch_us(c.ts) <= 7200::BIGINT * 1000000
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** E13: stream-stream LEFT OUTER interval join run as a REAL
+    * streaming query — the watermark-expiry path e6's inner join
+    * never exercises: a click with no purchase in its 2-hour window
+    * emits a null-purchase row only when BOTH watermarks pass the
+    * whole window, i.e. unmatched-click detection with bounded state.
+    * Two far-future sentinel batches (the e4 pattern, pushed through
+    * BOTH sources) advance the watermark so every real click's fate
+    * is decided; sentinels filter out by id. Oracle: the batch LEFT
+    * JOIN under the identical interval condition. */
+  val e13StreamOuterJoin: Q = (s, dir) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    val base = java.nio.file.Files.createTempDirectory("graft-e13")
+    val cDir = base.resolve("clicks").toString
+    val pDir = base.resolve("purchases").toString
+    ev.filter($"event_type" === "click").drop("event_type")
+      .write.mode("overwrite").parquet(cDir)
+    ev.filter($"event_type" === "purchase").drop("event_type")
+      .write.mode("overwrite").parquet(pDir)
+    val sch = ev.drop("event_type").schema
+    val joined = Streams.attributionJoin(
+      s.readStream.schema(sch).parquet(cDir),
+      s.readStream.schema(sch).parquet(pDir),
+      joinType = "leftOuter")
+    val q = joined.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("e13_outer").start()
+    // sentinel user -1 at 2100: advances BOTH watermarks past every
+    // real click's window; its own self-match filters out below
+    def sentinel(sec: Long): Unit = {
+      val row = Seq((-1L, -1L, new java.sql.Timestamp(sec * 1000L)))
+        .toDF("event_id", "user_id", "ts")
+      row.write.mode("append").parquet(cDir)
+      row.write.mode("append").parquet(pDir)
+    }
+    try {
+      q.processAllAvailable()
+      sentinel(4102444800L) // 2100-01-01
+      q.processAllAvailable()
+      sentinel(4102444860L)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table("e13_outer").filter($"user_id" =!= -1L)
+      .select($"click_id", $"user_id", $"purchase_id",
+        $"lag_us")
+      .orderBy($"click_id", $"purchase_id")
+  }
+
+  val e13StreamOuterJoinSql: String =
+    """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      | AND epoch_us(p.ts) - epoch_us(c.ts) <= 7200::BIGINT * 1000000
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   /** E7: stream-static enrichment join run as a REAL streaming query —
     * the events stream decorated with a static dimension (event types
     * weighted by name length, derived from the same batch table so the
@@ -520,6 +579,7 @@ object EventQueries {
     "sk1_salted_agg" -> sk1SaltedAgg,
     "e4_stream_sessions" -> e4StreamSessions,
     "e6_stream_join" -> e6StreamJoin,
+    "e13_stream_outer_join" -> e13StreamOuterJoin,
     "e7_stream_static" -> e7StreamStatic,
   )
 
@@ -534,6 +594,7 @@ object EventQueries {
     "sk1_salted_agg" -> sk1SaltedAggSql,
     "e4_stream_sessions" -> e4StreamSessionsSql,
     "e6_stream_join" -> e6StreamJoinSql,
+    "e13_stream_outer_join" -> e13StreamOuterJoinSql,
     "e7_stream_static" -> e7StreamStaticSql,
     "an4_approx_distinct" -> an4ApproxDistinctSql,
     "an7_approx_quantiles" -> an7ApproxQuantilesSql,

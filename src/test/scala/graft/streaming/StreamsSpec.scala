@@ -316,6 +316,63 @@ class StreamsSpec extends AnyFunSuite {
       (204L, 105L, 100L * 1000000L)))
   }
 
+  test("left-outer stream join emits null rows only after watermark expiry") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val h2us = 7200L * 1000000L
+    val clicks = Seq(
+      (101L, 1L, 1000L * 1000000L),   // matched at +1h
+      (102L, 2L, 1000L * 1000000L))   // never matched -> null row
+    val purchases = Seq(
+      (201L, 1L, 1000L * 1000000L + h2us / 2))
+    def write(rows: Seq[(Long, Long, Long)], name: String): String = {
+      val dir = Files.createTempDirectory("graft-e13-spec").resolve(name).toString
+      rows.toDF("event_id", "user_id", "us")
+        .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val cDir = write(clicks, "clicks")
+    val pDir = write(purchases, "purchases")
+    val sch = clicks.toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts")).schema
+    val joined = Streams.attributionJoin(
+      spark.readStream.schema(sch).parquet(cDir),
+      spark.readStream.schema(sch).parquet(pDir),
+      joinType = "leftOuter")
+    val q = joined.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("e13spec").start()
+    def sentinel(sec: Long): Unit =
+      Seq((-1L, -1L, sec * 1000000L)).toDF("event_id", "user_id", "us")
+        .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+        .write.mode("append").parquet(cDir)
+    try {
+      q.processAllAvailable()
+      // BEFORE the watermark advances, the unmatched click must NOT
+      // have produced a premature null row
+      val early = spark.table("e13spec")
+        .filter($"click_id" === 102L).count()
+      assert(early === 0L, "null row emitted before watermark expiry")
+      // purchase-side sentinels advance the purchase watermark; the
+      // click side needs them too for the overall eviction watermark
+      Seq((-2L, -1L, 4102444800L * 1000000L)).toDF("event_id", "user_id", "us")
+        .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+        .write.mode("append").parquet(pDir)
+      sentinel(4102444800L)
+      q.processAllAvailable()
+      Seq((-3L, -1L, 4102444860L * 1000000L)).toDF("event_id", "user_id", "us")
+        .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+        .write.mode("append").parquet(pDir)
+      sentinel(4102444860L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("e13spec").filter($"user_id" =!= -1L)
+      .select($"click_id", $"purchase_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    assert(got === Set((101L, Some(201L)), (102L, None)))
+  }
+
   test("windowed streaming agg equals the batch window query") {
     val dir = Files.createTempDirectory("graft-ev")
     val batch = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
