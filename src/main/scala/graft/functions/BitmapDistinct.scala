@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Exact distinct count over a dense non-negative integer key domain
+  * via a mergeable bitmap — the TypedImperativeAggregate extension
+  * point (the engine's fourth custom-extension kind, next to codegen'd
+  * scalar Expressions, the RangeJoinRewrite optimizer rule, and
+  * flatMapGroupsWithState streaming state).
+  *
+  * Why it earns custom code: `count(distinct x)` plans Expand +
+  * a second shuffle keyed on (group, x) — the distinct values
+  * themselves travel the wire. The bitmap buffer makes distinct-count
+  * ALGEBRAIC for dense int keys: partial bitmaps build map-side, merge
+  * by OR (order-independent, exactly mergeable — unlike HLL there is
+  * ZERO error, and unlike sort-based distinct nothing is re-shuffled
+  * but the fixed-size bitmaps). The classic warehouse trick for
+  * user-id-shaped keys (dense surrogate ints); 10 M users = 1.25 MB
+  * per group buffer. Keys must be in [0, 2^31-8); out-of-range input
+  * fails fast rather than silently truncating.
+  *
+  * Order-independence makes it oracle-exact: the gate compares against
+  * DuckDB's COUNT(DISTINCT) — any merge order yields the same bitmap.
+  */
+case class BitmapDistinctExpr(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.BitSet]
+  with UnaryLike[Expression] {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bitmap_distinct"
+
+  override def createAggregationBuffer(): java.util.BitSet = new java.util.BitSet()
+
+  override def update(buffer: java.util.BitSet, input: InternalRow): java.util.BitSet = {
+    val v = child.eval(input)
+    if (v != null) {
+      val l = v match {
+        case x: Long => x
+        case x: Int => x.toLong
+        case x: Short => x.toLong
+        case x: Byte => x.toLong
+        case other => throw new IllegalArgumentException(
+          s"bitmap_distinct requires an integral key, got ${other.getClass.getSimpleName}")
+      }
+      require(l >= 0 && l < Int.MaxValue - 8,
+        s"bitmap_distinct requires keys in [0, 2^31-8): got $l")
+      buffer.set(l.toInt)
+    }
+    buffer
+  }
+
+  override def merge(b: java.util.BitSet, other: java.util.BitSet): java.util.BitSet = {
+    b.or(other); b
+  }
+
+  override def eval(b: java.util.BitSet): Any = b.cardinality().toLong
+
+  override def serialize(b: java.util.BitSet): Array[Byte] = b.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): java.util.BitSet =
+    java.util.BitSet.valueOf(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapDistinctExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapDistinctExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapDistinctExpr =
+    copy(child = newChild)
+}
+
+object BitmapDistinct {
+  /** Column-API entry point: `df.agg(bitmap_distinct($"user_id"))`. */
+  def bitmap_distinct(c: Column): Column =
+    ColumnBridge.column(
+      BitmapDistinctExpr(ColumnBridge.expression(c)).toAggregateExpression())
+}

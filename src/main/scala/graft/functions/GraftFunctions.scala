@@ -56,7 +56,16 @@ object GraftFunctions {
       info(classOf[DotProductExpr], "dot_product",
         "dot_product(arr1, arr2) - left-to-right dot product of two array<double>; " +
           "NULL on length mismatch or null elements"),
-      dotProductBuilder))
+      dotProductBuilder),
+    (FunctionIdentifier("bitmap_distinct"),
+      info(classOf[BitmapDistinctExpr], "bitmap_distinct",
+        "bitmap_distinct(key) - exact mergeable distinct count over dense " +
+          "non-negative int keys (bitmap OR merge; no distinct-value shuffle)"),
+      {
+        case Seq(c) => BitmapDistinctExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"bitmap_distinct expects 1 argument, got ${args.length}")
+      }))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit = {

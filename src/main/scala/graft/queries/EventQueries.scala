@@ -378,6 +378,27 @@ object EventQueries {
       | AND epoch_us(p.ts) - epoch_us(c.ts) <= 7200::BIGINT * 1000000
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** AN20: exact distinct users per event type via the custom
+    * [[graft.functions.BitmapDistinctExpr]] TypedImperativeAggregate —
+    * partial bitmaps build map-side and merge by OR, so the distinct
+    * VALUES never travel the shuffle (count-distinct's Expand + second
+    * shuffle does ship them). Order-independent merge ⇒ oracle-exact
+    * against COUNT(DISTINCT). */
+  val an20BitmapDistinct: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        graft.functions.BitmapDistinct.bitmap_distinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  val an20BitmapDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |  count(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** E13: stream-stream LEFT OUTER interval join run as a REAL
     * streaming query — the watermark-expiry path e6's inner join
     * never exercises: a click with no purchase in its 2-hour window
@@ -580,6 +601,7 @@ object EventQueries {
     "e4_stream_sessions" -> e4StreamSessions,
     "e6_stream_join" -> e6StreamJoin,
     "e13_stream_outer_join" -> e13StreamOuterJoin,
+    "an20_bitmap_distinct" -> an20BitmapDistinct,
     "e7_stream_static" -> e7StreamStatic,
   )
 
@@ -595,6 +617,7 @@ object EventQueries {
     "e4_stream_sessions" -> e4StreamSessionsSql,
     "e6_stream_join" -> e6StreamJoinSql,
     "e13_stream_outer_join" -> e13StreamOuterJoinSql,
+    "an20_bitmap_distinct" -> an20BitmapDistinctSql,
     "e7_stream_static" -> e7StreamStaticSql,
     "an4_approx_distinct" -> an4ApproxDistinctSql,
     "an7_approx_quantiles" -> an7ApproxQuantilesSql,

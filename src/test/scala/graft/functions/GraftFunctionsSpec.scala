@@ -52,4 +52,35 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("literal") ||
       e.getMessage.contains("md5_prefix"))
   }
+
+  test("bitmap_distinct equals countDistinct, stable across partitionings") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // keys with heavy duplication across partition boundaries
+    val df = (1L to 5000L).map(i => (s"g${i % 3}", i % 397)).toDF("g", "k")
+    def run(parts: Int) =
+      df.repartition(parts)
+        .groupBy($"g")
+        .agg(BitmapDistinct.bitmap_distinct($"k").as("bd"),
+          countDistinct($"k").as("cd"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    for (p <- Seq(1, 7, 32)) {
+      val rows = run(p)
+      rows.foreach { case (g, bd, cd) =>
+        assert(bd === cd, s"parts=$p group=$g") }
+    }
+  }
+
+  test("bitmap_distinct registered in SQL and rejects negative keys") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(1L, 2L, 2L, 5L).toDF("k").createOrReplaceTempView("bd_in")
+    assert(spark.sql("SELECT bitmap_distinct(k) FROM bd_in").head().getLong(0) === 3L)
+    val e = intercept[Exception] {
+      Seq(-1L).toDF("k").agg(BitmapDistinct.bitmap_distinct($"k")).head()
+    }
+    assert(e.getMessage.contains("bitmap_distinct") ||
+      Option(e.getCause).exists(_.getMessage.contains("bitmap_distinct")))
+  }
 }
