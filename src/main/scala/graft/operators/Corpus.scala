@@ -319,4 +319,69 @@ object Corpus {
         count(lit(1)).as("n_windows"))
       .drop("island")
   }
+
+  // ---- corpus-level segment dedup (C4 / RefinedWeb line dedup) -----
+
+  /** Remove every text segment whose content already appeared earlier
+    * in the corpus, keeping only the globally-first occurrence — the
+    * C4 "deduplicate by line" rule (and RefinedWeb's exact-substring
+    * pass), adapted to the single-line synthetic corpus by treating
+    * each run of `segWords` words as one segment. Differs from
+    * `Dedup.exact` (d1): that drops whole duplicate DOCUMENTS; this
+    * SURGICALLY removes duplicated spans and reassembles the
+    * remaining text, so boilerplate shared across documents vanishes
+    * while the unique remainder survives.
+    *
+    * First-occurrence is a total order: the keeper of a segment value
+    * is the minimum of `doc_id * 100000 + seg_no` (seg_no is bounded
+    * by guard below, so the encoding never collides). Plan shape:
+    * one narrow explode, ONE shuffle by segment content for the
+    * keeper window (a hot segment — boilerplate repeated across the
+    * corpus — lands on one reducer but carries only 8-byte keys per
+    * row), one shuffle by doc_id for the ordered reassembly, and a
+    * doc-count-sized join against per-doc totals derived arithmetically
+    * from the base scan (no extra shuffle for totals). No corpus-sized
+    * unpartitioned window, no driver materialization.
+    *
+    * Output: (doc_id, total_segments, kept_segments, cleaned_text),
+    * one row per input document, duplicated segments removed in place.
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 10): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("w"))
+      .withColumn("n_seg",
+        expr(s"CAST(ceil(size(w) / ${segWords}.0) AS BIGINT)"))
+    val seg = base
+      .filter(col("n_seg") > 0)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST(n_seg - 1 AS INT)), i -> struct(" +
+          s"CAST(i AS BIGINT) AS seg_no, " +
+          s"concat_ws(' ', slice(w, i * $segWords + 1, $segWords)) AS segment))"))
+        .as("x"))
+      .select(col("doc_id"), col("x.seg_no").as("seg_no"),
+        col("x.segment").as("segment"))
+    // keeper = first global occurrence of the segment's content. The
+    // encoding requires seg_no < 100000: 100000 segments × segWords
+    // words is far beyond any real document; fail loudly, not subtly.
+    val keyed = seg.withColumn("k",
+      when(col("seg_no") < 100000L, col("doc_id") * 100000L + col("seg_no"))
+        .otherwise(expr(
+          "raise_error('segmentDedup: document exceeds 100000 segments — keeper encoding would collide')")))
+    val keeper = Window.partitionBy(col("segment"))
+    val kept = keyed
+      .withColumn("kmin", min(col("k")).over(keeper))
+      .filter(col("k") === col("kmin"))
+    val reassembled = kept
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_segments"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(seg_no, segment))), x -> x.segment)"))
+          .as("cleaned_text"))
+    base.select(col("doc_id"), col("n_seg").as("total_segments"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_segments"),
+        coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 }

@@ -632,7 +632,57 @@ object CurationQueries {
       |FROM scored s, thr t WHERE s.quality >= t.thr
       |ORDER BY s.doc_id""".stripMargin
 
+  /** T22: corpus-level segment dedup (the C4 "deduplicate by line" /
+    * RefinedWeb exact-substring rule — Corpus.segmentDedup). The
+    * synthetic corpus is random word soup with near-zero natural
+    * 10-word collisions, so the query plants guaranteed duplicates
+    * the e12 way: full copies of every 10th document at doc_id +
+    * 500000. A copy's every segment loses first-occurrence to its
+    * original, so copies come back with kept_segments = 0 and empty
+    * cleaned_text while originals survive intact — duplicated SPANS
+    * are removed surgically, not whole documents (contrast d1). */
+  val t22SegmentDedup: Q = (s, dir) => {
+    import s.implicits._
+    val d0 = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val src = d0.unionByName(
+      d0.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+    Corpus.segmentDedup(src, "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  val t22SegmentDedupSql: String =
+    """WITH src AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |    CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT) AS n_seg
+      |  FROM src),
+      |seg AS (
+      |  SELECT doc_id, seg_no,
+      |    array_to_string(w[seg_no*10+1 : seg_no*10+10], ' ') AS segment
+      |  FROM (SELECT doc_id, w, unnest(range(n_seg)) AS seg_no
+      |        FROM base WHERE n_seg > 0)),
+      |kept AS (
+      |  SELECT doc_id, seg_no, segment
+      |  FROM (SELECT doc_id, seg_no, segment,
+      |          min(doc_id * 100000 + seg_no) OVER (PARTITION BY segment) AS kmin
+      |        FROM seg)
+      |  WHERE doc_id * 100000 + seg_no = kmin),
+      |reasm AS (
+      |  SELECT doc_id, count(*) AS kept_segments,
+      |    string_agg(segment, ' ' ORDER BY seg_no) AS cleaned_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_seg AS total_segments,
+      |  coalesce(r.kept_segments, 0) AS kept_segments,
+      |  coalesce(r.cleaned_text, '') AS cleaned_text
+      |FROM base b LEFT JOIN reasm r USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "t22_segment_dedup" -> t22SegmentDedup,
     "c2_quality_gate" -> c2QualityGate,
     "t21_weighted_sample" -> t21WeightedSample,
     "t19_bigram_lm"   -> t19BigramLm,
@@ -651,6 +701,7 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "t22_segment_dedup" -> t22SegmentDedupSql,
     "c2_quality_gate" -> c2QualityGateSql,
     "t21_weighted_sample" -> t21WeightedSampleSql,
     "t19_bigram_lm"   -> t19BigramLmSql,

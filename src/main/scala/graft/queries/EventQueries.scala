@@ -399,6 +399,80 @@ object EventQueries {
       |  count(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** AN21: first-order Markov transition matrix over per-user event
+    * sequences — the session-flow analysis behind "what do users do
+    * after an error?". lead() over a window PARTITIONED BY user_id
+    * (shuffle keyed on users — even the busiest user's event list is
+    * tiny, no skew hazard), then a 25-row group-by. Probabilities are
+    * integer basis points via floor division: bit-identical on both
+    * engines, no float row-order sensitivity. Ties in ts break on
+    * event_id, making the sequence — and thus every transition — a
+    * total order. */
+  val an21TransitionMatrix: Q = (s, dir) => {
+    import s.implicits._
+    val seq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.load(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("from_type"))
+      .withColumn("to_type", lead($"from_type", 1).over(seq))
+      .filter($"to_type".isNotNull)
+      .groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy($"from_type")
+    pairs
+      .withColumn("from_total", sum($"n").over(byFrom))
+      .select($"from_type", $"to_type", $"n",
+        expr("n * 10000 DIV from_total").as("prob_bp"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val an21TransitionMatrixSql: String =
+    """WITH seqd AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM seqd WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  n * 10000 // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
+      |FROM pairs ORDER BY from_type, to_type""".stripMargin
+
+  /** SK2: salted replicate join — the sk1 pattern's JOIN form. The
+    * events fact joins a per-type dim through Skew.saltedJoin: the
+    * fact side gets a deterministic salt from hash(event_id), the dim
+    * is replicated once per salt, and the equi-join runs on
+    * (event_type, salt) so a hot event type spreads over `salts`
+    * reducers instead of one. The spec pins plan equivalence with the
+    * plain join; the oracle is that plain join. DECIMAL sum keeps the
+    * post-join aggregate order-independent. */
+  val sk2SaltedJoin: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_type", $"event_id", $"value".cast(dec).as("v"))
+    // deterministic dim derived from the fact's own key domain: a
+    // per-type integer weight (no external table needed, same rows on
+    // both engines)
+    val dim = ev.select($"event_type").distinct()
+      .withColumn("weight", length($"event_type").cast("long"))
+    graft.operators.Skew.saltedJoin(ev, dim, key = "event_type",
+        saltCarrier = "event_id")
+      .groupBy($"event_type", $"weight")
+      .agg(round(sum($"v" * $"weight"), 2).cast("double").as("weighted_value"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  val sk2SaltedJoinSql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT event_type, CAST(len(event_type) AS BIGINT) AS weight
+      |  FROM events)
+      |SELECT e.event_type, d.weight,
+      |  CAST(round(sum(CAST(e.value AS DECIMAL(18,4)) * d.weight), 2) AS DOUBLE)
+      |    AS weighted_value,
+      |  count(*) AS n
+      |FROM events e JOIN dim d ON e.event_type = d.event_type
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   /** E13: stream-stream LEFT OUTER interval join run as a REAL
     * streaming query — the watermark-expiry path e6's inner join
     * never exercises: a click with no purchase in its 2-hour window
@@ -602,6 +676,8 @@ object EventQueries {
     "e6_stream_join" -> e6StreamJoin,
     "e13_stream_outer_join" -> e13StreamOuterJoin,
     "an20_bitmap_distinct" -> an20BitmapDistinct,
+    "an21_transitions" -> an21TransitionMatrix,
+    "sk2_salted_join" -> sk2SaltedJoin,
     "e7_stream_static" -> e7StreamStatic,
   )
 
@@ -618,6 +694,8 @@ object EventQueries {
     "e6_stream_join" -> e6StreamJoinSql,
     "e13_stream_outer_join" -> e13StreamOuterJoinSql,
     "an20_bitmap_distinct" -> an20BitmapDistinctSql,
+    "an21_transitions" -> an21TransitionMatrixSql,
+    "sk2_salted_join" -> sk2SaltedJoinSql,
     "e7_stream_static" -> e7StreamStaticSql,
     "an4_approx_distinct" -> an4ApproxDistinctSql,
     "an7_approx_quantiles" -> an7ApproxQuantilesSql,

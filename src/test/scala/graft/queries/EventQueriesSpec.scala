@@ -32,4 +32,35 @@ class EventQueriesSpec extends AnyFunSuite {
     assert(sessions(0).getLong(2) === (30L + 30L) * 60000000L) // end = last + gap
     assert(sessions(1).getLong(3) === 1L)
   }
+
+  test("an21: transition counts partition the non-terminal events; floor probs") {
+    val sf = "/root/testdata/sf0.001"
+    val out = EventQueries.an21TransitionMatrix(spark, sf).collect()
+    val events = graft.Tables.load(spark, sf, "events")
+    val nUsers = events.select("user_id").distinct().count()
+    val nEvents = events.count()
+    // every event except each user's last contributes exactly one transition
+    assert(out.map(_.getLong(2)).sum === nEvents - nUsers)
+    // floor-division probabilities: per from_type they sum to within
+    // (group size) basis points below exactly 10000
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val s = rows.map(_.getLong(3)).sum
+      assert(s <= 10000L && s > 10000L - rows.length)
+    }
+  }
+
+  test("sk2: salted replicate join equals the plain join aggregate") {
+    val sf = "/root/testdata/sf0.001"
+    val out = EventQueries.sk2SaltedJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val ev = graft.Tables.load(spark, sf, "events")
+    val plain = ev
+      .groupBy($"event_type")
+      .agg(round(sum($"value".cast("decimal(18,4)") * length($"event_type")), 2)
+        .cast("double").as("wv"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(0).length.toLong, r.getDouble(1), r.getLong(2)))
+      .toSet
+    assert(out === plain)
+  }
 }
