@@ -230,4 +230,53 @@ object Multimodal {
       }
     }.toDF("media_id", "frame_no", "frame_bytes")
   }
+
+  /** MMC4/OBELICS-style interleaved sample assembly: each document
+    * becomes ONE ordered multimodal sequence of text chunks with
+    * "image" items spliced between them at deterministic anchors.
+    * Text items are non-overlapping `chunkWords`-word chunks at even
+    * sequence positions (chunk i → seq 2i); image items are the
+    * document's sampled media frames (every `everyN`-th
+    * `frameChars`-byte window of its payload, the m2 rule) anchored
+    * after the same-index chunk (frame d → seq 2d+1), dropped when no
+    * anchor chunk exists. The "image" content here is the frame's
+    * digest — the real pipeline would carry the decoded bytes through
+    * the decodeFeatures seam above; the SEQUENCING is the operator.
+    *
+    * Everything is per-row expression work (sequence/transform/explode
+    * + a union of the two typed streams): embarrassingly parallel,
+    * no shuffle, no UDF, stays in whole-stage codegen. At 100 TB this
+    * is a map-only stage that parallelizes to every core reading the
+    * corpus. */
+  def interleave(docs: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 20, frameChars: Int = 64, everyN: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("t"))
+      .withColumn("w", split(col("t"), " "))
+      .withColumn("n_chunks",
+        expr(s"CAST(ceil(size(w) / ${chunkWords}.0) AS BIGINT)"))
+      .withColumn("n_frames",
+        // dense count of KEPT frames (raw windows thinned by everyN),
+        // capped at n_chunks so every image has its anchor chunk
+        expr(s"least(CAST(ceil(ceil(length(t) / ${frameChars}.0) / ${everyN}.0) AS BIGINT), n_chunks)"))
+    val text = base.filter(col("n_chunks") > 0)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST(n_chunks - 1 AS INT)), i -> struct(" +
+          s"CAST(i * 2 AS BIGINT) AS seq_no, 'text' AS item_type, " +
+          s"concat_ws(' ', slice(w, i * $chunkWords + 1, $chunkWords)) AS content, " +
+          s"CAST(length(concat_ws(' ', slice(w, i * $chunkWords + 1, $chunkWords))) AS BIGINT) AS n_bytes))"))
+        .as("x"))
+      .select(col("doc_id"), col("x.seq_no"), col("x.item_type"),
+        col("x.content"), col("x.n_bytes"))
+    val images = base.filter(col("n_frames") > 0)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST(n_frames - 1 AS INT)), d -> struct(" +
+          s"CAST(d * 2 + 1 AS BIGINT) AS seq_no, 'image' AS item_type, " +
+          s"md5(substring(t, d * ${everyN * frameChars} + 1, $frameChars)) AS content, " +
+          s"CAST(length(substring(t, d * ${everyN * frameChars} + 1, $frameChars)) AS BIGINT) AS n_bytes))"))
+        .as("x"))
+      .select(col("doc_id"), col("x.seq_no"), col("x.item_type"),
+        col("x.content"), col("x.n_bytes"))
+    text.unionByName(images)
+  }
 }

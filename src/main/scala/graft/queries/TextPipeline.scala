@@ -1401,6 +1401,77 @@ object TextPipeline {
       |  CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms
       |FROM s ORDER BY media_id""".stripMargin
 
+  /** M5: interleaved multimodal sequence assembly (MMC4/OBELICS
+    * shape — Multimodal.interleave): 20-word text chunks at even
+    * sequence positions, the document's m2-sampled frames as "image"
+    * items at odd positions, one ordered sequence per document.
+    * Frame boundaries and anchors are pure integer arithmetic, so the
+    * oracle replays them exactly; content digests are md5 over the
+    * same ASCII bytes on both engines. */
+  val m5Interleave: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Multimodal
+      .interleave(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"doc_id", $"seq_no")
+  }
+
+  val m5InterleaveSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text AS t, string_split(text, ' ') AS w,
+      |    CAST(ceil(len(string_split(text, ' ')) / 20.0) AS BIGINT) AS n_chunks,
+      |    least(CAST(ceil(ceil(length(text) / 64.0) / 2.0) AS BIGINT),
+      |          CAST(ceil(len(string_split(text, ' ')) / 20.0) AS BIGINT)) AS n_frames
+      |  FROM documents),
+      |txt AS (
+      |  SELECT doc_id, i * 2 AS seq_no, 'text' AS item_type,
+      |    array_to_string(w[i*20+1 : i*20+20], ' ') AS content,
+      |    CAST(length(array_to_string(w[i*20+1 : i*20+20], ' ')) AS BIGINT) AS n_bytes
+      |  FROM (SELECT doc_id, w, unnest(range(n_chunks)) AS i FROM base)),
+      |img AS (
+      |  SELECT doc_id, d * 2 + 1 AS seq_no, 'image' AS item_type,
+      |    md5(substr(t, CAST(d * 128 + 1 AS INT), 64)) AS content,
+      |    CAST(length(substr(t, CAST(d * 128 + 1 AS INT), 64)) AS BIGINT) AS n_bytes
+      |  FROM (SELECT doc_id, t, unnest(range(n_frames)) AS d FROM base))
+      |SELECT doc_id, seq_no, item_type, content, n_bytes FROM txt
+      |UNION ALL
+      |SELECT doc_id, seq_no, item_type, content, n_bytes FROM img
+      |ORDER BY doc_id, seq_no""".stripMargin
+
+  /** T23: curriculum ordering — the full corpus globally sorted by
+    * quality (easy→hard export order) with a contiguous global rank
+    * and a round-robin shard assignment. The global rank comes from
+    * Ranking.globalRowNumber: range-repartition by the sort key, count
+    * per partition, broadcast the ≤32-row offset table — the
+    * scale-correct form of row_number() over an unpartitioned window
+    * (which would funnel the corpus through ONE task). */
+  val t23Curriculum: Q = (s, dir) => {
+    import s.implicits._
+    val scored = Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        graft.functions.TextFunctions.qualityScore($"text").as("quality"))
+    graft.operators.Ranking
+      .globalRowNumber(scored, Seq($"quality".desc, $"doc_id".asc), "rank")
+      .withColumn("shard", ($"rank" - 1) % 8)
+      .orderBy($"rank")
+  }
+
+  val t23CurriculumSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    least(length(text), 500)::BIGINT * 20 AS len_bp,
+      |    (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT * 10000)
+      |      // greatest(length(text), 1)::BIGINT AS alpha_bp,
+      |    (least(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) * 10,
+      |           len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')))::BIGINT * 10000)
+      |      // greatest(len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')), 1)::BIGINT AS stop_bp
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, (len_bp + alpha_bp + stop_bp) // 3 AS quality FROM m)
+      |SELECT doc_id, quality,
+      |  row_number() OVER (ORDER BY quality DESC, doc_id) AS rank,
+      |  (row_number() OVER (ORDER BY quality DESC, doc_id) - 1) % 8 AS shard
+      |FROM scored ORDER BY rank""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "t1_lang_id"       -> t1LangId,
     "t2_quality_score" -> t2Quality,
@@ -1441,6 +1512,8 @@ object TextPipeline {
     "m2_frame_sample"  -> m2FrameSample,
     "m3_image_meta"    -> m3ImageMeta,
     "m4_audio_meta"    -> m4AudioMeta,
+    "m5_interleave"    -> m5Interleave,
+    "t23_curriculum"   -> t23Curriculum,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1483,5 +1556,7 @@ object TextPipeline {
     "m2_frame_sample"  -> m2FrameSampleSql,
     "m3_image_meta"    -> m3ImageMetaSql,
     "m4_audio_meta"    -> m4AudioMetaSql,
+    "m5_interleave"    -> m5InterleaveSql,
+    "t23_curriculum"   -> t23CurriculumSql,
   )
 }

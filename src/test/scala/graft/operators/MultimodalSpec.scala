@@ -77,4 +77,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(4L).channels === 0 && out(4L).sample_rate === 0)
     assert(out(1L).n_bytes === 44 + body.length)
   }
+
+  test("interleave alternates text chunks and anchored image frames in order") {
+    import spark.implicits._
+    // 7 words of 1 char + spaces = 13 chars; chunkWords=3 → 3 chunks;
+    // frameChars=4, everyN=2 → raw frames ceil(13/4)=4, kept ceil(4/2)=2
+    val docs = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val out = Multimodal.interleave(docs, "doc_id", "text",
+        chunkWords = 3, frameChars = 4, everyN = 2)
+      .orderBy("seq_no")
+      .collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // sequence: chunk0, img0, chunk1, img1, chunk2
+    assert(out.map(x => (x._1, x._2)).toSeq === Seq(
+      (0L, "text"), (1L, "image"), (2L, "text"), (3L, "image"), (4L, "text")))
+    assert(out(0)._3 === "a b c" && out(0)._4 === 5L)
+    assert(out(2)._3 === "d e f")
+    assert(out(4)._3 === "g" && out(4)._4 === 1L)
+    // image 0 digests the frame at chars [1,4] = "a b "; image 1 at [9,12]
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1)._3 === md5hex("a b ") && out(1)._4 === 4L)
+    assert(out(3)._3 === md5hex("e f ") && out(3)._4 === 4L)
+  }
+
+  test("interleave drops frames with no anchor chunk and empty docs entirely") {
+    import spark.implicits._
+    // one chunk but long chars → frames capped at n_chunks = 1
+    val docs = Seq((1L, "aaaaaaaaaaaaaaaaaaaa"), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal.interleave(docs, "doc_id", "text",
+        chunkWords = 3, frameChars = 2, everyN = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // doc 1: 1 word → 1 chunk; 10 raw frames capped to 1 kept image
+    assert(out.count(_._1 == 1L) === 2)
+    assert(out.filter(_._1 == 1L).map(x => (x._2, x._3)).toSet ===
+      Set((0L, "text"), (1L, "image")))
+    // doc 2: split("") = [""] → 1 chunk of empty text, 0 frames
+    assert(out.filter(_._1 == 2L).map(x => (x._2, x._3)).toSet ===
+      Set((0L, "text")))
+  }
 }
