@@ -437,6 +437,103 @@ object EventQueries {
       |  n * 10000 // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
       |FROM pairs ORDER BY from_type, to_type""".stripMargin
 
+  /** AN22: exact audience overlap between event types — for every
+    * ordered type pair, how many distinct users did BOTH, plus the
+    * Jaccard overlap in basis points. The scale-correct shape for a
+    * small type domain: reduce the fact table to distinct (user,
+    * type) pairs FIRST (one user-keyed shuffle, output ≤ |users| ×
+    * |types| rows), self-join those on user_id, then a 25-row
+    * group-by. No bitmap materialization on the driver, no
+    * |types|²-pass over the corpus. Jaccard's denominator comes from
+    * the same distinct relation re-aggregated (tiny, broadcast). */
+  val an22TypeOverlap: Q = (s, dir) => {
+    import s.implicits._
+    val ut = Tables.load(s, dir, "events")
+      .select($"user_id", $"event_type").distinct()
+    val perType = ut.groupBy($"event_type").agg(count(lit(1)).as("n_type"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"), "user_id")
+      .groupBy($"a.event_type".as("t1"), $"b.event_type".as("t2"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(perType.select($"event_type".as("t1"), $"n_type".as("n1"))), "t1")
+      .join(broadcast(perType.select($"event_type".as("t2"), $"n_type".as("n2"))), "t2")
+      .select($"t1", $"t2", $"n_both",
+        expr("n_both * 10000 DIV (n1 + n2 - n_both)").as("jaccard_bp"))
+      .orderBy($"t1", $"t2")
+  }
+
+  val an22TypeOverlapSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |pt AS (SELECT event_type, count(*) AS n_type FROM ut GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_both
+      |  FROM ut a JOIN ut b USING (user_id) GROUP BY 1, 2)
+      |SELECT p.t1, p.t2, p.n_both,
+      |  p.n_both * 10000 // (x.n_type + y.n_type - p.n_both) AS jaccard_bp
+      |FROM pairs p
+      |  JOIN pt x ON p.t1 = x.event_type
+      |  JOIN pt y ON p.t2 = y.event_type
+      |ORDER BY p.t1, p.t2""".stripMargin
+
+  /** AN23: robust outlier detection per event type — median/MAD
+    * (median absolute deviation) gating, the standard heavy-tail-safe
+    * alternative to mean/stddev z-scores. Both medians are DISCRETE
+    * (the rank-⌈n/2⌉ element under a (value, event_id) total order),
+    * never interpolated: the selected values are actual input doubles,
+    * so med, mad, and every |x−med| > 3·mad comparison are bit-exact
+    * on both engines — no float-formula parity risk. Two passes over
+    * the fact (median, then deviations), each a window PARTITIONED BY
+    * event_type; the 5-row med/mad relations broadcast back. */
+  val an23RobustOutliers: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_type", $"event_id", $"value")
+    def discMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy($"event_type")
+      val o = Window.partitionBy($"event_type")
+        .orderBy(col(valueCol), $"event_id")
+      df.withColumn("rn", row_number().over(o))
+        .withColumn("n", count(lit(1)).over(w))
+        // (n+1) DIV 2 = lower median rank; Column./ would be DOUBLE
+        // division and silently select no row for even-sized groups
+        .filter($"rn" === expr("(n + 1) DIV 2"))
+        .select($"event_type", col(valueCol).as(out))
+    }
+    val med = discMedian(ev, "value", "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("ad", abs($"value" - $"med"))
+    val mad = discMedian(dev.select($"event_type", $"event_id", $"ad"), "ad", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type", $"med", $"mad")
+      .agg(sum(when($"ad" > $"mad" * 3, 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_events"))
+      .select($"event_type", $"med", $"mad", $"n_outliers", $"n_events")
+      .orderBy($"event_type")
+  }
+
+  val an23RobustOutliersSql: String =
+    """WITH r1 AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |med AS (SELECT event_type, value AS med FROM r1 WHERE rn = (n + 1) // 2),
+      |dev AS (
+      |  SELECT e.event_type, e.event_id, abs(e.value - m.med) AS ad, m.med
+      |  FROM events e JOIN med m USING (event_type)),
+      |r2 AS (
+      |  SELECT event_type, ad,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY ad, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dev),
+      |mad AS (SELECT event_type, ad AS mad FROM r2 WHERE rn = (n + 1) // 2)
+      |SELECT d.event_type, d.med, x.mad,
+      |  CAST(sum(CASE WHEN d.ad > x.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  count(*) AS n_events
+      |FROM dev d JOIN mad x USING (event_type)
+      |GROUP BY 1, 2, 3 ORDER BY d.event_type""".stripMargin
+
   /** SK2: salted replicate join — the sk1 pattern's JOIN form. The
     * events fact joins a per-type dim through Skew.saltedJoin: the
     * fact side gets a deterministic salt from hash(event_id), the dim
@@ -677,6 +774,8 @@ object EventQueries {
     "e13_stream_outer_join" -> e13StreamOuterJoin,
     "an20_bitmap_distinct" -> an20BitmapDistinct,
     "an21_transitions" -> an21TransitionMatrix,
+    "an22_type_overlap" -> an22TypeOverlap,
+    "an23_robust_outliers" -> an23RobustOutliers,
     "sk2_salted_join" -> sk2SaltedJoin,
     "e7_stream_static" -> e7StreamStatic,
   )
@@ -695,6 +794,8 @@ object EventQueries {
     "e13_stream_outer_join" -> e13StreamOuterJoinSql,
     "an20_bitmap_distinct" -> an20BitmapDistinctSql,
     "an21_transitions" -> an21TransitionMatrixSql,
+    "an22_type_overlap" -> an22TypeOverlapSql,
+    "an23_robust_outliers" -> an23RobustOutliersSql,
     "sk2_salted_join" -> sk2SaltedJoinSql,
     "e7_stream_static" -> e7StreamStaticSql,
     "an4_approx_distinct" -> an4ApproxDistinctSql,

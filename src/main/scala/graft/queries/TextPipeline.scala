@@ -116,6 +116,76 @@ object TextPipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** C3: the curation funnel REPORT — per source, how many documents
+    * each c1 gate drops and how many survive: the observability query
+    * every production curation pipeline runs next to the filter
+    * itself. Stage flags are computed in ONE scan (language → quality
+    * → global fingerprint dedup); the dedup rank reuses the c1 rule
+    * (first doc_id per fingerprint among docs that passed the earlier
+    * gates) via a window partitioned by (fp, passed) so failed docs
+    * never steal a keeper slot. Single fp-keyed shuffle plus a 3-row
+    * group-by — the funnel adds no pass over the corpus beyond c1's
+    * own plan. */
+  val c3CurationFunnel: Q = (s, dir) => {
+    import s.implicits._
+    val scored = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source",
+        TextFunctions.langId($"text").as("lang_pred"),
+        TextFunctions.qualityScore($"text").as("quality"),
+        TextFunctions.fingerprint($"text").as("fp"))
+      .withColumn("lang_ok", $"lang_pred" === "en")
+      .withColumn("qual_ok", $"lang_ok" && $"quality" >= 3000)
+    val ranked = scored.withColumn("rn", row_number().over(
+      Window.partitionBy($"fp", $"qual_ok").orderBy($"doc_id")))
+    ranked.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(!$"lang_ok", 1L).otherwise(0L)).as("n_lang_fail"),
+        sum(when($"lang_ok" && !$"qual_ok", 1L).otherwise(0L)).as("n_quality_fail"),
+        sum(when($"qual_ok" && $"rn" > 1, 1L).otherwise(0L)).as("n_dup"),
+        sum(when($"qual_ok" && $"rn" === 1, 1L).otherwise(0L)).as("n_survivors"))
+      .orderBy($"source")
+  }
+
+  val c3CurationFunnelSql: String = {
+    val hits = Seq("en", "fr", "de", "es")
+      .map(l => s"len(regexp_extract_all(lower(text), '${TextFunctions.langStopwords(l)}')) AS $l")
+      .mkString(", ")
+    s"""WITH h AS (SELECT doc_id, source, text, $hits FROM documents),
+       |langed AS (
+       |  SELECT doc_id, source, text,
+       |    CASE WHEN greatest(en, fr, de, es) = 0 THEN 'und'
+       |         WHEN en = greatest(en, fr, de, es) THEN 'en'
+       |         WHEN fr = greatest(en, fr, de, es) THEN 'fr'
+       |         WHEN de = greatest(en, fr, de, es) THEN 'de'
+       |         ELSE 'es' END AS lang_pred
+       |  FROM h),
+       |parts AS (
+       |  SELECT doc_id, source, lang_pred,
+       |    least(length(text), 500)::BIGINT * 20 AS len_bp,
+       |    (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT * 10000)
+       |      // greatest(length(text), 1)::BIGINT AS alpha_bp,
+       |    (least(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b')) * 10,
+       |           len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')))::BIGINT * 10000)
+       |      // greatest(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')), 1)::BIGINT AS stop_bp,
+       |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+       |  FROM langed),
+       |flags AS (
+       |  SELECT doc_id, source, fp,
+       |    lang_pred = 'en' AS lang_ok,
+       |    lang_pred = 'en' AND (len_bp + alpha_bp + stop_bp) // 3 >= 3000 AS qual_ok
+       |  FROM parts),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY fp, qual_ok ORDER BY doc_id) AS rn
+       |  FROM flags)
+       |SELECT source, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN NOT lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_fail,
+       |  CAST(sum(CASE WHEN lang_ok AND NOT qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+       |  CAST(sum(CASE WHEN qual_ok AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(sum(CASE WHEN qual_ok AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** T5: deterministic train/val/test split — hash-bucket assignment
     * (md5 of the doc id, 100 buckets: 80/10/10). The reproducible
     * alternative to rand()-sampling: the same doc lands in the same
@@ -1484,6 +1554,7 @@ object TextPipeline {
     "t18_epoch_shuffle" -> t18EpochShuffle,
     "t9_tfidf"         -> t9Tfidf,
     "c1_curate"        -> c1Curate,
+    "c3_curation_funnel" -> c3CurationFunnel,
     "d1_exact_dedup"   -> d1ExactDedup,
     "d2_minhash_lsh"   -> d2Minhash,
     "d3_simhash"       -> d3Simhash,
@@ -1528,6 +1599,7 @@ object TextPipeline {
     "t18_epoch_shuffle" -> t18EpochShuffleSql,
     "t9_tfidf"         -> t9TfidfSql,
     "c1_curate"        -> c1CurateSql,
+    "c3_curation_funnel" -> c3CurationFunnelSql,
     "d1_exact_dedup"   -> d1ExactDedupSql,
     "d2_minhash_lsh"   -> d2MinhashSql,
     "d3_simhash"       -> d3SimhashSql,

@@ -49,6 +49,38 @@ class EventQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("an23: robust outliers uses the LOWER discrete median on even groups") {
+    val sf = "/root/testdata/sf0.001"
+    val out = EventQueries.an23RobustOutliers(spark, sf).collect()
+    val ev = graft.Tables.load(spark, sf, "events")
+    out.foreach { r =>
+      val (t, med, mad, nOut, n) =
+        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))
+      val vals = ev.filter($"event_type" === t)
+        .select($"value", $"event_id").collect()
+        .map(x => (x.getDouble(0), x.getLong(1))).sortBy(identity)
+      assert(n === vals.length)
+      // lower median: element at 1-based rank (n+1)/2 — an ACTUAL value
+      assert(med === vals(((vals.length + 1) / 2) - 1)._1)
+      val ads = vals.map(v => (math.abs(v._1 - med), v._2)).sortBy(identity)
+      assert(mad === ads(((ads.length + 1) / 2) - 1)._1)
+      assert(nOut === ads.count(_._1 > 3 * mad))
+    }
+  }
+
+  test("an22: overlap diagonal is the per-type distinct count; matrix symmetric") {
+    val sf = "/root/testdata/sf0.001"
+    val out = EventQueries.an22TypeOverlap(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val ev = graft.Tables.load(spark, sf, "events")
+    ev.select("user_id", "event_type").distinct()
+      .groupBy("event_type").count().collect().foreach { r =>
+        val t = r.getString(0)
+        assert(out((t, t)) === ((r.getLong(1), 10000L))) // self-Jaccard = 1
+      }
+    out.keys.foreach { case (a, b) => assert(out((a, b)) === out((b, a))) }
+  }
+
   test("sk2: salted replicate join equals the plain join aggregate") {
     val sf = "/root/testdata/sf0.001"
     val out = EventQueries.sk2SaltedJoin(spark, sf).collect()

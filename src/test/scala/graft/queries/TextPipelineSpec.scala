@@ -92,4 +92,15 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(frac("val") / n > 0.05 && frac("val") / n < 0.15)
     assert(frac("test") / n > 0.05 && frac("test") / n < 0.15)
   }
+
+  test("c3 funnel stages partition every source's documents; survivors = c1") {
+    import spark.implicits._
+    val f = TextPipeline.c3CurationFunnel(spark, sf).collect()
+    f.foreach { r =>
+      // lang_fail + quality_fail + dup + survivors == total, per source
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) === r.getLong(1))
+    }
+    // the funnel's survivor count must agree with the c1 filter itself
+    assert(f.map(_.getLong(5)).sum === TextPipeline.c1Curate(spark, sf).count())
+  }
 }
