@@ -22,7 +22,8 @@ object Bench {
     "e10_resample", "an18_grouping_sets", "j8_snapshot_diff",
     "d12_sorted_neighborhood", "t18_epoch_shuffle", "n12_ivf_pq",
     "d13_prefix_simjoin", "t19_bigram_lm", "t20_repeated_spans",
-    "n14_jl_recall")
+    "n14_jl_recall",
+    "t22_segment_dedup", "an22_type_overlap", "t23_curriculum")
 
   /** Minimum repetitions per query; reported time is the median, so
     * single-run jitter (JIT, GC, page cache) can't masquerade as a
