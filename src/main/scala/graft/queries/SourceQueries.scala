@@ -100,6 +100,44 @@ object SourceQueries {
       |FROM orders WHERE year(o_orderdate) = 1997
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S15: dynamic partition overwrite — the idempotent-backfill
+    * primitive of a partitioned lake: re-running one day/year's
+    * pipeline replaces exactly that partition and leaves every other
+    * file untouched (static overwrite mode would TRUNCATE the whole
+    * table first — the classic lost-data failure). Here the 1997
+    * partition is rewritten with doubled prices (×2 is exact in IEEE
+    * doubles — the backfill transform can't introduce float drift)
+    * via the per-write `partitionOverwriteMode=dynamic` option (no
+    * session-level conf mutation), then the WHOLE table is read back
+    * and aggregated per year: 1997 must show the new values, every
+    * other year the originals. */
+  val s15DynamicOverwrite: Q = (s, dir) => {
+    import s.implicits._
+    val out = tmp("graft-s15") + "/orders_by_year"
+    val base = Tables.load(s, dir, "orders")
+      .withColumn("o_year", year($"o_orderdate"))
+    base.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    base.filter($"o_year" === 1997)
+      .withColumn("o_totalprice", $"o_totalprice" * 2)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_year").parquet(out)
+    val dec = "decimal(18,4)"
+    s.read.parquet(out)
+      .groupBy($"o_year".cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast(dec)), 2).cast("double").as("total_price"))
+      .orderBy($"o_year")
+  }
+
+  val s15DynamicOverwriteSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(CASE WHEN year(o_orderdate) = 1997
+      |                           THEN o_totalprice * 2
+      |                           ELSE o_totalprice END AS DECIMAL(18,4))), 2)
+      |    AS DOUBLE) AS total_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** S10: plain-text line source — the rawest landing format a corpus
     * pipeline ingests (one document per line). Write → `spark.read
     * .text` round-trip; line order is filesystem-dependent, so the
@@ -215,6 +253,7 @@ object SourceQueries {
     "s7_csv_read"   -> s7CsvRead,
     "s9_orc_read"   -> s9OrcRead,
     "s14_partition_prune" -> s14PartitionPrune,
+    "s15_dynamic_overwrite" -> s15DynamicOverwrite,
     "s10_text_read" -> s10TextRead,
     "s11_merge_schema" -> s11MergeSchema,
     "s13_mongo_extjson" -> s13MongoExtjson,
@@ -226,6 +265,7 @@ object SourceQueries {
     "s7_csv_read"   -> s7CsvReadSql,
     "s9_orc_read"   -> s9OrcReadSql,
     "s14_partition_prune" -> s14PartitionPruneSql,
+    "s15_dynamic_overwrite" -> s15DynamicOverwriteSql,
     "s10_text_read" -> s10TextReadSql,
     "s11_merge_schema" -> s11MergeSchemaSql,
     "s13_mongo_extjson" -> s13MongoExtjsonSql,
