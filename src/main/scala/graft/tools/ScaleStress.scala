@@ -316,6 +316,28 @@ object ScaleStress {
       d.unpersist(blocking = true)
     }
 
+    // t22 segment dedup: disjoint replicas → unique segments scale
+    // linearly (keeper window keyed on content, reassembly on doc_id);
+    // identical replicas → every segment value becomes an N-clique but
+    // the keeper window per hot segment carries only 8-byte keys, so
+    // unlike a pair-emitting join the duplicate regime must stay
+    // ~linear too — THE structural advantage of dedup-by-keeper over
+    // dedup-by-candidate-pairs.
+    if (sect("t22")) {
+      Seq(1, 5, 20).foreach { n =>
+        val d = disjoint(n).cache(); val rows = d.count()
+        time(s"t22 segment-dedup disjoint n=$n rows=$rows") {
+          Corpus.segmentDedup(d, "doc_id", "text") }
+        d.unpersist(blocking = true)
+      }
+      Seq(2, 8, 20).foreach { n =>
+        val d = identical(n).cache(); val rows = d.count()
+        time(s"t22 segment-dedup identical n=$n rows=$rows") {
+          Corpus.segmentDedup(d, "doc_id", "text") }
+        d.unpersist(blocking = true)
+      }
+    }
+
     spark.stop()
   }
 }
