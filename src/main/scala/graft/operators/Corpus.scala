@@ -384,4 +384,58 @@ object Corpus {
         coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
+
+  // ---- distributed BPE tokenizer training --------------------------
+
+  /** Learn the first `rounds` BPE merges over the corpus (Sennrich et
+    * al., ACL 2016 — the tokenizer-training pass every LLM pipeline
+    * runs before anything else). Scale shape: ONE corpus pass builds
+    * the weighted word-frequency relation (map-side-combined groupBy —
+    * the only corpus-sized step, checkpointed once); every merge round
+    * then runs entirely on that VOCAB-sized relation: adjacent-pair
+    * weighted counts (explode + groupBy), a 1-row argmax winner
+    * (ties broken (weight desc, pair asc) — total order, engine-free),
+    * broadcast back, and the merge applied per word with an
+    * `aggregate` HOF fold. The fold is the exact greedy left-to-right
+    * non-overlapping BPE rule: merge when the accumulator's last
+    * symbol is p1 and the current is p2; a just-merged p1p2 can never
+    * re-match as p1 within the round (p2 is non-empty), so overlapping
+    * runs take the first pair of each adjacent run — identical to the
+    * oracle's window-island formulation, proven in the spec.
+    *
+    * Output: (round, p1, p2, weight) — the learned merge table. */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(split(col("word"), "").as("syms"), col("n"))
+      // one corpus pass; rounds replay only this vocab-sized relation
+      .localCheckpoint()
+    val winners = (1 to rounds).map { r =>
+      val winner = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS p1, syms[i + 1] AS p2))")).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum(col("n")).as("weight"))
+        .orderBy(col("weight").desc, col("p1").asc, col("p2").asc)
+        .limit(1)
+        // materialize the 1-row winner: it feeds BOTH the output and
+        // the next round's apply, and later rounds nest on it — lazy,
+        // the plan tree would double per round
+        .localCheckpoint()
+      vocab = vocab.crossJoin(broadcast(winner.select(col("p1"), col("p2"))))
+        .select(expr(
+          "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
+            "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = p1 AND x = p2 " +
+            "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(p1, p2))) " +
+            "ELSE concat(acc, array(x)) END)").as("syms"),
+          col("n"))
+      winner.select(lit(r.toLong).as("round"), col("p1"), col("p2"), col("weight"))
+    }
+    winners.reduce(_.unionByName(_)).orderBy(col("round"))
+  }
 }

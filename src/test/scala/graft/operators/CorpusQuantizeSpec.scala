@@ -305,4 +305,64 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     // bigrams are each singletons -> low p
     assert(out(1L) > out(2L))
   }
+
+  test("t24: BPE learns hand-computed merges with frequency weighting") {
+    import spark.implicits._
+    // "low" x3, "lower" x1: pairs lo x4, ow x4, we x1, er x1
+    // -> tie lo/ow broken lexicographically: "lo" wins round 1.
+    // round 2: (lo,w) x4 beats (we/er) x1 -> "low".
+    // round 3: vocab is [low, low er]; (low,e) x1 vs (e,r) x1 ->
+    // lexicographic: e < low, so ("e","r") wins.
+    val docs = Seq((1L, "low low lower"), (2L, "low")).toDF("doc_id", "text")
+    val out = Corpus.bpeMerges(docs, "text", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out(0) === ((1L, "l", "o", 4L)))
+    assert(out(1) === ((2L, "lo", "w", 4L)))
+    assert(out(2) === ((3L, "e", "r", 1L)))
+  }
+
+  test("t24: overlapping runs merge greedily left-to-right, non-overlapping") {
+    import spark.implicits._
+    // "aaaa": pairs (a,a) x3 -> round 1 merges to [aa, aa] (two
+    // merges, NOT [aa, a, a]); round 2's top pair is then (aa, aa) x1
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val out = Corpus.bpeMerges(docs, "text", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out(0) === ((1L, "a", "a", 3L)))
+    assert(out(1) === ((2L, "aa", "aa", 1L)))
+  }
+
+  test("t24: fold merge equals the reference greedy merge on random words") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab"
+    val words = (0 until 200).map(_ =>
+      (0 until (2 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(2))).mkString)
+    // reference greedy non-overlapping merge of pair (a, b) -> "ab"
+    def refMerge(w: String, p1: String, p2: String): List[String] = {
+      val syms = w.split("").toList
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        acc match {
+          case init :+ last if last == p1 && x == p2 => init :+ (p1 + p2)
+          case _ => acc :+ x
+        }
+      }
+    }
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val merges = Corpus.bpeMerges(docs, "text", rounds = 1).collect()
+    val (p1, p2) = (merges(0).getString(1), merges(0).getString(2))
+    // replay the fold through Spark on each distinct word and compare
+    val sparkMerged = docs.sparkSession.sql(
+      s"""SELECT word, aggregate(split(word, ''), CAST(array() AS ARRAY<STRING>),
+         |  (acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$p1'
+         |                     AND x = '$p2'
+         |              THEN concat(slice(acc, 1, size(acc) - 1), array('$p1$p2'))
+         |              ELSE concat(acc, array(x)) END) AS merged
+         |FROM (SELECT explode(array(${words.distinct.map("'" + _ + "'").mkString(",")})) AS word)
+         |""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    words.distinct.foreach { w =>
+      assert(sparkMerged(w) === refMerge(w, p1, p2), s"word $w pair ($p1,$p2)")
+    }
+  }
 }
