@@ -404,13 +404,18 @@ object Corpus {
     * oracle's window-island formulation, proven in the spec.
     *
     * Output: (round, p1, p2, weight) — the learned merge table. */
-  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int = 3): DataFrame =
+    bpeTrain(docs, textCol, rounds)._1
+
+  /** Learned merges AND the post-merge vocabulary (word, syms, n) —
+    * the tokenizer-application side of [[bpeMerges]] (t25). */
+  def bpeTrain(docs: DataFrame, textCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
     var vocab = docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
-      .select(split(col("word"), "").as("syms"), col("n"))
+      .select(col("word"), split(col("word"), "").as("syms"), col("n"))
       // one corpus pass; rounds replay only this vocab-sized relation
       .localCheckpoint()
     val winners = (1 to rounds).map { r =>
@@ -428,7 +433,7 @@ object Corpus {
         // the plan tree would double per round
         .localCheckpoint()
       vocab = vocab.crossJoin(broadcast(winner.select(col("p1"), col("p2"))))
-        .select(expr(
+        .select(col("word"), expr(
           "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
             "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = p1 AND x = p2 " +
             "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(p1, p2))) " +
@@ -436,6 +441,27 @@ object Corpus {
           col("n"))
       winner.select(lit(r.toLong).as("round"), col("p1"), col("p2"), col("weight"))
     }
-    winners.reduce(_.unionByName(_)).orderBy(col("round"))
+    (winners.reduce(_.unionByName(_)).orderBy(col("round")), vocab)
+  }
+
+  /** Tokenize the corpus with the learned merges: per document, the
+    * word/char/token counts after `rounds` BPE merges. The corpus side
+    * is ONE explode + a join keyed on word against the VOCAB-sized
+    * symbol table (AQE broadcasts it while it fits; at web-corpus
+    * vocab sizes it becomes a word-keyed hash join) + a doc-keyed
+    * aggregate — tokenization never re-runs the merge fold per word
+    * INSTANCE, only once per distinct word. */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int = 3): DataFrame = {
+    val vocab = bpeTrain(docs, textCol, rounds)._2
+      .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(vocab, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("n_syms")).as("n_tokens"))
   }
 }

@@ -691,53 +691,77 @@ object CurationQueries {
   val t24BpeMerges: Q = (s, dir) =>
     Corpus.bpeMerges(Tables.load(s, dir, "documents"), "text", rounds = 3)
 
-  val t24BpeMergesSql: String = {
-    // one unrolled merge round: vocabIN -> winner wN + vocabOUT
-    def round(n: Int, vin: String, vout: String): String =
-      s"""w$n AS (
-         |  SELECT syms[i+1] AS p1, syms[i+2] AS p2, sum(n)::BIGINT AS weight
-         |  FROM (SELECT syms, n, unnest(range(len(syms) - 1)) AS i
-         |        FROM $vin WHERE len(syms) >= 2)
-         |  GROUP BY 1, 2 ORDER BY weight DESC, p1, p2 LIMIT 1),
-         |m$n AS (
-         |  SELECT v.word, v.n, v.syms, x.i,
-         |    (x.i < len(v.syms) - 1 AND v.syms[x.i+1] = w.p1
-         |       AND v.syms[x.i+2] = w.p2) AS ism
-         |  FROM $vin v, w$n w, LATERAL (SELECT unnest(range(len(v.syms))) AS i) x),
-         |r$n AS (
-         |  SELECT *, CASE WHEN ism
-         |    THEN i - row_number() OVER (PARTITION BY word, ism ORDER BY i) END AS grp
-         |  FROM m$n),
-         |t$n AS (
-         |  SELECT *, ism AND ((i - min(i) OVER (PARTITION BY word, grp)) % 2 = 0) AS take
-         |  FROM r$n),
-         |p$n AS (
-         |  SELECT *, coalesce(lag(take) OVER (PARTITION BY word ORDER BY i), false) AS ptake
-         |  FROM t$n),
-         |$vout AS (
-         |  SELECT word, any_value(n) AS n,
-         |    list(CASE WHEN take THEN syms[i+1] || syms[i+2] ELSE syms[i+1] END
-         |         ORDER BY i) FILTER (NOT ptake) AS syms
-         |  FROM p$n GROUP BY word)""".stripMargin
+  /** One unrolled BPE merge round (winner wN + applied vocabOUT) —
+    * shared by the t24 and t25 oracles. */
+  /** One unrolled BPE merge round (winner wN + applied vocabOUT) —
+    * shared scaffolding of the t24 and t25 oracles. */
+  private def bpeRound(n: Int, vin: String, vout: String): String =
+    s"""w$n AS (
+       |  SELECT syms[i+1] AS p1, syms[i+2] AS p2, sum(n)::BIGINT AS weight
+       |  FROM (SELECT syms, n, unnest(range(len(syms) - 1)) AS i
+       |        FROM $vin WHERE len(syms) >= 2)
+       |  GROUP BY 1, 2 ORDER BY weight DESC, p1, p2 LIMIT 1),
+       |m$n AS (
+       |  SELECT v.word, v.n, v.syms, x.i,
+       |    (x.i < len(v.syms) - 1 AND v.syms[x.i+1] = w.p1
+       |       AND v.syms[x.i+2] = w.p2) AS ism
+       |  FROM $vin v, w$n w, LATERAL (SELECT unnest(range(len(v.syms))) AS i) x),
+       |r$n AS (
+       |  SELECT *, CASE WHEN ism
+       |    THEN i - row_number() OVER (PARTITION BY word, ism ORDER BY i) END AS grp
+       |  FROM m$n),
+       |t$n AS (
+       |  SELECT *, ism AND ((i - min(i) OVER (PARTITION BY word, grp)) % 2 = 0) AS take
+       |  FROM r$n),
+       |p$n AS (
+       |  SELECT *, coalesce(lag(take) OVER (PARTITION BY word ORDER BY i), false) AS ptake
+       |  FROM t$n),
+       |$vout AS (
+       |  SELECT word, any_value(n) AS n,
+       |    list(CASE WHEN take THEN syms[i+1] || syms[i+2] ELSE syms[i+1] END
+       |         ORDER BY i) FILTER (NOT ptake) AS syms
+       |  FROM p$n GROUP BY word)""".stripMargin
+
+  /** vocab0 + rounds 1..3 (winners w1..w3, applied vocab1..vocab3). */
+  private val bpeCtes: String =
     s"""WITH vocab0 AS (
        |  SELECT word, regexp_split_to_array(word, '') AS syms, count(*)::BIGINT AS n
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE word <> '' GROUP BY word),
-       |${round(1, "vocab0", "vocab1")},
-       |${round(2, "vocab1", "vocab2")},
-       |w3 AS (
-       |  SELECT syms[i+1] AS p1, syms[i+2] AS p2, sum(n)::BIGINT AS weight
-       |  FROM (SELECT syms, n, unnest(range(len(syms) - 1)) AS i
-       |        FROM vocab2 WHERE len(syms) >= 2)
-       |  GROUP BY 1, 2 ORDER BY weight DESC, p1, p2 LIMIT 1)
+       |${bpeRound(1, "vocab0", "vocab1")},
+       |${bpeRound(2, "vocab1", "vocab2")},
+       |${bpeRound(3, "vocab2", "vocab3")}""".stripMargin
+
+  val t24BpeMergesSql: String =
+    s"""$bpeCtes
        |SELECT 1::BIGINT AS round, p1, p2, weight FROM w1
        |UNION ALL SELECT 2::BIGINT, p1, p2, weight FROM w2
        |UNION ALL SELECT 3::BIGINT, p1, p2, weight FROM w3
        |ORDER BY round""".stripMargin
-  }
+
+  /** T25: tokenize with the learned merges — per document word, char,
+    * and post-merge token counts (Corpus.bpeTokenCounts). The corpus
+    * side joins each word instance to the trained vocab's symbol
+    * count; the merge fold never re-runs per instance. */
+  val t25BpeTokenize: Q = (s, dir) =>
+    Corpus.bpeTokenCounts(Tables.load(s, dir, "documents"), "doc_id", "text",
+        rounds = 3)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+
+  val t25BpeTokenizeSql: String =
+    s"""$bpeCtes,
+       |inst AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |inst2 AS (SELECT doc_id, word FROM inst WHERE word <> '')
+       |SELECT i.doc_id, count(*) AS n_words,
+       |  sum(length(i.word))::BIGINT AS n_chars,
+       |  sum(len(v.syms))::BIGINT AS n_tokens
+       |FROM inst2 i JOIN vocab3 v USING (word)
+       |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
 
   val defs: Map[String, Q] = Map(
     "t24_bpe_merges" -> t24BpeMerges,
+    "t25_bpe_tokenize" -> t25BpeTokenize,
     "t22_segment_dedup" -> t22SegmentDedup,
     "c2_quality_gate" -> c2QualityGate,
     "t21_weighted_sample" -> t21WeightedSample,
@@ -758,6 +782,7 @@ object CurationQueries {
 
   val oracle: Map[String, String] = Map(
     "t24_bpe_merges" -> t24BpeMergesSql,
+    "t25_bpe_tokenize" -> t25BpeTokenizeSql,
     "t22_segment_dedup" -> t22SegmentDedupSql,
     "c2_quality_gate" -> c2QualityGateSql,
     "t21_weighted_sample" -> t21WeightedSampleSql,

@@ -332,6 +332,18 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     assert(out(1) === ((2L, "aa", "aa", 1L)))
   }
 
+  test("t25: token counts reflect the learned merges per word instance") {
+    import spark.implicits._
+    // merges learned: (l,o) -> (lo,w) -> (e,r); so low = 1 token,
+    // lower = [low, er] = 2 tokens
+    val docs = Seq((1L, "low low lower"), (2L, "low")).toDF("doc_id", "text")
+    val out = Corpus.bpeTokenCounts(docs, "doc_id", "text", rounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 11L, 4L))) // 2x low + lower([low, er])
+    assert(out(2L) === ((1L, 3L, 1L)))
+  }
+
   test("t24: fold merge equals the reference greedy merge on random words") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
