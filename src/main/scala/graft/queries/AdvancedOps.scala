@@ -118,6 +118,103 @@ object AdvancedOps {
       |    AS is_current
       |FROM ch ORDER BY user_id, version""".stripMargin
 
+  /** J9: point-in-time dimension lookup — each purchase event reads
+    * the user's tier AS OF its timestamp from the u7 SCD2 history.
+    * The PIT join over [valid_from, valid_to) intervals is exactly an
+    * as-of join (versions PARTITION each user's timeline, so "the
+    * interval containing t" = "the greatest valid_from <= t"), which
+    * the union-merge AsOfJoin answers in ONE user-keyed shuffle — no
+    * interval-predicate join, no per-event × per-version fan-out. The
+    * oracle is the naive BETWEEN join over the same history. */
+  val j9PitLookup: Q = (s, dir) => {
+    import s.implicits._
+    val dim = u7Scd2(s, dir)
+      .select($"user_id", $"valid_from", $"tier".as("tier_at"))
+    val facts = Tables.load(s, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tus"))
+    graft.operators.AsOfJoin.leftAsOf(facts, dim,
+        keys = Seq("user_id"), leftTime = "tus", rightTime = "valid_from",
+        payloadCols = Seq("tier_at"), tieBreaker = "tier_at")
+      .select($"event_id", $"user_id", $"tier_at")
+      .orderBy($"event_id")
+  }
+
+  val j9PitLookupSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tus,
+      |         CAST(floor(value / 10.0) AS BIGINT) AS tier
+      |  FROM events),
+      |ch AS (
+      |  SELECT user_id, tus, tier FROM (
+      |    SELECT user_id, tus, tier,
+      |           lag(tier) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+      |    FROM e)
+      |  WHERE prev IS NULL OR prev <> tier),
+      |scd AS (
+      |  SELECT user_id, tier, tus AS valid_from,
+      |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus) AS valid_to
+      |  FROM ch),
+      |facts AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tus
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT f.event_id, f.user_id, s.tier AS tier_at
+      |FROM facts f JOIN scd s ON f.user_id = s.user_id
+      |  AND s.valid_from <= f.tus
+      |  AND (s.valid_to IS NULL OR f.tus < s.valid_to)
+      |ORDER BY f.event_id""".stripMargin
+
+  /** AN24: session path mining — the top event-type journeys. Each e2
+    * gap-session's first 4 event types (ts, event_id order) form its
+    * path string; paths are counted corpus-wide and the top 10
+    * returned with a total order ((n desc, path) — deterministic).
+    * One user-keyed shuffle builds sessions + paths (sessionization
+    * and the path collect share the same partitioning); the path
+    * count is a map-side-combined groupBy on bounded keys. */
+  val an24SessionPaths: Q = (s, dir) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val gapUs = 30L * 60L * 1000000L
+    val sessions = Tables.load(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("tus"))
+      .withColumn("prev", lag($"tus", 1).over(byUser))
+      .withColumn("brk", when($"prev".isNull || $"tus" - $"prev" > gapUs, 1L)
+        .otherwise(0L))
+      .withColumn("sess", sum($"brk").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .withColumn("step", row_number().over(
+        Window.partitionBy($"user_id", $"sess").orderBy($"tus", $"event_id")))
+      .filter($"step" <= 4)
+      .groupBy($"user_id", $"sess")
+      .agg(concat_ws(">", expr(
+        "transform(array_sort(collect_list(struct(step, event_type))), x -> x.event_type)"))
+        .as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(10)
+  }
+
+  val an24SessionPathsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+      |        FROM e)),
+      |ss AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM g),
+      |steps AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, sess ORDER BY tus, event_id) AS step
+      |  FROM ss),
+      |paths AS (
+      |  SELECT user_id, sess, string_agg(event_type, '>' ORDER BY step) AS path
+      |  FROM steps WHERE step <= 4 GROUP BY 1, 2)
+      |SELECT path, count(*) AS n FROM paths
+      |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin
+
   // ---- e8: funnel ----------------------------------------------------
 
   /** The ordered-funnel stage machine (view → click → purchase) — the
@@ -604,6 +701,8 @@ object AdvancedOps {
     "e9_rolling"       -> e9Rolling,
     "n7_kmeans"        -> n7Kmeans,
     "an16_cohort"      -> an16CohortRetention,
+    "j9_pit_lookup"    -> j9PitLookup,
+    "an24_session_paths" -> an24SessionPaths,
   )
 
   val oracle: Map[String, String] = Map(
@@ -617,5 +716,7 @@ object AdvancedOps {
     "e9_rolling"       -> e9RollingSql,
     "n7_kmeans"        -> n7KmeansSql,
     "an16_cohort"      -> an16CohortRetentionSql,
+    "j9_pit_lookup"    -> j9PitLookupSql,
+    "an24_session_paths" -> an24SessionPathsSql,
   )
 }

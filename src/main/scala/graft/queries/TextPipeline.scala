@@ -214,6 +214,48 @@ object TextPipeline {
       |       ELSE 'test' END AS split
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** T26: leakage-safe train/val/test split — t5's hash-bucket rule
+    * keyed on the NEAR-DUP CLUSTER id instead of the document id, so a
+    * near-duplicate pair can never straddle train and test (the eval-
+    * contamination path a doc-keyed split leaves open). split_key =
+    * the d6 min-label cluster for clustered docs, the doc's own id
+    * otherwise; every cluster member inherits the same bucket by
+    * construction. Cost on top of t5 is the d2/d6 pair machinery the
+    * dedup pipeline has already run — the join against the cluster
+    * list (pairs-sized, broadcast) is the only addition. */
+  val t26LeakageSafeSplit: Q = (s, dir) => {
+    import s.implicits._
+    val docs = docsWithDups(s, dir)
+    val clusters = Dedup.dupClusters(Dedup.minhashNearDups(docs, "doc_id", "text"))
+    docs.join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce($"cluster_id", $"doc_id"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5($"split_key".cast("string")), 1, 10), 16, 10).cast("long"),
+          lit(100L)))
+      .select($"doc_id", $"split_key", $"bucket",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  // lazy: d2PairsCtes/clusterCtes are defined further down the object;
+  // a strict val would capture their pre-init nulls
+  lazy val t26LeakageSafeSplitSql: String =
+    s"""WITH RECURSIVE $d2PairsCtes,
+       |$clusterCtes,
+       |keyed AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+       |  FROM docs d LEFT JOIN clusters c USING (doc_id)),
+       |b AS (
+       |  SELECT doc_id, split_key,
+       |    ('0x' || substr(md5(split_key::VARCHAR), 1, 10))::BIGINT % 100 AS bucket
+       |  FROM keyed)
+       |SELECT doc_id, split_key, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
   /** T6: context-window chunking — 50-token windows with stride 40
     * (10-token overlap), the document→training-sample splitting step of
     * an LLM data pipeline. Chunk boundaries are pure token-index
@@ -1555,6 +1597,7 @@ object TextPipeline {
     "t9_tfidf"         -> t9Tfidf,
     "c1_curate"        -> c1Curate,
     "c3_curation_funnel" -> c3CurationFunnel,
+    "t26_leakage_safe_split" -> t26LeakageSafeSplit,
     "d1_exact_dedup"   -> d1ExactDedup,
     "d2_minhash_lsh"   -> d2Minhash,
     "d3_simhash"       -> d3Simhash,
@@ -1600,6 +1643,7 @@ object TextPipeline {
     "t9_tfidf"         -> t9TfidfSql,
     "c1_curate"        -> c1CurateSql,
     "c3_curation_funnel" -> c3CurationFunnelSql,
+    "t26_leakage_safe_split" -> t26LeakageSafeSplitSql,
     "d1_exact_dedup"   -> d1ExactDedupSql,
     "d2_minhash_lsh"   -> d2MinhashSql,
     "d3_simhash"       -> d3SimhashSql,

@@ -225,4 +225,38 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(got.count() === expected.count())
     ev.unpersist()
   }
+
+  test("j9: as-of PIT lookup equals the naive interval join over SCD2") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val dim = AdvancedOps.u7Scd2(spark, sf)
+      .select($"user_id", $"tier", $"valid_from", $"valid_to")
+    val facts = graft.Tables.load(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tus"))
+    val naive = facts.as("f").join(dim.as("d"),
+        $"f.user_id" === $"d.user_id" && $"d.valid_from" <= $"f.tus" &&
+          ($"d.valid_to".isNull || $"f.tus" < $"d.valid_to"))
+      .select($"event_id", $"f.user_id", $"tier".as("tier_at"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val asOf = AdvancedOps.j9PitLookup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(asOf === naive)
+    // versions partition each user's timeline: exactly one match per fact
+    assert(asOf.size === facts.count())
+  }
+
+  test("an24: session paths cover all sessions with at most 4 steps each") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = AdvancedOps.an24SessionPaths(spark, sf).collect()
+    assert(out.length <= 10)
+    out.foreach { r =>
+      assert(r.getString(0).split(">").length <= 4)
+      assert(r.getLong(1) >= 1L)
+    }
+    // top-10 ordering is (n desc, path asc)
+    val pairs = out.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sortBy { case (n, p) => (-n, p) }.toSeq === pairs.toSeq)
+  }
 }

@@ -93,6 +93,25 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(frac("test") / n > 0.05 && frac("test") / n < 0.15)
   }
 
+  test("t26: no near-dup cluster straddles splits") {
+    import spark.implicits._
+    val out = TextPipeline.t26LeakageSafeSplit(spark, sf)
+      .select($"split_key", $"split").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // every doc sharing a split_key (= cluster) has the same split
+    out.groupBy(_._1).foreach { case (k, rows) =>
+      assert(rows.map(_._2).distinct.length === 1, s"cluster $k straddles splits")
+    }
+    // the injected near-dups (doc_id % 97 == 0 ↔ +1000000) really do
+    // share a key with their original — the property t5 lacks
+    val keys = TextPipeline.t26LeakageSafeSplit(spark, sf)
+      .select($"doc_id", $"split_key").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val paired = keys.keys.filter(id => id < 1000000 && keys.contains(id + 1000000))
+    assert(paired.nonEmpty)
+    paired.foreach(id => assert(keys(id) === keys(id + 1000000)))
+  }
+
   test("c3 funnel stages partition every source's documents; survivors = c1") {
     import spark.implicits._
     val f = TextPipeline.c3CurationFunnel(spark, sf).collect()
