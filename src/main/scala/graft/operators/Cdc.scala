@@ -36,6 +36,21 @@ object Cdc {
       .drop("_rn", opCol)
   }
 
+  /** [[upsert]] minus the delete filter: one winner per key by
+    * (version desc, op desc), DELETE rows kept as tombstones. The
+    * incremental-merge building block (e14): a folded state must
+    * remember "deleted at version v", or an out-of-order redelivered
+    * batch carrying an OLDER update would resurrect the key. Filter
+    * `op != 'D'` only when publishing the final snapshot. */
+  def compact(all: DataFrame, keyCols: Seq[String],
+      versionCol: String = "version", opCol: String = "op"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col(opCol).desc)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** Convenience: stamp a base snapshot as version-0 upserts so it
     * unions with a change log. */
   def asBase(base: DataFrame, versionCol: String = "version", opCol: String = "op"): DataFrame =

@@ -534,6 +534,57 @@ object EventQueries {
       |FROM dev d JOIN mad x USING (event_type)
       |GROUP BY 1, 2, 3 ORDER BY d.event_type""".stripMargin
 
+  /** E14: streaming CDC landing with an idempotent foreachBatch MERGE
+    * sink (Streams.mergeSinkOnce) — a REAL streaming query in the
+    * gate: the events table becomes a change log (U rows from normal
+    * events, D tombstone-requests from 'error' events, version =
+    * event-time micros, pre-deduped to one row per (user, instant) so
+    * versions totally order each key), streamed in multiple
+    * micro-batches with EVERY batch applied twice (simulated
+    * at-least-once redelivery). The published snapshot must equal the
+    * batch last-writer-wins oracle — proving the sink is idempotent
+    * and batch-order-free, the two properties recovery replay needs. */
+  val e14StreamMergeSink: Q = (s, dir) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val byInstant = Window.partitionBy($"user_id", $"tus")
+      .orderBy($"event_id".desc)
+    val log = Tables.load(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        floor($"value" / 10.0).cast("long").as("tier"),
+        when($"event_type" === "error", "D").otherwise("U").as("op"))
+      .withColumn("rn", row_number().over(byInstant))
+      .filter($"rn" === 1)
+      .select($"user_id", $"tier", $"tus".as("version"), $"op")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e14").toString
+    log.write.mode("overwrite").parquet(tmp)
+    val stream = s.readStream.schema(log.schema)
+      .option("maxFilesPerTrigger", "8") // force several micro-batches
+      .parquet(tmp)
+    Streams.mergeSinkOnce(stream, keys = Seq("user_id"), redeliver = true)
+      .filter($"op" =!= "D")
+      .select($"user_id", $"tier", $"version")
+      .orderBy($"user_id")
+  }
+
+  val e14StreamMergeSinkSql: String =
+    """WITH log AS (
+      |  SELECT user_id, tier, tus AS version, op FROM (
+      |    SELECT user_id, epoch_us(ts) AS tus,
+      |      CAST(floor(value / 10.0) AS BIGINT) AS tier,
+      |      CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |      row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+      |                         ORDER BY event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1),
+      |last AS (
+      |  SELECT user_id, tier, version, op,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY version DESC, op DESC) AS rn
+      |  FROM log)
+      |SELECT user_id, tier, version FROM last
+      |WHERE rn = 1 AND op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
   /** SK2: salted replicate join — the sk1 pattern's JOIN form. The
     * events fact joins a per-type dim through Skew.saltedJoin: the
     * fact side gets a deterministic salt from hash(event_id), the dim
@@ -778,6 +829,7 @@ object EventQueries {
     "an23_robust_outliers" -> an23RobustOutliers,
     "sk2_salted_join" -> sk2SaltedJoin,
     "e7_stream_static" -> e7StreamStatic,
+    "e14_stream_merge_sink" -> e14StreamMergeSink,
   )
 
   val oracle: Map[String, String] = Map(
@@ -797,6 +849,7 @@ object EventQueries {
     "an22_type_overlap" -> an22TypeOverlapSql,
     "an23_robust_outliers" -> an23RobustOutliersSql,
     "sk2_salted_join" -> sk2SaltedJoinSql,
+    "e14_stream_merge_sink" -> e14StreamMergeSinkSql,
     "e7_stream_static" -> e7StreamStaticSql,
     "an4_approx_distinct" -> an4ApproxDistinctSql,
     "an7_approx_quantiles" -> an7ApproxQuantilesSql,

@@ -315,4 +315,42 @@ object Streams {
     try q.processAllAvailable()
     finally q.stop()
   }
+
+  /** foreachBatch idempotent MERGE sink — exactly-once TABLE semantics
+    * on top of at-least-once micro-batch delivery, the production way
+    * to land a CDC stream in a lake table. Each micro-batch folds into
+    * the running state with [[graft.operators.Cdc.compact]]: one winner
+    * per key by (version desc, op desc), DELETE rows retained as
+    * tombstones — withOUT tombstones, a redelivered batch carrying an
+    * older update would resurrect a deleted key. Because the fold is a
+    * per-key max, it is idempotent (`redeliver = true` applies every
+    * batch twice to prove it) and batch-ORDER-free (versions come from
+    * the data, not arrival), which is exactly what recovery replay
+    * requires. State lineage is truncated per batch (localCheckpoint);
+    * at cluster scale the same fold is a MERGE INTO against the lake
+    * table, partitioned by the merge key.
+    *
+    * Returns the final compacted state INCLUDING tombstones; publish
+    * with `filter(op != 'D')`. */
+  def mergeSinkOnce(log: DataFrame, keys: Seq[String],
+      redeliver: Boolean = true): DataFrame = {
+    var state: DataFrame = null
+    val q = log.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: java.lang.Long) =>
+        // the batch Dataset is only valid inside this callback —
+        // materialize it before folding it into the cross-batch state
+        val b = batch.localCheckpoint()
+        def applyOnce(): Unit = {
+          val cur = if (state == null) b else state.unionByName(b)
+          state = graft.operators.Cdc.compact(cur, keys).localCheckpoint()
+        }
+        applyOnce()
+        if (redeliver) applyOnce() // simulated at-least-once redelivery
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    if (state == null) log.sparkSession.emptyDataFrame else state
+  }
 }

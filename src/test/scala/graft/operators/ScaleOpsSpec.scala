@@ -68,6 +68,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(twice.select("key", "v").exceptAll(once.select("key", "v")).count() === 0)
   }
 
+  test("cdc compact fold: tombstones survive, so batch order cannot resurrect a delete") {
+    // the e14 failure mode: a deleted key's OLDER update arrives in a
+    // later (or redelivered) batch. With upsert's eager delete-drop the
+    // key would resurrect; compact keeps the tombstone and wins on
+    // version. Both fold orders must agree.
+    val batchA = Seq((1L, 0L, 100L, "D"), (2L, 5L, 10L, "U"))
+      .toDF("key", "v", "version", "op")
+    val batchB = Seq((1L, 3L, 50L, "U")).toDF("key", "v", "version", "op")
+    def fold(bs: Seq[org.apache.spark.sql.DataFrame]) =
+      bs.reduceLeft((st, b) => Cdc.compact(st.unionByName(b), Seq("key")))
+        .filter($"op" =!= "D")
+        .select("key", "v").as[(Long, Long)].collect().toSet
+    val ab = fold(Seq(batchA, batchB))
+    val ba = fold(Seq(batchB, batchA))
+    assert(ab === Set((2L, 5L)))
+    assert(ba === ab)
+    // redelivery of any batch is a no-op
+    assert(fold(Seq(batchA, batchA, batchB, batchB)) === ab)
+  }
+
   test("cdc delete-then-reinsert at a later version resurrects the key") {
     val base = Seq((1L, "old")).toDF("key", "v")
     val changes = Seq((1L, "old", 1L, "D"), (1L, "new", 2L, "U")).toDF("key", "v", "version", "op")
