@@ -215,6 +215,57 @@ object AdvancedOps {
       |SELECT path, count(*) AS n FROM paths
       |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin
 
+  /** AN25: funnel conversion latency — per user, the gap between the
+    * first view and the first purchase AFTER it; reported as discrete
+    * p50/p90 (rank-selected actual values — the an23 convention, no
+    * interpolation, no float parity risk). The per-user reduction is
+    * one user-keyed aggregate; the percentile ranks come from
+    * Ranking.globalRowNumber over the USERS-sized latency relation
+    * (range-partitioned two-phase — even the user relation never
+    * funnels through one task), with the ranks picked against a
+    * broadcast 1-row count. */
+  val an25ConvertLatency: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("tus"))
+    val firstView = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"tus").as("tv"))
+    val lat = ev.filter($"event_type" === "purchase")
+      .join(firstView, "user_id")
+      .filter($"tus" > $"tv")
+      .groupBy($"user_id", $"tv").agg(min($"tus").as("tp"))
+      .select($"user_id", ($"tp" - $"tv").as("lat_us"))
+    val ranked = graft.operators.Ranking
+      .globalRowNumber(lat, Seq($"lat_us".asc, $"user_id".asc), "rank")
+    val counts = lat.agg(count(lit(1)).as("n_users"))
+    ranked.crossJoin(broadcast(counts))
+      .filter($"rank" === expr("(n_users + 1) DIV 2") ||
+        $"rank" === expr("(9 * n_users + 9) DIV 10"))
+      .groupBy($"n_users")
+      .agg(min(when($"rank" === expr("(n_users + 1) DIV 2"), $"lat_us")).as("p50_us"),
+        min(when($"rank" === expr("(9 * n_users + 9) DIV 10"), $"lat_us")).as("p90_us"))
+      .select($"n_users", $"p50_us", $"p90_us")
+  }
+
+  val an25ConvertLatencySql: String =
+    """WITH fv AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS tv FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |lat AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) - f.tv AS lat_us
+      |  FROM events e JOIN fv f USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f.tv
+      |  GROUP BY e.user_id, f.tv),
+      |ranked AS (
+      |  SELECT lat_us,
+      |    row_number() OVER (ORDER BY lat_us, user_id) AS rank,
+      |    count(*) OVER () AS n_users
+      |  FROM lat)
+      |SELECT n_users,
+      |  min(CASE WHEN rank = (n_users + 1) // 2 THEN lat_us END) AS p50_us,
+      |  min(CASE WHEN rank = (9 * n_users + 9) // 10 THEN lat_us END) AS p90_us
+      |FROM ranked GROUP BY n_users""".stripMargin
+
   // ---- e8: funnel ----------------------------------------------------
 
   /** The ordered-funnel stage machine (view → click → purchase) — the
@@ -703,6 +754,7 @@ object AdvancedOps {
     "an16_cohort"      -> an16CohortRetention,
     "j9_pit_lookup"    -> j9PitLookup,
     "an24_session_paths" -> an24SessionPaths,
+    "an25_convert_latency" -> an25ConvertLatency,
   )
 
   val oracle: Map[String, String] = Map(
@@ -718,5 +770,6 @@ object AdvancedOps {
     "an16_cohort"      -> an16CohortRetentionSql,
     "j9_pit_lookup"    -> j9PitLookupSql,
     "an24_session_paths" -> an24SessionPathsSql,
+    "an25_convert_latency" -> an25ConvertLatencySql,
   )
 }

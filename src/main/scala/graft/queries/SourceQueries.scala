@@ -138,6 +138,36 @@ object SourceQueries {
       |    AS DOUBLE) AS total_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S16: small-file compaction — the operational fix for the
+    * many-tiny-files problem every streaming/incremental landing zone
+    * develops (NameNode/listing pressure, per-file task overhead at
+    * 100 TB). A fragmented write (round-robin repartition(16) — every
+    * partition non-empty, so exactly 16 files) is compacted by a
+    * rewrite to 2 files; file counts are observed from the data path
+    * itself via input_file_name(), and the content-preservation check
+    * (row count + key sum) rides in the same output row. */
+  val s16Compaction: Q = (s, dir) => {
+    import s.implicits._
+    val base = tmp("graft-s16")
+    val frag = s"$base/frag"
+    val comp = s"$base/compact"
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    docs.repartition(16).write.mode("overwrite").parquet(frag)
+    val before = s.read.parquet(frag)
+    before.repartition(2).write.mode("overwrite").parquet(comp)
+    val after = s.read.parquet(comp)
+    val nb = before.select(input_file_name().as("f")).distinct().count()
+    val na = after.select(input_file_name().as("f")).distinct().count()
+    after.agg(count(lit(1)).as("n_rows"), sum($"doc_id").as("sum_ids"))
+      .select(lit(nb).as("files_before"), lit(na).as("files_after"),
+        $"n_rows", $"sum_ids")
+  }
+
+  val s16CompactionSql: String =
+    """SELECT 16::BIGINT AS files_before, 2::BIGINT AS files_after,
+      |  count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      |FROM documents""".stripMargin
+
   /** S10: plain-text line source — the rawest landing format a corpus
     * pipeline ingests (one document per line). Write → `spark.read
     * .text` round-trip; line order is filesystem-dependent, so the
@@ -254,6 +284,7 @@ object SourceQueries {
     "s9_orc_read"   -> s9OrcRead,
     "s14_partition_prune" -> s14PartitionPrune,
     "s15_dynamic_overwrite" -> s15DynamicOverwrite,
+    "s16_compaction" -> s16Compaction,
     "s10_text_read" -> s10TextRead,
     "s11_merge_schema" -> s11MergeSchema,
     "s13_mongo_extjson" -> s13MongoExtjson,
@@ -266,6 +297,7 @@ object SourceQueries {
     "s9_orc_read"   -> s9OrcReadSql,
     "s14_partition_prune" -> s14PartitionPruneSql,
     "s15_dynamic_overwrite" -> s15DynamicOverwriteSql,
+    "s16_compaction" -> s16CompactionSql,
     "s10_text_read" -> s10TextReadSql,
     "s11_merge_schema" -> s11MergeSchemaSql,
     "s13_mongo_extjson" -> s13MongoExtjsonSql,

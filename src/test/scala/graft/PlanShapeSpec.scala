@@ -85,7 +85,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "j6_bloom_semijoin", "t8_stratified_sample", "t9_tfidf",
       "t13_decontaminate", "an3_ntile", "n10_pq_codes", "n11_pq_adc_topk",
       "n12_ivf_pq", "n13_mmr", "n14_jl_recall", "t19_bigram_lm",
-      "c2_quality_gate") // c2: ONE-ROW broadcast threshold crossJoin
+      "c2_quality_gate", // c2: ONE-ROW broadcast threshold crossJoin
+      // t25: BPE vocab rounds crossJoin their ONE-ROW broadcast winner
+      // (t24's plan hides them behind the per-round checkpoint);
+      // an25: ONE-ROW broadcast user-count crossJoin for the ranks
+      "t25_bpe_tokenize", "an25_convert_latency")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(PlanAudit.excluded.contains).flatMap { name =>
         val plan = sparkPlan(name).toString
