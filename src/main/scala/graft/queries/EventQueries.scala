@@ -585,6 +585,63 @@ object EventQueries {
       |WHERE rn = 1 AND op <> 'D'
       |ORDER BY user_id""".stripMargin
 
+  /** U9: time-travel read — the state of the e14 change log AS OF a
+    * past version cutoff (Delta/Iceberg "VERSION AS OF" semantics on
+    * a raw CDC log): filter the log to versions <= the cutoff, then
+    * last-writer-wins with tombstones dropped. The cutoff itself is
+    * data-derived (the median event instant — a 1-row broadcast), so
+    * the query replays identically on both engines. One key shuffle
+    * for the per-key compaction; the filter prunes BEFORE the shuffle,
+    * so reading an old snapshot costs less than reading the head. */
+  val u9TimeTravel: Q = (s, dir) => {
+    import s.implicits._
+    val byInstant = Window.partitionBy($"user_id", $"tus")
+      .orderBy($"event_id".desc)
+    val log = Tables.load(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        floor($"value" / 10.0).cast("long").as("tier"),
+        when($"event_type" === "error", "D").otherwise("U").as("op"))
+      .withColumn("rn", row_number().over(byInstant))
+      .filter($"rn" === 1)
+      .select($"user_id", $"tier", $"tus".as("version"), $"op")
+    val cutoff = graft.operators.Ranking
+      .globalRowNumber(log.select($"version"), Seq($"version".asc), "r")
+      .crossJoin(broadcast(log.agg(count(lit(1)).as("n"))))
+      .filter($"r" === expr("(n + 1) DIV 2"))
+      .select($"version".as("cut"))
+    graft.operators.Cdc
+      .compact(log.crossJoin(broadcast(cutoff)).filter($"version" <= $"cut")
+        .drop("cut"), Seq("user_id"))
+      .filter($"op" =!= "D")
+      .select($"user_id", $"tier", $"version")
+      .orderBy($"user_id")
+  }
+
+  val u9TimeTravelSql: String =
+    """WITH log AS (
+      |  SELECT user_id, tier, tus AS version, op FROM (
+      |    SELECT user_id, epoch_us(ts) AS tus,
+      |      CAST(floor(value / 10.0) AS BIGINT) AS tier,
+      |      CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |      row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+      |                         ORDER BY event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1),
+      |cut AS (
+      |  SELECT version AS cut FROM (
+      |    SELECT version, row_number() OVER (ORDER BY version) AS r,
+      |      count(*) OVER () AS n
+      |    FROM log)
+      |  WHERE r = (n + 1) // 2),
+      |hist AS (SELECT l.* FROM log l, cut c WHERE l.version <= c.cut),
+      |last AS (
+      |  SELECT user_id, tier, version, op,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY version DESC, op DESC) AS rn
+      |  FROM hist)
+      |SELECT user_id, tier, version FROM last
+      |WHERE rn = 1 AND op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
   /** SK2: salted replicate join — the sk1 pattern's JOIN form. The
     * events fact joins a per-type dim through Skew.saltedJoin: the
     * fact side gets a deterministic salt from hash(event_id), the dim
@@ -830,6 +887,7 @@ object EventQueries {
     "sk2_salted_join" -> sk2SaltedJoin,
     "e7_stream_static" -> e7StreamStatic,
     "e14_stream_merge_sink" -> e14StreamMergeSink,
+    "u9_time_travel" -> u9TimeTravel,
   )
 
   val oracle: Map[String, String] = Map(
@@ -850,6 +908,7 @@ object EventQueries {
     "an23_robust_outliers" -> an23RobustOutliersSql,
     "sk2_salted_join" -> sk2SaltedJoinSql,
     "e14_stream_merge_sink" -> e14StreamMergeSinkSql,
+    "u9_time_travel" -> u9TimeTravelSql,
     "e7_stream_static" -> e7StreamStaticSql,
     "an4_approx_distinct" -> an4ApproxDistinctSql,
     "an7_approx_quantiles" -> an7ApproxQuantilesSql,

@@ -214,6 +214,41 @@ object TextPipeline {
       |       ELSE 'test' END AS split
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** M6: media exact dedup by content digest — the LAION-style image
+    * dedup step: identical binary payloads collapse to one canonical
+    * media row regardless of their metadata. Duplicate payloads are
+    * planted (every 9th document's bytes re-registered under a new
+    * media id); grouping is ONE map-side-combined aggregate on the
+    * 32-byte digest — the payload bytes never shuffle, only digests
+    * do, which is what makes content-hash dedup the first pass of any
+    * multimodal pipeline at 100 TB. */
+  val m6MediaDedup: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables.load(s, dir, "documents")
+      .select($"doc_id".as("media_id"), encode($"text", "UTF-8").as("payload"))
+    val media = base.unionByName(
+      base.filter($"media_id" % 9 === 0)
+        .select(($"media_id" + 700000).as("media_id"), $"payload"))
+    media
+      .select($"media_id", sha2($"payload", 256).as("digest"),
+        length($"payload").cast("long").as("n_bytes"))
+      .groupBy($"digest", $"n_bytes")
+      .agg(min($"media_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .filter($"n_copies" > 1)
+      .orderBy($"canonical_id")
+  }
+
+  val m6MediaDedupSql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 700000, text FROM documents WHERE doc_id % 9 = 0)
+      |SELECT sha256(text) AS digest,
+      |  octet_length(text::BLOB) AS n_bytes,
+      |  min(media_id) AS canonical_id, count(*) AS n_copies
+      |FROM media GROUP BY 1, 2 HAVING count(*) > 1
+      |ORDER BY canonical_id""".stripMargin
+
   /** T26: leakage-safe train/val/test split — t5's hash-bucket rule
     * keyed on the NEAR-DUP CLUSTER id instead of the document id, so a
     * near-duplicate pair can never straddle train and test (the eval-
@@ -1598,6 +1633,7 @@ object TextPipeline {
     "c1_curate"        -> c1Curate,
     "c3_curation_funnel" -> c3CurationFunnel,
     "t26_leakage_safe_split" -> t26LeakageSafeSplit,
+    "m6_media_dedup" -> m6MediaDedup,
     "d1_exact_dedup"   -> d1ExactDedup,
     "d2_minhash_lsh"   -> d2Minhash,
     "d3_simhash"       -> d3Simhash,
@@ -1644,6 +1680,7 @@ object TextPipeline {
     "c1_curate"        -> c1CurateSql,
     "c3_curation_funnel" -> c3CurationFunnelSql,
     "t26_leakage_safe_split" -> t26LeakageSafeSplitSql,
+    "m6_media_dedup" -> m6MediaDedupSql,
     "d1_exact_dedup"   -> d1ExactDedupSql,
     "d2_minhash_lsh"   -> d2MinhashSql,
     "d3_simhash"       -> d3SimhashSql,

@@ -88,8 +88,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "c2_quality_gate", // c2: ONE-ROW broadcast threshold crossJoin
       // t25: BPE vocab rounds crossJoin their ONE-ROW broadcast winner
       // (t24's plan hides them behind the per-round checkpoint);
-      // an25: ONE-ROW broadcast user-count crossJoin for the ranks
-      "t25_bpe_tokenize", "an25_convert_latency")
+      // an25: ONE-ROW broadcast user-count crossJoin for the ranks;
+      // u9: ONE-ROW broadcast count + cutoff crossJoins (same pattern)
+      "t25_bpe_tokenize", "an25_convert_latency", "u9_time_travel")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(PlanAudit.excluded.contains).flatMap { name =>
         val plan = sparkPlan(name).toString
