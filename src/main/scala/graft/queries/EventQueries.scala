@@ -585,6 +585,97 @@ object EventQueries {
       |WHERE rn = 1 AND op <> 'D'
       |ORDER BY user_id""".stripMargin
 
+  /** AN26: exact rolling active users — DAU and trailing-7-day WAU per
+    * day, the product-analytics staple. The EXACT distributed form:
+    * reduce to distinct (user, day) first (the only corpus-sized
+    * shuffle), then fan each activity day out to the ≤7 window days it
+    * contributes to and count distinct per window day — a bounded 7×
+    * expansion of the already-deduplicated relation, never a
+    * collect_set over users. Days are integer epoch days, identical
+    * arithmetic on both engines; window days with no direct activity
+    * drop out of the inner join on both sides. */
+  val an26RollingActive: Q = (s, dir) => {
+    import s.implicits._
+    val ud = Tables.load(s, dir, "events")
+      .select($"user_id",
+        expr("CAST(floor(unix_micros(ts) / 86400000000.0) AS BIGINT)").as("dd"))
+      .distinct()
+    val dau = ud.groupBy($"dd").agg(countDistinct($"user_id").as("dau"))
+    val wau = ud
+      .select($"user_id", explode(expr("sequence(dd, dd + 6)")).as("wd"))
+      .distinct()
+      .groupBy($"wd").agg(countDistinct($"user_id").as("wau"))
+    dau.join(wau, $"dd" === $"wd")
+      .select($"dd".as("day_no"), $"dau", $"wau")
+      .orderBy($"day_no")
+  }
+
+  val an26RollingActiveSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS dd
+      |  FROM events),
+      |dau AS (SELECT dd, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+      |fan AS (
+      |  SELECT DISTINCT user_id, dd + x.x AS wd
+      |  FROM ud, (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS x) x),
+      |wau AS (SELECT wd, count(DISTINCT user_id) AS wau FROM fan GROUP BY 1)
+      |SELECT d.dd AS day_no, d.dau, w.wau
+      |FROM dau d JOIN wau w ON d.dd = w.wd
+      |ORDER BY day_no""".stripMargin
+
+  /** E15: checkpointed source progress — exactly-once across RESTARTS.
+    * Two separate streaming runs share one checkpointLocation: the
+    * first drains phase-A files, the query STOPS, phase-B files land,
+    * and the resumed query processes ONLY the new files (the source's
+    * committed offsets live in the checkpoint). Batch partial
+    * aggregates fold into the running state with Cdc.mergePartialAggs
+    * (the u8 algebraic merge — O(batch + groups), no rescan). The
+    * oracle is the batch aggregate over ALL events: if the resumed run
+    * re-processed phase A, every phase-A row would double-count and
+    * the hash compare would fail — the gate itself proves the
+    * exactly-once property. */
+  val e15CheckpointResume: Q = (s, dir) => {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-e15")
+    val data = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_id", $"event_type",
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_scaled"))
+    ev.filter($"event_id" % 2 === 0).drop("event_id")
+      .write.mode("overwrite").parquet(data)
+    var state: DataFrame = null
+    def drain(): Unit = {
+      val stream = s.readStream.schema(ev.drop("event_id").schema).parquet(data)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: java.lang.Long) =>
+          val part = batch.groupBy($"event_type")
+            .agg(count(lit(1)).as("cnt_n"), sum($"v_scaled").as("sum_v"))
+            .localCheckpoint()
+          state = (if (state == null) part
+            else graft.operators.Cdc.mergePartialAggs(state, part, Seq("event_type")))
+            .localCheckpoint()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // run 1: phase A only
+    ev.filter($"event_id" % 2 === 1).drop("event_id")
+      .write.mode("append").parquet(data)
+    drain() // run 2 resumes from the checkpoint: ONLY phase B
+    state.select($"event_type", $"cnt_n".as("n"), $"sum_v".as("value_scaled"))
+      .orderBy($"event_type")
+  }
+
+  val e15CheckpointResumeSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_scaled
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** U9: time-travel read — the state of the e14 change log AS OF a
     * past version cutoff (Delta/Iceberg "VERSION AS OF" semantics on
     * a raw CDC log): filter the log to versions <= the cutoff, then
@@ -888,6 +979,8 @@ object EventQueries {
     "e7_stream_static" -> e7StreamStatic,
     "e14_stream_merge_sink" -> e14StreamMergeSink,
     "u9_time_travel" -> u9TimeTravel,
+    "an26_rolling_active" -> an26RollingActive,
+    "e15_checkpoint_resume" -> e15CheckpointResume,
   )
 
   val oracle: Map[String, String] = Map(
@@ -909,6 +1002,8 @@ object EventQueries {
     "sk2_salted_join" -> sk2SaltedJoinSql,
     "e14_stream_merge_sink" -> e14StreamMergeSinkSql,
     "u9_time_travel" -> u9TimeTravelSql,
+    "an26_rolling_active" -> an26RollingActiveSql,
+    "e15_checkpoint_resume" -> e15CheckpointResumeSql,
     "e7_stream_static" -> e7StreamStaticSql,
     "an4_approx_distinct" -> an4ApproxDistinctSql,
     "an7_approx_quantiles" -> an7ApproxQuantilesSql,
