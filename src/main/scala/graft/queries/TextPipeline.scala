@@ -214,6 +214,65 @@ object TextPipeline {
       |       ELSE 'test' END AS split
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** D14: blocked fuzzy join — entity-resolution by edit distance,
+    * the dedup family member set-similarity (d13) can't express
+    * (lev ≤ 1 catches single-typo variants that share almost no
+    * shingles at short lengths). ALL-pairs levenshtein is O(n²·len²);
+    * the blocking rule makes it linear-ish: a single edit on a word of
+    * length ≥ 4 cannot touch BOTH the first two and the last two
+    * characters, so every lev ≤ 1 pair (length diff ≤ 1) shares a
+    * (prefix2, len-bucket) or (suffix2, len-bucket) blocking key —
+    * provably no false negatives (spec checks against brute force).
+    * Candidates from a self-join on exploded keys, exact levenshtein
+    * verify after. Typos are planted on the vocab (first char → 'z'
+    * for every 7th distinct word) since the dictionary corpus has few
+    * natural near-words; the oracle replays the same injection. */
+  val d14FuzzyJoin: Q = (s, dir) => {
+    import s.implicits._
+    val vocab0 = Tables.load(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 4).distinct()
+    // rank the vocab (tiny relation) to pick every 7th word for typos
+    val typos = graft.operators.Ranking
+      .globalRowNumber(vocab0, Seq($"w".asc), "r")
+      .filter($"r" % 7 === 0)
+      .select(concat(lit("z"), substring($"w", 2, 1000)).as("w"))
+    val vocab = vocab0.unionByName(typos).distinct()
+    val keys = vocab.select($"w", explode(expr(
+      "array(concat('p:', substring(w, 1, 2), ':', CAST(length(w) AS STRING)), " +
+        "concat('p:', substring(w, 1, 2), ':', CAST(length(w) + 1 AS STRING)), " +
+        "concat('s:', substring(w, -2, 2), ':', CAST(length(w) AS STRING)), " +
+        "concat('s:', substring(w, -2, 2), ':', CAST(length(w) + 1 AS STRING)))"))
+      .as("k"))
+    keys.as("a").join(keys.as("b"), $"a.k" === $"b.k" && $"a.w" < $"b.w")
+      .select($"a.w".as("w1"), $"b.w".as("w2")).distinct()
+      .filter(levenshtein($"w1", $"w2") <= 1)
+      .orderBy($"w1", $"w2")
+  }
+
+  val d14FuzzyJoinSql: String =
+    """WITH v0 AS (
+      |  SELECT DISTINCT word AS w FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) >= 4),
+      |ranked AS (
+      |  SELECT w, row_number() OVER (ORDER BY w) AS r FROM v0),
+      |typos AS (
+      |  SELECT 'z' || substr(w, 2) AS w FROM ranked WHERE r % 7 = 0),
+      |vocab AS (SELECT w FROM v0 UNION SELECT w FROM typos),
+      |keys AS (
+      |  SELECT w, unnest([
+      |    'p:' || substr(w, 1, 2) || ':' || length(w)::VARCHAR,
+      |    'p:' || substr(w, 1, 2) || ':' || (length(w) + 1)::VARCHAR,
+      |    's:' || substr(w, -2) || ':' || length(w)::VARCHAR,
+      |    's:' || substr(w, -2) || ':' || (length(w) + 1)::VARCHAR]) AS k
+      |  FROM vocab),
+      |cand AS (
+      |  SELECT DISTINCT a.w AS w1, b.w AS w2
+      |  FROM keys a JOIN keys b ON a.k = b.k AND a.w < b.w)
+      |SELECT w1, w2 FROM cand WHERE levenshtein(w1, w2) <= 1
+      |ORDER BY w1, w2""".stripMargin
+
   /** M6: media exact dedup by content digest — the LAION-style image
     * dedup step: identical binary payloads collapse to one canonical
     * media row regardless of their metadata. Duplicate payloads are
@@ -1634,6 +1693,7 @@ object TextPipeline {
     "c3_curation_funnel" -> c3CurationFunnel,
     "t26_leakage_safe_split" -> t26LeakageSafeSplit,
     "m6_media_dedup" -> m6MediaDedup,
+    "d14_fuzzy_join" -> d14FuzzyJoin,
     "d1_exact_dedup"   -> d1ExactDedup,
     "d2_minhash_lsh"   -> d2Minhash,
     "d3_simhash"       -> d3Simhash,
@@ -1681,6 +1741,7 @@ object TextPipeline {
     "c3_curation_funnel" -> c3CurationFunnelSql,
     "t26_leakage_safe_split" -> t26LeakageSafeSplitSql,
     "m6_media_dedup" -> m6MediaDedupSql,
+    "d14_fuzzy_join" -> d14FuzzyJoinSql,
     "d1_exact_dedup"   -> d1ExactDedupSql,
     "d2_minhash_lsh"   -> d2MinhashSql,
     "d3_simhash"       -> d3SimhashSql,

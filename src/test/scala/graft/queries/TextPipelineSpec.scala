@@ -93,6 +93,40 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(frac("test") / n > 0.05 && frac("test") / n < 0.15)
   }
 
+  test("d14: prefix/suffix blocking loses no lev<=1 pair (vs brute force)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = (0 until 120).map(_ =>
+      (0 until (4 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      .distinct
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- words; b <- words if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    // replicate the d14 candidate blocking + verify inline on this vocab
+    val vocab = words.toDF("w")
+    val keys = vocab.selectExpr("w",
+      """explode(array(
+        |  concat('p:', substring(w, 1, 2), ':', CAST(length(w) AS STRING)),
+        |  concat('p:', substring(w, 1, 2), ':', CAST(length(w) + 1 AS STRING)),
+        |  concat('s:', substring(w, -2, 2), ':', CAST(length(w) AS STRING)),
+        |  concat('s:', substring(w, -2, 2), ':', CAST(length(w) + 1 AS STRING)))) AS k""".stripMargin)
+    import org.apache.spark.sql.functions.levenshtein
+    val blocked = keys.as("a").join(keys.as("b"), $"a.k" === $"b.k" && $"a.w" < $"b.w")
+      .select($"a.w", $"b.w").distinct()
+      .filter(levenshtein($"a.w", $"b.w") <= 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty) // the alphabet-3 vocab must actually produce pairs
+  }
+
   test("t26: no near-dup cluster straddles splits") {
     import spark.implicits._
     val out = TextPipeline.t26LeakageSafeSplit(spark, sf)
