@@ -327,7 +327,72 @@ object StarSchemaQueries {
       |QUALIFY o_orderkey % 97 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** J10: co-bucketed join run THROUGH the gate — both sides persisted
+    * `bucketBy(8, key)` external tables, then joined and aggregated.
+    * The shuffle-free plan proof (SortMergeJoin with NO Exchange under
+    * disabled broadcast) lives in BucketingSpec; this query proves the
+    * bucketed path returns exactly the plain join's RESULTS — bucketed
+    * layout must be invisible to semantics while removing both sides'
+    * join shuffles, which at 100 TB is the difference between a
+    * co-located merge and re-shuffling the fact table every query. */
+  val j10BucketedJoin: Q = (s, dir) => {
+    import s.implicits._
+    val dec = DecimalType(18, 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-j10").toString
+    val orders = Tables.load(s, dir, "orders").select($"o_custkey", $"o_totalprice")
+    val customer = Tables.load(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+    s.sql("DROP TABLE IF EXISTS j10_orders")
+    s.sql("DROP TABLE IF EXISTS j10_customer")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$tmp/o").mode("overwrite").saveAsTable("j10_orders")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$tmp/c").mode("overwrite").saveAsTable("j10_customer")
+    s.table("j10_orders")
+      .join(s.table("j10_customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast(dec)), 2).cast("double").as("total_price"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val j10BucketedJoinSql: String =
+    """SELECT c.c_mktsegment, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+      |    AS total_price
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** AN27: training-mix diversity report — per-source share (integer
+    * basis points) and Shannon surprise −p·log2(p), the entropy terms
+    * a mixture planner monitors when rebalancing (t12). p is a
+    * division of the SAME two integers on both engines (one IEEE op),
+    * and log2-of-identical-double at round-6 is the proven t19
+    * pattern. The corpus reduces to one row per SOURCE first (the
+    * bounded mixture domain), so the total via `sum over ()` runs on
+    * a dozens-row relation — the t12/domainMix shape, not a
+    * corpus-sized single-partition window. */
+  val an27MixEntropy: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n_s"))
+      .withColumn("total", expr("sum(n_s) over ()"))
+      .select($"source", $"n_s",
+        expr("n_s * 10000 DIV total").as("share_bp"),
+        expr("round(-(CAST(n_s AS DOUBLE) / total) * log2(CAST(n_s AS DOUBLE) / total), 6)")
+          .as("surprise"))
+      .orderBy($"source")
+  }
+
+  val an27MixEntropySql: String =
+    """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS total FROM c)
+      |SELECT source, n_s, n_s * 10000 // total AS share_bp,
+      |  round(-(n_s::DOUBLE / total) * log2(n_s::DOUBLE / total), 6) AS surprise
+      |FROM c, t ORDER BY source""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "j10_bucketed_join" -> j10BucketedJoin,
+    "an27_mix_entropy"  -> an27MixEntropy,
     "j2_word_bridge"    -> j2WordBridge,
     "j3_type_bridge"    -> j3TypeBridge,
     "u2_union_by_name"  -> u2UnionByName,
@@ -342,6 +407,8 @@ object StarSchemaQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "j10_bucketed_join" -> j10BucketedJoinSql,
+    "an27_mix_entropy"  -> an27MixEntropySql,
     "j2_word_bridge"    -> j2WordBridgeSql,
     "j3_type_bridge"    -> j3TypeBridgeSql,
     "u2_union_by_name"  -> u2UnionByNameSql,
