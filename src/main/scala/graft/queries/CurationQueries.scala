@@ -265,6 +265,58 @@ object CurationQueries {
     * points). Pins SRP-LSH retrieval QUALITY, not just its plan shape;
     * at scale this runs on a sample of queries (here: the 5 gate
     * queries). */
+  /** N15: retrieval ranking metrics — where does the approximate
+    * (LSH) ranking place each query's TRUE nearest neighbor? Emits
+    * the rank-of-true (0 = missed), reciprocal rank in integer basis
+    * points (MRR's per-query term), and the round-6 DCG discount
+    * 1/log2(rank+1) — the eval harness an ANN pipeline runs next to
+    * its recall gate (n8/n9). Ranks are total-ordered (cos desc,
+    * vec_id) on both engines; the discount is log2 of a small
+    * identical integer, the t19-proven parity pattern. */
+  val n15RankMetrics: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter($"vec_id" < 5)
+    val rel = graft.operators.Similarity.cosineTopK(emb, q, k = 1)
+      .select($"qid", $"vec_id".as("rel_id"))
+    val approx = graft.operators.Similarity
+      .lshTopK(emb, q, dim = 64, nBits = 6, k = 10)
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")).cast("long"))
+      .select($"qid".as("aqid"), $"vec_id", $"r")
+    rel.join(approx, $"qid" === $"aqid" && $"rel_id" === $"vec_id", "left")
+      .select($"qid",
+        coalesce($"r", lit(0L)).as("rank_of_true"),
+        when($"r".isNotNull, expr("10000 DIV r")).otherwise(lit(0L)).as("rr_bp"),
+        when($"r".isNotNull,
+          expr("round(1.0 / log2(CAST(r + 1 AS DOUBLE)), 6)"))
+          .otherwise(lit(0.0)).as("dcg"))
+      .orderBy($"qid")
+  }
+
+  lazy val n15RankMetricsSql: String =
+    s"""WITH $lshScoredCtes,
+       |approx AS (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS r
+       |  FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10),
+       |escored AS (
+       |  SELECT q.qid, e.vec_id,
+       |    round(list_dot_product(q.qv, e.v) /
+       |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+       |  FROM e, q WHERE e.vec_id <> q.qid),
+       |rel AS (
+       |  SELECT qid, vec_id AS rel_id FROM escored
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) = 1)
+       |SELECT rel.qid, coalesce(a.r, 0) AS rank_of_true,
+       |  CASE WHEN a.r IS NOT NULL THEN 10000 // a.r ELSE 0 END AS rr_bp,
+       |  CASE WHEN a.r IS NOT NULL
+       |       THEN round(1.0 / log2(CAST(a.r + 1 AS DOUBLE)), 6) ELSE 0.0 END AS dcg
+       |FROM rel LEFT JOIN approx a ON rel.qid = a.qid AND rel.rel_id = a.vec_id
+       |ORDER BY rel.qid""".stripMargin
+
   val n9LshRecall: Q = (s, dir) => {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
@@ -773,6 +825,7 @@ object CurationQueries {
     "n4_quantize"     -> n4Quantize,
     "n5_ann_lsh"      -> n5AnnLsh,
     "n9_lsh_recall"   -> n9LshRecall,
+    "n15_rank_metrics" -> n15RankMetrics,
     "n14_jl_recall"   -> n14JlRecall,
     "t13_decontaminate" -> t13Decontaminate,
     "t15_url_extract" -> t15UrlExtract,
@@ -793,6 +846,7 @@ object CurationQueries {
     "n4_quantize"     -> n4QuantizeSql,
     "n5_ann_lsh"      -> n5AnnLshSql,
     "n9_lsh_recall"   -> n9LshRecallSql,
+    "n15_rank_metrics" -> n15RankMetricsSql,
     "n14_jl_recall"   -> n14JlRecallSql,
     "t13_decontaminate" -> t13DecontaminateSql,
     "t15_url_extract" -> t15UrlExtractSql,
