@@ -488,7 +488,37 @@ object CoreRelational {
       |GROUP BY GROUPING SETS ((st, pri), (st), (pri), ())
       |ORDER BY gid, st, pri""".stripMargin
 
+  /** A7: in-flight pipeline metrics via the `observe()` API — the
+    * production way to audit a pass WITHOUT a second scan: named
+    * aggregates ride along the main action as accumulators and are
+    * read back on the driver after it completes. Here one filtered
+    * count is the "real work"; total rows and total quantity (exact
+    * DECIMAL) are observed on the SAME scan. At 100 TB this replaces
+    * the companion audit query — zero extra reads, per-batch metrics
+    * for free. The observed values and the action result are emitted
+    * as a 1-row relation the oracle recomputes directly. */
+  val a7ObservedMetrics: Q = (s, dir) => {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val li = Tables.load(s, dir, "lineitem")
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(18,4)")).as("total_qty"))
+    val kept = li.filter($"l_quantity" > 25).count() // the observed action
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long],
+        m("total_qty").asInstanceOf[java.math.BigDecimal].doubleValue(),
+        kept))
+      .toDF("n_rows", "total_qty", "n_over_25")
+  }
+
+  val a7ObservedMetricsSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+      |  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_25
+      |FROM lineitem""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "a7_observed_metrics" -> a7ObservedMetrics,
     "j8_snapshot_diff"  -> j8SnapshotDiff,
     "an18_grouping_sets" -> an18GroupingSets,
     "q1_agg"            -> q1Agg,
@@ -510,6 +540,7 @@ object CoreRelational {
   )
 
   val oracle: Map[String, String] = Map(
+    "a7_observed_metrics" -> a7ObservedMetricsSql,
     "j8_snapshot_diff"  -> j8SnapshotDiffSql,
     "an18_grouping_sets" -> an18GroupingSetsSql,
     "q1_agg"            -> q1AggSql,

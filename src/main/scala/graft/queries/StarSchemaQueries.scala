@@ -390,9 +390,53 @@ object StarSchemaQueries {
       |  round(-(n_s::DOUBLE / total) * log2(n_s::DOUBLE / total), 6) AS surprise
       |FROM c, t ORDER BY source""".stripMargin
 
+  /** AN29: decile lift table — orders ranked into value deciles (the
+    * an3 two-phase globalNtile, never a single-task window), then each
+    * decile's average order value against the global average as an
+    * integer lift in basis points. Money is exact integer cents
+    * (round(×100) of a 2-decimal double is lossless); averages are
+    * integer floor-divisions so the lift replays bit-for-bit. The
+    * 10-row decile relation takes its global total through the
+    * bounded-domain `sum over ()` (the t12 shape). */
+  val an29DecileLift: Q = (s, dir) => {
+    import s.implicits._
+    val orders = Tables.load(s, dir, "orders")
+      .select($"o_orderkey",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    graft.operators.Ranking
+      .globalNtile(orders, Seq($"cents", $"o_orderkey"), buckets = 10, out = "decile")
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+      .withColumn("total_n", expr("sum(n) over ()"))
+      .withColumn("total_cents", expr("sum(sum_cents) over ()"))
+      .select($"decile".cast("long").as("decile"), $"n",
+        expr("sum_cents DIV n").as("avg_cents"),
+        expr("(sum_cents DIV n) * 10000 DIV (total_cents DIV total_n)").as("lift_bp"))
+      .orderBy($"decile")
+  }
+
+  val an29DecileLiftSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |t AS (
+      |  SELECT cents, ntile(10) OVER (ORDER BY cents, o_orderkey) AS decile FROM o),
+      |d AS (
+      |  SELECT decile, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |  FROM t GROUP BY 1),
+      |g AS (
+      |  SELECT *, CAST(sum(n) OVER () AS BIGINT) AS total_n,
+      |    CAST(sum(sum_cents) OVER () AS BIGINT) AS total_cents
+      |  FROM d)
+      |SELECT CAST(decile AS BIGINT) AS decile, n,
+      |  sum_cents // n AS avg_cents,
+      |  (sum_cents // n) * 10000 // (total_cents // total_n) AS lift_bp
+      |FROM g ORDER BY decile""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "j10_bucketed_join" -> j10BucketedJoin,
     "an27_mix_entropy"  -> an27MixEntropy,
+    "an29_decile_lift"  -> an29DecileLift,
     "j2_word_bridge"    -> j2WordBridge,
     "j3_type_bridge"    -> j3TypeBridge,
     "u2_union_by_name"  -> u2UnionByName,
@@ -409,6 +453,7 @@ object StarSchemaQueries {
   val oracle: Map[String, String] = Map(
     "j10_bucketed_join" -> j10BucketedJoinSql,
     "an27_mix_entropy"  -> an27MixEntropySql,
+    "an29_decile_lift"  -> an29DecileLiftSql,
     "j2_word_bridge"    -> j2WordBridgeSql,
     "j3_type_bridge"    -> j3TypeBridgeSql,
     "u2_union_by_name"  -> u2UnionByNameSql,
