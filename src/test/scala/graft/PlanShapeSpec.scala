@@ -89,8 +89,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // t25: BPE vocab rounds crossJoin their ONE-ROW broadcast winner
       // (t24's plan hides them behind the per-round checkpoint);
       // an25: ONE-ROW broadcast user-count crossJoin for the ranks;
-      // u9: ONE-ROW broadcast count + cutoff crossJoins (same pattern)
-      "t25_bpe_tokenize", "an25_convert_latency", "u9_time_travel")
+      // u9: ONE-ROW broadcast count + cutoff crossJoins (same pattern);
+      // an29 inherits an3's globalNtile ONE-ROW boundary crossJoin;
+      // n15 composes n1/n5's bounded 5-query broadcast fan-out (n9's
+      // allowlisted shape)
+      "t25_bpe_tokenize", "an25_convert_latency", "u9_time_travel",
+      "an29_decile_lift", "n15_rank_metrics")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(PlanAudit.excluded.contains).flatMap { name =>
         val plan = sparkPlan(name).toString
