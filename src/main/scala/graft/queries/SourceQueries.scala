@@ -168,6 +168,43 @@ object SourceQueries {
       |  count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids
       |FROM documents""".stripMargin
 
+  /** S17: malformed-record accounting — the PERMISSIVE read path every
+    * production ingest needs: a landing file where every 13th line is
+    * truncated/invalid JSON must not kill the job (FAILFAST) or vanish
+    * silently (DROPMALFORMED); bad lines surface in the corrupt-record
+    * column, good lines parse, and the quarantine ratio is an explicit
+    * output the pipeline can alert on. The corrupt lines are planted
+    * deterministically, so the oracle recomputes all three counters
+    * from the source table directly. */
+  val s17CorruptRecords: Q = (s, dir) => {
+    import s.implicits._
+    val out = tmp("graft-s17") + "/jsonl"
+    Tables.load(s, dir, "documents").select($"doc_id", $"n_chars")
+      .select(
+        when($"doc_id" % 13 === 0,
+          concat(lit("{\"doc_id\":"), $"doc_id", lit(",\"n_chars\":oops")))
+          .otherwise(to_json(struct($"doc_id", $"n_chars"))).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType),
+      StructField("_bad", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(out)
+      .agg(
+        sum(when($"_bad".isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when($"_bad".isNotNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(when($"_bad".isNull, $"n_chars")).as("sum_chars"))
+  }
+
+  val s17CorruptRecordsSql: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+      |  CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+      |  CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN n_chars END) AS BIGINT) AS sum_chars
+      |FROM documents""".stripMargin
+
   /** S10: plain-text line source — the rawest landing format a corpus
     * pipeline ingests (one document per line). Write → `spark.read
     * .text` round-trip; line order is filesystem-dependent, so the
@@ -285,6 +322,7 @@ object SourceQueries {
     "s14_partition_prune" -> s14PartitionPrune,
     "s15_dynamic_overwrite" -> s15DynamicOverwrite,
     "s16_compaction" -> s16Compaction,
+    "s17_corrupt_records" -> s17CorruptRecords,
     "s10_text_read" -> s10TextRead,
     "s11_merge_schema" -> s11MergeSchema,
     "s13_mongo_extjson" -> s13MongoExtjson,
@@ -298,6 +336,7 @@ object SourceQueries {
     "s14_partition_prune" -> s14PartitionPruneSql,
     "s15_dynamic_overwrite" -> s15DynamicOverwriteSql,
     "s16_compaction" -> s16CompactionSql,
+    "s17_corrupt_records" -> s17CorruptRecordsSql,
     "s10_text_read" -> s10TextReadSql,
     "s11_merge_schema" -> s11MergeSchemaSql,
     "s13_mongo_extjson" -> s13MongoExtjsonSql,
