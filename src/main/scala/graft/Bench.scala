@@ -23,7 +23,8 @@ object Bench {
     "d12_sorted_neighborhood", "t18_epoch_shuffle", "n12_ivf_pq",
     "d13_prefix_simjoin", "t19_bigram_lm", "t20_repeated_spans",
     "n14_jl_recall",
-    "t22_segment_dedup", "an22_type_overlap", "t23_curriculum")
+    "t22_segment_dedup", "an22_type_overlap", "t23_curriculum",
+    "t24_bpe_merges")
 
   /** Minimum repetitions per query; reported time is the median, so
     * single-run jitter (JIT, GC, page cache) can't masquerade as a
