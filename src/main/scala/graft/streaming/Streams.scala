@@ -24,7 +24,16 @@ object Streams {
       .schema(Schemas.articleSchema)
       .json(landingDir)
 
-  /** e1's streaming form: event-time tumbling window with watermark. */
+  /** e1's streaming form: event-time tumbling window with watermark.
+    *
+    * Domain boundary (found by the full-gate adversarial sweep): ANY
+    * watermarked operator starts with the watermark at epoch 0, so
+    * events with NEGATIVE epoch timestamps (pre-1970) are born late
+    * and silently dropped in the first batch — a batch oracle counts
+    * them, the stream doesn't. Watermarked streaming here is defined
+    * for post-epoch event time only; pre-epoch history belongs to the
+    * batch operators (e1/e2/e3), which handle it exactly (their floor-
+    * aligned oracles are adversarially tested on pre-1970 rows). */
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
