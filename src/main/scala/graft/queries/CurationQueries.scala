@@ -811,7 +811,59 @@ object CurationQueries {
        |FROM inst2 i JOIN vocab3 v USING (word)
        |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
 
+  /** T27: epoch upsampling plan — the data-recipe counterpart of t12's
+    * downsampling: high-value sources REPEAT across training epochs
+    * (factor 1.0×/1.5×/2.0× by source index here). The integer part of
+    * the factor repeats every document; the fractional part selects a
+    * deterministic md5-bucket subset (the t5/t12 salted-hash rule), so
+    * the same doc gets the same repeat count on every run, engine, and
+    * partitioning. The plan MATERIALIZES as one row per repeat (the
+    * explode a training loader consumes) and is reported per source:
+    * effective factor must hit the requested one in expectation. */
+  val t27UpsamplePlan: Q = (s, dir) => {
+    import s.implicits._
+    val plan = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source")
+      .withColumn("factor_bp",
+        expr("10000 + 5000 * (CAST(substr(source, 4) AS BIGINT) % 3)"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(lit("up:"), $"doc_id".cast("string"))), 1, 10),
+          16, 10).cast("long"), lit(10000L)))
+      .withColumn("n_repeats",
+        expr("factor_bp DIV 10000 + CASE WHEN bucket < factor_bp % 10000 THEN 1 ELSE 0 END"))
+    plan
+      .select($"doc_id", $"source", $"factor_bp",
+        explode(expr("sequence(1, CAST(n_repeats AS INT))")).as("copy_no"))
+      .groupBy($"source", $"factor_bp")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_rows"))
+      .select($"source", $"factor_bp", $"n_docs", $"n_rows",
+        expr("n_rows * 10000 DIV n_docs").as("effective_bp"))
+      .orderBy($"source")
+  }
+
+  val t27UpsamplePlanSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, source,
+      |    10000 + 5000 * (CAST(substr(source, 4) AS BIGINT) % 3) AS factor_bp,
+      |    ('0x' || substr(md5('up:' || doc_id::VARCHAR), 1, 10))::BIGINT % 10000 AS bucket
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, factor_bp,
+      |    factor_bp // 10000
+      |      + CASE WHEN bucket < factor_bp % 10000 THEN 1 ELSE 0 END AS n_repeats
+      |  FROM p),
+      |x AS (
+      |  SELECT doc_id, source, factor_bp
+      |  FROM r, (SELECT unnest(range(2)) AS c) c
+      |  WHERE c.c < n_repeats)
+      |SELECT source, factor_bp,
+      |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_rows,
+      |  count(*) * 10000 // count(DISTINCT doc_id) AS effective_bp
+      |FROM x GROUP BY 1, 2 ORDER BY source""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "t27_upsample_plan" -> t27UpsamplePlan,
     "t24_bpe_merges" -> t24BpeMerges,
     "t25_bpe_tokenize" -> t25BpeTokenize,
     "t22_segment_dedup" -> t22SegmentDedup,
@@ -834,6 +886,7 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "t27_upsample_plan" -> t27UpsamplePlanSql,
     "t24_bpe_merges" -> t24BpeMergesSql,
     "t25_bpe_tokenize" -> t25BpeTokenizeSql,
     "t22_segment_dedup" -> t22SegmentDedupSql,
