@@ -87,4 +87,13 @@ object Writers {
     articles.write.mode("overwrite")
       .partitionBy("TopicID")
       .parquet(path)
+
+  /** Best-effort recursive delete for the temp dirs queries/tests
+    * stage scratch data in — keeps repeated Bench runs from
+    * accumulating temp output. */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
+  }
 }

@@ -409,6 +409,14 @@ object Corpus {
 
   /** Learned merges AND the post-merge vocabulary (word, syms, n) —
     * the tokenizer-application side of [[bpeMerges]] (t25). */
+  /** Checkpoint the evolving vocab every this many merge rounds: each
+    * round stacks one crossJoin+aggregate layer on the vocab lineage,
+    * so at tokenizer scale (32k merges) an unchecked plan would grow
+    * O(rounds) deep. Periodic eager localCheckpoints bound the live
+    * plan depth to O(BpeCheckpointEvery) while costing one vocab-sized
+    * materialization per N rounds. */
+  private val BpeCheckpointEvery = 8
+
   def bpeTrain(docs: DataFrame, textCol: String,
       rounds: Int): (DataFrame, DataFrame) = {
     var vocab = docs
@@ -418,7 +426,10 @@ object Corpus {
       .select(col("word"), split(col("word"), "").as("syms"), col("n"))
       // one corpus pass; rounds replay only this vocab-sized relation
       .localCheckpoint()
-    val winners = (1 to rounds).map { r =>
+    val winners = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val winner = vocab
         .filter(size(col("syms")) >= 2)
         .select(col("n"), explode(expr(
@@ -432,16 +443,42 @@ object Corpus {
         // the next round's apply, and later rounds nest on it — lazy,
         // the plan tree would double per round
         .localCheckpoint()
-      vocab = vocab.crossJoin(broadcast(winner.select(col("p1"), col("p2"))))
-        .select(col("word"), expr(
-          "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
-            "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = p1 AND x = p2 " +
-            "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(p1, p2))) " +
-            "ELSE concat(acc, array(x)) END)").as("syms"),
-          col("n"))
-      winner.select(lit(r.toLong).as("round"), col("p1"), col("p2"), col("weight"))
+      if (winner.isEmpty) {
+        // no adjacent pair left to merge (all-single-symbol corpus, or
+        // rounds > learnable merges). Cross-joining the EMPTY winner
+        // would silently wipe the vocab for every remaining round and
+        // zero out downstream tokenization — keep the vocab under the
+        // merges actually learned and stop training instead.
+        exhausted = true
+      } else {
+        vocab = vocab.crossJoin(broadcast(winner.select(col("p1"), col("p2"))))
+          .select(col("word"), expr(
+            "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
+              "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = p1 AND x = p2 " +
+              "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(p1, p2))) " +
+              "ELSE concat(acc, array(x)) END)").as("syms"),
+            col("n"))
+        if (r % BpeCheckpointEvery == 0) vocab = vocab.localCheckpoint()
+        winners += winner.select(
+          lit(r.toLong).as("round"), col("p1"), col("p2"), col("weight"))
+        r += 1
+      }
     }
-    (winners.reduce(_.unionByName(_)).orderBy(col("round")), vocab)
+    val merges =
+      if (winners.isEmpty) {
+        val s = docs.sparkSession
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("round",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("p1",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("p2",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("weight",
+              org.apache.spark.sql.types.LongType))))
+      } else winners.reduce(_.unionByName(_)).orderBy(col("round"))
+    (merges, vocab)
   }
 
   /** Tokenize the corpus with the learned merges: per document, the

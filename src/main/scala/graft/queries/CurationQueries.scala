@@ -258,13 +258,6 @@ object CurationQueries {
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10
        |ORDER BY qid, cos DESC, vec_id""".stripMargin
 
-  /** N9: recall@10 of the SRP-LSH index against exact brute force —
-    * n8's quality gate for the SECOND ANN path: hamming-1 multiprobe
-    * over 6-bit sign buckets, measured against the same fully
-    * tie-broken exact ranking, so recall is an exact integer (basis
-    * points). Pins SRP-LSH retrieval QUALITY, not just its plan shape;
-    * at scale this runs on a sample of queries (here: the 5 gate
-    * queries). */
   /** N15: retrieval ranking metrics — where does the approximate
     * (LSH) ranking place each query's TRUE nearest neighbor? Emits
     * the rank-of-true (0 = missed), reciprocal rank in integer basis
@@ -317,6 +310,13 @@ object CurationQueries {
        |FROM rel LEFT JOIN approx a ON rel.qid = a.qid AND rel.rel_id = a.vec_id
        |ORDER BY rel.qid""".stripMargin
 
+  /** N9: recall@10 of the SRP-LSH index against exact brute force —
+    * n8's quality gate for the SECOND ANN path: hamming-1 multiprobe
+    * over 6-bit sign buckets, measured against the same fully
+    * tie-broken exact ranking, so recall is an exact integer (basis
+    * points). Pins SRP-LSH retrieval QUALITY, not just its plan shape;
+    * at scale this runs on a sample of queries (here: the 5 gate
+    * queries). */
   val n9LshRecall: Q = (s, dir) => {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
@@ -689,7 +689,9 @@ object CurationQueries {
     * synthetic corpus is random word soup with near-zero natural
     * 10-word collisions, so the query plants guaranteed duplicates
     * the e12 way: full copies of every 10th document at doc_id +
-    * 500000. A copy's every segment loses first-occurrence to its
+    * 1000000 (the planted-duplicate offset convention every dup query
+    * shares — past any real doc_id). A copy's every segment loses
+    * first-occurrence to its
     * original, so copies come back with kept_segments = 0 and empty
     * cleaned_text while originals survive intact — duplicated SPANS
     * are removed surgically, not whole documents (contrast d1). */
@@ -698,7 +700,7 @@ object CurationQueries {
     val d0 = Tables.load(s, dir, "documents").select($"doc_id", $"text")
     val src = d0.unionByName(
       d0.filter($"doc_id" % 10 === 0)
-        .select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
     Corpus.segmentDedup(src, "doc_id", "text")
       .orderBy($"doc_id")
   }
@@ -707,7 +709,7 @@ object CurationQueries {
     """WITH src AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
       |base AS (
       |  SELECT doc_id, string_split(text, ' ') AS w,
       |    CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT) AS n_seg
@@ -743,8 +745,6 @@ object CurationQueries {
   val t24BpeMerges: Q = (s, dir) =>
     Corpus.bpeMerges(Tables.load(s, dir, "documents"), "text", rounds = 3)
 
-  /** One unrolled BPE merge round (winner wN + applied vocabOUT) —
-    * shared by the t24 and t25 oracles. */
   /** One unrolled BPE merge round (winner wN + applied vocabOUT) —
     * shared scaffolding of the t24 and t25 oracles. */
   private def bpeRound(n: Int, vin: String, vout: String): String =

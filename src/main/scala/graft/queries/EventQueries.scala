@@ -307,7 +307,12 @@ object EventQueries {
       q.processAllAvailable()
       sentinel(4102444860L)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // results live in the memory sink; the staged parquet replay
+      // dir is dead weight from here — don't leak it across Bench runs
+      graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
+    }
     s.table("e4_sessions").filter($"user_id" =!= -1L)
       .select($"user_id", $"session_start", $"session_end",
         $"n_events", $"value_scaled")
@@ -363,7 +368,10 @@ object EventQueries {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .format("memory").queryName("e6_attrib").start()
     try q.processAllAvailable()
-    finally q.stop()
+    finally {
+      q.stop()
+      graft.etl.Writers.deleteRecursively(base.toFile)
+    }
     s.table("e6_attrib")
       .select($"purchase_id", $"click_id", $"user_id", $"lag_us")
       .orderBy($"purchase_id", $"click_id")
@@ -561,7 +569,10 @@ object EventQueries {
     val stream = s.readStream.schema(log.schema)
       .option("maxFilesPerTrigger", "8") // force several micro-batches
       .parquet(tmp)
-    Streams.mergeSinkOnce(stream, keys = Seq("user_id"), redeliver = true)
+    val merged = Streams.mergeSinkOnce(stream, keys = Seq("user_id"), redeliver = true)
+    // state is localCheckpointed inside mergeSinkOnce; the replay dir is dead
+    graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
+    merged
       .filter($"op" =!= "D")
       .select($"user_id", $"tier", $"version")
       .orderBy($"user_id")
@@ -667,6 +678,8 @@ object EventQueries {
     ev.filter($"event_id" % 2 === 1).drop("event_id")
       .write.mode("append").parquet(data)
     drain() // run 2 resumes from the checkpoint: ONLY phase B
+    // state is localCheckpointed per batch; data + checkpoint dirs are dead
+    graft.etl.Writers.deleteRecursively(base.toFile)
     state.select($"event_type", $"cnt_n".as("n"), $"sum_v".as("value_scaled"))
       .orderBy($"event_type")
   }
@@ -812,7 +825,10 @@ object EventQueries {
       q.processAllAvailable()
       sentinel(4102444860L)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      graft.etl.Writers.deleteRecursively(base.toFile)
+    }
     s.table("e13_outer").filter($"user_id" =!= -1L)
       .select($"click_id", $"user_id", $"purchase_id",
         $"lag_us")
@@ -845,6 +861,7 @@ object EventQueries {
     val stream = s.readStream.schema(ev.schema).parquet(tmp)
     Streams.runOnce(Streams.enrichedTypeTotals(stream, typeDim),
       "e7_enriched", org.apache.spark.sql.streaming.OutputMode.Complete)
+    graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
     s.table("e7_enriched")
       .select($"event_type", $"weight", $"n", $"value_scaled")
       .orderBy($"event_type")
@@ -912,7 +929,10 @@ object EventQueries {
       q.processAllAvailable()
       sentinel(4102444860L) // next batch fires the evictions
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
+    }
     s.table("e11_win").filter($"event_type" =!= "__sentinel")
       .select(unix_micros($"hour_start").as("hs_us"), $"event_type", $"n")
       .orderBy($"hs_us", $"event_type")
@@ -937,7 +957,7 @@ object EventQueries {
     val d0 = Tables.load(s, dir, "documents").select($"doc_id", $"text")
     val docs = d0.unionByName(
         d0.filter($"doc_id" % 10 === 0)
-          .select(($"doc_id" + 500000).as("doc_id"), $"text"))
+          .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
       // deterministic synthetic event time inside one dedup horizon;
       // offset past epoch 0 (a row AT the initial watermark is late)
       .withColumn("ts", timestamp_micros(($"doc_id" % 600L + 3600L) * 1000000L))
@@ -945,6 +965,7 @@ object EventQueries {
     docs.write.mode("overwrite").parquet(tmp)
     val stream = s.readStream.schema(docs.schema).parquet(tmp)
     Streams.runOnce(Streams.dedupStream(stream), "e12_dedup")
+    graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
     s.table("e12_dedup")
       .groupBy($"fp").agg(count(lit(1)).as("n_survivors"))
       .orderBy($"fp")

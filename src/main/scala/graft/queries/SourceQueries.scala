@@ -16,8 +16,18 @@ object SourceQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** One REUSED temp dir per query prefix (every write below is
+    * mode=overwrite, so reuse is safe), deleted at JVM exit — repeated
+    * Bench/Verify invocations in one JVM must not accumulate staging
+    * data. Results lazily read these dirs, so eager per-run deletion
+    * (the e-query pattern) is not an option here. */
+  private val tmpDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    tmpDirs.computeIfAbsent(prefix, { p =>
+      val d = Files.createTempDirectory(p)
+      sys.addShutdownHook(graft.etl.Writers.deleteRecursively(d.toFile))
+      d.toString
+    })
 
   /** S1: JSON read with explicit schema (the merged-articles reader,
     * DB/ETL.ipynb c5 — but schema-first, never inferred). */
@@ -239,9 +249,9 @@ object SourceQueries {
     * semantics, but at the SOURCE, with no per-variant read code. */
   val s11MergeSchema: Q = (s, dir) => {
     import s.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-s11")
-    val aDir = base.resolve("a").toString
-    val bDir = base.resolve("b").toString
+    val base = tmp("graft-s11")
+    val aDir = s"$base/a"
+    val bDir = s"$base/b"
     val docs = Tables.load(s, dir, "documents")
     docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"source")
       .write.mode("overwrite").parquet(aDir)

@@ -338,21 +338,34 @@ object StarSchemaQueries {
   val j10BucketedJoin: Q = (s, dir) => {
     import s.implicits._
     val dec = DecimalType(18, 4)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-j10").toString
+    // per-run unique table names + full cleanup: fixed global names
+    // would clash across concurrent sessions sharing a metastore, and
+    // Bench's repeated runs would otherwise accumulate temp bucket data
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val (tOrders, tCustomer) = (s"j10_orders_$runId", s"j10_customer_$runId")
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft-j10")
     val orders = Tables.load(s, dir, "orders").select($"o_custkey", $"o_totalprice")
     val customer = Tables.load(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
-    s.sql("DROP TABLE IF EXISTS j10_orders")
-    s.sql("DROP TABLE IF EXISTS j10_customer")
-    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .option("path", s"$tmp/o").mode("overwrite").saveAsTable("j10_orders")
-    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .option("path", s"$tmp/c").mode("overwrite").saveAsTable("j10_customer")
-    s.table("j10_orders")
-      .join(s.table("j10_customer"), $"o_custkey" === $"c_custkey")
-      .groupBy($"c_mktsegment")
-      .agg(count(lit(1)).as("n_orders"),
-        round(sum($"o_totalprice".cast(dec)), 2).cast("double").as("total_price"))
-      .orderBy($"c_mktsegment")
+    try {
+      orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$tmpPath/o").mode("overwrite").saveAsTable(tOrders)
+      customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$tmpPath/c").mode("overwrite").saveAsTable(tCustomer)
+      s.table(tOrders)
+        .join(s.table(tCustomer), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice".cast(dec)), 2).cast("double").as("total_price"))
+        .orderBy($"c_mktsegment")
+        // the result is a handful of market-segment rows; materialize it
+        // so the bucket tables and their files can be dropped NOW rather
+        // than leak until whoever holds the lazy plan collects it
+        .localCheckpoint()
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $tOrders")
+      s.sql(s"DROP TABLE IF EXISTS $tCustomer")
+      graft.etl.Writers.deleteRecursively(tmpPath.toFile)
+    }
   }
 
   val j10BucketedJoinSql: String =

@@ -287,7 +287,7 @@ object TextPipeline {
       .select($"doc_id".as("media_id"), encode($"text", "UTF-8").as("payload"))
     val media = base.unionByName(
       base.filter($"media_id" % 9 === 0)
-        .select(($"media_id" + 700000).as("media_id"), $"payload"))
+        .select(($"media_id" + 1000000).as("media_id"), $"payload"))
     media
       .select($"media_id", sha2($"payload", 256).as("digest"),
         length($"payload").cast("long").as("n_bytes"))
@@ -301,7 +301,7 @@ object TextPipeline {
     """WITH media AS (
       |  SELECT doc_id AS media_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 700000, text FROM documents WHERE doc_id % 9 = 0)
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 9 = 0)
       |SELECT sha256(text) AS digest,
       |  octet_length(text::BLOB) AS n_bytes,
       |  min(media_id) AS canonical_id, count(*) AS n_copies
@@ -607,7 +607,7 @@ object TextPipeline {
     val d = Tables.load(s, dir, "documents")
     val noisy = d.select($"doc_id", $"text")
       .unionByName(d.filter($"doc_id" % 61 === 0)
-        .select(($"doc_id" + 500000).as("doc_id"),
+        .select(($"doc_id" + 1000000).as("doc_id"),
           concat(lit("  "), upper($"text"), lit("!!")).as("text")))
     Dedup.exactDupGroups(noisy, "doc_id", "text")
       .filter($"n_dups" > 1)
@@ -618,7 +618,7 @@ object TextPipeline {
     """WITH noisy AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 500000, '  ' || upper(text) || '!!'
+      |  SELECT doc_id + 1000000, '  ' || upper(text) || '!!'
       |  FROM documents WHERE doc_id % 61 = 0),
       |fps AS (
       |  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
@@ -1034,8 +1034,12 @@ object TextPipeline {
     val books = graft.operators.Quantize.pqCodebooks(e, m = 4, dim = 64, k = 8, iters = 2)
     graft.operators.Quantize.pqEncode(e, books, m = 4, dim = 64)
       .groupBy($"vec_id")
-      .agg(transform(array_sort(collect_list(struct($"sub", $"code"))),
-        x => x.getField("code")).as("codes"))
+      // flatten to a sortable scalar ("0-3-1-7"), the gate-wide
+      // convention (f9 array_join, an24 concat_ws) — the driver's
+      // checker lexsorts rows and cannot hash array cells
+      .agg(concat_ws("-",
+        transform(array_sort(collect_list(struct($"sub", $"code"))),
+          x => x.getField("code").cast("string"))).as("codes"))
       .orderBy($"vec_id")
   }
 
@@ -1090,7 +1094,7 @@ object TextPipeline {
 
   val n10PqCodesSql: String =
     s"""WITH $pqCommonCtes
-       |SELECT vec_id, list(cid ORDER BY sub) AS codes
+       |SELECT vec_id, string_agg(CAST(cid AS VARCHAR), '-' ORDER BY sub) AS codes
        |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   val n11PqAdcTopK: Q = (s, dir) => {

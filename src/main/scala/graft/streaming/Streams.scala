@@ -360,6 +360,11 @@ object Streams {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    if (state == null) log.sparkSession.emptyDataFrame else state
+    // no batches ⇒ return an empty frame CARRYING log's schema, so
+    // downstream column references (e14's filter/select) still resolve
+    if (state == null)
+      log.sparkSession.createDataFrame(
+        log.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], log.schema)
+    else state
   }
 }

@@ -105,6 +105,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"scale-killer plans:\n${offenders.mkString("\n")}")
   }
 
+  test("every query result is driver-sortable: no complex types at the top level") {
+    // the r7 n10 failure mode: the driver's correctness harness
+    // lexsorts result rows via pandas factorize, which throws
+    // `unhashable type` on array/map/struct cells — a query can be
+    // oracle-exact and still red. The gate convention is to flatten
+    // before returning (f9 array_join, an24/n10 concat_ws); this pins
+    // it. Streaming queries are excluded here (construction executes a
+    // real stream); their scalar output schemas are pinned by
+    // StreamsSpec/EventQueriesSpec result assertions instead.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => graft.tools.PlanAudit.excluded.contains(n) }
+      .flatMap { case (name, fn) =>
+        fn(spark, sf).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+              f.dataType.isInstanceOf[MapType] ||
+              f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"non-driver-sortable result columns:\n${offenders.mkString("\n")}")
+  }
+
   test("t7 packing's running sum never funnels rows to one task") {
     // the r2 scale-killer: Window.orderBy with no partitionBy plans an
     // Exchange SinglePartition before the window — every chunk row
