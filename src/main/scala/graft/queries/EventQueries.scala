@@ -286,9 +286,15 @@ object EventQueries {
     import s.implicits._
     import graft.streaming.Streams
     val ev = Tables.load(s, dir, "events").select($"user_id", $"ts", $"value")
+    // pre-epoch option: 0 on the driver's post-epoch testdata (inert);
+    // on historical fixtures it translates event time past epoch 0 so
+    // watermarking doesn't birth the rows late, and the session bounds
+    // are shifted back below — gap clustering is translation-invariant
+    val off = Streams.epochShiftMicros(ev, "ts")
     val tmp = java.nio.file.Files.createTempDirectory("graft-e4").toString
     ev.write.mode("overwrite").parquet(tmp)
-    val stream = s.readStream.schema(ev.schema).parquet(tmp).as[Streams.Event]
+    val stream = Streams.shiftTs(
+      s.readStream.schema(ev.schema).parquet(tmp), "ts", off).as[Streams.Event]
     val q = Streams.sessionizeStreamExact(stream)
       .writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
@@ -314,7 +320,8 @@ object EventQueries {
       graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
     }
     s.table("e4_sessions").filter($"user_id" =!= -1L)
-      .select($"user_id", $"session_start", $"session_end",
+      .select($"user_id", ($"session_start" - off).as("session_start"),
+        ($"session_end" - off).as("session_end"),
         $"n_events", $"value_scaled")
       .orderBy($"user_id", $"session_start")
   }
@@ -912,9 +919,14 @@ object EventQueries {
     import s.implicits._
     import graft.streaming.Streams
     val ev = Tables.load(s, dir, "events").select($"ts", $"event_type", $"value")
+    // pre-epoch option (see e4): the hour-multiple offset keeps the
+    // tumbling windows aligned, so shifting back recovers the batch
+    // window starts exactly; 0 (inert) on post-epoch data
+    val off = Streams.epochShiftMicros(ev, "ts")
     val tmp = java.nio.file.Files.createTempDirectory("graft-e11").toString
     ev.write.mode("overwrite").parquet(tmp)
-    val stream = s.readStream.schema(ev.schema).parquet(tmp)
+    val stream = Streams.shiftTs(
+      s.readStream.schema(ev.schema).parquet(tmp), "ts", off)
     val q = Streams.windowedCounts(stream)
       .writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
@@ -934,7 +946,7 @@ object EventQueries {
       graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
     }
     s.table("e11_win").filter($"event_type" =!= "__sentinel")
-      .select(unix_micros($"hour_start").as("hs_us"), $"event_type", $"n")
+      .select((unix_micros($"hour_start") - off).as("hs_us"), $"event_type", $"n")
       .orderBy($"hs_us", $"event_type")
   }
 

@@ -33,13 +33,45 @@ object Streams {
     * them, the stream doesn't. Watermarked streaming here is defined
     * for post-epoch event time only; pre-epoch history belongs to the
     * batch operators (e1/e2/e3), which handle it exactly (their floor-
-    * aligned oracles are adversarially tested on pre-1970 rows). */
+    * aligned oracles are adversarially tested on pre-1970 rows) — or
+    * to the OPT-IN translation [[epochShiftMicros]]/[[shiftTs]], which
+    * moves historical event time past epoch 0 on the way in and back
+    * on the way out (e4/e11 use it; inert on post-epoch data). */
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Opt-in PRE-EPOCH support for watermarked streaming (the r7
+    * documented boundary above, made optional): when historical
+    * (pre-1970) event time matters, derive a whole-granularity offset
+    * that translates the stream into post-epoch time. Watermarks,
+    * session gaps, and tumbling windows are all translation-invariant
+    * as long as the offset is a multiple of every window duration
+    * involved (default granularity: 1 hour, e11's window), so
+    * `shift in → operate → shift out` is batch-exact. Returns 0 for
+    * post-epoch data — the option is inert unless the data needs it,
+    * and default behavior is unchanged. In production the offset is
+    * CONFIGURATION (the pipeline's history horizon), not a data scan;
+    * this helper derives it from the staged batch for gate/test use. */
+  def epochShiftMicros(events: DataFrame, tsCol: String,
+      granularitySeconds: Long = 3600L): Long = {
+    val row = events.agg(min(unix_micros(col(tsCol)))).head()
+    if (row.isNullAt(0) || row.getLong(0) >= 0L) 0L
+    else {
+      val g = granularitySeconds * 1000000L
+      ((-row.getLong(0) + g - 1) / g) * g
+    }
+  }
+
+  /** Apply [[epochShiftMicros]]'s offset to a (possibly streaming)
+    * relation's event-time column; a zero offset is the identity. */
+  def shiftTs(df: DataFrame, tsCol: String, offsetMicros: Long): DataFrame =
+    if (offsetMicros == 0L) df
+    else df.withColumn(tsCol,
+      timestamp_micros(unix_micros(col(tsCol)) + offsetMicros))
 
   // ---- stateful sessionization (e2's streaming form) ---------------
 
