@@ -320,6 +320,80 @@ object Corpus {
       .drop("island")
   }
 
+  /** EXACT duplicated-substring spans — suffix-array-fidelity
+    * sub-document dedup (t28), the precision upgrade over
+    * [[repeatedSpans]] (t20): t20's islands only guarantee every
+    * k-window INSIDE a span is repeated SOMEWHERE, so an island can
+    * splice windows repeated against different sources into a span
+    * that never occurs twice as one string. This operator reports
+    * spans that are PROVABLY exact duplicates, with their source:
+    * each repeated k-word window is paired with its corpus-FIRST
+    * occurrence (the keeper — a bucketed suffix-prefix group pass:
+    * bucket = the k-word prefix fingerprint of the suffix at that
+    * position), and runs of consecutive windows sharing one
+    * (doc, src_doc, alignment) are merged. Overlapping k-windows that
+    * all match under a FIXED alignment force the union substrings to
+    * be word-identical, so every output row is an exact duplicated
+    * substring of its source — the Lee et al. (ACL 2022) suffix-array
+    * guarantee, without materializing suffixes.
+    *
+    * Maximality is per keeper-chain: a span whose true pairwise match
+    * continues under a different first-occurrence provenance splits at
+    * the provenance switch (sound, slightly conservative) — the cost
+    * of keeping candidate pairs LINEAR in duplication (each occurrence
+    * pairs only with its window's keeper, never all-pairs).
+    *
+    * Scale shape: one window explode (corpus-linear, one pass), one
+    * map-side-combined keeper min on the window hash, one hash join
+    * back, and the island merge windowed by (doc, src_doc, alignment)
+    * — no corpus-sized unpartitioned window, no quadratic pair
+    * emission (N occurrences of hot boilerplate → N−1 keeper pairs).
+    *
+    * Output: (doc_id, span_start, span_end, span_words, src_doc,
+    * src_start) — 1-based inclusive word positions; src_start is where
+    * the identical words begin in the keeper document. */
+  def exactSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 10): DataFrame = {
+    val wp = docs
+      .select(col(idCol).cast("long").as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> struct(CAST(i AS BIGINT) AS pos, md5(concat_ws(' ', slice(w, i, $k))) AS h))"))
+        .as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.h").as("h"))
+      // same keeper encoding (and guard) as segmentDedup: total order
+      // by (doc, pos) in one comparable long
+      .withColumn("key",
+        when(col("pos") < 100000L, col("doc_id") * 100000L + col("pos"))
+          .otherwise(expr(
+            "raise_error('exactSpans: document exceeds 100000 words — keeper encoding would collide')")))
+      // two consumers (keeper min + the pair join): one materialization
+      .localCheckpoint()
+    val keepers = wp.groupBy(col("h"))
+      .agg(min(col("key")).as("kmin"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("h"), col("kmin"))
+    val pairs = wp.join(keepers, "h")
+      .filter(col("key") =!= col("kmin"))
+      .select(col("doc_id"), col("pos"),
+        expr("kmin div 100000").as("src_doc"),
+        (col("pos") - expr("kmin % 100000")).as("delta"))
+    val byAlign = Window
+      .partitionBy(col("doc_id"), col("src_doc"), col("delta"))
+      .orderBy(col("pos"))
+    pairs
+      // islands under a fixed alignment: consecutive positions extend
+      // the exact match; pos - row_number is constant within a run
+      .withColumn("grp", col("pos") - row_number().over(byAlign))
+      .groupBy(col("doc_id"), col("src_doc"), col("delta"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"),
+        col("src_doc"), (col("span_start") - col("delta")).as("src_start"))
+  }
+
   // ---- corpus-level segment dedup (C4 / RefinedWeb line dedup) -----
 
   /** Remove every text segment whose content already appeared earlier

@@ -735,6 +735,68 @@ object CurationQueries {
       |FROM base b LEFT JOIN reasm r USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** T28: EXACT duplicated-substring spans (Corpus.exactSpans) — the
+    * suffix-array-fidelity upgrade over t20's windowed approximation:
+    * every output row is a provably exact duplicate of its reported
+    * source span (keeper-aligned window chains; see the operator
+    * scaladoc). Plants two duplicate shapes the word-soup corpus
+    * lacks: FULL copies of every 10th document (t22's convention,
+    * +1000000) — each must come back as ONE whole-document span
+    * attributed to its original at delta 0 — and CHIMERA documents
+    * (+2000000): the first 30 words of doc d glued to the first 30
+    * words of doc d+7, which must come back as TWO sub-document spans
+    * with different sources and a clean split at the junction (no
+    * junction window is repeated, so no span may bridge it). */
+  val t28ExactSpans: Q = (s, dir) => {
+    import s.implicits._
+    val d0 = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val head30 = (c: org.apache.spark.sql.Column) =>
+      concat_ws(" ", slice(split(c, " "), 1, 30))
+    val copies = d0.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val chimeras = d0.filter($"doc_id" % 25 === 0)
+      .select($"doc_id".as("a_id"), head30($"text").as("a_txt"))
+      .join(d0.select(($"doc_id" - 7).as("a_id"), head30($"text").as("b_txt")), "a_id")
+      .select(($"a_id" + 2000000L).as("doc_id"),
+        concat_ws(" ", $"a_txt", $"b_txt").as("text"))
+    Corpus.exactSpans(d0.unionByName(copies).unionByName(chimeras),
+        "doc_id", "text")
+      .orderBy($"doc_id", $"span_start", $"src_doc")
+  }
+
+  val t28ExactSpansSql: String =
+    """WITH src AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT a.doc_id + 2000000,
+      |    array_to_string(string_split(a.text, ' ')[1:30], ' ') || ' ' ||
+      |    array_to_string(string_split(b.text, ' ')[1:30], ' ')
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 7
+      |  WHERE a.doc_id % 25 = 0),
+      |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM src
+      |       WHERE len(string_split(text, ' ')) >= 10),
+      |wp AS (
+      |  SELECT doc_id, i + 1 AS pos,
+      |    md5(array_to_string(w[i+1 : i+10], ' ')) AS h,
+      |    doc_id * 100000 + i + 1 AS key
+      |  FROM (SELECT doc_id, w, unnest(range(len(w) - 9)) AS i FROM ws)),
+      |kp AS (SELECT h, min(key) AS kmin FROM wp GROUP BY h HAVING count(*) >= 2),
+      |pairs AS (
+      |  SELECT wp.doc_id, wp.pos, kmin // 100000 AS src_doc,
+      |    wp.pos - (kmin % 100000) AS delta
+      |  FROM wp JOIN kp USING (h) WHERE wp.key <> kmin),
+      |isl AS (
+      |  SELECT *, pos - row_number() OVER (
+      |    PARTITION BY doc_id, src_doc, delta ORDER BY pos) AS grp
+      |  FROM pairs)
+      |SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
+      |  max(pos) + 9 - min(pos) + 1 AS span_words,
+      |  src_doc, min(pos) - delta AS src_start
+      |FROM isl GROUP BY doc_id, src_doc, delta, grp
+      |ORDER BY doc_id, span_start, src_doc""".stripMargin
+
   /** T24: distributed BPE tokenizer training — the first 3 learned
     * merges over the corpus (Corpus.bpeMerges). The oracle unrolls
     * each round: winner by (weight desc, pair) over adjacent-pair
@@ -867,6 +929,7 @@ object CurationQueries {
     "t24_bpe_merges" -> t24BpeMerges,
     "t25_bpe_tokenize" -> t25BpeTokenize,
     "t22_segment_dedup" -> t22SegmentDedup,
+    "t28_exact_spans" -> t28ExactSpans,
     "c2_quality_gate" -> c2QualityGate,
     "t21_weighted_sample" -> t21WeightedSample,
     "t19_bigram_lm"   -> t19BigramLm,
@@ -890,6 +953,7 @@ object CurationQueries {
     "t24_bpe_merges" -> t24BpeMergesSql,
     "t25_bpe_tokenize" -> t25BpeTokenizeSql,
     "t22_segment_dedup" -> t22SegmentDedupSql,
+    "t28_exact_spans" -> t28ExactSpansSql,
     "c2_quality_gate" -> c2QualityGateSql,
     "t21_weighted_sample" -> t21WeightedSampleSql,
     "t19_bigram_lm"   -> t19BigramLmSql,

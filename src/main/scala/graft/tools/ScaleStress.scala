@@ -338,6 +338,17 @@ object ScaleStress {
       }
     }
 
+    // BPE training depth: with the per-8-rounds vocab localCheckpoint
+    // the live plan stays O(8) layers deep, so total time must grow
+    // ~linearly in rounds (each round = one vocab-sized pair count +
+    // one merge apply). Without it, analysis cost compounds with depth
+    // — the r7 watch item. Token time-per-round across 10/25/50 is the
+    // curve to compare.
+    if (sect("bpe")) Seq(10, 25, 50).foreach { rounds =>
+      time(f"bpe train rounds=$rounds%-3d t24") {
+        Corpus.bpeMerges(base, "text", rounds) }
+    }
+
     spark.stop()
   }
 }

@@ -344,6 +344,82 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     assert(out(2L) === ((1L, 3L, 1L)))
   }
 
+  /** Driver-side reference BPE trainer: greedy (weight desc, pair asc)
+    * winner over adjacent-pair weighted counts, non-overlapping
+    * left-to-right merge — the naive replay bpeTrain must match. */
+  private def refBpe(wordCounts: Map[String, Long],
+      rounds: Int): Seq[(String, String, Long)] = {
+    var vocab = wordCounts.toList.map { case (w, n) => (w.split("").toList, n) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    (1 to rounds).foreach { _ =>
+      if (!done) {
+        val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, n) =>
+          syms.zip(syms.tail).foreach(p =>
+            pairCounts(p) = pairCounts.getOrElse(p, 0L) + n)
+        }
+        if (pairCounts.isEmpty) done = true
+        else {
+          val ((p1, p2), w) = pairCounts.toSeq
+            .minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((p1, p2, w))
+          vocab = vocab.map { case (syms, n) =>
+            (syms.foldLeft(List.empty[String]) { (acc, x) =>
+              acc match {
+                case init :+ last if last == p1 && x == p2 => init :+ (p1 + p2)
+                case _ => acc :+ x
+              }
+            }, n)
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("t24: 20-round training equals the naive replay across checkpoint boundaries") {
+    import spark.implicits._
+    // 20 rounds crosses the periodic vocab localCheckpoint at rounds 8
+    // and 16 — the checkpoints must be invisible to the learned merges
+    // AND keep the live plan depth bounded (a 20-deep uncheckpointed
+    // lineage was the r7 watch item).
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcd"
+    val words = (0 until 300).map(_ =>
+      (0 until (3 + rnd.nextInt(9))).map(_ => alphabet(rnd.nextInt(4))).mkString)
+    val counts = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = Corpus.bpeMerges(docs, "text", rounds = 20).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val want = refBpe(counts, 20)
+    assert(got === want)
+  }
+
+  test("t24/t25: an exhausted corpus stops learning instead of wiping the vocab") {
+    import spark.implicits._
+    // single-char words: no adjacent pair exists, so round 1's winner
+    // is EMPTY. The guarded loop must return zero merges and leave the
+    // vocabulary intact — the un-guarded crossJoin form silently
+    // emptied it and t25 then returned zero rows for every document.
+    val single = Seq((1L, "a b c a"), (2L, "b c")).toDF("doc_id", "text")
+    assert(Corpus.bpeMerges(single, "text", rounds = 3).collect().isEmpty)
+    val toks = Corpus.bpeTokenCounts(single, "doc_id", "text", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(toks === Map(1L -> 4L, 2L -> 2L)) // 1 symbol per word, no merges
+
+    // rounds beyond the learnable merges: "ab" learns (a,b) in round 1
+    // and then has nothing left; rounds=5 must degrade to 1 merge and
+    // tokenize under it (1 token per "ab" instance).
+    val ab = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val merges = Corpus.bpeMerges(ab, "text", rounds = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(merges.toSeq === Seq((1L, "a", "b")))
+    val abToks = Corpus.bpeTokenCounts(ab, "doc_id", "text", rounds = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).head
+    assert(abToks === ((3L, 3L))) // 3 words, 1 token each
+  }
+
   test("t24: fold merge equals the reference greedy merge on random words") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

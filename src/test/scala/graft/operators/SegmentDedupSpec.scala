@@ -76,4 +76,100 @@ class SegmentDedupSpec extends AnyFunSuite {
     // every Window node must carry a partition spec
     assert(!plan.contains("windowspecdefinition()"))
   }
+
+  // ---- t28: exact duplicated-substring spans ------------------------
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  private def runExact(rows: Seq[(Long, String)], k: Int = 10) =
+    Corpus.exactSpans(rows.toDF("doc_id", "text"), "doc_id", "text", k)
+      .orderBy($"doc_id", $"span_start", $"src_doc")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+
+  test("t28: a full copy returns one whole-document span at delta 0") {
+    val a = words("a", 40)
+    val out = runExact(Seq((1L, a), (2L, a)))
+    // (doc, start, end, n_words, src_doc, src_start)
+    assert(out.toSeq === Seq((2L, 1L, 40L, 40L, 1L, 1L)))
+  }
+
+  test("t28: chimera splits at the junction with correct per-half attribution") {
+    // doc 3 = A[5..24] ++ 5 unique words ++ B[1..15]: two exact spans
+    // with DIFFERENT sources; nothing may bridge the unique middle
+    val a = words("a", 40)
+    val b = words("b", 30)
+    val chimera = ((5 to 24).map(i => s"a$i") ++ (1 to 5).map(i => s"u$i") ++
+      (1 to 15).map(i => s"b$i")).mkString(" ")
+    val out = runExact(Seq((1L, a), (2L, b), (3L, chimera)))
+    assert(out.toSeq === Seq(
+      (3L, 1L, 20L, 20L, 1L, 5L),
+      (3L, 26L, 40L, 15L, 2L, 1L)))
+  }
+
+  test("t28: exactness where t20's windowed islands over-merge") {
+    // X = P ++ Q, with P repeated in doc 1 and Q in doc 2 but "PQ"
+    // occurring nowhere as one string. t20's island rule (gap <= k)
+    // merges positions 1 and 11 into a single [1,20] span — a span
+    // that is NOT a duplicate of anything; exactSpans must emit two
+    // 10-word spans, each provably identical to its source.
+    val p = words("p", 10)
+    val q = words("q", 10)
+    val docB = words("z", 5) + " " + p + " " + words("w", 5)  // P at pos 6
+    val docC = words("y", 3) + " " + q + " " + words("v", 7)  // Q at pos 4
+    val docX = p + " " + q
+    val corpus = Seq((1L, docB), (2L, docC), (3L, docX))
+    val exact = runExact(corpus)
+    assert(exact.toSeq === Seq(
+      (3L, 1L, 10L, 10L, 1L, 6L),
+      (3L, 11L, 20L, 10L, 2L, 4L)))
+    // and t20 on the same corpus DOES report the spliced [1,20] island
+    // — the approximation t28 exists to correct
+    val t20 = Corpus.repeatedSpans(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", k = 10)
+      .filter($"doc_id" === 3L).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(t20.toSeq === Seq((1L, 20L)))
+  }
+
+  test("t28: every reported span is word-identical to its source slice") {
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 60).map(i => s"w$i")
+    val docs = (1L to 12L).map(id =>
+      id -> (0 until 35).map(_ => vocab(rnd.nextInt(60))).mkString(" ")).toMap
+    // plant copies and a chimera over the random base
+    val corpus = docs.toSeq ++ Seq(
+      101L -> docs(3L),
+      102L -> (docs(5L).split(" ").take(18) ++ docs(9L).split(" ").take(18))
+        .mkString(" "))
+    val out = runExact(corpus)
+    assert(out.nonEmpty)
+    val byId = corpus.toMap.map { case (id, t) => id -> t.split(" ") }
+    out.foreach { case (doc, s, e, n, src, srcStart) =>
+      assert(n === e - s + 1)
+      val mine = byId(doc).slice(s.toInt - 1, e.toInt)
+      val theirs = byId(src).slice(srcStart.toInt - 1, srcStart.toInt - 1 + n.toInt)
+      assert(mine.toSeq === theirs.toSeq,
+        s"span ($doc,$s,$e) != source ($src,$srcStart)")
+    }
+  }
+
+  test("t28: hot boilerplate emits keeper pairs, not all-pairs") {
+    // 30 copies of one doc: 29 spans (each vs the keeper), never 435
+    val a = words("a", 25)
+    val corpus = (1L to 30L).map(id => (id, a))
+    val out = runExact(corpus)
+    assert(out.length === 29)
+    assert(out.forall { case (_, s, e, n, src, ss) =>
+      s == 1L && e == 25L && n == 25L && src == 1L && ss == 1L })
+  }
+
+  test("t28: no corpus-sized unpartitioned window in the plan") {
+    val df = Corpus.exactSpans(
+      Seq((1L, words("a", 12))).toDF("doc_id", "text"), "doc_id", "text")
+    val plan = df.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("windowspecdefinition()"))
+  }
 }
