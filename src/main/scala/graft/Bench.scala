@@ -24,7 +24,19 @@ object Bench {
     "d13_prefix_simjoin", "t19_bigram_lm", "t20_repeated_spans",
     "n14_jl_recall",
     "t22_segment_dedup", "an22_type_overlap", "t23_curriculum",
-    "t24_bpe_merges")
+    "t24_bpe_merges",
+    // r8 breadth (the heaviest formerly-absent families): SCD2 history
+    // build, REAL outer stream join, leakage-safe split (rides the d2/d6
+    // pair machinery), semantic dedup (k-means blocking), exact rolling
+    // DAU/WAU, PQ ADC top-k
+    "u7_scd2", "e13_stream_outer_join", "t26_leakage_safe_split",
+    "d11_semantic_dedup", "an26_rolling_active", "n11_pq_adc_topk")
+
+  /** Queries that execute a REAL Structured Streaming run per rep
+    * (staging write + stream drain + watermark sentinels): their cost
+    * is fixed machinery, not jitter-sensitive operator time, so 3 reps
+    * bound the bench's wall-clock without losing regression signal. */
+  val streamingHeadline: Set[String] = Set("e13_stream_outer_join")
 
   /** Minimum repetitions per query; reported time is the median, so
     * single-run jitter (JIT, GC, page cache) can't masquerade as a
@@ -151,8 +163,11 @@ object Bench {
         try { force(SparkEntry.queries(name)(spark, sfDir)); false }
         catch { case _: Throwable => true }
       var spent = 0.0
-      while (!failed && times.size < maxReps &&
-             (times.size < reps || spent < minSampleSecs)) {
+      val isStream = streamingHeadline.contains(name)
+      val nReps = if (isStream) math.min(reps, 3) else reps
+      val nMax = if (isStream) math.min(maxReps, 3) else maxReps
+      while (!failed && times.size < nMax &&
+             (times.size < nReps || (!isStream && spent < minSampleSecs))) {
         val t0 = System.nanoTime()
         try { force(SparkEntry.queries(name)(spark, sfDir))
               val dt = (System.nanoTime() - t0) / 1e9

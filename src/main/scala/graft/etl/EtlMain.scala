@@ -19,14 +19,19 @@ object EtlMain {
     require(rest.length >= 2, "usage: EtlMain [--compat] <out-dir> <input.json>...")
     val outDir = rest.head
     val inputs = rest.tail.toSeq
-    val spark = SparkSession.builder()
+    // reuse an already-active session (EtlMainSpec drives this exact
+    // entry point in-JVM) and only own the lifecycle of a session we
+    // created ourselves — stopping a caller's session would kill every
+    // Spark user sharing the JVM
+    val existing = SparkSession.getActiveSession
+    val spark = existing.getOrElse(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-etl")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
     val merged = Ingest.readMerged(spark, inputs)
@@ -74,6 +79,6 @@ object EtlMain {
     }
     Writers.writeJsonl(clean, s"$outDir/clean_jsonl")
     clean.unpersist()
-    spark.stop()
+    if (existing.isEmpty) spark.stop()
   }
 }
