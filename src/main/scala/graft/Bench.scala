@@ -30,7 +30,8 @@ object Bench {
     // pair machinery), semantic dedup (k-means blocking), exact rolling
     // DAU/WAU, PQ ADC top-k
     "u7_scd2", "e13_stream_outer_join", "t26_leakage_safe_split",
-    "d11_semantic_dedup", "an26_rolling_active", "n11_pq_adc_topk")
+    "d11_semantic_dedup", "an26_rolling_active", "n11_pq_adc_topk",
+    "t28_exact_spans")
 
   /** Queries that execute a REAL Structured Streaming run per rep
     * (staging write + stream drain + watermark sentinels): their cost

@@ -56,6 +56,25 @@ object Cdc {
   def asBase(base: DataFrame, versionCol: String = "version", opCol: String = "op"): DataFrame =
     base.withColumn(versionCol, lit(0L)).withColumn(opCol, lit("U"))
 
+  /** MERGE with SCHEMA EVOLUTION (u10) — Delta/Iceberg
+    * `mergeSchema`/`autoMerge` semantics on the same upsert fold: the
+    * change log may CARRY COLUMNS THE BASE LACKS (a continuously-
+    * crawled corpus grows fields — a new scraper version starts
+    * emitting a score the old snapshot never had). The union aligns by
+    * NAME with missing columns null-filled, so base rows surface the
+    * new column as NULL and evolved rows carry their value; everything
+    * downstream is the identical single-key-shuffle upsert. The base
+    * may NOT drop columns the log lacks silently — a log missing base
+    * columns null-fills them on the LOG side, which last-writer-wins
+    * would then propagate; callers wanting "unchanged" semantics for
+    * absent columns need a read-modify-write log, which is a different
+    * contract (documented, not defaulted). */
+  def upsertEvolve(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      versionCol: String = "version", opCol: String = "op"): DataFrame =
+    upsert(asBase(base, versionCol, opCol)
+      .unionByName(changes, allowMissingColumns = true),
+      keyCols, versionCol, opCol)
+
   /** Incremental aggregate maintenance — the materialized-view delta
     * merge: combine two PARTIAL aggregate relations (the stored MV
     * over the base, the fresh aggregate over a delta batch) into the

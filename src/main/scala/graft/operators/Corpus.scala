@@ -459,6 +459,42 @@ object Corpus {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
+  // ---- hashed linear quality classifier (fastText-style scoring) ---
+
+  /** Score every document with a HASHED LINEAR classifier — the
+    * fastText/CCNet-style quality-model scoring pass an LLM pipeline
+    * runs after training a lightweight model: features are word
+    * bigrams hashed into `buckets` slots (the hashing trick — no
+    * vocabulary to broadcast, collisions are part of the model), and
+    * the score is the integer sum of per-slot weights. Weights here
+    * are a deterministic stand-in ((slot % 7) − 3 ∈ [−3,3]) so the
+    * gate can replay them exactly; a trained model swaps in a
+    * broadcast weight array without changing the plan.
+    *
+    * Scale shape: per-row bigram construction via an array transform
+    * (NO per-doc window — contrast repetitionStats, which needs
+    * ordering), one explode, and a map-side-combined per-doc sum:
+    * corpus-linear, a single doc-keyed shuffle, all-integer. */
+  def hashedLinearScores(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 64): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split(${textCol}, ' '), x -> x != '')").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+        .as("bigram"))
+    bg
+      .withColumn("j", pmod(
+        conv(substring(md5(col("bigram")), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+      .withColumn("wt", col("j") % 7 - 3)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("wt")).as("logit"))
+      .withColumn("pred",
+        when(col("logit") > 0, 1L).otherwise(0L))
+  }
+
   // ---- distributed BPE tokenizer training --------------------------
 
   /** Learn the first `rounds` BPE merges over the corpus (Sennrich et

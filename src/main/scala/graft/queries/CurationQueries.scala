@@ -797,6 +797,36 @@ object CurationQueries {
       |FROM isl GROUP BY doc_id, src_doc, delta, grp
       |ORDER BY doc_id, span_start, src_doc""".stripMargin
 
+  /** T29: hashed linear classifier scoring (Corpus.hashedLinearScores)
+    * — the fastText-style quality-model scoring pass, integer-exact:
+    * word bigrams hash into 64 slots (8 hex chars of md5 → BIGINT →
+    * pmod, the j6 bloom-hash arithmetic pattern), each slot carries a
+    * deterministic weight (slot % 7 − 3), and each document's logit is
+    * the exact integer sum over its bigram instances. The oracle
+    * replays the identical hash and weights. */
+  val t29HashedClassifier: Q = (s, dir) => {
+    import s.implicits._
+    Corpus.hashedLinearScores(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  val t29HashedClassifierSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, w[i+1] || ' ' || w[i+2] AS bigram
+      |  FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i
+      |        FROM w WHERE len(w) >= 2)),
+      |sc AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(bigram), 1, 8))::BIGINT % 64 AS j
+      |  FROM bg)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(j % 7 - 3) AS BIGINT) AS logit,
+      |  CAST(CASE WHEN sum(j % 7 - 3) > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** T24: distributed BPE tokenizer training — the first 3 learned
     * merges over the corpus (Corpus.bpeMerges). The oracle unrolls
     * each round: winner by (weight desc, pair) over adjacent-pair
@@ -930,6 +960,7 @@ object CurationQueries {
     "t25_bpe_tokenize" -> t25BpeTokenize,
     "t22_segment_dedup" -> t22SegmentDedup,
     "t28_exact_spans" -> t28ExactSpans,
+    "t29_hashed_classifier" -> t29HashedClassifier,
     "c2_quality_gate" -> c2QualityGate,
     "t21_weighted_sample" -> t21WeightedSample,
     "t19_bigram_lm"   -> t19BigramLm,
@@ -954,6 +985,7 @@ object CurationQueries {
     "t25_bpe_tokenize" -> t25BpeTokenizeSql,
     "t22_segment_dedup" -> t22SegmentDedupSql,
     "t28_exact_spans" -> t28ExactSpansSql,
+    "t29_hashed_classifier" -> t29HashedClassifierSql,
     "c2_quality_gate" -> c2QualityGateSql,
     "t21_weighted_sample" -> t21WeightedSampleSql,
     "t19_bigram_lm"   -> t19BigramLmSql,

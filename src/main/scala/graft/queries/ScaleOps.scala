@@ -121,6 +121,58 @@ object ScaleOps {
       |  AND op <> 'D'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** U10: MERGE with SCHEMA EVOLUTION (Cdc.upsertEvolve) — the u6
+    * upsert where the change log carries a column the base snapshot
+    * never had (`o_channel`, the new-scraper-version field). The
+    * union aligns by name with the base side null-filled, so the
+    * evolved snapshot shows the new column only on rows the log
+    * touched — Delta/Iceberg `mergeSchema` semantics as one
+    * key-shuffle fold, no base rewrite. */
+  val u10EvolveUpsert: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val chan = concat(lit("ch"), pmod($"o_orderkey", lit(3L)))
+    val upd = o.filter($"o_orderkey" % 7 === 0)
+      .withColumn("o_orderstatus", lit("U1"))
+      .withColumn("o_channel", chan)
+      .withColumn("version", lit(1L)).withColumn("op", lit("U"))
+    val dels = o.filter($"o_orderkey" % 13 === 0)
+      .withColumn("o_channel", chan)
+      .withColumn("version", lit(2L)).withColumn("op", lit("D"))
+    val ins = o.filter($"o_orderkey" % 11 === 3)
+      .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
+      .withColumn("o_orderstatus", lit("NEW"))
+      .withColumn("o_channel", chan)
+      .withColumn("version", lit(1L)).withColumn("op", lit("U"))
+    Cdc.upsertEvolve(o, upd.unionByName(dels).unionByName(ins), Seq("o_orderkey"))
+      .orderBy($"o_orderkey")
+  }
+
+  val u10EvolveUpsertSql: String =
+    """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |all_rows AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |    CAST(NULL AS VARCHAR) AS o_channel, 0::BIGINT AS version, 'U' AS op
+      |  FROM o
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U1', o_totalprice, 'ch' || (o_orderkey % 3),
+      |    1::BIGINT, 'U'
+      |  FROM o WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'ch' || (o_orderkey % 3),
+      |    2::BIGINT, 'D'
+      |  FROM o WHERE o_orderkey % 13 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'NEW', o_totalprice, 'ch' || ((o_orderkey + 100000000) % 3),
+      |    1::BIGINT, 'U'
+      |  FROM o WHERE o_orderkey % 11 = 3)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice, o_channel, version
+      |FROM all_rows
+      |QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC, op DESC) = 1
+      |  AND op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** S12: Z-order layout assignment — bucketize customer key and
     * order week, interleave 8 bits of each, assign 256 files by the
     * top z bits, and emit per-file min/max of BOTH dimensions: the
@@ -253,6 +305,7 @@ object ScaleOps {
     "u8_incremental_agg" -> u8IncrementalAgg,
     "j6_bloom_semijoin" -> j6BloomSemijoin,
     "u6_cdc_upsert"     -> u6CdcUpsert,
+    "u10_evolve_upsert" -> u10EvolveUpsert,
     "s12_zorder_layout" -> s12ZorderLayout,
     "an14_cms_topk"     -> an14CmsTopk,
     "j7_range_join"     -> j7RangeJoin,
@@ -262,6 +315,7 @@ object ScaleOps {
     "u8_incremental_agg" -> u8IncrementalAggSql,
     "j6_bloom_semijoin" -> j6BloomSemijoinSql,
     "u6_cdc_upsert"     -> u6CdcUpsertSql,
+    "u10_evolve_upsert" -> u10EvolveUpsertSql,
     "s12_zorder_layout" -> s12ZorderLayoutSql,
     "an14_cms_topk"     -> an14CmsTopkSql,
     "j7_range_join"     -> j7RangeJoinSql,

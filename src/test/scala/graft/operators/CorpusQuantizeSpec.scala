@@ -344,6 +344,39 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     assert(out(2L) === ((1L, 3L, 1L)))
   }
 
+  test("t29: hashed classifier logits equal a driver-side md5 replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 30).map(i => s"tok$i")
+    val docs = (1L to 20L).map(id =>
+      (id, (0 until (2 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(30))).mkString(" ")))
+    // the operator's exact arithmetic, replayed on the driver: first 8
+    // hex chars of md5(bigram) -> BIGINT -> % 64 -> weight (j % 7) - 3
+    def slot(bigram: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(bigram.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 64L
+    }
+    val want = docs.map { case (id, text) =>
+      val w = text.split(" ").filter(_.nonEmpty)
+      val wts = w.zip(w.tail).map { case (a, b) => slot(s"$a $b") % 7 - 3 }
+      id -> ((wts.length.toLong, wts.sum, if (wts.sum > 0) 1L else 0L))
+    }.toMap
+    val got = Corpus.hashedLinearScores(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+  }
+
+  test("t29: single-word and empty documents yield no score row") {
+    import spark.implicits._
+    val out = Corpus.hashedLinearScores(
+      Seq((1L, "solo"), (2L, ""), (3L, "two words")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().toSeq === Seq(3L))
+  }
+
   /** Driver-side reference BPE trainer: greedy (weight desc, pair asc)
     * winner over adjacent-pair weighted counts, non-overlapping
     * left-to-right merge — the naive replay bpeTrain must match. */

@@ -96,6 +96,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, "new")))
   }
 
+  test("cdc upsertEvolve: the log's new column null-fills the base, LWW still holds") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("key", "v")
+    val changes = Seq(
+      (1L, "a1", "west", 1L, "U"), // touched: carries the new column
+      (3L, "c", "east", 1L, "D"),  // delete still deletes
+      (4L, "d", "north", 1L, "U")  // insert lands with the new column
+    ).toDF("key", "v", "region", "version", "op")
+    val out = Cdc.upsertEvolve(base, changes, Seq("key"))
+      .select("key", "v", "region")
+      .as[(Long, String, Option[String])].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, "a1", Some("west")),
+      (2L, "b", None),           // untouched base row: evolved column is NULL
+      (4L, "d", Some("north"))))
+  }
+
+  test("cdc upsertEvolve equals plain upsert when no schema evolves") {
+    val base = (1L to 40L).map(i => (i, s"v$i")).toDF("key", "v")
+    val changes = Seq((7L, "x", 1L, "U"), (13L, "y", 1L, "D"))
+      .toDF("key", "v", "version", "op")
+    val evolved = Cdc.upsertEvolve(base, changes, Seq("key")).select("key", "v")
+    val plain = Cdc.upsert(Cdc.asBase(base).unionByName(changes), Seq("key"))
+      .select("key", "v")
+    assert(evolved.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(evolved).count() === 0)
+  }
+
   // ---- RangeJoin -----------------------------------------------------
 
   test("range join equals the naive predicate join, including overlaps and hi-exclusivity") {
