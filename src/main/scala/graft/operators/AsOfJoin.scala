@@ -45,6 +45,18 @@ object AsOfJoin {
     * @param tieBreaker   right column breaking equal-timestamp ties
     *                     (greatest wins); must be one of payloadCols or
     *                     rightTime
+    * @param tolerance    optional MAX STALENESS (same units as the time
+    *                     columns, which must be numeric when set): a
+    *                     match older than `leftTime - tolerance` nulls
+    *                     out — the feature-store "ASOF ... TOLERANCE"
+    *                     rule (a stale feature is worse than no
+    *                     feature). Since the carried match is the
+    *                     LATEST right ≤ leftTime, it is out of
+    *                     tolerance iff every earlier one is too, so the
+    *                     post-carry test is exact and the plan shape is
+    *                     unchanged: the matched right time rides inside
+    *                     the payload struct through the same single
+    *                     shuffle.
     */
   def leftAsOf(
       left: DataFrame,
@@ -53,15 +65,27 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       payloadCols: Seq[String],
-      tieBreaker: String): DataFrame = {
+      tieBreaker: String,
+      tolerance: Option[Long] = None): DataFrame = {
 
     val leftCols = left.columns.toSeq
     require(!payloadCols.exists(leftCols.contains),
       s"payload columns ${payloadCols.intersect(leftCols)} collide with left side")
+    require(!payloadCols.contains("__rt"),
+      "payload column name __rt is reserved for the carried match time")
+    tolerance.foreach { _ =>
+      require(right.schema(rightTime).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"tolerance requires a numeric time column, got ${right.schema(rightTime).dataType}")
+    }
     val passthrough = leftCols.filterNot(c => keys.contains(c) || c == leftTime)
 
+    // the matched right row's own time rides in the payload so the
+    // staleness test can run AFTER the carry (and callers like
+    // Quartiles can window on it)
     val payloadType = org.apache.spark.sql.types.StructType(
-      payloadCols.map(c => right.schema(c).copy(name = c)))
+      payloadCols.map(c => right.schema(c).copy(name = c)) :+
+        right.schema(rightTime).copy(name = "__rt"))
 
     // A NULL rightTime can never satisfy `rightTime <= leftTime` (SQL
     // 3VL), but the asc sort puts NULLS FIRST: un-filtered, such a
@@ -71,7 +95,8 @@ object AsOfJoin {
       keys.map(col) ++
         Seq(col(rightTime).as("__t"), lit(1).as("__isRight"),
             col(tieBreaker).as("__tie"),
-            struct(payloadCols.map(col): _*).as("__payload")) ++
+            struct(payloadCols.map(col) :+ col(rightTime).as("__rt"): _*)
+              .as("__payload")) ++
         passthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val taggedLeft = left.select(
@@ -90,6 +115,14 @@ object AsOfJoin {
 
     val carried = taggedRight.unionByName(taggedLeft)
       .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+      // staleness: null the WHOLE payload (atomically — field-wise
+      // nulling would mix "no match" with "stale match" per column)
+      .withColumn("__payload", tolerance match {
+        case None => col("__payload")
+        case Some(tol) =>
+          when(col("__t") - col("__payload").getField("__rt") <= lit(tol),
+            col("__payload"))
+      })
 
     carried
       .filter(col("__isRight") === 0)

@@ -963,6 +963,54 @@ object EventQueries {
     * survivor per batch-distinct fingerprint, none missing, none
     * extra. The oracle replays the fingerprint (shared md5 canon
     * formula with t4) over the same injected corpus. */
+  /** J11: point-in-time feature lookup with MAX STALENESS — the
+    * feature-store "ASOF ... TOLERANCE" rule on [[AsOfJoin.leftAsOf]]'s
+    * new tolerance parameter: each purchase attaches its user's latest
+    * click feature, but only if that click is at most 1 hour old —
+    * training-serving skew protection (a stale feature is worse than
+    * no feature, which must surface as NULL, not as the old value).
+    * Same single-shuffle union-merge plan as j4; the match's own
+    * timestamp rides inside the payload struct for the post-carry
+    * staleness test. Oracle: the windowed top-1 formulation under the
+    * identical bounded interval, left-joined back so no-match and
+    * stale-match purchases keep their NULL row. */
+  val j11AsOfTolerance: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tus"),
+        $"event_type", expr("CAST(round(value * 10000) AS BIGINT)").as("feat"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"tus")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"tus".as("c_tus"), $"event_id".as("click_id"), $"feat")
+    graft.operators.AsOfJoin.leftAsOf(
+        purchases, clicks, keys = Seq("user_id"),
+        leftTime = "tus", rightTime = "c_tus",
+        payloadCols = Seq("click_id", "feat"), tieBreaker = "click_id",
+        tolerance = Some(3600L * 1000000L))
+      .select($"purchase_id", $"user_id", $"tus", $"click_id", $"feat")
+      .orderBy($"purchase_id")
+  }
+
+  val j11AsOfToleranceSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type,
+      |    CAST(round(value * 10000) AS BIGINT) AS feat
+      |  FROM events),
+      |p AS (SELECT event_id AS purchase_id, user_id, tus FROM ev
+      |      WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, tus AS c_tus, event_id AS click_id, feat FROM ev
+      |      WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT p.purchase_id, c.click_id, c.feat
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND c.c_tus <= p.tus AND p.tus - c.c_tus <= 3600000000
+      |  QUALIFY row_number() OVER (PARTITION BY p.purchase_id
+      |                             ORDER BY c.c_tus DESC, c.click_id DESC) = 1)
+      |SELECT p.purchase_id, p.user_id, p.tus, m.click_id, m.feat
+      |FROM p LEFT JOIN m USING (purchase_id)
+      |ORDER BY purchase_id""".stripMargin
+
   val e12StreamDedup: Q = (s, dir) => {
     import s.implicits._
     import graft.streaming.Streams
@@ -994,6 +1042,7 @@ object EventQueries {
     "e11_stream_tumbling" -> e11StreamTumbling,
     "e12_stream_dedup" -> e12StreamDedup,
     "j4_asof_join"  -> j4AsOf,
+    "j11_asof_tolerance" -> j11AsOfTolerance,
     "e1_window_agg" -> e1WindowAgg,
     "e2_sessionize" -> e2Sessionize,
     "e3_sliding_window" -> e3SlidingWindow,
@@ -1020,6 +1069,7 @@ object EventQueries {
     "e11_stream_tumbling" -> e11StreamTumblingSql,
     "e12_stream_dedup" -> e12StreamDedupSql,
     "j4_asof_join"  -> j4AsOfSql,
+    "j11_asof_tolerance" -> j11AsOfToleranceSql,
     "e1_window_agg" -> e1WindowAggSql,
     "e2_sessionize" -> e2SessionizeSql,
     "e3_sliding_window" -> e3SlidingWindowSql,

@@ -70,6 +70,48 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(row.isNullAt(1), "pb must be the matched row's NULL, not old_b")
   }
 
+  test("tolerance: a stale match nulls out whole, an in-window match survives") {
+    val left = Seq((1L, 100L, "fresh"), (1L, 200L, "stale"), (1L, 50L, "none"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 95L, "r95")).toDF("k", "rt", "payload")
+    val got = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt",
+        Seq("payload"), "payload", tolerance = Some(10L))
+      .select("tag", "payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("fresh") === Some("r95")) // 100 - 95 = 5 <= 10
+    assert(got("stale") === None)        // 200 - 95 = 105 > 10
+    assert(got("none") === None)         // nothing at or before 50
+  }
+
+  test("tolerance at the boundary is inclusive, and payload nulls atomically") {
+    val left = Seq((1L, 20L)).toDF("k", "t")
+    val right = Seq((1L, 10L, "p", 7L)).toDF("k", "rt", "payload", "extra")
+    // exactly tolerance old: kept
+    val kept = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt",
+      Seq("payload", "extra"), "payload", tolerance = Some(10L))
+      .select("payload", "extra").collect().head
+    assert(kept.getString(0) === "p" && kept.getLong(1) === 7L)
+    // one past: BOTH payload fields null together
+    val dropped = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt",
+      Seq("payload", "extra"), "payload", tolerance = Some(9L))
+      .select("payload", "extra").collect().head
+    assert(dropped.isNullAt(0) && dropped.isNullAt(1))
+  }
+
+  test("tolerance = None is byte-identical to the unbounded join") {
+    val rnd = new scala.util.Random(5)
+    val left = (1L to 300L).map(i => (i % 7, rnd.nextInt(1000).toLong, i))
+      .toDF("k", "t", "lid")
+    val right = (1L to 150L).map(i => (i % 7, rnd.nextInt(1000).toLong, i))
+      .toDF("k", "rt", "rid")
+    val a = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt", Seq("rid"), "rid")
+      .select("lid", "rid")
+    val b = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt", Seq("rid"), "rid",
+        tolerance = Some(Long.MaxValue))
+      .select("lid", "rid")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
   test("matches the naive range-join + top-1 on random data") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
