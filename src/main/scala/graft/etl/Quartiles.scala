@@ -24,22 +24,25 @@ object Quartiles {
       col("ISSN").as("q_issn"),
       col("year").as("q_year"),
       col("quartile").as("q_quartile"))
+    // tolerance = 9: matches older than 9 years are out of range (the
+    // reference's 10-iteration loop). The operator nulls the payload
+    // ATOMICALLY on a stale match, so q_year's nullness is exactly the
+    // old in_range predicate.
     val joined = AsOfJoin.leftAsOf(
       left.withColumn("journal_name", col("publisher.name")),
       right,
       keys = Seq("journal_name"),
       leftTime = "__year", rightTime = "q_year",
       payloadCols = Seq("q_issn", "q_quartile", "q_year"),
-      tieBreaker = "q_year")
+      tieBreaker = "q_year",
+      tolerance = Some(9L))
     joined
-      // tolerance: matches older than 9 years are out of range (the
-      // reference's 10-iteration loop)
-      .withColumn("in_range",
-        col("q_year").isNotNull && col("__year") - col("q_year") <= 9)
       .withColumn("publisher", struct(
-        when(col("in_range"), col("q_issn")).otherwise(col("publisher.ISSN")).as("ISSN"),
-        when(col("in_range"), col("q_quartile")).otherwise(lit("")).as("Quartile"),
+        when(col("q_year").isNotNull, col("q_issn"))
+          .otherwise(col("publisher.ISSN")).as("ISSN"),
+        when(col("q_year").isNotNull, col("q_quartile"))
+          .otherwise(lit("")).as("Quartile"),
         col("publisher.name").as("name")))
-      .drop("__year", "journal_name", "q_issn", "q_quartile", "q_year", "in_range")
+      .drop("__year", "journal_name", "q_issn", "q_quartile", "q_year")
   }
 }

@@ -304,6 +304,89 @@ object SourceQueries {
       |       (doc_id * 86400000) % 4102444800000 - 3155760000000 AS fetched_ms
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** S18: HTML-to-article extraction through the gate
+    * (graft.etl.HtmlExtract — the S4/S5 per-field extractors as
+    * codegen'd regex expressions). Pages are SYNTHESIZED from the
+    * documents table with the IEEE anatomy the extractor targets
+    * (document-title, authors-accordion-container, xplmathjax,
+    * doc-abstract-pubdate, publishedIn, IEEE Keywords, Electronic
+    * ISSN), then parsed back. The oracle is GROUND TRUTH, not regex
+    * parity: it computes every expected field directly from the base
+    * columns, so any extraction bug — a wrong capture group, a broken
+    * affiliation split, a date that doesn't round-trip — hash-fails. */
+  val s18HtmlExtract: Q = (s, dir) => {
+    import s.implicits._
+    val months = Seq("January", "February", "March", "April", "May", "June",
+      "July", "August", "September", "October", "November", "December")
+    val d = Tables.load(s, dir, "documents").select($"doc_id")
+    val mn = element_at(
+      array(months.map(lit): _*), (pmod($"doc_id", lit(12L)) + 1).cast("int"))
+    val html = concat(
+      lit("""<html><body><h1 class="document-title"> <span>Doc """),
+      $"doc_id", lit("</span></h1>"),
+      lit("""<div class="authors-accordion-container"><a href="/x">A"""),
+      $"doc_id",
+      lit("""</a><p class="author-affiliation">Dept """), pmod($"doc_id", lit(7L)),
+      lit(", Uni "), pmod($"doc_id", lit(13L)),
+      lit(", Country"), pmod($"doc_id", lit(5L)), lit("</p></div>"),
+      lit("""<div class="authors-accordion-container"><a href="/x">B"""),
+      $"doc_id",
+      lit("""</a><p class="author-affiliation">Inst """), pmod($"doc_id", lit(3L)),
+      lit("</p></div>"),
+      lit("""<div class="doc-abstract-pubdate">Date of Publication: """),
+      pmod($"doc_id", lit(28L)) + 1, lit(" "), mn, lit(" "),
+      pmod($"doc_id", lit(8L)) + 2015, lit("</div>"),
+      lit("""<div xplmathjax>We study topic """), pmod($"doc_id", lit(97L)),
+      lit("</div>"),
+      lit("""<a href="https://doi.org/10.5555/"""), $"doc_id", lit("\">link</a>"),
+      lit("""<div class="document-banner-metric-count">"""),
+      pmod($"doc_id", lit(100L)), lit("</div>"),
+      lit("""<div class="stats-document-abstract-publishedIn">Published in: Journal """),
+      pmod($"doc_id", lit(5L)), lit(" (Early Access)</div>"),
+      lit("""<strong>IEEE Keywords</strong><ul><li><a href="/k">kw"""),
+      pmod($"doc_id", lit(11L)),
+      lit("""</a></li><li><a href="/k">kw"""), pmod($"doc_id", lit(13L)),
+      lit("</a></li></ul>"),
+      lit("""<div><strong>Electronic ISSN:</strong> 1234-"""),
+      lpad(pmod($"doc_id", lit(10000L)).cast("string"), 4, "0"), lit("</div>"),
+      lit("</body></html>"))
+    graft.etl.HtmlExtract
+      .parsePages(d.withColumn("html", html), "html", "ieee", keep = Seq("doc_id"))
+      .select($"doc_id", $"title", $"abstract",
+        $"Date".as("pub_date"), $"Day".as("pub_day"),
+        $"Month".as("pub_month"), $"Year".as("pub_year"),
+        $"doi", $"citations", $"journal_name", $"ISSN".as("issn"),
+        array_join($"keywords", "|").as("keywords"),
+        array_join($"authors", "|").as("authors"),
+        array_join($"universities", "|").as("universities"),
+        array_join($"countries", "|").as("countries"))
+      .orderBy($"doc_id")
+  }
+
+  val s18HtmlExtractSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['January','February','March','April','May','June','July','August',
+      |     'September','October','November','December'][(doc_id % 12) + 1] AS mn
+      |  FROM documents)
+      |SELECT doc_id,
+      |  'Doc ' || doc_id AS title,
+      |  'We study topic ' || (doc_id % 97) AS abstract,
+      |  (doc_id % 28 + 1) || ' ' || mn || ' ' || (2015 + doc_id % 8) AS pub_date,
+      |  CAST(doc_id % 28 + 1 AS VARCHAR) AS pub_day,
+      |  mn AS pub_month,
+      |  CAST(2015 + doc_id % 8 AS VARCHAR) AS pub_year,
+      |  'https://doi.org/10.5555/' || doc_id AS doi,
+      |  CAST(doc_id % 100 AS DOUBLE) AS citations,
+      |  'Journal ' || (doc_id % 5) AS journal_name,
+      |  '1234' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS issn,
+      |  'kw' || (doc_id % 11) || '|kw' || (doc_id % 13) AS keywords,
+      |  'A' || doc_id || '|B' || doc_id AS authors,
+      |  'Dept ' || (doc_id % 7) || ', Uni ' || (doc_id % 13) || '|Inst ' || (doc_id % 3)
+      |    AS universities,
+      |  'Country' || (doc_id % 5) || '|' AS countries
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** A1: the count-audit operator (ref: before/after cleaning counts,
     * DB/ETL.ipynb c13/c27) as one relation of named counts. */
   val a1CountAudit: Q = (s, dir) => {
@@ -336,6 +419,7 @@ object SourceQueries {
     "s10_text_read" -> s10TextRead,
     "s11_merge_schema" -> s11MergeSchema,
     "s13_mongo_extjson" -> s13MongoExtjson,
+    "s18_html_extract" -> s18HtmlExtract,
     "a1_count_audit" -> a1CountAudit,
   )
 
@@ -350,6 +434,7 @@ object SourceQueries {
     "s10_text_read" -> s10TextReadSql,
     "s11_merge_schema" -> s11MergeSchemaSql,
     "s13_mongo_extjson" -> s13MongoExtjsonSql,
+    "s18_html_extract" -> s18HtmlExtractSql,
     "a1_count_audit" -> a1CountAuditSql,
   )
 }
