@@ -387,6 +387,92 @@ object SourceQueries {
       |  'Country' || (doc_id % 5) || '|' AS countries
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** S19: the ScienceDirect profile through the gate — the harder
+    * extraction path (superscript→affiliation mapping, author zip,
+    * fourth-date rule, "Unknown"-country split), same ground-truth
+    * oracle discipline as s18. Each page carries two authors (sups
+    * {1} and {1,2}) over two affiliations (one comma-split, one
+    * comma-less), so the mapping, the global dedup, and both split
+    * outcomes are exercised on every row. */
+  val s19HtmlExtractSd: Q = (s, dir) => {
+    import s.implicits._
+    val months = Seq("January", "February", "March", "April", "May", "June",
+      "July", "August", "September", "October", "November", "December")
+    val d = Tables.load(s, dir, "documents").select($"doc_id")
+    val mn = element_at(
+      array(months.map(lit): _*), (pmod($"doc_id", lit(12L)) + 1).cast("int"))
+    val html = concat(
+      lit("""<html><body><span class="title-text" id="screen-reader-main-title">Doc """),
+      $"doc_id", lit("</span>"),
+      lit("""<div class="author-group">"""),
+      lit("""<button class="author"><span class="given-name">Ga"""), $"doc_id",
+      lit("""</span><span class="surname">Sa"""), $"doc_id",
+      lit("""</span><span class="author-ref"><sup>1</sup></span></button>"""),
+      lit("""<button class="author"><span class="given-name">Gb"""), $"doc_id",
+      lit("""</span><span class="surname">Sb"""), $"doc_id",
+      lit("""</span><span class="author-ref"><sup>1</sup></span><span class="author-ref"><sup>2</sup></span></button>"""),
+      lit("</div>"),
+      lit("""<dl class="affiliation"><dt><sup>1</sup></dt><dd>Lab """),
+      pmod($"doc_id", lit(7L)), lit(", Land"), pmod($"doc_id", lit(5L)),
+      lit("</dd></dl>"),
+      lit("""<dl class="affiliation"><dt><sup>2</sup></dt><dd>Solo</dd></dl>"""),
+      lit("""<p class="u-margin-s-bottom">Received 1 January 2020, Revised 2 February 2020, Accepted 3 March 2020, Available online """),
+      pmod($"doc_id", lit(28L)) + 1, lit(" "), mn, lit(" "),
+      pmod($"doc_id", lit(6L)) + 2016, lit(".</p>"),
+      lit("""<div id="abstracts">Topic """), pmod($"doc_id", lit(89L)), lit("</div>"),
+      lit("""<a class="anchor doi anchor-primary" href="https://doi.org/10.1016/"""),
+      $"doc_id", lit("\">d</a>"),
+      lit("""<header id="citing-articles-header"><h2>Cited by ("""),
+      pmod($"doc_id", lit(50L)), lit(")</h2></header>"),
+      lit("""<div class="keyword">kw"""), pmod($"doc_id", lit(9L)), lit("</div>"),
+      lit("""<div class="keyword">kw"""), pmod($"doc_id", lit(17L)), lit("</div>"),
+      lit("""<h2 id="publication-title">Journal """), pmod($"doc_id", lit(4L)),
+      lit("</h2></body></html>"))
+    graft.etl.HtmlExtract
+      .parsePages(d.withColumn("html", html), "html", "sciencedirect",
+        keep = Seq("doc_id"))
+      .select($"doc_id", $"title", $"abstract",
+        $"Date".as("pub_date"), $"Day".as("pub_day"),
+        $"Month".as("pub_month"), $"Year".as("pub_year"),
+        $"doi", $"citations", $"journal_name",
+        array_join($"keywords", "|").as("keywords"),
+        array_join($"authors", "|").as("authors"),
+        array_join(transform($"authors_with_affiliations",
+          x => concat_ws("~", x.getField("author"), x.getField("university"),
+            x.getField("country"))), "|").as("awa"),
+        array_join($"universities", "|").as("universities"),
+        array_join($"countries", "|").as("countries"))
+      .orderBy($"doc_id")
+  }
+
+  val s19HtmlExtractSdSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['January','February','March','April','May','June','July','August',
+      |     'September','October','November','December'][(doc_id % 12) + 1] AS mn,
+      |    'Lab ' || (doc_id % 7) AS uni, 'Land' || (doc_id % 5) AS ctry,
+      |    'Ga' || doc_id || ' Sa' || doc_id AS a1,
+      |    'Gb' || doc_id || ' Sb' || doc_id AS a2
+      |  FROM documents)
+      |SELECT doc_id,
+      |  'Doc ' || doc_id AS title,
+      |  'Topic ' || (doc_id % 89) AS abstract,
+      |  (doc_id % 28 + 1) || ' ' || mn || ' ' || (2016 + doc_id % 6) AS pub_date,
+      |  CAST(doc_id % 28 + 1 AS VARCHAR) AS pub_day,
+      |  mn AS pub_month,
+      |  CAST(2016 + doc_id % 6 AS VARCHAR) AS pub_year,
+      |  'https://doi.org/10.1016/' || doc_id AS doi,
+      |  CAST(doc_id % 50 AS DOUBLE) AS citations,
+      |  'Journal ' || (doc_id % 4) AS journal_name,
+      |  'kw' || (doc_id % 9) || '|kw' || (doc_id % 17) AS keywords,
+      |  a1 || '|' || a2 AS authors,
+      |  a1 || '~' || uni || '~' || ctry || '|' ||
+      |    a2 || '~' || uni || '~' || ctry || '|' ||
+      |    a2 || '~Solo~Unknown' AS awa,
+      |  uni || '|Solo' AS universities,
+      |  ctry || '|Unknown' AS countries
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** A1: the count-audit operator (ref: before/after cleaning counts,
     * DB/ETL.ipynb c13/c27) as one relation of named counts. */
   val a1CountAudit: Q = (s, dir) => {
@@ -420,6 +506,7 @@ object SourceQueries {
     "s11_merge_schema" -> s11MergeSchema,
     "s13_mongo_extjson" -> s13MongoExtjson,
     "s18_html_extract" -> s18HtmlExtract,
+    "s19_html_extract_sd" -> s19HtmlExtractSd,
     "a1_count_audit" -> a1CountAudit,
   )
 
@@ -435,6 +522,7 @@ object SourceQueries {
     "s11_merge_schema" -> s11MergeSchemaSql,
     "s13_mongo_extjson" -> s13MongoExtjsonSql,
     "s18_html_extract" -> s18HtmlExtractSql,
+    "s19_html_extract_sd" -> s19HtmlExtractSdSql,
     "a1_count_audit" -> a1CountAuditSql,
   )
 }
