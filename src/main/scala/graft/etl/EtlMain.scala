@@ -32,7 +32,12 @@ object EtlMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate())
-    spark.sparkContext.setLogLevel("WARN")
+    // the pipeline's date semantics REQUIRE UTC; on a reused session
+    // force it session-scoped (a host session in another zone would
+    // silently drift the star schema's date artifacts) but leave the
+    // caller's log level alone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if (existing.isEmpty) spark.sparkContext.setLogLevel("WARN")
 
     val merged = Ingest.readMerged(spark, inputs)
     // one materialization serves every downstream action: without the

@@ -517,8 +517,6 @@ object Corpus {
   def bpeMerges(docs: DataFrame, textCol: String, rounds: Int = 3): DataFrame =
     bpeTrain(docs, textCol, rounds)._1
 
-  /** Learned merges AND the post-merge vocabulary (word, syms, n) —
-    * the tokenizer-application side of [[bpeMerges]] (t25). */
   /** Checkpoint the evolving vocab every this many merge rounds: each
     * round stacks one crossJoin+aggregate layer on the vocab lineage,
     * so at tokenizer scale (32k merges) an unchecked plan would grow
@@ -527,6 +525,8 @@ object Corpus {
     * materialization per N rounds. */
   private val BpeCheckpointEvery = 8
 
+  /** Learned merges AND the post-merge vocabulary (word, syms, n) —
+    * the tokenizer-application side of [[bpeMerges]] (t25). */
   def bpeTrain(docs: DataFrame, textCol: String,
       rounds: Int): (DataFrame, DataFrame) = {
     var vocab = docs

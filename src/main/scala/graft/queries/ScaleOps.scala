@@ -146,6 +146,10 @@ object ScaleOps {
       .withColumn("o_channel", chan)
       .withColumn("version", lit(1L)).withColumn("op", lit("U"))
     Cdc.upsertEvolve(o, upd.unionByName(dels).unionByName(ins), Seq("o_orderkey"))
+      // pin the column order to the oracle's (the name-aligned union
+      // appends the evolved column AFTER version)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        $"o_channel", $"version")
       .orderBy($"o_orderkey")
   }
 

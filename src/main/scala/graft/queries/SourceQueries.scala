@@ -16,18 +16,26 @@ object SourceQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** One REUSED temp dir per query prefix (every write below is
-    * mode=overwrite, so reuse is safe), deleted at JVM exit — repeated
-    * Bench/Verify invocations in one JVM must not accumulate staging
-    * data. Results lazily read these dirs, so eager per-run deletion
-    * (the e-query pattern) is not an option here. */
-  private val tmpDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def tmp(prefix: String): String =
-    tmpDirs.computeIfAbsent(prefix, { p =>
+  /** Staging dirs: one ROOT per query prefix, deleted at JVM exit, with
+    * a FRESH subdir per invocation inside it. The per-invocation subdir
+    * keeps an earlier invocation's still-held lazy result valid (an
+    * overwrite into a shared dir would delete the part files under it
+    * mid-scan); the shutdown-hooked root bounds accumulation to one JVM
+    * lifetime — repeated Bench/Verify runs no longer leak staging data
+    * across processes. Results lazily read these dirs, so eager
+    * per-run deletion (the e-query pattern) is not an option here. */
+  private val tmpRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val tmpSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def tmp(prefix: String): String = {
+    val root = tmpRoots.computeIfAbsent(prefix, { p =>
       val d = Files.createTempDirectory(p)
       sys.addShutdownHook(graft.etl.Writers.deleteRecursively(d.toFile))
       d.toString
     })
+    val sub = s"$root/run${tmpSeq.incrementAndGet()}"
+    new java.io.File(sub).mkdirs()
+    sub
+  }
 
   /** S1: JSON read with explicit schema (the merged-articles reader,
     * DB/ETL.ipynb c5 — but schema-first, never inferred). */

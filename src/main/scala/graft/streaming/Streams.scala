@@ -59,12 +59,22 @@ object Streams {
   def epochShiftMicros(events: DataFrame, tsCol: String,
       granularitySeconds: Long = 3600L): Long = {
     val row = events.agg(min(unix_micros(col(tsCol)))).head()
-    if (row.isNullAt(0) || row.getLong(0) >= 0L) 0L
+    epochShiftForMin(if (row.isNullAt(0)) 0L else row.getLong(0),
+      granularitySeconds)
+  }
+
+  /** The pure arithmetic behind [[epochShiftMicros]], for callers that
+    * already know min event time (e.g. via an `Observation` riding an
+    * existing action — zero extra scans). STRICTLY-past-epoch contract:
+    * the shifted minimum must land > 0, never AT 0 — a row exactly at
+    * the initial watermark is born late and dropped, so when -min is an
+    * exact granularity multiple the offset takes one more step. */
+  def epochShiftForMin(minMicros: Long, granularitySeconds: Long = 3600L): Long =
+    if (minMicros >= 0L) 0L
     else {
       val g = granularitySeconds * 1000000L
-      ((-row.getLong(0) + g - 1) / g) * g
+      ((-minMicros) / g + 1) * g
     }
-  }
 
   /** Apply [[epochShiftMicros]]'s offset to a (possibly streaming)
     * relation's event-time column; a zero offset is the identity. */

@@ -391,4 +391,22 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed === batchAgg)
   }
+
+  test("epochShiftForMin lands the minimum STRICTLY past epoch, even at exact multiples") {
+    val g = 3600L * 1000000L
+    assert(Streams.epochShiftForMin(0L) === 0L)   // post-epoch: inert
+    assert(Streams.epochShiftForMin(5L) === 0L)
+    assert(Streams.epochShiftForMin(-1L) === g)
+    // the boundary the old round-up-to-multiple form got wrong: -min an
+    // exact granularity multiple would shift the earliest row to event
+    // time 0 = the initial watermark, where it is born late and dropped
+    assert(Streams.epochShiftForMin(-g) === 2 * g)
+    assert(-g + Streams.epochShiftForMin(-g) > 0L)
+    assert(Streams.epochShiftForMin(-g - 1) === 2 * g)
+    assert(Streams.epochShiftForMin(-2 * g) === 3 * g)
+    // offsets stay hour multiples (window alignment invariant)
+    Seq(-1L, -g, -g - 1, -7L * g + 3).foreach { m =>
+      assert(Streams.epochShiftForMin(m) % g === 0L)
+    }
+  }
 }
