@@ -59,6 +59,42 @@ object Quantize {
       .select(col("qid"), col("vec_id"), col("qd"))
   }
 
+  /** BLOCKWISE symmetric int8 quantization (n17) — one scale per
+    * `blockDim`-dim block instead of per vector (the bitsandbytes /
+    * GGUF-Q8 block layout): a single outlier dimension costs only its
+    * own block's resolution, not the whole vector's. Same determinism
+    * discipline as [[quantize]] — FLOOR (engine round() ties can't
+    * diverge), clamp at -127, all-zero-block guard — and pure per-row
+    * expression work: the blocks come from an array transform, never a
+    * shuffle. Output: one row per (id, block) with the block scale,
+    * quantized values, exact integer self-dot, and the round-6 max
+    * reconstruction error. */
+  def quantizeBlockwise(emb: DataFrame, idCol: String, vecCol: String,
+      blockDim: Int = 16): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    emb
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, CAST(ceil(size(${vecCol}) / ${blockDim}.0) - 1 AS INT)), " +
+          s"b -> struct(CAST(b AS BIGINT) AS block, " +
+          s"slice(CAST($vecCol AS ARRAY<DOUBLE>), b * $blockDim + 1, $blockDim) AS bv))"))
+        .as("x"))
+      .select(col(idCol), col("x.block").as("block"), col("x.bv").as("bv"))
+      .withColumn("scale", maxAbs(col("bv")))
+      .withColumn("q",
+        when(col("scale") === 0.0, transform(col("bv"), _ => lit(0L)))
+          .otherwise(transform(col("bv"),
+            x => greatest(lit(-127L), floor(x * lit(127.0) / col("scale")).cast("long")))))
+      .withColumn("qdot",
+        aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("err",
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(round(array_max(zip_with(col("bv"), col("q"),
+            (x, q) => abs(x - q * col("scale") / lit(127.0)))), 6)))
+      .select(col(idCol), col("block"), col("scale"), col("q"),
+        col("qdot"), col("err"))
+  }
+
   // ---- product quantization (PQ) -----------------------------------
   //
   // Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor

@@ -155,6 +155,44 @@ object CurationQueries {
       |  END AS err
       |FROM qq ORDER BY vec_id""".stripMargin
 
+  /** N17: BLOCKWISE int8 quantization (Quantize.quantizeBlockwise) —
+    * n4's per-vector scale replaced by one scale per 16-dim block, the
+    * bitsandbytes/GGUF-Q8 production layout (an outlier dimension
+    * costs only its own block). Same floor/clamp determinism as n4;
+    * the oracle replays the block slicing and every formula. */
+  val n17BlockwiseQuant: Q = (s, dir) => {
+    import s.implicits._
+    Quantize.quantizeBlockwise(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+      .withColumn("q", array_join($"q", ","))
+      .withColumn("scale", round($"scale", 6))
+      .orderBy($"vec_id", $"block")
+  }
+
+  val n17BlockwiseQuantSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |blk AS (
+      |  SELECT vec_id, b AS block, v[b*16+1 : b*16+16] AS bv
+      |  FROM e, LATERAL (SELECT unnest(range(CAST(ceil(len(v) / 16.0) AS BIGINT))) AS b)),
+      |m AS (
+      |  SELECT vec_id, block, bv,
+      |    list_max(list_transform(bv, x -> abs(x))) AS ms
+      |  FROM blk),
+      |qq AS (
+      |  SELECT vec_id, block, bv, ms,
+      |    CASE WHEN ms = 0 THEN list_transform(bv, x -> 0::BIGINT)
+      |         ELSE list_transform(bv, x -> greatest(-127, CAST(floor(x * 127.0 / ms) AS BIGINT)))
+      |    END AS q
+      |  FROM m)
+      |SELECT vec_id, block, round(ms, 6) AS scale,
+      |  array_to_string(q, ',') AS q,
+      |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qdot,
+      |  CASE WHEN ms = 0 THEN 0.0
+      |       ELSE round(list_max(list_transform(range(len(bv)),
+      |              i -> abs(bv[i + 1] - q[i + 1] * ms / 127.0))), 6)
+      |  END AS err
+      |FROM qq ORDER BY vec_id, block""".stripMargin
+
   /** T13: benchmark decontamination. Benchmark items = every 211th
     * document; contamination is planted by appending the first 8 words
     * of benchmark doc 5 to every 89th corpus doc (same construction in
@@ -969,6 +1007,7 @@ object CurationQueries {
     "t11_repetition"  -> t11Repetition,
     "t12_domain_mix"  -> t12DomainMix,
     "n4_quantize"     -> n4Quantize,
+    "n17_blockwise_quant" -> n17BlockwiseQuant,
     "n5_ann_lsh"      -> n5AnnLsh,
     "n9_lsh_recall"   -> n9LshRecall,
     "n15_rank_metrics" -> n15RankMetrics,
@@ -993,6 +1032,7 @@ object CurationQueries {
     "t11_repetition"  -> t11RepetitionSql,
     "t12_domain_mix"  -> t12DomainMixSql,
     "n4_quantize"     -> n4QuantizeSql,
+    "n17_blockwise_quant" -> n17BlockwiseQuantSql,
     "n5_ann_lsh"      -> n5AnnLshSql,
     "n9_lsh_recall"   -> n9LshRecallSql,
     "n15_rank_metrics" -> n15RankMetricsSql,

@@ -312,6 +312,29 @@ object SourceQueries {
       |       (doc_id * 86400000) % 4102444800000 - 3155760000000 AS fetched_ms
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** S20: XML read — the scholarly-corpus landing format PubMed-style
+    * dumps arrive in, through Spark 4's NATIVE xml datasource (no
+    * external package). Same round-trip discipline as s9/ORC: write
+    * with a rowTag, read back with the EXPLICIT schema (never
+    * inference), hash against the parquet oracle — entity escaping of
+    * text content must be invisible to the round trip. */
+  val s20XmlRead: Q = (s, dir) => {
+    import s.implicits._
+    val out = tmp("graft-s20") + "/docs"
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .write.mode("overwrite").option("rowTag", "doc").format("xml").save(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).option("rowTag", "doc").format("xml").load(out)
+      .orderBy($"doc_id")
+  }
+
+  val s20XmlReadSql: String =
+    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+
   /** S18: HTML-to-article extraction through the gate
     * (graft.etl.HtmlExtract — the S4/S5 per-field extractors as
     * codegen'd regex expressions). Pages are SYNTHESIZED from the
@@ -515,6 +538,7 @@ object SourceQueries {
     "s13_mongo_extjson" -> s13MongoExtjson,
     "s18_html_extract" -> s18HtmlExtract,
     "s19_html_extract_sd" -> s19HtmlExtractSd,
+    "s20_xml_read" -> s20XmlRead,
     "a1_count_audit" -> a1CountAudit,
   )
 
@@ -531,6 +555,7 @@ object SourceQueries {
     "s13_mongo_extjson" -> s13MongoExtjsonSql,
     "s18_html_extract" -> s18HtmlExtractSql,
     "s19_html_extract_sd" -> s19HtmlExtractSdSql,
+    "s20_xml_read" -> s20XmlReadSql,
     "a1_count_audit" -> a1CountAuditSql,
   )
 }

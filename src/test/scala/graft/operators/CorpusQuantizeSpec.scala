@@ -344,6 +344,38 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     assert(out(2L) === ((1L, 3L, 1L)))
   }
 
+  test("n17: blockwise quantization isolates an outlier to its own block") {
+    import spark.implicits._
+    // one huge dimension in block 0: a GLOBAL scale (n4) would cost
+    // every dimension ~100/127 of resolution; blockwise keeps block 1
+    // at its own 0.01 scale — the reason the production layouts
+    // (bitsandbytes, GGUF Q8) are per-block
+    val v = (Array.fill(32)(0.01).updated(0, 100.0)).toSeq
+    val out = Quantize.quantizeBlockwise(
+        Seq((1L, v)).toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .orderBy("block").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Double]("scale") === 100.0)
+    assert(out(1).getAs[Double]("scale") === 0.01)
+    assert(out(1).getAs[Double]("err") <= 0.01 / 127 + 1e-12)
+    // and the error bound holds per block: err < scale/127 (floor step)
+    out.foreach { r =>
+      assert(r.getAs[Double]("err") <= r.getAs[Double]("scale") / 127 + 1e-12)
+    }
+  }
+
+  test("n17: all-zero blocks quantize to zeros; values clamp at -127") {
+    import spark.implicits._
+    val v = (Array.fill(16)(0.0) ++ Array.fill(16)(-1.0)).toSeq
+    val out = Quantize.quantizeBlockwise(
+        Seq((1L, v)).toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .orderBy("block").collect()
+    assert(out(0).getAs[Double]("scale") === 0.0)
+    assert(out(0).getAs[scala.collection.Seq[Long]]("q").forall(_ == 0L))
+    assert(out(0).getAs[Double]("err") === 0.0)
+    assert(out(1).getAs[scala.collection.Seq[Long]]("q").forall(_ == -127L))
+  }
+
   test("t29: hashed classifier logits equal a driver-side md5 replay") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
