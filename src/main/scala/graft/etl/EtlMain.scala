@@ -33,11 +33,12 @@ object EtlMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate())
     // the pipeline's date semantics REQUIRE UTC; on a reused session
-    // force it session-scoped (a host session in another zone would
-    // silently drift the star schema's date artifacts) but leave the
-    // caller's log level alone
+    // force it session-scoped for the duration of the run and RESTORE
+    // the caller's zone afterwards (leave their log level alone too)
+    val callerTz = spark.conf.getOption("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if (existing.isEmpty) spark.sparkContext.setLogLevel("WARN")
+    try {
 
     val merged = Ingest.readMerged(spark, inputs)
     // one materialization serves every downstream action: without the
@@ -84,6 +85,14 @@ object EtlMain {
     }
     Writers.writeJsonl(clean, s"$outDir/clean_jsonl")
     clean.unpersist()
+    } finally {
+      existing.foreach { _ =>
+        callerTz match {
+          case Some(tz) => spark.conf.set("spark.sql.session.timeZone", tz)
+          case None => spark.conf.unset("spark.sql.session.timeZone")
+        }
+      }
+    }
     if (existing.isEmpty) spark.stop()
   }
 }

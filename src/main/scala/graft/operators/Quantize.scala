@@ -73,10 +73,15 @@ object Quantize {
       blockDim: Int = 16): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     emb
+      .select(col(idCol), v.as("__v"))
+      // empty-vector guard: sequence(0, -1) DESCENDS in Spark (it would
+      // emit bogus blocks 0 and -1 with null stats); an empty embedding
+      // contributes zero block rows, matching the oracle's range(0)
+      .filter(size(col("__v")) > 0)
       .select(col(idCol), explode(expr(
-        s"transform(sequence(0, CAST(ceil(size(${vecCol}) / ${blockDim}.0) - 1 AS INT)), " +
+        s"transform(sequence(0, CAST(ceil(size(__v) / ${blockDim}.0) - 1 AS INT)), " +
           s"b -> struct(CAST(b AS BIGINT) AS block, " +
-          s"slice(CAST($vecCol AS ARRAY<DOUBLE>), b * $blockDim + 1, $blockDim) AS bv))"))
+          s"slice(__v, b * $blockDim + 1, $blockDim) AS bv))"))
         .as("x"))
       .select(col(idCol), col("x.block").as("block"), col("x.bv").as("bv"))
       .withColumn("scale", maxAbs(col("bv")))

@@ -289,14 +289,9 @@ object EventQueries {
     // pre-epoch option: 0 on the driver's post-epoch testdata (inert);
     // on historical fixtures it translates event time past epoch 0 so
     // watermarking doesn't birth the rows late, and the session bounds
-    // are shifted back below — gap clustering is translation-invariant.
-    // min(ts) rides the staging write as an Observation: zero extra scans
-    val obs = org.apache.spark.sql.Observation()
+    // are shifted back below — gap clustering is translation-invariant
     val tmp = java.nio.file.Files.createTempDirectory("graft-e4").toString
-    ev.observe(obs, min(unix_micros($"ts")).as("min_tus"))
-      .write.mode("overwrite").parquet(tmp)
-    val off = Streams.epochShiftForMin(
-      Option(obs.get("min_tus")).map(_.asInstanceOf[Long]).getOrElse(0L))
+    val off = Streams.stageWithEpochShift(ev, "ts", tmp)
     val stream = Streams.shiftTs(
       s.readStream.schema(ev.schema).parquet(tmp), "ts", off).as[Streams.Event]
     val q = Streams.sessionizeStreamExact(stream)
@@ -925,14 +920,9 @@ object EventQueries {
     val ev = Tables.load(s, dir, "events").select($"ts", $"event_type", $"value")
     // pre-epoch option (see e4): the hour-multiple offset keeps the
     // tumbling windows aligned, so shifting back recovers the batch
-    // window starts exactly; 0 (inert) on post-epoch data. min(ts)
-    // rides the staging write as an Observation — zero extra scans
-    val obs = org.apache.spark.sql.Observation()
+    // window starts exactly; 0 (inert) on post-epoch data
     val tmp = java.nio.file.Files.createTempDirectory("graft-e11").toString
-    ev.observe(obs, min(unix_micros($"ts")).as("min_tus"))
-      .write.mode("overwrite").parquet(tmp)
-    val off = Streams.epochShiftForMin(
-      Option(obs.get("min_tus")).map(_.asInstanceOf[Long]).getOrElse(0L))
+    val off = Streams.stageWithEpochShift(ev, "ts", tmp)
     val stream = Streams.shiftTs(
       s.readStream.schema(ev.schema).parquet(tmp), "ts", off)
     val q = Streams.windowedCounts(stream)

@@ -321,19 +321,34 @@ object SourceQueries {
   val s20XmlRead: Q = (s, dir) => {
     import s.implicits._
     val out = tmp("graft-s20") + "/docs"
+    // XML 1.0 cannot carry most control characters AT ALL (the writer
+    // throws on 0x0B etc. — reproduced; the adversarial fixture plants
+    // exactly that byte) — translate them to spaces BEFORE the write,
+    // the same format-contract enforcement s10 applies to CR/LF; the
+    // oracle applies the identical translation
     Tables.load(s, dir, "documents")
-      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .select($"doc_id",
+        regexp_replace($"text",
+          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", " ").as("text"),
+        $"lang", $"source", $"n_chars")
       .write.mode("overwrite").option("rowTag", "doc").format("xml").save(out)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    s.read.schema(schema).option("rowTag", "doc").format("xml").load(out)
+    s.read.schema(schema).option("rowTag", "doc")
+      // default true SILENTLY trims surrounding whitespace on read —
+      // the round trip would no longer be invisible
+      .option("ignoreSurroundingSpaces", false)
+      .format("xml").load(out)
       .orderBy($"doc_id")
   }
 
   val s20XmlReadSql: String =
-    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+    """SELECT doc_id,
+      |  regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', ' ', 'g') AS text,
+      |  lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** S18: HTML-to-article extraction through the gate
     * (graft.etl.HtmlExtract — the S4/S5 per-field extractors as

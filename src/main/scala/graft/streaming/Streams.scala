@@ -83,6 +83,21 @@ object Streams {
     else df.withColumn(tsCol,
       timestamp_micros(unix_micros(col(tsCol)) + offsetMicros))
 
+  /** Stage a batch to `dir` as a streaming replay source while deriving
+    * the epoch-shift offset from the SAME write via an `Observation` —
+    * zero extra scans. Returns the offset (0 = inert, post-epoch data);
+    * pass it to [[shiftTs]] on the stream and subtract it from output
+    * instants. The one staging-and-offset implementation e4/e11 share. */
+  def stageWithEpochShift(df: DataFrame, tsCol: String, dir: String,
+      granularitySeconds: Long = 3600L): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, min(unix_micros(col(tsCol))).as("min_tus"))
+      .write.mode("overwrite").parquet(dir)
+    epochShiftForMin(
+      Option(obs.get("min_tus")).map(_.asInstanceOf[Long]).getOrElse(0L),
+      granularitySeconds)
+  }
+
   // ---- stateful sessionization (e2's streaming form) ---------------
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)

@@ -338,6 +338,27 @@ object ScaleStress {
       }
     }
 
+    // t28 exact substring spans: disjoint replicas → repeated windows
+    // only within a replica (the planted near-dup tails), keeper pairs
+    // scale ~linearly. identical replicas → every window an N-clique,
+    // but keeper pairing emits N−1 pairs per window, NOT N², so the
+    // duplicate regime must also stay ~linear — the same structural
+    // advantage t22's keeper window has over pair-emitting joins.
+    if (sect("t28")) {
+      Seq(1, 5, 20).foreach { n =>
+        val d = disjoint(n).cache(); val rows = d.count()
+        time(s"t28 exact-spans disjoint n=$n rows=$rows") {
+          Corpus.exactSpans(d, "doc_id", "text") }
+        d.unpersist(blocking = true)
+      }
+      Seq(2, 8, 20).foreach { n =>
+        val d = identical(n).cache(); val rows = d.count()
+        time(s"t28 exact-spans identical n=$n rows=$rows") {
+          Corpus.exactSpans(d, "doc_id", "text") }
+        d.unpersist(blocking = true)
+      }
+    }
+
     // BPE training depth: with the per-8-rounds vocab localCheckpoint
     // the live plan stays O(8) layers deep, so total time must grow
     // ~linearly in rounds (each round = one vocab-sized pair count +

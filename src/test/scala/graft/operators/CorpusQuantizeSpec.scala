@@ -364,6 +364,16 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     }
   }
 
+  test("n17: an empty embedding contributes zero block rows (sequence(0,-1) guard)") {
+    import spark.implicits._
+    // unguarded, size([])=0 makes sequence(0, -1), which DESCENDS in
+    // Spark and would emit bogus blocks 0 and -1 with null stats
+    val out = Quantize.quantizeBlockwise(
+      Seq((1L, Seq.empty[Double]), (2L, Seq(1.0, 2.0)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(out.select("vec_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("n17: all-zero blocks quantize to zeros; values clamp at -127") {
     import spark.implicits._
     val v = (Array.fill(16)(0.0) ++ Array.fill(16)(-1.0)).toSeq
