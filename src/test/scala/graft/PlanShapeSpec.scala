@@ -129,6 +129,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"non-driver-sortable result columns:\n${offenders.mkString("\n")}")
   }
 
+  test("s18 html extraction is map-only: the single exchange is the presentation sort") {
+    // regex field extraction must stay per-row expression work — a
+    // shuffle anywhere before the orderBy means the extractor stopped
+    // being embarrassingly parallel
+    // sparkPlan is pre-EnsureRequirements: the sort's range exchange is
+    // not yet inserted, so any Exchange visible HERE is an explicit
+    // extra shuffle the extractor must not have
+    val p = sparkPlan("s18_html_extract").toString
+    assert("Exchange".r.findAllIn(p).isEmpty, s"extra shuffles in s18:\n$p")
+  }
+
+  test("t28's keeper aggregation combines map-side and its island window is partitioned") {
+    val p = sparkPlan("t28_exact_spans").toString
+    assert(p.contains("partial_min"), s"keeper min not map-side combined:\n$p")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"island window not partitioned by doc:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair blowup in t28:\n$p")
+  }
+
+  test("t29 classifier scoring is one map-side-combined doc aggregate") {
+    val p = sparkPlan("t29_hashed_classifier").toString
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc sum not map-side combined:\n$p")
+    // explode → agg → sort; pre-EnsureRequirements only explicit
+    // shuffles show, and there must be none
+    assert("Exchange".r.findAllIn(p).isEmpty, s"extra shuffles in t29:\n$p")
+  }
+
+  test("n17 blockwise quantization plans no explicit shuffle (map-only before the sort)") {
+    val p = sparkPlan("n17_blockwise_quant").toString
+    assert("Exchange".r.findAllIn(p).isEmpty, s"extra shuffles in n17:\n$p")
+  }
+
   test("t7 packing's running sum never funnels rows to one task") {
     // the r2 scale-killer: Window.orderBy with no partitionBy plans an
     // Exchange SinglePartition before the window — every chunk row
