@@ -320,6 +320,59 @@ object Corpus {
       .drop("island")
   }
 
+  /** Decontamination by SPAN EXCISION (t30) — the surgical variant of
+    * [[decontaminate]]: instead of flagging (and typically dropping)
+    * any document sharing a benchmark n-gram, cut exactly the
+    * overlapping word spans out and keep the rest — the Lee et al.
+    * exact-substring discipline applied to eval leakage, preserving
+    * training tokens a whole-document drop would waste.
+    *
+    * A word index is removed iff ANY marked n-window covers it, which
+    * is exactly the union of the maximal contaminated spans — computed
+    * as a bounded fan-out (each hit covers n indices) + distinct +
+    * anti-join, no per-doc island window needed for removal semantics.
+    *
+    * Scale shape: bench n-grams broadcast (eval sets are small by
+    * definition); corpus side is one window explode + broadcast join,
+    * a ≤n× expansion of the HITS only, one narrow (doc, pos) anti-join,
+    * and a doc-keyed reassembly agg — corpus-linear, no corpus-wide
+    * window. Output: (doc_id, total_words, removed_words,
+    * cleaned_text), one row per input document. */
+  def decontaminateSpans(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val benchNgrams = bench
+      .select(explode(wordNgrams(col(textCol), n)).as("g"))
+      .select(md5(col("g")).as("h")).distinct()
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      expr(s"filter(split($textCol, ' '), x -> x != '')").as("w"))
+    val words = base
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos0", "word")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("word"))
+    val wp = base
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> struct(CAST(i AS BIGINT) AS pos, md5(concat_ws(' ', slice(w, i, $n))) AS h))"))
+        .as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.h").as("h"))
+    val covered = wp.join(broadcast(benchNgrams), "h")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("pos"))
+      .distinct()
+    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_words"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, word))), x -> x.word)"))
+          .as("cleaned_text"))
+    base.select(col("doc_id"), size(col("w")).cast("long").as("total_words"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_words"),
+        (col("total_words") - coalesce(col("kept_words"), lit(0L)))
+          .as("removed_words"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** EXACT duplicated-substring spans — suffix-array-fidelity
     * sub-document dedup (t28), the precision upgrade over
     * [[repeatedSpans]] (t20): t20's islands only guarantee every

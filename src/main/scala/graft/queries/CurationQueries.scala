@@ -155,6 +155,73 @@ object CurationQueries {
       |  END AS err
       |FROM qq ORDER BY vec_id""".stripMargin
 
+  /** T30: decontamination by SPAN EXCISION
+    * (Corpus.decontaminateSpans) — t13's construction (benchmark =
+    * every 211th doc, the first 8 words of bench doc 5 appended to
+    * every 89th corpus doc) but instead of flagging whole documents,
+    * the benchmark-overlapping word spans are CUT OUT and the
+    * remainder reassembled: contaminated docs come back with exactly
+    * the planted snippet removed, clean docs untouched. The oracle
+    * replays the construction, the n-gram marking, the ≤n× coverage
+    * fan-out, and the ordered reassembly. */
+  val t30DecontaminateSpans: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val bench = docs.filter($"doc_id" % 211 === 5)
+    val snip = bench.filter($"doc_id" === 5)
+      .select(array_join(
+        slice(filter(split($"text", " "), x => x =!= ""), 1, 8), " ").as("snip"))
+    val corpus = docs.filter($"doc_id" % 211 =!= 5)
+      .crossJoin(broadcast(snip))
+      .withColumn("text", concat($"text",
+        when($"doc_id" % 89 === 3, concat(lit(" "), $"snip")).otherwise(lit(""))))
+    Corpus.decontaminateSpans(corpus, bench, "doc_id", "text", n = 8)
+      .orderBy($"doc_id")
+  }
+
+  val t30DecontaminateSpansSql: String =
+    """WITH snip AS (
+      |  SELECT array_to_string(
+      |    list_filter(string_split(text, ' '), x -> x <> '')[1:8], ' ') AS s
+      |  FROM documents WHERE doc_id = 5),
+      |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 211 = 5),
+      |corpus AS (
+      |  SELECT doc_id,
+      |    text || CASE WHEN doc_id % 89 = 3 THEN ' ' || s ELSE '' END AS text
+      |  FROM documents, snip WHERE doc_id % 211 <> 5),
+      |bg AS (
+      |  SELECT DISTINCT md5(array_to_string(w[i+1 : i+8], ' ')) AS h
+      |  FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM bench) b,
+      |       LATERAL (SELECT unnest(range(len(b.w) - 7)) AS i) x
+      |  WHERE len(b.w) >= 8),
+      |base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM corpus),
+      |wp AS (
+      |  SELECT doc_id, i + 1 AS pos, md5(array_to_string(w[i+1 : i+8], ' ')) AS h
+      |  FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS i
+      |        FROM base WHERE len(w) >= 8)),
+      |cov AS (
+      |  SELECT DISTINCT wp.doc_id, wp.pos + d.d AS pos
+      |  FROM wp JOIN bg USING (h), (SELECT unnest(range(8)) AS d) d),
+      |words AS (
+      |  SELECT doc_id, x.i + 1 AS pos, w[x.i + 1] AS word
+      |  FROM base, LATERAL (SELECT unnest(range(len(w))) AS i) x),
+      |kept AS (
+      |  SELECT wo.doc_id, wo.pos, wo.word
+      |  FROM words wo LEFT JOIN cov ON wo.doc_id = cov.doc_id AND wo.pos = cov.pos
+      |  WHERE cov.pos IS NULL),
+      |re AS (
+      |  SELECT doc_id, count(*) AS kept_words,
+      |    string_agg(word, ' ' ORDER BY pos) AS cleaned_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS total_words,
+      |  CAST(len(b.w) - coalesce(re.kept_words, 0) AS BIGINT) AS removed_words,
+      |  coalesce(re.cleaned_text, '') AS cleaned_text
+      |FROM base b LEFT JOIN re USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** N17: BLOCKWISE int8 quantization (Quantize.quantizeBlockwise) —
     * n4's per-vector scale replaced by one scale per 16-dim block, the
     * bitsandbytes/GGUF-Q8 production layout (an outlier dimension
@@ -1008,6 +1075,7 @@ object CurationQueries {
     "t12_domain_mix"  -> t12DomainMix,
     "n4_quantize"     -> n4Quantize,
     "n17_blockwise_quant" -> n17BlockwiseQuant,
+    "t30_decontaminate_spans" -> t30DecontaminateSpans,
     "n5_ann_lsh"      -> n5AnnLsh,
     "n9_lsh_recall"   -> n9LshRecall,
     "n15_rank_metrics" -> n15RankMetrics,
@@ -1033,6 +1101,7 @@ object CurationQueries {
     "t12_domain_mix"  -> t12DomainMixSql,
     "n4_quantize"     -> n4QuantizeSql,
     "n17_blockwise_quant" -> n17BlockwiseQuantSql,
+    "t30_decontaminate_spans" -> t30DecontaminateSpansSql,
     "n5_ann_lsh"      -> n5AnnLshSql,
     "n9_lsh_recall"   -> n9LshRecallSql,
     "n15_rank_metrics" -> n15RankMetricsSql,

@@ -94,7 +94,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // n15 composes n1/n5's bounded 5-query broadcast fan-out (n9's
       // allowlisted shape)
       "t25_bpe_tokenize", "an25_convert_latency", "u9_time_travel",
-      "an29_decile_lift", "n15_rank_metrics")
+      "an29_decile_lift", "n15_rank_metrics",
+      // t30 shares t13's scaffolding: the ONE-ROW broadcast snippet
+      // crossJoin that PLANTS contamination (test rig, not the
+      // operator, whose own join is an equi broadcast on the n-gram)
+      "t30_decontaminate_spans")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(PlanAudit.excluded.contains).flatMap { name =>
         val plan = sparkPlan(name).toString

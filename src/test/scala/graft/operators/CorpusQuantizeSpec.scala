@@ -72,6 +72,32 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((2L, 1L, "q1 q2 q3 q4 q5 q6 q7 q8")))
   }
 
+  test("t30: span excision cuts exactly the contaminated words, keeps the rest") {
+    val bench = Seq((100L, "q1 q2 q3 q4 q5 q6 q7 q8 extra words here")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "clean doc with its own words only nothing shared at all ok"),
+      (2L, "prefix words q1 q2 q3 q4 q5 q6 q7 q8 suffix"),  // mid-doc plant
+      (3L, "q2 q3 q4 q5 q6 q7 q8 but only seven of them"),  // 7-gram -> clean
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8"),                       // fully contaminated
+      (5L, "short doc")                                      // < n words -> untouched
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminateSpans(docs, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((12L, 0L, "clean doc with its own words only nothing shared at all ok")))
+    // surgical: the 8 planted words go, BOTH sides survive in order
+    assert(out(2L) === ((11L, 8L, "prefix words suffix")))
+    assert(out(3L)._2 === 0L)                  // a 7-gram overlap is not an 8-gram hit
+    assert(out(4L) === ((8L, 8L, "")))         // whole doc was the benchmark span
+    assert(out(5L) === ((2L, 0L, "short doc")))
+    // overlapping bench 9-gram ("q1..q8 extra"): two overlapping marked
+    // windows must remove the UNION (9 words), not double-count
+    val doc6 = Seq((6L, "pre q1 q2 q3 q4 q5 q6 q7 q8 extra post")).toDF("doc_id", "text")
+    val r6 = Corpus.decontaminateSpans(doc6, bench, "doc_id", "text", n = 8)
+      .collect().head
+    assert((r6.getLong(1), r6.getLong(2), r6.getString(3)) === ((11L, 9L, "pre post")))
+  }
+
   // ---- Corpus.domainMix ---------------------------------------------
 
   test("domainMix keeps a deterministic subset honoring per-source caps") {
