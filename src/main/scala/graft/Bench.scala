@@ -31,7 +31,7 @@ object Bench {
     // DAU/WAU, PQ ADC top-k
     "u7_scd2", "e13_stream_outer_join", "t26_leakage_safe_split",
     "d11_semantic_dedup", "an26_rolling_active", "n11_pq_adc_topk",
-    "t28_exact_spans")
+    "t28_exact_spans", "t30_decontaminate_spans")
 
   /** Queries that execute a REAL Structured Streaming run per rep
     * (staging write + stream drain + watermark sentinels): their cost
