@@ -329,48 +329,56 @@ object Corpus {
     *
     * A word index is removed iff ANY marked n-window covers it, which
     * is exactly the union of the maximal contaminated spans — computed
-    * as a bounded fan-out (each hit covers n indices) + distinct +
-    * anti-join, no per-doc island window needed for removal semantics.
+    * as a bounded fan-out (each hit covers n indices) into per-doc
+    * covered-position SETS; excision is then a per-row array filter.
     *
     * Scale shape: bench n-grams broadcast (eval sets are small by
-    * definition); corpus side is one window explode + broadcast join,
-    * a ≤n× expansion of the HITS only, one narrow (doc, pos) anti-join,
-    * and a doc-keyed reassembly agg — corpus-linear, no corpus-wide
-    * window. Output: (doc_id, total_words, removed_words,
+    * definition); the corpus side is one window explode + broadcast
+    * join, a ≤n× expansion of the HITS only, one hits-sized aggregate,
+    * and a left join back — the uncontaminated majority never sheds a
+    * word row into a shuffle and passes its ORIGINAL text through
+    * byte-identical. Output: (doc_id, total_words, removed_words,
     * cleaned_text), one row per input document. */
   def decontaminateSpans(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame = {
     val benchNgrams = bench
       .select(explode(wordNgrams(col(textCol), n)).as("g"))
       .select(md5(col("g")).as("h")).distinct()
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      expr(s"filter(split($textCol, ' '), x -> x != '')").as("w"))
-    val words = base
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos0", "word")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("word"))
+    // null text counts as empty; id keeps its OWN type (no cast — a
+    // string-keyed corpus must not collapse into one null-id group)
+    val text = coalesce(col(textCol), lit(""))
+    val base = docs.select(col(idCol).as("doc_id"), text.as("__text"),
+      filter(split(text, " "), x => x =!= "").as("w"))
+    // windows via the shared guarded helper — ONE n-gram definition
+    // (t11/t13/t19 use the same); md5 applied on top
     val wp = base
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(w) - ${n - 1}), " +
-          s"i -> struct(CAST(i AS BIGINT) AS pos, md5(concat_ws(' ', slice(w, i, $n))) AS h))"))
-        .as("x"))
-      .select(col("doc_id"), col("x.pos").as("pos"), col("x.h").as("h"))
-    val covered = wp.join(broadcast(benchNgrams), "h")
       .select(col("doc_id"),
-        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("pos"))
+        posexplode(wordNgrams(col("__text"), n)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        md5(col("g")).as("h"))
+    // covered-position SETS exist only for docs with hits (rare by the
+    // operator's premise): the corpus-wide anti-join + reassembly
+    // shuffle of a word-exploded formulation is replaced by one small
+    // aggregate + a left join; the uncontaminated majority passes its
+    // ORIGINAL text through byte-identical, never re-tokenized
+    val covSets = wp.join(broadcast(benchNgrams), "h")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("p"))
       .distinct()
-    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
-    val reassembled = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("kept_words"),
-        concat_ws(" ", expr(
-          "transform(array_sort(collect_list(struct(pos, word))), x -> x.word)"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("cov"))
+    base.join(covSets, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("total_words"),
+        when(col("cov").isNull, lit(0L))
+          .otherwise(size(col("cov")).cast("long")).as("removed_words"),
+        when(col("cov").isNull, col("__text"))
+          // excision re-joins the surviving words with single spaces —
+          // word-level surgery can't preserve intra-span whitespace,
+          // and only TOUCHED docs pay that normalization
+          .otherwise(concat_ws(" ", expr(
+            "filter(w, (x, i) -> NOT array_contains(cov, CAST(i + 1 AS BIGINT)))")))
           .as("cleaned_text"))
-    base.select(col("doc_id"), size(col("w")).cast("long").as("total_words"))
-      .join(reassembled, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("total_words"),
-        (col("total_words") - coalesce(col("kept_words"), lit(0L)))
-          .as("removed_words"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
   /** EXACT duplicated-substring spans — suffix-array-fidelity

@@ -196,7 +196,8 @@ object CurationQueries {
       |       LATERAL (SELECT unnest(range(len(b.w) - 7)) AS i) x
       |  WHERE len(b.w) >= 8),
       |base AS (
-      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
       |  FROM corpus),
       |wp AS (
       |  SELECT doc_id, i + 1 AS pos, md5(array_to_string(w[i+1 : i+8], ' ')) AS h
@@ -205,21 +206,23 @@ object CurationQueries {
       |cov AS (
       |  SELECT DISTINCT wp.doc_id, wp.pos + d.d AS pos
       |  FROM wp JOIN bg USING (h), (SELECT unnest(range(8)) AS d) d),
+      |covn AS (SELECT doc_id, count(*) AS nrem FROM cov GROUP BY doc_id),
       |words AS (
-      |  SELECT doc_id, x.i + 1 AS pos, w[x.i + 1] AS word
-      |  FROM base, LATERAL (SELECT unnest(range(len(w))) AS i) x),
+      |  SELECT b.doc_id, x.i + 1 AS pos, b.w[x.i + 1] AS word
+      |  FROM base b JOIN covn USING (doc_id),
+      |       LATERAL (SELECT unnest(range(len(b.w))) AS i) x),
       |kept AS (
       |  SELECT wo.doc_id, wo.pos, wo.word
       |  FROM words wo LEFT JOIN cov ON wo.doc_id = cov.doc_id AND wo.pos = cov.pos
       |  WHERE cov.pos IS NULL),
       |re AS (
-      |  SELECT doc_id, count(*) AS kept_words,
-      |    string_agg(word, ' ' ORDER BY pos) AS cleaned_text
+      |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS ct
       |  FROM kept GROUP BY doc_id)
       |SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS total_words,
-      |  CAST(len(b.w) - coalesce(re.kept_words, 0) AS BIGINT) AS removed_words,
-      |  coalesce(re.cleaned_text, '') AS cleaned_text
-      |FROM base b LEFT JOIN re USING (doc_id)
+      |  CAST(coalesce(covn.nrem, 0) AS BIGINT) AS removed_words,
+      |  CASE WHEN covn.doc_id IS NOT NULL THEN coalesce(re.ct, '')
+      |       ELSE b.text END AS cleaned_text
+      |FROM base b LEFT JOIN covn USING (doc_id) LEFT JOIN re USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
   /** N17: BLOCKWISE int8 quantization (Quantize.quantizeBlockwise) —

@@ -98,6 +98,21 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     assert((r6.getLong(1), r6.getLong(2), r6.getString(3)) === ((11L, 9L, "pre post")))
   }
 
+  test("t30: clean docs pass through BYTE-IDENTICAL; ids keep their type; null text is empty") {
+    val bench = Seq((100L, "q1 q2 q3 q4 q5 q6 q7 q8")).toDF("doc_id", "text")
+    // double space + leading space: a clean doc must NOT be re-tokenized
+    val weird = " leading  and  doubled  spaces kept untouched here ok"
+    val out = Corpus.decontaminateSpans(
+        Seq(("alpha", weird), ("beta", null.asInstanceOf[String]),
+          ("gamma", "pre q1 q2 q3 q4 q5 q6 q7 q8 post")).toDF("doc_id", "text"),
+        bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out("alpha") === ((8L, 0L, weird)))      // verbatim, spaces intact
+    assert(out("beta") === ((0L, 0L, "")))          // null text = empty, not -1
+    assert(out("gamma") === ((10L, 8L, "pre post"))) // string ids never collapse
+  }
+
   // ---- Corpus.domainMix ---------------------------------------------
 
   test("domainMix keeps a deterministic subset honoring per-source caps") {
