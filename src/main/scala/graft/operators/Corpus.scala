@@ -410,36 +410,43 @@ object Corpus {
     * — no corpus-sized unpartitioned window, no quadratic pair
     * emission (N occurrences of hot boilerplate → N−1 keeper pairs).
     *
+    * The keeper total order is min over a (doc_id, pos) STRUCT, so the
+    * id keeps its OWN type: string-keyed corpora (every real web
+    * corpus) order lexicographically, negative / arbitrarily large
+    * numeric ids order numerically, and documents of any length work —
+    * contrast the retired doc_id*100000+pos long encoding, which
+    * null-cast string ids into one garbage group and overflowed past
+    * ~9.2e13. Ids must be non-null (a null id row can never win a
+    * null-safe keeper comparison deterministically).
+    *
     * Output: (doc_id, span_start, span_end, span_words, src_doc,
     * src_start) — 1-based inclusive word positions; src_start is where
-    * the identical words begin in the keeper document. */
+    * the identical words begin in the keeper document. src_doc carries
+    * the id column's own type. */
   def exactSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 10): DataFrame = {
     val wp = docs
-      .select(col(idCol).cast("long").as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(w) - ${k - 1}), " +
           s"i -> struct(CAST(i AS BIGINT) AS pos, md5(concat_ws(' ', slice(w, i, $k))) AS h))"))
         .as("x"))
       .select(col("doc_id"), col("x.pos").as("pos"), col("x.h").as("h"))
-      // same keeper encoding (and guard) as segmentDedup: total order
-      // by (doc, pos) in one comparable long
-      .withColumn("key",
-        when(col("pos") < 100000L, col("doc_id") * 100000L + col("pos"))
-          .otherwise(expr(
-            "raise_error('exactSpans: document exceeds 100000 words — keeper encoding would collide')")))
       // two consumers (keeper min + the pair join): one materialization
       .localCheckpoint()
     val keepers = wp.groupBy(col("h"))
-      .agg(min(col("key")).as("kmin"), count(lit(1)).as("n"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("kmin"),
+        count(lit(1)).as("n"))
       .filter(col("n") >= 2)
-      .select(col("h"), col("kmin"))
+      .select(col("h"), col("kmin.doc_id").as("src_doc"),
+        col("kmin.pos").as("kpos"))
     val pairs = wp.join(keepers, "h")
-      .filter(col("key") =!= col("kmin"))
-      .select(col("doc_id"), col("pos"),
-        expr("kmin div 100000").as("src_doc"),
-        (col("pos") - expr("kmin % 100000")).as("delta"))
+      // null-safe: the keeper row itself is excluded, every other
+      // occurrence pairs with it
+      .filter(!(col("doc_id") <=> col("src_doc") && col("pos") <=> col("kpos")))
+      .select(col("doc_id"), col("pos"), col("src_doc"),
+        (col("pos") - col("kpos")).as("delta"))
     val byAlign = Window
       .partitionBy(col("doc_id"), col("src_doc"), col("delta"))
       .orderBy(col("pos"))
@@ -455,6 +462,74 @@ object Corpus {
         col("src_doc"), (col("span_start") - col("delta")).as("src_start"))
   }
 
+  /** EXCISE exact duplicated substrings (t31) — the end state of the
+    * Lee et al. (ACL 2022) exact-substring discipline that
+    * [[exactSpans]] (t28) only REPORTS: every k-word window occurring
+    * ≥ 2 times in the corpus keeps its first occurrence (the keeper,
+    * same (doc_id, pos) struct total order as t28) and is cut from
+    * every other occurrence; the surviving words are reassembled in
+    * place. Keeper documents pass through byte-identical — the
+    * duplicated text survives exactly once, where it first appeared —
+    * and so does every document with no repeated window.
+    *
+    * A word index is removed iff ANY non-keeper marked window covers
+    * it (the union of the non-keeper spans), computed as
+    * [[decontaminateSpans]] does: a bounded ≤k× fan-out of the HITS
+    * only into per-doc covered-position sets, then a per-row array
+    * filter. Tokenization is the empty-filtered [[wordNgrams]] stream
+    * (t30's), so null/empty text and sub-k documents pass through
+    * unharmed.
+    *
+    * Scale shape: one window explode (corpus-linear), one
+    * map-side-combined keeper min on the window hash, one hash join
+    * back (both relations key-partitioned on h — nothing assumes
+    * either side fits anywhere), a hits-sized coverage aggregate, and
+    * a left join back to the base — the duplicate-free majority never
+    * sheds a word row into a shuffle. No corpus-sized unpartitioned
+    * window, no driver materialization.
+    *
+    * Output: (doc_id, total_words, removed_words, cleaned_text), one
+    * row per input document. */
+  def exciseExactDuplicates(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 10): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val base = docs.select(col(idCol).as("doc_id"), text.as("__text"),
+      filter(split(text, " "), x => x =!= "").as("w"))
+    val wp = base
+      .select(col("doc_id"),
+        posexplode(wordNgrams(col("__text"), k)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        md5(col("g")).as("h"))
+      // two consumers (keeper min + the hit join): one materialization
+      .localCheckpoint()
+    val keepers = wp.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("kmin"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("h"), col("kmin.doc_id").as("kdoc"),
+        col("kmin.pos").as("kpos"))
+    // non-keeper occurrences only: the keeper row is excluded, so the
+    // first occurrence of every duplicated window survives excision
+    val covSets = wp.join(keepers, "h")
+      .filter(!(col("doc_id") <=> col("kdoc") && col("pos") <=> col("kpos")))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("cov"))
+    base.join(covSets, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("total_words"),
+        when(col("cov").isNull, lit(0L))
+          .otherwise(size(col("cov")).cast("long")).as("removed_words"),
+        when(col("cov").isNull, col("__text"))
+          // same single-space reassembly contract as decontaminateSpans:
+          // only TOUCHED docs pay the normalization
+          .otherwise(concat_ws(" ", expr(
+            "filter(w, (x, i) -> NOT array_contains(cov, CAST(i + 1 AS BIGINT)))")))
+          .as("cleaned_text"))
+  }
+
   // ---- corpus-level segment dedup (C4 / RefinedWeb line dedup) -----
 
   /** Remove every text segment whose content already appeared earlier
@@ -468,11 +543,14 @@ object Corpus {
     * while the unique remainder survives.
     *
     * First-occurrence is a total order: the keeper of a segment value
-    * is the minimum of `doc_id * 100000 + seg_no` (seg_no is bounded
-    * by guard below, so the encoding never collides). Plan shape:
+    * is the minimum (doc_id, seg_no) STRUCT, so the id keeps its OWN
+    * type — string keys order lexicographically, any numeric id
+    * numerically, documents of any segment count work (the retired
+    * doc_id*100000+seg_no long encoding null-cast string ids and
+    * needed a 100000-segment guard). Ids must be non-null. Plan shape:
     * one narrow explode, ONE shuffle by segment content for the
     * keeper window (a hot segment — boilerplate repeated across the
-    * corpus — lands on one reducer but carries only 8-byte keys per
+    * corpus — lands on one reducer but carries only small keys per
     * row), one shuffle by doc_id for the ordered reassembly, and a
     * doc-count-sized join against per-doc totals derived arithmetically
     * from the base scan (no extra shuffle for totals). No corpus-sized
@@ -483,7 +561,7 @@ object Corpus {
     */
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
       segWords: Int = 10): DataFrame = {
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+    val base = docs.select(col(idCol).as("doc_id"),
         split(col(textCol), " ").as("w"))
       .withColumn("n_seg",
         expr(s"CAST(ceil(size(w) / ${segWords}.0) AS BIGINT)"))
@@ -496,17 +574,14 @@ object Corpus {
         .as("x"))
       .select(col("doc_id"), col("x.seg_no").as("seg_no"),
         col("x.segment").as("segment"))
-    // keeper = first global occurrence of the segment's content. The
-    // encoding requires seg_no < 100000: 100000 segments × segWords
-    // words is far beyond any real document; fail loudly, not subtly.
-    val keyed = seg.withColumn("k",
-      when(col("seg_no") < 100000L, col("doc_id") * 100000L + col("seg_no"))
-        .otherwise(expr(
-          "raise_error('segmentDedup: document exceeds 100000 segments — keeper encoding would collide')")))
+    // keeper = first global occurrence of the segment's content,
+    // ordered by the (doc_id, seg_no) struct — type-preserving
     val keeper = Window.partitionBy(col("segment"))
-    val kept = keyed
-      .withColumn("kmin", min(col("k")).over(keeper))
-      .filter(col("k") === col("kmin"))
+    val kept = seg
+      .withColumn("kmin",
+        min(struct(col("doc_id"), col("seg_no"))).over(keeper))
+      .filter(struct(col("doc_id"), col("seg_no")) <=> col("kmin"))
+      .drop("kmin")
     val reassembled = kept
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("kept_segments"),
@@ -552,6 +627,41 @@ object Corpus {
       .withColumn("wt", col("j") % 7 - 3)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("wt")).as("logit"))
+      .withColumn("pred",
+        when(col("logit") > 0, 1L).otherwise(0L))
+  }
+
+  /** TRAINED-weights variant of [[hashedLinearScores]] (t32): the
+    * stand-in `(slot % 7) − 3` expression is replaced by a broadcast
+    * weight RELATION `weights(j, wt)` — the shape a real trained
+    * model (fastText / logistic regression over hashed bigrams) drops
+    * into without any plan change beyond swapping an arithmetic
+    * column for a broadcast hash join on the slot key. Slots absent
+    * from the relation weigh 0 (a sparse model stays sparse); the
+    * weight table is buckets-sized by construction, so the broadcast
+    * is always tiny regardless of corpus size.
+    *
+    * Scale shape: identical to the stand-in — per-row bigram
+    * transform, one explode, a broadcast join on j, one map-side-
+    * combined per-doc sum. Corpus-linear, a single doc-keyed shuffle,
+    * all-integer. */
+  def hashedLinearScoresWeighted(docs: DataFrame, idCol: String,
+      textCol: String, weights: DataFrame, buckets: Int = 64): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split(${textCol}, ' '), x -> x != '')").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+        .as("bigram"))
+    bg
+      .withColumn("j", pmod(
+        conv(substring(md5(col("bigram")), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+      .join(broadcast(weights.select(col("j"), col("wt"))), Seq("j"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("wt"), lit(0L))).as("logit"))
       .withColumn("pred",
         when(col("logit") > 0, 1L).otherwise(0L))
   }

@@ -830,9 +830,9 @@ object CurationQueries {
       |kept AS (
       |  SELECT doc_id, seg_no, segment
       |  FROM (SELECT doc_id, seg_no, segment,
-      |          min(doc_id * 100000 + seg_no) OVER (PARTITION BY segment) AS kmin
+      |          row_number() OVER (PARTITION BY segment ORDER BY doc_id, seg_no) AS rn
       |        FROM seg)
-      |  WHERE doc_id * 100000 + seg_no = kmin),
+      |  WHERE rn = 1),
       |reasm AS (
       |  SELECT doc_id, count(*) AS kept_segments,
       |    string_agg(segment, ' ' ORDER BY seg_no) AS cleaned_text
@@ -887,14 +887,20 @@ object CurationQueries {
       |       WHERE len(string_split(text, ' ')) >= 10),
       |wp AS (
       |  SELECT doc_id, i + 1 AS pos,
-      |    md5(array_to_string(w[i+1 : i+10], ' ')) AS h,
-      |    doc_id * 100000 + i + 1 AS key
+      |    md5(array_to_string(w[i+1 : i+10], ' ')) AS h
       |  FROM (SELECT doc_id, w, unnest(range(len(w) - 9)) AS i FROM ws)),
-      |kp AS (SELECT h, min(key) AS kmin FROM wp GROUP BY h HAVING count(*) >= 2),
+      |kp AS (
+      |  SELECT h, doc_id AS src_doc, pos AS kpos
+      |  FROM (SELECT h, doc_id, pos,
+      |          row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+      |          count(*) OVER (PARTITION BY h) AS cnt
+      |        FROM wp)
+      |  WHERE rn = 1 AND cnt >= 2),
       |pairs AS (
-      |  SELECT wp.doc_id, wp.pos, kmin // 100000 AS src_doc,
-      |    wp.pos - (kmin % 100000) AS delta
-      |  FROM wp JOIN kp USING (h) WHERE wp.key <> kmin),
+      |  SELECT wp.doc_id, wp.pos, kp.src_doc,
+      |    wp.pos - kp.kpos AS delta
+      |  FROM wp JOIN kp USING (h)
+      |  WHERE NOT (wp.doc_id = kp.src_doc AND wp.pos = kp.kpos)),
       |isl AS (
       |  SELECT *, pos - row_number() OVER (
       |    PARTITION BY doc_id, src_doc, delta ORDER BY pos) AS grp
@@ -934,6 +940,125 @@ object CurationQueries {
       |  CAST(sum(j % 7 - 3) AS BIGINT) AS logit,
       |  CAST(CASE WHEN sum(j % 7 - 3) > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** T31: EXCISE exact duplicated substrings
+    * (Corpus.exciseExactDuplicates) — the end state of the Lee et al.
+    * exact-substring discipline t28 only reports: t28's planted
+    * construction (full copies at +1000000, chimeras at +2000000), but
+    * every non-keeper duplicated window is CUT and the remainder
+    * reassembled. Full copies and chimeras come back empty (all their
+    * text first appeared elsewhere); keeper originals and every clean
+    * doc pass through byte-identical. The oracle replays the keeper
+    * total order, the ≤k× coverage fan-out, and the ordered
+    * reassembly. */
+  val t31ExciseDuplicates: Q = (s, dir) => {
+    import s.implicits._
+    val d0 = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val head30 = (c: org.apache.spark.sql.Column) =>
+      concat_ws(" ", slice(split(c, " "), 1, 30))
+    val copies = d0.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val chimeras = d0.filter($"doc_id" % 25 === 0)
+      .select($"doc_id".as("a_id"), head30($"text").as("a_txt"))
+      .join(d0.select(($"doc_id" - 7).as("a_id"), head30($"text").as("b_txt")), "a_id")
+      .select(($"a_id" + 2000000L).as("doc_id"),
+        concat_ws(" ", $"a_txt", $"b_txt").as("text"))
+    Corpus.exciseExactDuplicates(
+        d0.unionByName(copies).unionByName(chimeras), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  val t31ExciseDuplicatesSql: String =
+    """WITH src AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT a.doc_id + 2000000,
+      |    array_to_string(string_split(a.text, ' ')[1:30], ' ') || ' ' ||
+      |    array_to_string(string_split(b.text, ' ')[1:30], ' ')
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 7
+      |  WHERE a.doc_id % 25 = 0),
+      |base AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+      |  FROM src),
+      |wp AS (
+      |  SELECT doc_id, i + 1 AS pos, md5(array_to_string(w[i+1 : i+10], ' ')) AS h
+      |  FROM (SELECT doc_id, w, unnest(range(len(w) - 9)) AS i
+      |        FROM base WHERE len(w) >= 10)),
+      |hits AS (
+      |  SELECT doc_id, pos
+      |  FROM (SELECT doc_id, pos,
+      |          row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+      |          count(*) OVER (PARTITION BY h) AS cnt
+      |        FROM wp)
+      |  WHERE cnt >= 2 AND rn > 1),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, pos + d.d AS pos
+      |  FROM hits, (SELECT unnest(range(10)) AS d) d),
+      |covn AS (SELECT doc_id, count(*) AS nrem FROM cov GROUP BY doc_id),
+      |words AS (
+      |  SELECT b.doc_id, x.i + 1 AS pos, b.w[x.i + 1] AS word
+      |  FROM base b JOIN covn USING (doc_id),
+      |       LATERAL (SELECT unnest(range(len(b.w))) AS i) x),
+      |kept AS (
+      |  SELECT wo.doc_id, wo.pos, wo.word
+      |  FROM words wo LEFT JOIN cov ON wo.doc_id = cov.doc_id AND wo.pos = cov.pos
+      |  WHERE cov.pos IS NULL),
+      |re AS (
+      |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS ct
+      |  FROM kept GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS total_words,
+      |  CAST(coalesce(covn.nrem, 0) AS BIGINT) AS removed_words,
+      |  CASE WHEN covn.doc_id IS NOT NULL THEN coalesce(re.ct, '')
+      |       ELSE b.text END AS cleaned_text
+      |FROM base b LEFT JOIN covn USING (doc_id) LEFT JOIN re USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** T32: TRAINED-weights hashed classifier
+    * (Corpus.hashedLinearScoresWeighted) — t29's plan with the
+    * stand-in weight expression swapped for a broadcast weight
+    * relation, proving a real trained model drops in without a plan
+    * change. The weights here are DATA-DERIVED so the oracle can
+    * replay them exactly: slot j's weight is the corpus-wide bigram
+    * count in that slot, mod 7, minus 3 — a frequency-trained stand-in
+    * with the same integer-exact arithmetic. */
+  val t32TrainedClassifier: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val slots = docs
+      .select(expr("filter(split(text, ' '), x -> x != '')").as("w"))
+      .filter(size($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+        .as("bigram"))
+      .select(pmod(conv(substring(md5($"bigram"), 1, 8), 16, 10).cast("long"),
+        lit(64L)).as("j"))
+    val weights = slots.groupBy($"j")
+      .agg((count(lit(1)) % 7 - 3).as("wt"))
+    Corpus.hashedLinearScoresWeighted(docs, "doc_id", "text", weights)
+      .orderBy($"doc_id")
+  }
+
+  val t32TrainedClassifierSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, w[i+1] || ' ' || w[i+2] AS bigram
+      |  FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i
+      |        FROM w WHERE len(w) >= 2)),
+      |sc AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(bigram), 1, 8))::BIGINT % 64 AS j
+      |  FROM bg),
+      |wt AS (SELECT j, count(*) % 7 - 3 AS wt FROM sc GROUP BY j)
+      |SELECT sc.doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(coalesce(wt.wt, 0)) AS BIGINT) AS logit,
+      |  CAST(CASE WHEN sum(coalesce(wt.wt, 0)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+      |FROM sc LEFT JOIN wt USING (j)
+      |GROUP BY sc.doc_id ORDER BY sc.doc_id""".stripMargin
 
   /** T24: distributed BPE tokenizer training — the first 3 learned
     * merges over the corpus (Corpus.bpeMerges). The oracle unrolls
@@ -1069,6 +1194,8 @@ object CurationQueries {
     "t22_segment_dedup" -> t22SegmentDedup,
     "t28_exact_spans" -> t28ExactSpans,
     "t29_hashed_classifier" -> t29HashedClassifier,
+    "t31_excise_duplicates" -> t31ExciseDuplicates,
+    "t32_trained_classifier" -> t32TrainedClassifier,
     "c2_quality_gate" -> c2QualityGate,
     "t21_weighted_sample" -> t21WeightedSample,
     "t19_bigram_lm"   -> t19BigramLm,
@@ -1096,6 +1223,8 @@ object CurationQueries {
     "t22_segment_dedup" -> t22SegmentDedupSql,
     "t28_exact_spans" -> t28ExactSpansSql,
     "t29_hashed_classifier" -> t29HashedClassifierSql,
+    "t31_excise_duplicates" -> t31ExciseDuplicatesSql,
+    "t32_trained_classifier" -> t32TrainedClassifierSql,
     "c2_quality_gate" -> c2QualityGateSql,
     "t21_weighted_sample" -> t21WeightedSampleSql,
     "t19_bigram_lm"   -> t19BigramLmSql,

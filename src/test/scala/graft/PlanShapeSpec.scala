@@ -147,10 +147,59 @@ class PlanShapeSpec extends AnyFunSuite {
   test("t28's keeper aggregation combines map-side and its island window is partitioned") {
     val p = sparkPlan("t28_exact_spans").toString
     assert(p.contains("partial_min"), s"keeper min not map-side combined:\n$p")
+    // the keeper total order is the type-preserving (doc_id, pos)
+    // STRUCT — a rework must not silently reintroduce the retired
+    // doc_id*100000+pos long encoding (string-id corruption, overflow)
+    assert(p.contains("min(struct(doc_id"),
+      s"keeper not the struct total order:\n$p")
     assert(p.contains("windowspecdefinition(doc_id"),
       s"island window not partitioned by doc:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair blowup in t28:\n$p")
+  }
+
+  test("t30 span excision: clean docs pass through byte-identical; n-grams broadcast; fan-out bounded") {
+    // the r8 third-pass rework's invariants, pinned so a future edit
+    // can't silently regress them: (a) the final projection keeps the
+    // ORIGINAL text for uncovered docs (CASE ... THEN __text) instead
+    // of re-tokenizing the whole corpus; (b) the benchmark n-gram
+    // relation joins as a BROADCAST on the hash key (eval sets are
+    // small by definition); (c) coverage expands HITS only, via the
+    // bounded explode(sequence(pos, pos+n-1)) — never a corpus-wide
+    // word explode into the shuffle
+    val p = sparkPlan("t30_decontaminate_spans").toString
+    assert(p.contains("THEN __text"),
+      s"clean-doc pass-through projection gone from t30:\n$p")
+    assert(p.contains("BroadcastHashJoin [h"),
+      s"benchmark n-grams not broadcast in t30:\n$p")
+    assert(p.contains("explode(sequence(pos"),
+      s"coverage fan-out shape changed in t30:\n$p")
+  }
+
+  test("t31 excision: struct keeper combines map-side; pass-through project; no window") {
+    val p = sparkPlan("t31_excise_duplicates").toString
+    assert(p.contains("partial_min"), s"keeper min not map-side combined:\n$p")
+    assert(p.contains("min(struct(doc_id"),
+      s"keeper not the struct total order:\n$p")
+    assert(p.contains("THEN __text"),
+      s"clean-doc pass-through projection gone from t31:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in t31:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair blowup in t31:\n$p")
+  }
+
+  test("t32 trained classifier: weights join broadcasts; scoring is one map-side-combined doc aggregate") {
+    // the trained-weights contract: swapping the stand-in weight
+    // expression for a real model changes ONLY an arithmetic column
+    // into a broadcast hash join — the corpus side must stay a single
+    // explode + per-doc aggregate, exactly t29's shape
+    val p = sparkPlan("t32_trained_classifier").toString
+    assert(p.contains("BroadcastHashJoin [j"),
+      s"weight relation not broadcast in t32:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc sum not map-side combined:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-sized join in t32 (weights must broadcast):\n$p")
   }
 
   test("t29 classifier scoring is one map-side-combined doc aggregate") {

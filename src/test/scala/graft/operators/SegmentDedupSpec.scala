@@ -44,12 +44,25 @@ class SegmentDedupSpec extends AnyFunSuite {
 
   test("first occurrence is by (doc_id, seg_no), not input order") {
     // the shared segment sits at position 1 in doc 5 and position 0 in
-    // doc 9 — doc 5 wins because 5*100000+1 < 9*100000+0
+    // doc 9 — doc 5 wins because (5, 1) < (9, 0) under the struct order
     val out = run(Seq(
       (9L, "k l m t u v"),
       (5L, "p q r k l m")))
     assert(out.find(_._1 == 5L).get === ((5L, 2L, 2L, "p q r k l m")))
     assert(out.find(_._1 == 9L).get === ((9L, 2L, 1L, "t u v")))
+  }
+
+  test("string-keyed corpus: the keeper order follows the id's own type") {
+    // the r8 hazard: a string id was silently cast to long → all-null
+    // doc_ids → one garbage group. Now the struct keeper orders
+    // lexicographically and doc_id round-trips as a string.
+    val out = Corpus.segmentDedup(
+        Seq(("beta", "a b c x y z"), ("alpha", "a b c q r s"))
+          .toDF("doc_id", "text"), "doc_id", "text", segWords = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === (("alpha", 2L, 2L, "a b c q r s")))
+    assert(out(1) === (("beta", 2L, 1L, "x y z")))
   }
 
   test("ragged tail segment is its own (shorter) segment") {
@@ -171,5 +184,82 @@ class SegmentDedupSpec extends AnyFunSuite {
       Seq((1L, words("a", 12))).toDF("doc_id", "text"), "doc_id", "text")
     val plan = df.queryExecution.optimizedPlan.toString()
     assert(!plan.contains("windowspecdefinition()"))
+  }
+
+  test("t28: string-keyed corpus — src_doc keeps the id's own type") {
+    // mirrors t30's any-id contract; the keeper is the lexicographic
+    // first (aa-1 < zz-9), and src_doc comes back as a string
+    val a = words("a", 40)
+    val out = Corpus.exactSpans(
+        Seq(("zz-9", a), ("aa-1", a)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    assert(out.toSeq === Seq(("zz-9", 1L, 40L, 40L, "aa-1", 1L)))
+  }
+
+  test("t28: ids past the old 9.2e13 encoding bound and negative ids work") {
+    // both silently corrupted under the retired doc_id*100000+pos
+    // encoding (overflow / broken div-mod decode)
+    val a = words("a", 25)
+    val out = runExact(Seq((-5L, a), (200000000000000L, a)))
+    assert(out.toSeq === Seq((200000000000000L, 1L, 25L, 25L, -5L, 1L)))
+  }
+
+  // ---- t31: excision of exact duplicated substrings -----------------
+
+  private def runExcise(rows: Seq[(Long, String)], k: Int = 10) =
+    Corpus.exciseExactDuplicates(rows.toDF("doc_id", "text"),
+        "doc_id", "text", k)
+      .orderBy($"doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+  test("t31: a full copy is excised entirely; the keeper passes byte-identical") {
+    val a = words("a", 40)
+    val out = runExcise(Seq((1L, a), (2L, a)))
+    assert(out(0) === ((1L, 40L, 0L, a)))
+    assert(out(1) === ((2L, 40L, 40L, "")))
+  }
+
+  test("t31: chimera loses both copied halves; the unique middle survives") {
+    val a = words("a", 40)
+    val b = words("b", 30)
+    val chimera = ((5 to 24).map(i => s"a$i") ++ (1 to 5).map(i => s"u$i") ++
+      (1 to 15).map(i => s"b$i")).mkString(" ")
+    val out = runExcise(Seq((1L, a), (2L, b), (3L, chimera)))
+    assert(out(0) === ((1L, 40L, 0L, a)))
+    assert(out(1) === ((2L, 30L, 0L, b)))
+    assert(out(2) === ((3L, 40L, 35L, (1 to 5).map(i => s"u$i").mkString(" "))))
+  }
+
+  test("t31: within-document repetition keeps the first occurrence") {
+    val p = words("p", 10)
+    val doc = p + " x1 x2 " + p
+    val out = runExcise(Seq((1L, doc)))
+    assert(out(0) === ((1L, 22L, 10L, p + " x1 x2")))
+  }
+
+  test("t31: string ids excise correctly (no silent cast)") {
+    val a = words("a", 30)
+    val out = Corpus.exciseExactDuplicates(
+        Seq(("w-2", a), ("w-10", a)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // "w-10" < "w-2" lexicographically: w-10 is the keeper
+    assert(out.toSeq === Seq(("w-10", 30L, 0L, a), ("w-2", 30L, 30L, "")))
+  }
+
+  test("t31: clean and sub-k docs pass through untouched; no window node in the plan") {
+    val out = runExcise(Seq((1L, "only seven words here nothing repeats once"),
+      (2L, "tiny")))
+    assert(out(0) === ((1L, 7L, 0L, "only seven words here nothing repeats once")))
+    assert(out(1) === ((2L, 1L, 0L, "tiny")))
+    val df = Corpus.exciseExactDuplicates(
+      Seq((1L, words("a", 12))).toDF("doc_id", "text"), "doc_id", "text")
+    // coverage is sets + array filters — no window function anywhere
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Window"))
   }
 }
