@@ -92,7 +92,10 @@ object EtlMain {
           case None => spark.conf.unset("spark.sql.session.timeZone")
         }
       }
+      // stop a self-created session even when the pipeline throws:
+      // EtlMainSpec drives this entry point in-JVM, where a leaked
+      // session would outlive the failed run
+      if (existing.isEmpty) spark.stop()
     }
-    if (existing.isEmpty) spark.stop()
   }
 }

@@ -15,23 +15,45 @@ import org.apache.spark.sql.functions._
   * The anatomy each profile targets is the live page's own ids and
   * classes (`document-title`, `xplmathjax`, `doc-abstract-pubdate`,
   * `screen-reader-main-title`, `abstracts`, `u-margin-s-bottom`, …),
-  * in a server-rendered single-level form; a JS-rendered page goes
-  * through the fetcher's browser first and lands as rendered HTML.
-  * Field semantics replicate the reference exactly, including its
-  * failure sentinels ("Title not found", "DOI not found", citations
-  * null vs 0) and its two DIFFERENT affiliation split rules: IEEE
-  * splits `university, country` at the LAST `", "` with country ''
-  * when absent (IEEE.py:199-206); ScienceDirect matches
+  * in a server-rendered form; a JS-rendered page goes through the
+  * fetcher's browser first and lands as rendered HTML. Field
+  * semantics replicate the reference, including its failure sentinels
+  * ("Title not found", "DOI not found", citations null vs 0) and its
+  * two DIFFERENT affiliation split rules: IEEE splits
+  * `university, country` at the LAST `", "` with country '' when
+  * absent (IEEE.py:199-206); ScienceDirect matches
   * `(.+?),\s*([^,]+)$` with country "Unknown" when unparseable
   * (ScienceDirect.py:115-126).
+  *
+  * Text fields capture the element's SUBTREE (non-greedy to the
+  * closing tag, inner markup stripped) — the Selenium `.text`
+  * approximation, so a title with `<i>`, a MathJax `<span>` inside an
+  * abstract, or a `<dd>` with a nested span contribute their text
+  * instead of truncating the field at the first nested tag. Residual
+  * precondition (a regex cannot count nesting): a nested SAME-NAME
+  * tag still ends the capture at its first close — on the live pages
+  * the targeted leaf-ish fields close before any same-name child.
   */
 object HtmlExtract {
 
   private def ex(html: Column, pattern: String): Column =
     regexp_extract(html, pattern, 1)
 
-  private def exAll(html: Column, pattern: String): Column =
-    regexp_extract_all(html, lit(pattern), lit(1))
+  private def exAll(html: Column, pattern: String, group: Int = 1): Column =
+    regexp_extract_all(html, lit(pattern), lit(group))
+
+  /** Inner text of a captured subtree: markup stripped, trimmed. */
+  private def innerText(c: Column): Column =
+    trim(regexp_replace(c, "<[^>]+>", ""))
+
+  /** Subtree-text capture — see the object scaladoc. `group` > 1 when
+    * the pattern backreferences its own tag name (`</\1>`). */
+  private def exText(html: Column, pattern: String, group: Int = 1): Column =
+    innerText(regexp_extract(html, pattern, group))
+
+  /** exAll + per-element subtree-text normalization. */
+  private def exAllText(html: Column, pattern: String, group: Int = 1): Column =
+    transform(exAll(html, pattern, group), innerText _)
 
   /** regexp_extract returns "" on no-match; map that to the
     * reference's per-field failure sentinel. */
@@ -43,13 +65,15 @@ object HtmlExtract {
   /** Parse one IEEE article page into the merged-article fields.
     * Returns a struct; `parseIeee` splats it over a page relation. */
   def ieeeArticle(html: Column): Column = {
-    // h1.document-title span (IEEE.py:171-175)
+    // h1.document-title span (IEEE.py:171-175); subtree text — a
+    // title with inline <i>/<sub> keeps its full wording
     val title = orSentinel(
-      ex(html, """(?s)<h1[^>]*class="[^"]*document-title[^"]*"[^>]*>[^<]*<span[^>]*>([^<]+)</span>"""),
+      exText(html, """(?s)<h1[^>]*class="[^"]*document-title[^"]*"[^>]*>[^<]*<span[^>]*>(.*?)</span>"""),
       "Title not found")
-    // div[@xplmathjax] (IEEE.py:310-313)
+    // div[@xplmathjax] (IEEE.py:310-313); subtree text — the
+    // xplmathjax class exists BECAUSE abstracts carry MathJax spans
     val abstractC = orSentinel(
-      ex(html, """(?s)<div[^>]*xplmathjax[^>]*>([^<]+)</div>"""),
+      exText(html, """(?s)<div[^>]*xplmathjax[^>]*>(.*?)</div>"""),
       "Abstract not found")
     // doc-abstract-pubdate text after ":" (IEEE.py:299-307), then
     // strptime("%d %B %Y") → Date/Day/Month/Year only when the shape
@@ -67,16 +91,17 @@ object HtmlExtract {
     val citeS = ex(html, """(?s)<div[^>]*document-banner-metric-count[^>]*>[ \t\r\n]*([0-9]+)""")
     val citations = when(length(citeS) > 0, citeS.cast("double"))
     // stats-document-abstract-publishedIn minus "Published in:",
-    // "Early Access", and parens (IEEE.py:333-343)
-    val journalRaw = ex(html,
-      """(?s)<div[^>]*stats-document-abstract-publishedIn[^>]*>([^<]+)</div>""")
+    // "Early Access", and parens (IEEE.py:333-343); subtree text —
+    // live pages link the journal name inside this div
+    val journalRaw = exText(html,
+      """(?s)<div[^>]*stats-document-abstract-publishedIn[^>]*>(.*?)</div>""")
     val journal = orSentinel(
       regexp_replace(regexp_replace(regexp_replace(journalRaw,
         "Published in:", ""), "Early Access", ""), """[()]""", ""),
       "Published in not found")
     // IEEE Keywords section → ul.List--inline li a (IEEE.py:144-165)
     val kwSection = ex(html, """(?s)<strong>IEEE Keywords</strong>(.*?)</ul>""")
-    val keywords = exAll(kwSection, """<a[^>]*>([^<]+)</a>""")
+    val keywords = exAllText(kwSection, """(?s)<a[^>]*>(.*?)</a>""")
     // authors-accordion-container blocks: <a>name</a> + the affiliation
     // line (the container's second text line minus "View Profile",
     // IEEE.py:178-228); university = all-but-last ", " part, country =
@@ -84,9 +109,9 @@ object HtmlExtract {
     val containers = exAll(html,
       """(?s)<div class="authors-accordion-container">(.*?)</div>""")
     val awa = transform(containers, x => {
-      val name = regexp_extract(x, """<a[^>]*>([^<]+)</a>""", 1)
+      val name = exText(x, """(?s)<a[^>]*>(.*?)</a>""")
       val aff = trim(regexp_replace(
-        regexp_extract(x, """<p class="author-affiliation">([^<]+)</p>""", 1),
+        exText(x, """(?s)<p class="author-affiliation">(.*?)</p>"""),
         "View Profile", ""))
       val parts = split(aff, ", ")
       val many = size(parts) >= 2
@@ -129,15 +154,21 @@ object HtmlExtract {
     * catch internally), dates to the four "... not found" sentinel
     * STRINGS, citations to 0. */
   def sdArticle(html: Column): Column = {
-    // #screen-reader-main-title (ScienceDirect.py:51-57)
-    val title = trim(ex(html,
-      """(?s)<[a-z0-9]+[^>]*id="screen-reader-main-title"[^>]*>([^<]+)<"""))
-    // #abstracts (ScienceDirect.py:158-164)
-    val abstractC = trim(ex(html, """(?s)<[a-z0-9]+[^>]*id="abstracts"[^>]*>([^<]+)<"""))
+    // #screen-reader-main-title (ScienceDirect.py:51-57); subtree
+    // text to the element's OWN closing tag (backreferenced), so a
+    // nested <em>/<math> span contributes its text
+    val title = exText(html,
+      """(?s)<([a-z0-9]+)[^>]*id="screen-reader-main-title"[^>]*>(.*?)</\1>""",
+      group = 2)
+    // #abstracts (ScienceDirect.py:158-164) — same subtree rule; a
+    // nested same-name child (div in div) still truncates, see the
+    // object scaladoc
+    val abstractC = exText(html,
+      """(?s)<([a-z0-9]+)[^>]*id="abstracts"[^>]*>(.*?)</\1>""", group = 2)
     // given-name/surname pairs, zipped only when counts agree
     // (ScienceDirect.py:59-74)
-    val gn = exAll(html, """<span class="given-name">([^<]+)</span>""")
-    val sn = exAll(html, """<span class="surname">([^<]+)</span>""")
+    val gn = exAllText(html, """(?s)<span class="given-name">(.*?)</span>""")
+    val sn = exAllText(html, """(?s)<span class="surname">(.*?)</span>""")
     val authors = when(size(gn) === size(sn),
       zip_with(gn, sn, (g, s) => concat(g, lit(" "), s)))
       .otherwise(array().cast("array<string>"))
@@ -148,7 +179,7 @@ object HtmlExtract {
       exAll(html, """(?s)<dl class="affiliation">(.*?)</dl>"""),
       x => {
         val sup = regexp_extract(x, """<sup>([^<]+)</sup>""", 1)
-        val dd = trim(regexp_extract(x, """<dd>([^<]+)</dd>""", 1))
+        val dd = exText(x, """(?s)<dd>(.*?)</dd>""")
         val uni = regexp_extract(dd, """(.+),[ \t]*([^,]+)$""", 1)
         val ctry = regexp_extract(dd, """(.+),[ \t]*([^,]+)$""", 2)
         val ok = length(uni) > 0
@@ -163,8 +194,8 @@ object HtmlExtract {
     val buttons = exAll(html, """(?s)<button class="author">(.*?)</button>""")
     val awa = array_distinct(filter(
       flatten(transform(buttons, b => {
-        val g = regexp_extract(b, """<span class="given-name">([^<]+)</span>""", 1)
-        val s = regexp_extract(b, """<span class="surname">([^<]+)</span>""", 1)
+        val g = exText(b, """(?s)<span class="given-name">(.*?)</span>""")
+        val s = exText(b, """(?s)<span class="surname">(.*?)</span>""")
         val name = when(length(g) > 0 && length(s) > 0,
           concat(g, lit(" "), s)).otherwise(lit("Name not found"))
         val sups = regexp_extract_all(b, lit("""<sup>([^<]+)</sup>"""), lit(1))
@@ -197,11 +228,14 @@ object HtmlExtract {
     val citeS = ex(html,
       """(?s)<header[^>]*id="citing-articles-header"[^>]*>[^<]*<h2[^>]*>[^(<]*\(([0-9]+)\)""")
     val citations = when(length(citeS) > 0, citeS.cast("double")).otherwise(lit(0.0))
-    // .keyword elements (ScienceDirect.py:166-172)
-    val keywords = exAll(html, """<[a-z0-9]+[^>]*class="keyword"[^>]*>([^<]+)<""")
+    // .keyword elements (ScienceDirect.py:166-172) — live keyword
+    // divs wrap their text in a nested span
+    val keywords = exAllText(html,
+      """(?s)<([a-z0-9]+)[^>]*class="keyword"[^>]*>(.*?)</\1>""", group = 2)
     // #publication-title (ScienceDirect.py:259-270); "" on miss
-    val journal = trim(ex(html,
-      """(?s)<[a-z0-9]+[^>]*id="publication-title"[^>]*>([^<]+)<"""))
+    val journal = exText(html,
+      """(?s)<([a-z0-9]+)[^>]*id="publication-title"[^>]*>(.*?)</\1>""",
+      group = 2)
     struct(
       when(dateOk, d4).otherwise(lit("Date not found")).as("Date"),
       when(dateOk, regexp_extract(d4, """^([0-9]{1,2})""", 1))

@@ -141,6 +141,50 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[String]]("authors").toSeq === Seq.empty)
   }
 
+  test("ieee: nested inline markup contributes its text (Selenium .text semantics)") {
+    // the r8 review's gap: Selenium's .text returns the full subtree
+    // text, so a title with <i>/<sub>, a MathJax span inside the
+    // abstract, or a linked journal name must not truncate the field
+    val page =
+      """<html><body>
+        |<h1 class="document-title"> <span>Deep <i>Testing</i> of <sub>k</sub>-Engines</span></h1>
+        |<div xplmathjax>We bound <span class="MathJax">O(n log n)</span> regret.</div>
+        |<div class="stats-document-abstract-publishedIn">Published in: <a href="/j">IEEE Letters</a> (Early Access)</div>
+        |<div class="authors-accordion-container"><a href="/a"><span>Ada</span> Lovelace</a>
+        |<p class="author-affiliation">Dept <b>of CS</b>, France View Profile</p></div>
+        |</body></html>""".stripMargin
+    val r = parse("ieee", page)
+    assert(r.getAs[String]("title") === "Deep Testing of k-Engines")
+    assert(r.getAs[String]("abstract") === "We bound O(n log n) regret.")
+    assert(r.getAs[String]("journal_name") === "IEEE Letters")
+    assert(r.getAs[scala.collection.Seq[String]]("authors").toSeq === Seq("Ada Lovelace"))
+    val awa = r.getAs[scala.collection.Seq[Row]]("authors_with_affiliations").toSeq
+      .map(a => (a.getAs[String]("university"), a.getAs[String]("country")))
+    assert(awa === Seq(("Dept of CS", "France")))
+  }
+
+  test("sd: nested markup in title/abstract/keywords/dd contributes text") {
+    val page =
+      """<html><body>
+        |<span class="title-text" id="screen-reader-main-title">CD at <em>Scale</em></span>
+        |<div id="abstracts">Pipelines <span class="math">O(1)</span> helpful.</div>
+        |<dl class="affiliation"><dt><sup>1</sup></dt><dd>Dept of SE, <span>Univ of Y</span>, Netherlands</dd></dl>
+        |<button class="author"><span class="given-name">Grace <b>B.</b></span><span class="surname">Hopper</span><span class="author-ref"><sup>1</sup></span></button>
+        |<div class="keyword"><span>devops</span></div>
+        |<h2 id="publication-title">Journal of <i>Systems</i></h2>
+        |</body></html>""".stripMargin
+    val r = parse("sciencedirect", page)
+    assert(r.getAs[String]("title") === "CD at Scale")
+    assert(r.getAs[String]("abstract") === "Pipelines O(1) helpful.")
+    assert(r.getAs[scala.collection.Seq[String]]("keywords").toSeq === Seq("devops"))
+    assert(r.getAs[String]("journal_name") === "Journal of Systems")
+    assert(r.getAs[scala.collection.Seq[String]]("authors").toSeq === Seq("Grace B. Hopper"))
+    val awa = r.getAs[scala.collection.Seq[Row]]("authors_with_affiliations").toSeq
+      .map(a => (a.getAs[String]("author"), a.getAs[String]("university"),
+        a.getAs[String]("country")))
+    assert(awa === Seq(("Grace B. Hopper", "Dept of SE, Univ of Y", "Netherlands")))
+  }
+
   test("extracted fields are ingest-compatible with the article schema") {
     // the parsed relation must slot into the merged-article pipeline:
     // every column it emits exists in Schemas.articleSchema with a
