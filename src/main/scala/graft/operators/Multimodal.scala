@@ -65,16 +65,60 @@ object Multimodal {
   private def le16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
 
-  /** REAL decoder for the three header formats a pure JVM can parse
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** SOF markers that carry frame dimensions: C0–C3, C5–C7, C9–CB,
+    * CD–CF (C4 = DHT, C8 = JPG extension, CC = DAC are NOT frames). */
+  private def isSof(m: Int): Boolean =
+    m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+  /** (width, height) from a JPEG's first SOF segment — the standard
+    * marker walk every fast-path prober does: skip SOI, step over
+    * each FF-marker segment by its big-endian length, stop at any
+    * SOFn (baseline C0, extended C1, progressive C2, …) and read
+    * precision(1) height(2) width(2) from its payload. Returns (0, 0)
+    * on any malformed/truncated structure — same degrade contract as
+    * the other formats. */
+  private def jpegDims(b: Array[Byte]): (Int, Int) = {
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return (0, 0)
+      var j = i
+      // fill bytes: any number of FFs may pad before the marker id
+      while (j + 1 < b.length && (b(j + 1) & 0xff) == 0xff) j += 1
+      if (j + 1 >= b.length) return (0, 0)
+      val m = b(j + 1) & 0xff
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        i = j + 2 // standalone markers carry no length field
+      } else if (m == 0xd9 || m == 0xda) {
+        return (0, 0) // EOI / start-of-scan before any SOF: no dims
+      } else {
+        if (j + 3 >= b.length) return (0, 0)
+        val len = be16(b, j + 2)
+        if (len < 2) return (0, 0)
+        if (isSof(m)) {
+          if (j + 8 >= b.length) return (0, 0)
+          return (be16(b, j + 7), be16(b, j + 5)) // (width, height)
+        }
+        i = j + 2 + len
+      }
+    }
+    (0, 0)
+  }
+
+  /** REAL decoder for the four header formats a pure JVM can parse
     * with no codec library: PNG (8-byte signature, IHDR width/height
     * big-endian at offsets 16/20), BMP (`BM` magic, BITMAPINFOHEADER
-    * width/height little-endian at offsets 18/22), and GIF
+    * width/height little-endian at offsets 18/22), GIF
     * (`GIF87a`/`GIF89a` signature, logical-screen width/height as
-    * little-endian u16 at offsets 6/8). Format is detected from the
-    * BYTES, not the declared kind; anything else degrades to (0, 0)
-    * dims rather than failing the batch. Feature extraction is the
-    * same byte-window accumulation as the stub — the difference is
-    * that width/height now come from parsing real file structure. */
+    * little-endian u16 at offsets 6/8), and JPEG (FFD8 SOI, then the
+    * SOFn marker walk — [[jpegDims]] — the single most common image
+    * format in web corpora). Format is detected from the BYTES, not
+    * the declared kind; anything else degrades to (0, 0) dims rather
+    * than failing the batch. Feature extraction is the same
+    * byte-window accumulation as the stub — the difference is that
+    * width/height now come from parsing real file structure. */
   def decodeHeader(r: MediaRow): MediaFeatures = {
     val b = r.payload
     val (w, h) =
@@ -87,6 +131,8 @@ object Multimodal {
           b(2) == 'F'.toByte && b(3) == '8'.toByte &&
           (b(4) == '7'.toByte || b(4) == '9'.toByte) && b(5) == 'a'.toByte)
         (le16(b, 6), le16(b, 8))
+      else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+        jpegDims(b)
       else (0, 0)
     val dim = 16
     val feats = new Array[Float](dim)
@@ -200,6 +246,39 @@ object Multimodal {
     out(8) = h.toByte; out(9) = (h >>> 8).toByte
     body.copyToArray(out, 13)
     out
+  }
+
+  /** Minimal JFIF JPEG: SOI + APP0 (18 bytes, exercises the marker
+    * walk) + SOF0/SOF2 (3 components) + body as entropy data — a
+    * 39-byte header. `progressive` emits SOF2 instead of SOF0. */
+  def jpegBytes(w: Int, h: Int, body: Array[Byte],
+      progressive: Boolean = false): Array[Byte] = {
+    require(w <= 0xffff && h <= 0xffff, "JPEG dims are u16")
+    val out = new Array[Byte](39 + body.length)
+    out(0) = 0xff.toByte; out(1) = 0xd8.toByte            // SOI
+    out(2) = 0xff.toByte; out(3) = 0xe0.toByte            // APP0
+    writeBe16(out, 4, 16)
+    "JFIF".getBytes("US-ASCII").copyToArray(out, 6)       // + trailing \0
+    out(11) = 1; out(12) = 1                              // version 1.1
+    writeBe16(out, 14, 1); writeBe16(out, 16, 1)          // 1x1 density
+    out(20) = 0xff.toByte
+    out(21) = (if (progressive) 0xc2 else 0xc0).toByte    // SOFn
+    writeBe16(out, 22, 17)                                // 2+1+2+2+1+3*3
+    out(24) = 8                                           // precision
+    writeBe16(out, 25, h); writeBe16(out, 27, w)
+    out(29) = 3                                           // components
+    var c = 0
+    while (c < 3) {
+      out(30 + c * 3) = (c + 1).toByte                    // id
+      out(31 + c * 3) = 0x11                              // 1x1 sampling
+      c += 1                                              // qtable 0
+    }
+    body.copyToArray(out, 39)
+    out
+  }
+
+  private def writeBe16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 8).toByte; b(off + 1) = v.toByte
   }
 
   private def writeBe32(b: Array[Byte], off: Int, v: Int): Unit = {

@@ -1565,6 +1565,39 @@ object TextPipeline {
       |  CAST(doc_id % 2000 + 16 AS BIGINT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** M7: REAL JPEG bytes→metadata — the single most common image
+    * format in web corpora, previously the gap in m3's PNG/BMP/GIF
+    * rotation. Each doc synthesizes a JFIF JPEG (SOI + APP0 + SOF0 or
+    * progressive SOF2 by doc_id parity) with known dimensions around
+    * its utf8 bytes; `Multimodal.decodeHeaders` walks the marker
+    * stream back out of the bytes (big-endian segment lengths, SOFn
+    * height/width). The oracle replays the byte-window arithmetic —
+    * a walk/offset/endianness bug flips cells. */
+  val m7JpegMeta: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val media = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val w = (id % 3000 + 16).toInt
+        val h = (id % 2000 + 16).toInt
+        Multimodal.MediaRow(id, "image/jpeg",
+          Multimodal.jpegBytes(w, h, text.getBytes("UTF-8"),
+            progressive = id % 2 == 1))
+      }
+    Multimodal.decodeHeaders(media)
+      .select($"media_id", $"kind", $"n_bytes".cast("long").as("n_bytes"),
+        $"width".cast("long").as("width"), $"height".cast("long").as("height"))
+      .orderBy($"media_id")
+  }
+
+  val m7JpegMetaSql: String =
+    """SELECT doc_id AS media_id, 'image/jpeg' AS kind,
+      |  CAST(39 + octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+      |  CAST(doc_id % 3000 + 16 AS BIGINT) AS width,
+      |  CAST(doc_id % 2000 + 16 AS BIGINT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** M4: REAL audio bytes→metadata through the same seam — each doc
     * synthesizes a canonical 44-byte PCM WAV header (channels, rate,
     * bit depth varied by doc_id) around its utf8 bytes;
@@ -1725,6 +1758,7 @@ object TextPipeline {
     "m1_binary_meta"   -> m1BinaryMeta,
     "m2_frame_sample"  -> m2FrameSample,
     "m3_image_meta"    -> m3ImageMeta,
+    "m7_jpeg_meta"     -> m7JpegMeta,
     "m4_audio_meta"    -> m4AudioMeta,
     "m5_interleave"    -> m5Interleave,
     "t23_curriculum"   -> t23Curriculum,
@@ -1773,6 +1807,7 @@ object TextPipeline {
     "m1_binary_meta"   -> m1BinaryMetaSql,
     "m2_frame_sample"  -> m2FrameSampleSql,
     "m3_image_meta"    -> m3ImageMetaSql,
+    "m7_jpeg_meta"     -> m7JpegMetaSql,
     "m4_audio_meta"    -> m4AudioMetaSql,
     "m5_interleave"    -> m5InterleaveSql,
     "t23_curriculum"   -> t23CurriculumSql,

@@ -58,6 +58,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(5L).n_bytes === 13 + body.length)
   }
 
+  test("real JPEG decode walks the marker stream to SOF0/SOF2 dimensions") {
+    val body = "entropy data stand-in ÿØ with marker-ish bytes".getBytes("UTF-8")
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/jpeg", Multimodal.jpegBytes(800, 600, body)),
+      Multimodal.MediaRow(2L, "image/jpeg",
+        Multimodal.jpegBytes(4000, 3000, body, progressive = true)),
+      // truncated mid-APP0: must degrade to (0, 0), not throw
+      Multimodal.MediaRow(3L, "image/jpeg",
+        Multimodal.jpegBytes(100, 100, Array.empty[Byte]).take(10)),
+      // SOI then immediate start-of-scan: no SOF → (0, 0)
+      Multimodal.MediaRow(4L, "image/jpeg",
+        Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte)))
+    val out = Multimodal.decodeHeaders(rows.toDS()).collect()
+      .map(f => f.media_id -> ((f.width, f.height))).toMap
+    assert(out(1L) === ((800, 600)))
+    assert(out(2L) === ((4000, 3000)))   // progressive SOF2
+    assert(out(3L) === ((0, 0)))
+    assert(out(4L) === ((0, 0)))
+  }
+
   test("real WAV decode round-trips channels/rate/bits and derives sample count") {
     val body = new Array[Byte](1001) // odd length: integer division drops the tail
     val rows = Seq(
