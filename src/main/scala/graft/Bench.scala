@@ -47,7 +47,8 @@ object Bench {
   val streamingHeadline: Set[String] = Set(
     "e4_stream_sessions", "e6_stream_join", "e7_stream_static",
     "e11_stream_tumbling", "e12_stream_dedup", "e13_stream_outer_join",
-    "e14_stream_merge_sink", "e15_checkpoint_resume")
+    "e14_stream_merge_sink", "e15_checkpoint_resume",
+    "e16_stream_full_outer_join")
 
   /** Minimum repetitions per query; reported time is the median, so
     * single-run jitter (JIT, GC, page cache) can't masquerade as a

@@ -697,9 +697,21 @@ object Corpus {
   private val BpeCheckpointEvery = 8
 
   /** Learned merges AND the post-merge vocabulary (word, syms, n) —
-    * the tokenizer-application side of [[bpeMerges]] (t25). */
+    * the tokenizer-application side of [[bpeMerges]] (t25).
+    *
+    * The 1-row argmax winner is COLLECTED to the driver each round —
+    * deliberately: the merge table is the training artifact itself
+    * (O(rounds) rows, what a tokenizer ships), so the winner is
+    * driver-data by definition, and collecting it lets the next
+    * round's merge fold take p1/p2 as constant-folded LITERALS (no
+    * per-round crossJoin in the vocab lineage) and the merges output
+    * be a single local relation instead of an O(rounds)-deep union
+    * tree. The vocab relation itself stays fully distributed — at
+    * 32k-merge tokenizer scale the driver holds 32k tiny rows while
+    * the cluster holds the corpus and vocabulary. */
   def bpeTrain(docs: DataFrame, textCol: String,
       rounds: Int): (DataFrame, DataFrame) = {
+    import docs.sparkSession.implicits._
     var vocab = docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
@@ -707,11 +719,11 @@ object Corpus {
       .select(col("word"), split(col("word"), "").as("syms"), col("n"))
       // one corpus pass; rounds replay only this vocab-sized relation
       .localCheckpoint()
-    val winners = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val winners = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val winner = vocab
+      val top = vocab
         .filter(size(col("syms")) >= 2)
         .select(col("n"), explode(expr(
           "transform(sequence(0, size(syms) - 2), " +
@@ -720,19 +732,18 @@ object Corpus {
         .agg(sum(col("n")).as("weight"))
         .orderBy(col("weight").desc, col("p1").asc, col("p2").asc)
         .limit(1)
-        // materialize the 1-row winner: it feeds BOTH the output and
-        // the next round's apply, and later rounds nest on it — lazy,
-        // the plan tree would double per round
-        .localCheckpoint()
-      if (winner.isEmpty) {
+        .collect()
+      if (top.isEmpty) {
         // no adjacent pair left to merge (all-single-symbol corpus, or
-        // rounds > learnable merges). Cross-joining the EMPTY winner
-        // would silently wipe the vocab for every remaining round and
-        // zero out downstream tokenization — keep the vocab under the
-        // merges actually learned and stop training instead.
+        // rounds > learnable merges). Applying an absent winner would
+        // be meaningless — keep the vocab under the merges actually
+        // learned and stop training instead (measured: a 200-round
+        // request on an 89-merge corpus stops at 89, SCALING.md).
         exhausted = true
       } else {
-        vocab = vocab.crossJoin(broadcast(winner.select(col("p1"), col("p2"))))
+        val (p1v, p2v) = (top(0).getString(0), top(0).getString(1))
+        vocab = vocab
+          .withColumn("p1", lit(p1v)).withColumn("p2", lit(p2v))
           .select(col("word"), expr(
             "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
               "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = p1 AND x = p2 " +
@@ -740,25 +751,12 @@ object Corpus {
               "ELSE concat(acc, array(x)) END)").as("syms"),
             col("n"))
         if (r % BpeCheckpointEvery == 0) vocab = vocab.localCheckpoint()
-        winners += winner.select(
-          lit(r.toLong).as("round"), col("p1"), col("p2"), col("weight"))
+        winners += ((r.toLong, p1v, p2v, top(0).getLong(2)))
         r += 1
       }
     }
-    val merges =
-      if (winners.isEmpty) {
-        val s = docs.sparkSession
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("round",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("p1",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("p2",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("weight",
-              org.apache.spark.sql.types.LongType))))
-      } else winners.reduce(_.unionByName(_)).orderBy(col("round"))
+    // LocalRelation with the proper schema even when empty
+    val merges = winners.toSeq.toDF("round", "p1", "p2", "weight")
     (merges, vocab)
   }
 

@@ -247,6 +247,46 @@ object AdvancedOps {
       .select($"n_users", $"p50_us", $"p90_us")
   }
 
+  /** AN28: EXACT per-group P50/P95/P99 — the approx_percentile-free
+    * twin of an7 for the observe-style metrics family: rank-selected
+    * actual values (the an23/an25 convention — no interpolation, no
+    * float arithmetic, the cell is byte-identical to an input cell).
+    * One window shuffle keyed by event_type (25 bounded groups) does
+    * both the row_number and the per-group count; the rank picks are
+    * per-row predicates folded into one map-side-combined aggregate.
+    * The honest scale note: an exact per-group order statistic needs
+    * a per-group sort — a corpus-sized group pays it; an7
+    * (approx_percentile) and an13 (bounded-domain histogram) are the
+    * sketch paths when that cost is not worth exactness. */
+  val an28ExactP99: Q = (s, dir) => {
+    import s.implicits._
+    val byType = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    Tables.load(s, dir, "events")
+      .select($"event_type", $"value", $"event_id")
+      .withColumn("rank", row_number().over(byType).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy($"event_type")).cast("long"))
+      .groupBy($"event_type", $"n")
+      .agg(
+        min(when($"rank" === expr("(n + 1) DIV 2"), $"value")).as("p50"),
+        min(when($"rank" === expr("(19 * n + 19) DIV 20"), $"value")).as("p95"),
+        min(when($"rank" === expr("(99 * n + 99) DIV 100"), $"value")).as("p99"))
+      .select($"event_type", $"n".as("n_events"), $"p50", $"p95", $"p99")
+      .orderBy($"event_type")
+  }
+
+  val an28ExactP99Sql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rank,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, n AS n_events,
+      |  min(CASE WHEN rank = (n + 1) // 2 THEN value END) AS p50,
+      |  min(CASE WHEN rank = (19 * n + 19) // 20 THEN value END) AS p95,
+      |  min(CASE WHEN rank = (99 * n + 99) // 100 THEN value END) AS p99
+      |FROM r GROUP BY event_type, n ORDER BY event_type""".stripMargin
+
   val an25ConvertLatencySql: String =
     """WITH fv AS (
       |  SELECT user_id, min(epoch_us(ts)) AS tv FROM events
@@ -755,6 +795,7 @@ object AdvancedOps {
     "j9_pit_lookup"    -> j9PitLookup,
     "an24_session_paths" -> an24SessionPaths,
     "an25_convert_latency" -> an25ConvertLatency,
+    "an28_exact_p99" -> an28ExactP99,
   )
 
   val oracle: Map[String, String] = Map(
@@ -771,5 +812,6 @@ object AdvancedOps {
     "j9_pit_lookup"    -> j9PitLookupSql,
     "an24_session_paths" -> an24SessionPathsSql,
     "an25_convert_latency" -> an25ConvertLatencySql,
+    "an28_exact_p99" -> an28ExactP99Sql,
   )
 }

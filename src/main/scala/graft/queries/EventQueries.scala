@@ -850,6 +850,69 @@ object EventQueries {
       | AND epoch_us(p.ts) - epoch_us(c.ts) <= 7200::BIGINT * 1000000
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** E16: stream-stream FULL OUTER interval join run as a REAL
+    * streaming query — the one join direction e13 leaves out: besides
+    * unmatched clicks (null purchase), a purchase NO click preceded
+    * within the window emits a null-click row once both watermarks
+    * pass — direct-purchase detection with the same bounded state.
+    * Same staging, sentinel, and oracle discipline as e13; the batch
+    * oracle is the FULL JOIN under the identical interval condition. */
+  val e16StreamFullOuterJoin: Q = (s, dir) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    val base = java.nio.file.Files.createTempDirectory("graft-e16")
+    val cDir = base.resolve("clicks").toString
+    val pDir = base.resolve("purchases").toString
+    ev.filter($"event_type" === "click").drop("event_type")
+      .write.mode("overwrite").parquet(cDir)
+    ev.filter($"event_type" === "purchase").drop("event_type")
+      .write.mode("overwrite").parquet(pDir)
+    val sch = ev.drop("event_type").schema
+    val joined = Streams.attributionJoin(
+      s.readStream.schema(sch).parquet(cDir),
+      s.readStream.schema(sch).parquet(pDir),
+      joinType = "fullOuter")
+    val q = joined.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("e16_full_outer").start()
+    // sentinel user -1 at 2100 through BOTH sources (the e13 pattern):
+    // advances both watermarks past every real row's window so each
+    // side's unmatched rows flush; the sentinels self-match and are
+    // filtered by the coalesced user key
+    def sentinel(sec: Long): Unit = {
+      val row = Seq((-1L, -1L, new java.sql.Timestamp(sec * 1000L)))
+        .toDF("event_id", "user_id", "ts")
+      row.write.mode("append").parquet(cDir)
+      row.write.mode("append").parquet(pDir)
+    }
+    try {
+      q.processAllAvailable()
+      sentinel(4102444800L) // 2100-01-01
+      q.processAllAvailable()
+      sentinel(4102444860L)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      graft.etl.Writers.deleteRecursively(base.toFile)
+    }
+    s.table("e16_full_outer").filter($"user_id" =!= -1L)
+      .select($"click_id", $"user_id", $"purchase_id", $"lag_us")
+      .orderBy($"click_id", $"purchase_id")
+  }
+
+  val e16StreamFullOuterJoinSql: String =
+    """SELECT c.event_id AS click_id,
+      |  coalesce(c.user_id, p.user_id) AS user_id,
+      |  p.event_id AS purchase_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      | AND epoch_us(p.ts) - epoch_us(c.ts) <= 7200::BIGINT * 1000000
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   /** E7: stream-static enrichment join run as a REAL streaming query —
     * the events stream decorated with a static dimension (event types
     * weighted by name length, derived from the same batch table so the
@@ -1051,6 +1114,7 @@ object EventQueries {
     "e4_stream_sessions" -> e4StreamSessions,
     "e6_stream_join" -> e6StreamJoin,
     "e13_stream_outer_join" -> e13StreamOuterJoin,
+    "e16_stream_full_outer_join" -> e16StreamFullOuterJoin,
     "an20_bitmap_distinct" -> an20BitmapDistinct,
     "an21_transitions" -> an21TransitionMatrix,
     "an22_type_overlap" -> an22TypeOverlap,
@@ -1076,6 +1140,7 @@ object EventQueries {
     "e4_stream_sessions" -> e4StreamSessionsSql,
     "e6_stream_join" -> e6StreamJoinSql,
     "e13_stream_outer_join" -> e13StreamOuterJoinSql,
+    "e16_stream_full_outer_join" -> e16StreamFullOuterJoinSql,
     "an20_bitmap_distinct" -> an20BitmapDistinctSql,
     "an21_transitions" -> an21TransitionMatrixSql,
     "an22_type_overlap" -> an22TypeOverlapSql,

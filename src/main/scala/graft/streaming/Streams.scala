@@ -325,13 +325,18 @@ object Streams {
     * Output: (click_id, user_id, c_ts, purchase_id, p_ts, lag_us);
     * lag_us is exact integer micros, so the result is hash-comparable
     * with a batch oracle. */
-  /** `joinType` "inner" (default) or "leftOuter": outer emits a
-    * null-purchase row for a click once the watermark passes its
-    * whole join window — unmatched-click detection with BOUNDED
-    * state, the streaming form of "which clicks never converted".
-    * Outer rows only flush when the watermark advances in a LATER
-    * micro-batch; a finite run must push sentinel batches through
-    * both sides (the e2/e4 far-future-sentinel pattern). */
+  /** `joinType` "inner" (default), "leftOuter", or "fullOuter":
+    * leftOuter emits a null-purchase row for a click once the
+    * watermark passes its whole join window — unmatched-click
+    * detection with BOUNDED state, the streaming form of "which
+    * clicks never converted"; fullOuter ALSO emits a null-click row
+    * for a purchase no click preceded (direct/organic purchases),
+    * covering both unmatched directions in one pass. Outer rows only
+    * flush when the watermark advances in a LATER micro-batch; a
+    * finite run must push sentinel batches through both sides (the
+    * e2/e4 far-future-sentinel pattern). `user_id` is coalesced from
+    * whichever side is present (identical to the click's user for
+    * inner/leftOuter). */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
       window: String = "2 hours", watermarkDelay: String = "1 hour",
       joinType: String = "inner"): DataFrame = {
@@ -345,7 +350,8 @@ object Streams {
     c.join(p, expr(
         s"user_id = p_user AND c_ts <= p_ts AND p_ts <= c_ts + INTERVAL $window"),
         joinType)
-      .select(col("click_id"), col("user_id"), col("c_ts"),
+      .select(col("click_id"),
+        coalesce(col("user_id"), col("p_user")).as("user_id"), col("c_ts"),
         col("purchase_id"), col("p_ts"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
   }

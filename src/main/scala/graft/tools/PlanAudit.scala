@@ -19,7 +19,8 @@ object PlanAudit {
     * shares this exclusion. */
   val excluded = Set("e4_stream_sessions", "e6_stream_join", "e7_stream_static",
     "e11_stream_tumbling", "e12_stream_dedup", "e13_stream_outer_join",
-    "e14_stream_merge_sink", "e15_checkpoint_resume")
+    "e14_stream_merge_sink", "e15_checkpoint_resume",
+    "e16_stream_full_outer_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -365,9 +365,24 @@ object ScaleStress {
     // one merge apply). Without it, analysis cost compounds with depth
     // — the r7 watch item. Token time-per-round across 10/25/50 is the
     // curve to compare.
-    if (sect("bpe")) Seq(10, 25, 50).foreach { rounds =>
+    if (sect("bpe")) Seq(10, 25, 50, 100, 200).foreach { rounds =>
       time(f"bpe train rounds=$rounds%-3d t24") {
         Corpus.bpeMerges(base, "text", rounds) }
+    }
+    // depth PAST the base corpus's exhaustion point (r9 measurement:
+    // sf0.1 word soup runs out of learnable merges at 89 — out=89 at
+    // both rounds=100 and 200, the empty-winner guard stopping with
+    // zero wasted rounds). disjoint(4)'s per-replica word tags widen
+    // the vocabulary ~4× (and lengthen every word by 3 chars), so
+    // 100/200-round marginal cost is measurable without exhaustion —
+    // the honest per-round asymptote at tokenizer-scale depth.
+    if (sect("bpe-deep")) {
+      val deep = disjoint(4).cache(); deep.count()
+      Seq(50, 100, 200).foreach { rounds =>
+        time(f"bpe-deep train rounds=$rounds%-3d (4x vocab)") {
+          Corpus.bpeMerges(deep, "text", rounds) }
+      }
+      deep.unpersist(blocking = true)
     }
 
     spark.stop()

@@ -86,14 +86,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "t13_decontaminate", "an3_ntile", "n10_pq_codes", "n11_pq_adc_topk",
       "n12_ivf_pq", "n13_mmr", "n14_jl_recall", "t19_bigram_lm",
       "c2_quality_gate", // c2: ONE-ROW broadcast threshold crossJoin
-      // t25: BPE vocab rounds crossJoin their ONE-ROW broadcast winner
-      // (t24's plan hides them behind the per-round checkpoint);
       // an25: ONE-ROW broadcast user-count crossJoin for the ranks;
       // u9: ONE-ROW broadcast count + cutoff crossJoins (same pattern);
       // an29 inherits an3's globalNtile ONE-ROW boundary crossJoin;
       // n15 composes n1/n5's bounded 5-query broadcast fan-out (n9's
       // allowlisted shape)
-      "t25_bpe_tokenize", "an25_convert_latency", "u9_time_travel",
+      "an25_convert_latency", "u9_time_travel",
       "an29_decile_lift", "n15_rank_metrics",
       // t30 shares t13's scaffolding: the ONE-ROW broadcast snippet
       // crossJoin that PLANTS contamination (test rig, not the

@@ -373,6 +373,58 @@ class StreamsSpec extends AnyFunSuite {
     assert(got === Set((101L, Some(201L)), (102L, None)))
   }
 
+  test("full-outer stream join emits both unmatched directions after expiry") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val h2us = 7200L * 1000000L
+    val clicks = Seq(
+      (101L, 1L, 1000L * 1000000L),   // matched at +1h
+      (102L, 2L, 1000L * 1000000L))   // never matched -> null-purchase row
+    val purchases = Seq(
+      (201L, 1L, 1000L * 1000000L + h2us / 2),
+      (202L, 3L, 1000L * 1000000L))   // no preceding click -> null-click row
+    def write(rows: Seq[(Long, Long, Long)], name: String): String = {
+      val dir = Files.createTempDirectory("graft-e16-spec").resolve(name).toString
+      rows.toDF("event_id", "user_id", "us")
+        .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val cDir = write(clicks, "clicks")
+    val pDir = write(purchases, "purchases")
+    val sch = clicks.toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts")).schema
+    val joined = Streams.attributionJoin(
+      spark.readStream.schema(sch).parquet(cDir),
+      spark.readStream.schema(sch).parquet(pDir),
+      joinType = "fullOuter")
+    val q = joined.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("e16spec").start()
+    def sentinel(id: Long, sec: Long, dir: String): Unit =
+      Seq((id, -1L, sec * 1000000L)).toDF("event_id", "user_id", "us")
+        .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+        .write.mode("append").parquet(dir)
+    try {
+      q.processAllAvailable()
+      sentinel(-2L, 4102444800L, cDir); sentinel(-3L, 4102444800L, pDir)
+      q.processAllAvailable()
+      sentinel(-4L, 4102444860L, cDir); sentinel(-5L, 4102444860L, pDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("e16spec").filter($"user_id" =!= -1L)
+      .select($"click_id", $"user_id", $"purchase_id")
+      .collect().map(r => (
+        if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSet
+    // the user key must survive from WHICHEVER side is present
+    assert(got === Set(
+      (Some(101L), 1L, Some(201L)),
+      (Some(102L), 2L, None),
+      (None, 3L, Some(202L))))
+  }
+
   test("windowed streaming agg equals the batch window query") {
     val dir = Files.createTempDirectory("graft-ev")
     val batch = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
