@@ -43,12 +43,11 @@ object Bench {
     * and (b) reported under the separate `streaming_fixed_sec` total,
     * so the comparable-operator `value` stops carrying ~29% harness
     * noise. Listing ALL of them (not just e13) means a future headline
-    * addition is split and capped automatically. */
-  val streamingHeadline: Set[String] = Set(
-    "e4_stream_sessions", "e6_stream_join", "e7_stream_static",
-    "e11_stream_tumbling", "e12_stream_dedup", "e13_stream_outer_join",
-    "e14_stream_merge_sink", "e15_checkpoint_resume",
-    "e16_stream_full_outer_join")
+    * addition is split and capped automatically. The set itself lives
+    * in [[graft.streaming.Streams.realStreamingGateQueries]] — one
+    * canonical copy shared with PlanAudit's exclusion. */
+  val streamingHeadline: Set[String] =
+    graft.streaming.Streams.realStreamingGateQueries
 
   /** Minimum repetitions per query; reported time is the median, so
     * single-run jitter (JIT, GC, page cache) can't masquerade as a

@@ -468,17 +468,30 @@ object Corpus {
     * ≥ 2 times in the corpus keeps its first occurrence (the keeper,
     * same (doc_id, pos) struct total order as t28) and is cut from
     * every other occurrence; the surviving words are reassembled in
-    * place. Keeper documents pass through byte-identical — the
-    * duplicated text survives exactly once, where it first appeared —
-    * and so does every document with no repeated window.
+    * place. Every document with no repeated window passes through
+    * byte-identical, and so does a keeper document none of whose
+    * positions fall under a non-keeper window.
     *
-    * A word index is removed iff ANY non-keeper marked window covers
-    * it (the union of the non-keeper spans), computed as
-    * [[decontaminateSpans]] does: a bounded ≤k× fan-out of the HITS
-    * only into per-doc covered-position sets, then a per-row array
-    * filter. Tokenization is the empty-filtered [[wordNgrams]] stream
-    * (t30's), so null/empty text and sub-k documents pass through
-    * unharmed.
+    * A word index is removed iff a non-keeper marked window covers it
+    * AND no keeper window in the same document does: keeper spans are
+    * PROTECTED. Without the protection, overlapping occurrences —
+    * periodic text ("w w w … w" spawns windows at pos 1,2,3 sharing
+    * one orbit of hashes, of which only pos 1 is the keeper), or a
+    * window first seen elsewhere overlapping this doc's own keeper
+    * span — would excise the keeper's words and the duplicated text
+    * could survive ZERO times instead of exactly once. With it, the
+    * first occurrence of every duplicated window survives verbatim;
+    * the (deliberate, conservative) flip side is that a non-keeper
+    * window overlapping a protected keeper span keeps the overlapped
+    * words, so cross-hash overlaps can let a few duplicated words
+    * survive more than once — protection takes precedence.
+    *
+    * Coverage is computed as [[decontaminateSpans]] does: a bounded
+    * ≤k× fan-out of the HITS only (keeper hits carry a flag) into
+    * per-doc covered-position sets, excised = non-keeper cover MINUS
+    * keeper cover, then a per-row array filter. Tokenization is the
+    * empty-filtered [[wordNgrams]] stream (t30's), so null/empty text
+    * and sub-k documents pass through unharmed.
     *
     * Scale shape: one window explode (corpus-linear), one
     * map-side-combined keeper min on the window hash, one hash join
@@ -508,21 +521,30 @@ object Corpus {
       .filter(col("n") >= 2)
       .select(col("h"), col("kmin.doc_id").as("kdoc"),
         col("kmin.pos").as("kpos"))
-    // non-keeper occurrences only: the keeper row is excluded, so the
+    // every occurrence of a duplicated window, keeper rows flagged:
+    // excised positions = non-keeper cover MINUS keeper cover, so the
     // first occurrence of every duplicated window survives excision
+    // even when a non-keeper window overlaps it (periodic text, or a
+    // cross-hash overlap). Both collect_sets dedup map-side; the
+    // conditional collect ignores the null branch.
     val covSets = wp.join(keepers, "h")
-      .filter(!(col("doc_id") <=> col("kdoc") && col("pos") <=> col("kpos")))
       .select(col("doc_id"),
+        (col("doc_id") <=> col("kdoc") && col("pos") <=> col("kpos")).as("is_k"),
         explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
-      .distinct()
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("p")).as("cov"))
+      .agg(array_except(
+        collect_set(when(!col("is_k"), col("p"))),
+        collect_set(when(col("is_k"), col("p")))).as("cov"))
+    // a doc whose every covered position is keeper-protected ends with
+    // an EMPTY cov — it must pass through byte-identical like the
+    // never-touched (cov null) majority
+    val untouched = col("cov").isNull || size(col("cov")) === 0
     base.join(covSets, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("w")).cast("long").as("total_words"),
-        when(col("cov").isNull, lit(0L))
+        when(untouched, lit(0L))
           .otherwise(size(col("cov")).cast("long")).as("removed_words"),
-        when(col("cov").isNull, col("__text"))
+        when(untouched, col("__text"))
           // same single-space reassembly contract as decontaminateSpans:
           // only TOUCHED docs pay the normalization
           .otherwise(concat_ws(" ", expr(
@@ -637,9 +659,13 @@ object Corpus {
     * model (fastText / logistic regression over hashed bigrams) drops
     * into without any plan change beyond swapping an arithmetic
     * column for a broadcast hash join on the slot key. Slots absent
-    * from the relation weigh 0 (a sparse model stays sparse); the
-    * weight table is buckets-sized by construction, so the broadcast
-    * is always tiny regardless of corpus size.
+    * from the relation weigh 0 (a sparse model stays sparse), and
+    * duplicate slot rows (e.g. concatenated sparse model shards) are
+    * SUMMED per slot before the join — the additive-model semantics —
+    * so the join can never fan a bigram into multiple rows and
+    * corrupt `n_bigrams`. The weight table is buckets-sized, so the
+    * pre-aggregate and the broadcast are always tiny regardless of
+    * corpus size.
     *
     * Scale shape: identical to the stand-in — per-row bigram
     * transform, one explode, a broadcast join on j, one map-side-
@@ -658,7 +684,10 @@ object Corpus {
       .withColumn("j", pmod(
         conv(substring(md5(col("bigram")), 1, 8), 16, 10).cast("long"),
         lit(buckets.toLong)))
-      .join(broadcast(weights.select(col("j"), col("wt"))), Seq("j"), "left")
+      // slot-sum first: a duplicate-keyed weight relation must add,
+      // not fan out the probe side (count(1) below counts join rows)
+      .join(broadcast(weights.select(col("j"), col("wt"))
+        .groupBy(col("j")).agg(sum(col("wt")).as("wt"))), Seq("j"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(coalesce(col("wt"), lit(0L))).as("logit"))

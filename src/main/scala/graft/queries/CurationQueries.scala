@@ -221,7 +221,7 @@ object CurationQueries {
       |SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS total_words,
       |  CAST(coalesce(covn.nrem, 0) AS BIGINT) AS removed_words,
       |  CASE WHEN covn.doc_id IS NOT NULL THEN coalesce(re.ct, '')
-      |       ELSE b.text END AS cleaned_text
+      |       ELSE coalesce(b.text, '') END AS cleaned_text
       |FROM base b LEFT JOIN covn USING (doc_id) LEFT JOIN re USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
@@ -987,16 +987,19 @@ object CurationQueries {
       |  SELECT doc_id, i + 1 AS pos, md5(array_to_string(w[i+1 : i+10], ' ')) AS h
       |  FROM (SELECT doc_id, w, unnest(range(len(w) - 9)) AS i
       |        FROM base WHERE len(w) >= 10)),
-      |hits AS (
-      |  SELECT doc_id, pos
+      |marked AS (
+      |  SELECT doc_id, pos, rn
       |  FROM (SELECT doc_id, pos,
       |          row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
       |          count(*) OVER (PARTITION BY h) AS cnt
       |        FROM wp)
-      |  WHERE cnt >= 2 AND rn > 1),
+      |  WHERE cnt >= 2),
       |cov AS (
       |  SELECT DISTINCT doc_id, pos + d.d AS pos
-      |  FROM hits, (SELECT unnest(range(10)) AS d) d),
+      |  FROM marked, (SELECT unnest(range(10)) AS d) d WHERE rn > 1
+      |  EXCEPT
+      |  SELECT DISTINCT doc_id, pos + d.d AS pos
+      |  FROM marked, (SELECT unnest(range(10)) AS d) d WHERE rn = 1),
       |covn AS (SELECT doc_id, count(*) AS nrem FROM cov GROUP BY doc_id),
       |words AS (
       |  SELECT b.doc_id, x.i + 1 AS pos, b.w[x.i + 1] AS word
@@ -1012,7 +1015,7 @@ object CurationQueries {
       |SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS total_words,
       |  CAST(coalesce(covn.nrem, 0) AS BIGINT) AS removed_words,
       |  CASE WHEN covn.doc_id IS NOT NULL THEN coalesce(re.ct, '')
-      |       ELSE b.text END AS cleaned_text
+      |       ELSE coalesce(b.text, '') END AS cleaned_text
       |FROM base b LEFT JOIN covn USING (doc_id) LEFT JOIN re USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 

@@ -788,21 +788,24 @@ object EventQueries {
       |FROM events e JOIN dim d ON e.event_type = d.event_type
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
-  /** E13: stream-stream LEFT OUTER interval join run as a REAL
-    * streaming query — the watermark-expiry path e6's inner join
-    * never exercises: a click with no purchase in its 2-hour window
-    * emits a null-purchase row only when BOTH watermarks pass the
-    * whole window, i.e. unmatched-click detection with bounded state.
-    * Two far-future sentinel batches (the e4 pattern, pushed through
-    * BOTH sources) advance the watermark so every real click's fate
-    * is decided; sentinels filter out by id. Oracle: the batch LEFT
-    * JOIN under the identical interval condition. */
-  val e13StreamOuterJoin: Q = (s, dir) => {
+  /** Shared machinery for the REAL outer stream-stream attribution
+    * joins (e13 leftOuter, e16 fullOuter): stage clicks/purchases to
+    * parquet, run Streams.attributionJoin as a streaming query into a
+    * memory sink, push the far-future sentinel through BOTH sources
+    * twice (advances both watermarks past every real row's window so
+    * each side's unmatched rows flush — the e4 pattern), then read the
+    * sink minus the self-matching sentinel (filtered on the user key,
+    * which attributionJoin coalesces across sides for outer types).
+    * One copy so a future fix to the sentinel/drain discipline — the
+    * r7 watermark-boundary class of bug — can't silently diverge
+    * between the two join types. */
+  private def runAttributionStream(s: SparkSession, dir: String,
+      joinType: String, queryName: String): DataFrame = {
     import s.implicits._
     import graft.streaming.Streams
     val ev = Tables.load(s, dir, "events")
       .select($"event_id", $"user_id", $"ts", $"event_type")
-    val base = java.nio.file.Files.createTempDirectory("graft-e13")
+    val base = java.nio.file.Files.createTempDirectory(s"graft-$queryName")
     val cDir = base.resolve("clicks").toString
     val pDir = base.resolve("purchases").toString
     ev.filter($"event_type" === "click").drop("event_type")
@@ -813,12 +816,12 @@ object EventQueries {
     val joined = Streams.attributionJoin(
       s.readStream.schema(sch).parquet(cDir),
       s.readStream.schema(sch).parquet(pDir),
-      joinType = "leftOuter")
+      joinType = joinType)
     val q = joined.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .format("memory").queryName("e13_outer").start()
+      .format("memory").queryName(queryName).start()
     // sentinel user -1 at 2100: advances BOTH watermarks past every
-    // real click's window; its own self-match filters out below
+    // real row's window; its own self-match filters out below
     def sentinel(sec: Long): Unit = {
       val row = Seq((-1L, -1L, new java.sql.Timestamp(sec * 1000L)))
         .toDF("event_id", "user_id", "ts")
@@ -835,11 +838,21 @@ object EventQueries {
       q.stop()
       graft.etl.Writers.deleteRecursively(base.toFile)
     }
-    s.table("e13_outer").filter($"user_id" =!= -1L)
-      .select($"click_id", $"user_id", $"purchase_id",
-        $"lag_us")
+    s.table(queryName).filter($"user_id" =!= -1L)
+      .select($"click_id", $"user_id", $"purchase_id", $"lag_us")
       .orderBy($"click_id", $"purchase_id")
   }
+
+  /** E13: stream-stream LEFT OUTER interval join run as a REAL
+    * streaming query — the watermark-expiry path e6's inner join
+    * never exercises: a click with no purchase in its 2-hour window
+    * emits a null-purchase row only when BOTH watermarks pass the
+    * whole window, i.e. unmatched-click detection with bounded state.
+    * Machinery in [[runAttributionStream]]. Oracle: the batch LEFT
+    * JOIN under the identical interval condition. */
+  val e13StreamOuterJoin: Q = (s, dir) =>
+    runAttributionStream(s, dir, joinType = "leftOuter",
+      queryName = "e13_outer")
 
   val e13StreamOuterJoinSql: String =
     """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
@@ -855,52 +868,12 @@ object EventQueries {
     * unmatched clicks (null purchase), a purchase NO click preceded
     * within the window emits a null-click row once both watermarks
     * pass — direct-purchase detection with the same bounded state.
-    * Same staging, sentinel, and oracle discipline as e13; the batch
-    * oracle is the FULL JOIN under the identical interval condition. */
-  val e16StreamFullOuterJoin: Q = (s, dir) => {
-    import s.implicits._
-    import graft.streaming.Streams
-    val ev = Tables.load(s, dir, "events")
-      .select($"event_id", $"user_id", $"ts", $"event_type")
-    val base = java.nio.file.Files.createTempDirectory("graft-e16")
-    val cDir = base.resolve("clicks").toString
-    val pDir = base.resolve("purchases").toString
-    ev.filter($"event_type" === "click").drop("event_type")
-      .write.mode("overwrite").parquet(cDir)
-    ev.filter($"event_type" === "purchase").drop("event_type")
-      .write.mode("overwrite").parquet(pDir)
-    val sch = ev.drop("event_type").schema
-    val joined = Streams.attributionJoin(
-      s.readStream.schema(sch).parquet(cDir),
-      s.readStream.schema(sch).parquet(pDir),
-      joinType = "fullOuter")
-    val q = joined.writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .format("memory").queryName("e16_full_outer").start()
-    // sentinel user -1 at 2100 through BOTH sources (the e13 pattern):
-    // advances both watermarks past every real row's window so each
-    // side's unmatched rows flush; the sentinels self-match and are
-    // filtered by the coalesced user key
-    def sentinel(sec: Long): Unit = {
-      val row = Seq((-1L, -1L, new java.sql.Timestamp(sec * 1000L)))
-        .toDF("event_id", "user_id", "ts")
-      row.write.mode("append").parquet(cDir)
-      row.write.mode("append").parquet(pDir)
-    }
-    try {
-      q.processAllAvailable()
-      sentinel(4102444800L) // 2100-01-01
-      q.processAllAvailable()
-      sentinel(4102444860L)
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      graft.etl.Writers.deleteRecursively(base.toFile)
-    }
-    s.table("e16_full_outer").filter($"user_id" =!= -1L)
-      .select($"click_id", $"user_id", $"purchase_id", $"lag_us")
-      .orderBy($"click_id", $"purchase_id")
-  }
+    * Machinery in [[runAttributionStream]] (identical staging,
+    * sentinel, and drain discipline); the batch oracle is the FULL
+    * JOIN under the identical interval condition. */
+  val e16StreamFullOuterJoin: Q = (s, dir) =>
+    runAttributionStream(s, dir, joinType = "fullOuter",
+      queryName = "e16_full_outer")
 
   val e16StreamFullOuterJoinSql: String =
     """SELECT c.event_id AS click_id,

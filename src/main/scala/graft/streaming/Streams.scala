@@ -17,6 +17,22 @@ import graft.etl.Schemas
   */
 object Streams {
 
+  /** THE canonical set of gate queries that execute a REAL Structured
+    * Streaming run when constructed (staging write + stream drain +
+    * watermark sentinels). Single source of truth consumed by BOTH
+    * `Bench.streamingHeadline` (cap reps, report under the separate
+    * `streaming_fixed_sec` total) and `PlanAudit.excluded` (plan audit
+    * must not execute a stream; the returned plan would be the
+    * memory-sink read anyway). Keeping one set means a future
+    * streaming gate query added here is split, capped, and
+    * audit-excluded automatically — the two copies this replaces had
+    * to be edited in lockstep. */
+  val realStreamingGateQueries: Set[String] = Set(
+    "e4_stream_sessions", "e6_stream_join", "e7_stream_static",
+    "e11_stream_tumbling", "e12_stream_dedup", "e13_stream_outer_join",
+    "e14_stream_merge_sink", "e15_checkpoint_resume",
+    "e16_stream_full_outer_join")
+
   /** Exactly-once incremental article ingest: JSONL landing dir →
     * stream with the explicit article schema. */
   def articleStream(spark: SparkSession, landingDir: String): DataFrame =

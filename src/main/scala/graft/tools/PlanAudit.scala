@@ -16,11 +16,11 @@ object PlanAudit {
   /** Constructing e4 EXECUTES a real streaming query and its returned
     * plan is the memory-sink read, not the streaming topology — an
     * always-green audit row that costs a full stream run. PlanShapeSpec
-    * shares this exclusion. */
-  val excluded = Set("e4_stream_sessions", "e6_stream_join", "e7_stream_static",
-    "e11_stream_tumbling", "e12_stream_dedup", "e13_stream_outer_join",
-    "e14_stream_merge_sink", "e15_checkpoint_resume",
-    "e16_stream_full_outer_join")
+    * shares this exclusion; the set itself is the canonical
+    * [[graft.streaming.Streams.realStreamingGateQueries]] (also
+    * consumed by Bench's streaming split). */
+  val excluded: Set[String] =
+    graft.streaming.Streams.realStreamingGateQueries
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -460,6 +460,20 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("t32: duplicate slot keys in the weight relation sum, never fan out") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text") // bigrams: "a b", "b c"
+    val dense = (0L until 64L).map(j => (j, 10L)) // every slot weighted 10
+    val sharded = dense ++ dense.map { case (j, _) => (j, 5L) } // a second shard
+    def run(w: Seq[(Long, Long)]) = Corpus.hashedLinearScoresWeighted(
+        docs, "doc_id", "text", w.toDF("j", "wt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // unique keys: 2 bigrams, logit 2*10; duplicated keys ADD (15 each):
+    // n_bigrams must stay 2 in both — a fanned-out join would report 4
+    assert(run(dense) === Seq((1L, 2L, 20L)))
+    assert(run(sharded) === Seq((1L, 2L, 30L)))
+  }
+
   /** Driver-side reference BPE trainer: greedy (weight desc, pair asc)
     * winner over adjacent-pair weighted counts, non-overlapping
     * left-to-right merge — the naive replay bpeTrain must match. */

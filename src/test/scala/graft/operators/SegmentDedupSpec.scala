@@ -241,6 +241,31 @@ class SegmentDedupSpec extends AnyFunSuite {
     assert(out(0) === ((1L, 22L, 10L, p + " x1 x2")))
   }
 
+  test("t31: periodic text keeps the keeper window's words (self-overlap)") {
+    // "w" x 12 spawns windows at pos 1,2,3 sharing one hash; only
+    // (doc,1) is the keeper. Unprotected, the non-keepers at pos 2,3
+    // would cover 2..12 and excise 9 of the keeper window's 10 words —
+    // the duplicated text would survive ZERO times. Protected, excised
+    // = (2..12) minus keeper span (1..10) = {11,12}.
+    val out = runExcise(Seq((1L, Seq.fill(12)("w").mkString(" "))))
+    assert(out(0) === ((1L, 12L, 2L, Seq.fill(10)("w").mkString(" "))))
+  }
+
+  test("t31: keeper spans are protected from overlapping non-keeper windows") {
+    // Doc 1 = x1..x5 c1..c10. Its pos-1 window (x1..x5 c1..c5) first
+    // appeared in doc 0; its pos-6 window (c1..c10) is the KEEPER for
+    // doc 5's copy. The non-keeper cover 1..10 overlaps the keeper
+    // span 6..15: only 1..5 is excised, so C survives exactly once —
+    // at its first occurrence, inside doc 1.
+    val y = ((1 to 5).map(i => s"x$i") ++ (1 to 5).map(i => s"c$i")).mkString(" ")
+    val c = (1 to 10).map(i => s"c$i").mkString(" ")
+    val b = ((1 to 5).map(i => s"x$i") ++ (1 to 10).map(i => s"c$i")).mkString(" ")
+    val out = runExcise(Seq((0L, y), (1L, b), (5L, c)))
+    assert(out(0) === ((0L, 10L, 0L, y)))
+    assert(out(1) === ((1L, 15L, 5L, c)))
+    assert(out(2) === ((5L, 10L, 10L, "")))
+  }
+
   test("t31: string ids excise correctly (no silent cast)") {
     val a = words("a", 30)
     val out = Corpus.exciseExactDuplicates(
