@@ -9,12 +9,19 @@ engine/oracle agreement OUTSIDE the generated data's domain:
     hour / 30-min bucket boundaries -> exercises the floor-division
     forms in an16/e10/e3 (DuckDB's integer `//` TRUNCATES toward zero
     — verified on duckdb 1.0.0: -7 // 2 = -3 — so the oracle SQL must
-    floor explicitly via the pmod construction, as the Spark side does).
+    floor explicitly via the pmod construction, as the Spark side does);
+  - documents gain a NULL-text row (the engine's excision/decontam
+    operators coalesce text to '' for tokenization and pass the
+    coalesced form through for untouched docs — the oracles' ELSE
+    branch must coalesce identically, r9 review finding) and
+    PERIODIC / keeper-overlap rows (self-overlapping duplicate
+    windows: t31's excision must protect keeper spans — cover
+    subtraction, not union — or the first occurrence dies too).
 
 Usage:
   python3 scripts/adversarial_fixture.py [src_sf_dir] [dst_dir]
-  sbt "runMain graft.Verify <dst> /tmp/advout t2_quality_score,t3_token_count,c1_curate,f1_affiliation_split,f5_cleanup,f8_whitelist_clean,an16_cohort,e10_resample,e3_sliding_window"
-  python3 scripts/check_oracle.py <dst> /tmp/advout   # expect 9 pass / 0 fail
+  sbt "runMain graft.Verify <dst> /tmp/advout t2_quality_score,t3_token_count,c1_curate,f1_affiliation_split,f5_cleanup,f8_whitelist_clean,an16_cohort,e10_resample,e3_sliding_window,t28_exact_spans,t30_decontaminate_spans,t31_excise_duplicates"
+  python3 scripts/check_oracle.py <dst> /tmp/advout   # expect 12 pass / 0 fail
 """
 import datetime
 import os
@@ -49,12 +56,29 @@ def docs(t):
         "the\x0bof\tand\nis a to in",   # every whitespace kind mixed
         "x,\x0bY",                      # \x0b right after the f1 comma
     ]
+    # overlap-regime rows for the span operators (t28/t31): periodic
+    # text (3 windows, 1 hash, only pos 1 is the keeper), and a
+    # keeper-overlap pair — doc B's pos-1 window first appeared in
+    # doc A while B's pos-6 window is the keeper for doc C's copy, so
+    # B's excision must protect positions 6..15
+    periodic = " ".join(["w"] * 12)
+    ov_a = " ".join([f"x{i}" for i in range(1, 6)] + [f"c{i}" for i in range(1, 6)])
+    ov_b = " ".join([f"x{i}" for i in range(1, 6)] + [f"c{i}" for i in range(1, 11)])
+    ov_c = " ".join([f"c{i}" for i in range(1, 11)])
+    texts += [periodic, ov_a, ov_b, ov_c]
     for i, txt in enumerate(texts):
         r = dict(proto)
         r["doc_id"] = mx + 1 + i
         r["text"] = txt
         r["n_chars"] = len(txt)
         d.append(r)
+    # NULL text: the engine coalesces to '' for tokenization and emits
+    # the coalesced form for untouched docs — oracle must match
+    r = dict(proto)
+    r["doc_id"] = mx + 1 + len(texts)
+    r["text"] = None
+    r["n_chars"] = 0
+    d.append(r)
     return pa.Table.from_pylist(d, schema=t.schema)
 
 
