@@ -359,6 +359,27 @@ object ScaleStress {
       }
     }
 
+    // t31 excision = t28's keeper machinery + the hits-only coverage
+    // aggregate (now cover SUBTRACTION: non-keeper minus keeper spans).
+    // identical replicas are the hot regime: every window an N-clique,
+    // keeper join emits N−1 non-keeper rows per window (each fanning
+    // ≤k positions) plus ONE flagged keeper row — linear in
+    // duplication, like t28. disjoint replicas bound the clean path.
+    if (sect("t31")) {
+      Seq(1, 5, 20).foreach { n =>
+        val d = disjoint(n).cache(); val rows = d.count()
+        time(s"t31 excise disjoint n=$n rows=$rows") {
+          Corpus.exciseExactDuplicates(d, "doc_id", "text") }
+        d.unpersist(blocking = true)
+      }
+      Seq(2, 8, 20).foreach { n =>
+        val d = identical(n).cache(); val rows = d.count()
+        time(s"t31 excise identical n=$n rows=$rows") {
+          Corpus.exciseExactDuplicates(d, "doc_id", "text") }
+        d.unpersist(blocking = true)
+      }
+    }
+
     // BPE training depth: with the per-8-rounds vocab localCheckpoint
     // the live plan stays O(8) layers deep, so total time must grow
     // ~linearly in rounds (each round = one vocab-sized pair count +
