@@ -42,9 +42,19 @@ object HtmlExtract {
   private def exAll(html: Column, pattern: String, group: Int = 1): Column =
     regexp_extract_all(html, lit(pattern), lit(group))
 
-  /** Inner text of a captured subtree: markup stripped, trimmed. */
+  /** Inner text of a captured subtree, approximating Selenium
+    * `.text`'s RENDERED-text semantics: `<br>` and block-EDGE tags
+    * (opening or closing `p`/`div`/`li`/…)
+    * become a separator (the browser renders a line break there —
+    * stripping them to "" would glue 'regret.<br>We' into 'regret.We'
+    * and corrupt downstream ', ' affiliation splits), remaining
+    * (inline) markup is stripped with no separator (`x<i>y</i>` really
+    * renders as "xy"), then whitespace runs collapse to one space and
+    * the ends trim — `.text`'s own whitespace normalization. */
   private def innerText(c: Column): Column =
-    trim(regexp_replace(c, "<[^>]+>", ""))
+    trim(regexp_replace(regexp_replace(regexp_replace(c,
+      """(?i)<(?:br|/?(?:p|div|li|tr|h[1-6]|dd|dt|ul|ol|table|section|article))\b[^>]*>""",
+      " "), "<[^>]+>", ""), """\s+""", " "))
 
   /** Subtree-text capture — see the object scaladoc. `group` > 1 when
     * the pattern backreferences its own tag name (`</\1>`). */

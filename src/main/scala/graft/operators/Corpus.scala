@@ -718,11 +718,14 @@ object Corpus {
     bpeTrain(docs, textCol, rounds)._1
 
   /** Checkpoint the evolving vocab every this many merge rounds: each
-    * round stacks one crossJoin+aggregate layer on the vocab lineage,
-    * so at tokenizer scale (32k merges) an unchecked plan would grow
-    * O(rounds) deep. Periodic eager localCheckpoints bound the live
-    * plan depth to O(BpeCheckpointEvery) while costing one vocab-sized
-    * materialization per N rounds. */
+    * round stacks one literal-folded merge projection on the vocab
+    * lineage (the winner is injected as constants — no crossJoin since
+    * the r9 rework), so at tokenizer scale (32k merges) an unchecked
+    * plan would still grow O(rounds) deep in projection layers.
+    * Periodic eager localCheckpoints bound the live plan depth to
+    * O(BpeCheckpointEvery) while costing one vocab-sized
+    * materialization per N rounds — this is what keeps the measured
+    * per-round cost flat (SCALING.md r9: 0.065 s/round to 200). */
   private val BpeCheckpointEvery = 8
 
   /** Learned merges AND the post-merge vocabulary (word, syms, n) —

@@ -98,7 +98,10 @@ object Multimodal {
         val len = be16(b, j + 2)
         if (len < 2) return (0, 0)
         if (isSof(m)) {
-          if (j + 8 >= b.length) return (0, 0)
+          // the length field counts itself (2) + precision(1) +
+          // height(2) + width(2): a declared len < 7 can't contain the
+          // dims — reading on would return the NEXT segment's bytes
+          if (len < 7 || j + 8 >= b.length) return (0, 0)
           return (be16(b, j + 7), be16(b, j + 5)) // (width, height)
         }
         i = j + 2 + len
@@ -297,7 +300,10 @@ object Multimodal {
     df.select(
       col(idCol).cast("long").as("media_id"),
       lit("text/plain").as("kind"),
-      encode(col(textCol), "UTF-8").as("payload"))
+      // null text = EMPTY payload, never a null payload: every
+      // downstream consumer (sampleFrames, decode seams) walks the
+      // byte array and must not NPE on a null-text document
+      encode(coalesce(col(textCol), lit("")), "UTF-8").as("payload"))
 
   /** Frame-sampling stub: every nth byte window as a "frame". */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, everyN: Int): DataFrame = {

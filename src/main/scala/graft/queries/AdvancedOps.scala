@@ -260,7 +260,11 @@ object AdvancedOps {
     * sketch paths when that cost is not worth exactness. */
   val an28ExactP99: Q = (s, dir) => {
     import s.implicits._
-    val byType = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    // NULLS LAST pins the rank order across engines: Spark's asc
+    // default is NULLS FIRST, DuckDB's is NULLS LAST — a null value
+    // row would shift every rank and flip the percentile cell picks
+    val byType = Window.partitionBy($"event_type")
+      .orderBy($"value".asc_nulls_last, $"event_id")
     Tables.load(s, dir, "events")
       .select($"event_type", $"value", $"event_id")
       .withColumn("rank", row_number().over(byType).cast("long"))

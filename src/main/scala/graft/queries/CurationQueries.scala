@@ -863,8 +863,10 @@ object CurationQueries {
     val copies = d0.filter($"doc_id" % 10 === 0)
       .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
     val chimeras = d0.filter($"doc_id" % 25 === 0)
-      .select($"doc_id".as("a_id"), head30($"text").as("a_txt"))
-      .join(d0.select(($"doc_id" - 7).as("a_id"), head30($"text").as("b_txt")), "a_id")
+      .select($"doc_id".as("a_id"),
+        head30(coalesce($"text", lit(""))).as("a_txt"))
+      .join(d0.select(($"doc_id" - 7).as("a_id"),
+        head30(coalesce($"text", lit(""))).as("b_txt")), "a_id")
       .select(($"a_id" + 2000000L).as("doc_id"),
         concat_ws(" ", $"a_txt", $"b_txt").as("text"))
     Corpus.exactSpans(d0.unionByName(copies).unionByName(chimeras),
@@ -879,8 +881,9 @@ object CurationQueries {
       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
       |  UNION ALL
       |  SELECT a.doc_id + 2000000,
-      |    array_to_string(string_split(a.text, ' ')[1:30], ' ') || ' ' ||
-      |    array_to_string(string_split(b.text, ' ')[1:30], ' ')
+      |    array_to_string(string_split(coalesce(a.text, ''), ' ')[1:30], ' ')
+      |      || ' ' ||
+      |    array_to_string(string_split(coalesce(b.text, ''), ' ')[1:30], ' ')
       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 7
       |  WHERE a.doc_id % 25 = 0),
       |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM src
@@ -959,8 +962,10 @@ object CurationQueries {
     val copies = d0.filter($"doc_id" % 10 === 0)
       .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
     val chimeras = d0.filter($"doc_id" % 25 === 0)
-      .select($"doc_id".as("a_id"), head30($"text").as("a_txt"))
-      .join(d0.select(($"doc_id" - 7).as("a_id"), head30($"text").as("b_txt")), "a_id")
+      .select($"doc_id".as("a_id"),
+        head30(coalesce($"text", lit(""))).as("a_txt"))
+      .join(d0.select(($"doc_id" - 7).as("a_id"),
+        head30(coalesce($"text", lit(""))).as("b_txt")), "a_id")
       .select(($"a_id" + 2000000L).as("doc_id"),
         concat_ws(" ", $"a_txt", $"b_txt").as("text"))
     Corpus.exciseExactDuplicates(
@@ -975,8 +980,9 @@ object CurationQueries {
       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
       |  UNION ALL
       |  SELECT a.doc_id + 2000000,
-      |    array_to_string(string_split(a.text, ' ')[1:30], ' ') || ' ' ||
-      |    array_to_string(string_split(b.text, ' ')[1:30], ' ')
+      |    array_to_string(string_split(coalesce(a.text, ''), ' ')[1:30], ' ')
+      |      || ' ' ||
+      |    array_to_string(string_split(coalesce(b.text, ''), ' ')[1:30], ' ')
       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 7
       |  WHERE a.doc_id % 25 = 0),
       |base AS (

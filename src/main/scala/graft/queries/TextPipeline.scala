@@ -1538,7 +1538,8 @@ object TextPipeline {
     import s.implicits._
     import graft.operators.Multimodal
     val media = Tables.load(s, dir, "documents")
-      .select($"doc_id", $"text").as[(Long, String)]
+      .select($"doc_id", coalesce($"text", lit("")).as("text"))
+      .as[(Long, String)]
       .map { case (id, text) =>
         val w = (id % 3000 + 16).toInt
         val h = (id % 2000 + 16).toInt
@@ -1560,7 +1561,7 @@ object TextPipeline {
       |  CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
       |       ELSE 'image/gif' END AS kind,
       |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 54 ELSE 13 END
-      |       + octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+      |       + octet_length(coalesce(text, '')::BLOB) AS BIGINT) AS n_bytes,
       |  CAST(doc_id % 3000 + 16 AS BIGINT) AS width,
       |  CAST(doc_id % 2000 + 16 AS BIGINT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -1577,7 +1578,8 @@ object TextPipeline {
     import s.implicits._
     import graft.operators.Multimodal
     val media = Tables.load(s, dir, "documents")
-      .select($"doc_id", $"text").as[(Long, String)]
+      .select($"doc_id", coalesce($"text", lit("")).as("text"))
+      .as[(Long, String)]
       .map { case (id, text) =>
         val w = (id % 3000 + 16).toInt
         val h = (id % 2000 + 16).toInt
@@ -1593,7 +1595,7 @@ object TextPipeline {
 
   val m7JpegMetaSql: String =
     """SELECT doc_id AS media_id, 'image/jpeg' AS kind,
-      |  CAST(39 + octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+      |  CAST(39 + octet_length(coalesce(text, '')::BLOB) AS BIGINT) AS n_bytes,
       |  CAST(doc_id % 3000 + 16 AS BIGINT) AS width,
       |  CAST(doc_id % 2000 + 16 AS BIGINT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -1609,7 +1611,8 @@ object TextPipeline {
     import s.implicits._
     import graft.operators.Multimodal
     val media = Tables.load(s, dir, "documents")
-      .select($"doc_id", $"text").as[(Long, String)]
+      .select($"doc_id", coalesce($"text", lit("")).as("text"))
+      .as[(Long, String)]
       .map { case (id, text) =>
         val channels = (id % 2 + 1).toInt
         val rate = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
@@ -1629,12 +1632,12 @@ object TextPipeline {
   val m4AudioMetaSql: String =
     """WITH w AS (
       |  SELECT doc_id AS media_id, 'audio/wav' AS kind,
-      |    CAST(44 + octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+      |    CAST(44 + octet_length(coalesce(text, '')::BLOB) AS BIGINT) AS n_bytes,
       |    CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
       |    CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
       |         ELSE 44100 END AS BIGINT) AS sample_rate,
       |    CAST(CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END AS BIGINT) AS bits,
-      |    octet_length(text::BLOB) AS body_len
+      |    octet_length(coalesce(text, '')::BLOB) AS body_len
       |  FROM documents),
       |s AS (
       |  SELECT media_id, kind, n_bytes, channels, sample_rate, bits,

@@ -200,6 +200,26 @@ class HtmlExtractSpec extends AnyFunSuite {
       }
   }
 
+  test("rendered-text parity: <br>/block boundaries separate, inline tags glue") {
+    // Selenium .text renders a line break at <br> and block edges but
+    // NOTHING at inline tags: 'regret.<br>We' must not glue into
+    // 'regret.We', while 'x<i>y</i>z' really renders as 'xyz'
+    val page = ieeePage.replace("This paper studies engines.",
+      "We study regret.<br>We show x<i>y</i>z bounds.<p>New block.</p>")
+    val r = parse("ieee", page)
+    assert(r.getAs[String]("abstract") ===
+      "We study regret. We show xyz bounds. New block.")
+    // the MIT<br>Cambridge affiliation case: the ', ' split must see
+    // separated tokens, not 'MITCambridge'
+    val page2 = ieeePage.replace(
+      "Dept of CS, Univ of X, France View Profile",
+      "MIT<br>Cambridge, USA View Profile")
+    val awa = parse("ieee", page2)
+      .getAs[scala.collection.Seq[Row]]("authors_with_affiliations").toSeq
+      .map(a => (a.getAs[String]("university"), a.getAs[String]("country")))
+    assert(awa.head === (("MIT Cambridge", "USA")))
+  }
+
   test("unknown site profile fails loudly") {
     val e = intercept[IllegalArgumentException](
       HtmlExtract.parsePages(Seq("x").toDF("body"), "body", "arxiv"))

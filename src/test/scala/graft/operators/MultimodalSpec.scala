@@ -69,13 +69,20 @@ class MultimodalSpec extends AnyFunSuite {
         Multimodal.jpegBytes(100, 100, Array.empty[Byte]).take(10)),
       // SOI then immediate start-of-scan: no SOF → (0, 0)
       Multimodal.MediaRow(4L, "image/jpeg",
-        Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte)))
+        Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte)),
+      // SOF with declared length 2 (too short to hold dims) followed
+      // by plausible next-segment bytes: must degrade, not read the
+      // next segment's bytes as width/height
+      Multimodal.MediaRow(5L, "image/jpeg",
+        Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x02,
+          0x08, 0x01, 0x2c, 0x00, 0xc8, 0x03, 0x11).map(_.toByte)))
     val out = Multimodal.decodeHeaders(rows.toDS()).collect()
       .map(f => f.media_id -> ((f.width, f.height))).toMap
     assert(out(1L) === ((800, 600)))
     assert(out(2L) === ((4000, 3000)))   // progressive SOF2
     assert(out(3L) === ((0, 0)))
     assert(out(4L) === ((0, 0)))
+    assert(out(5L) === ((0, 0)))         // short-SOF guard
   }
 
   test("real WAV decode round-trips channels/rate/bits and derives sample count") {
