@@ -32,8 +32,9 @@ object Bench {
     "u7_scd2", "e13_stream_outer_join", "t26_leakage_safe_split",
     "d11_semantic_dedup", "an26_rolling_active", "n11_pq_adc_topk",
     "t28_exact_spans", "t30_decontaminate_spans",
-    // r9: excision of exact duplicated substrings (t28's end state)
-    "t31_excise_duplicates")
+    // r9: excision of exact duplicated substrings (t28's end state),
+    // BM25 query scoring
+    "t31_excise_duplicates", "t33_bm25")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —

@@ -695,6 +695,60 @@ object Corpus {
         when(col("logit") > 0, 1L).otherwise(0L))
   }
 
+  /** BM25 relevance scores for a fixed query-term set (t33) — the
+    * Robertson/Lucene Okapi ranking function, the retrieval scorer a
+    * curation pipeline uses to pull topical documents out of a corpus
+    * (the step between t9's per-doc TF-IDF profile and an actual
+    * query-driven selection):
+    *
+    *   score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * Float discipline (the t9 memory-rule): idf and each per-term
+    * contribution are ROUNDED to 6 decimals — identical double
+    * formulas, identical association, on both engines — then summed
+    * on DECIMAL(18,6) so partition order can't move a ulp, and the
+    * final score rounds to 4. Ranking is (rounded score desc, doc_id):
+    * a total order, so the top-k cut is deterministic.
+    *
+    * Scale shape: per-doc length is a SCALAR projection (no explode
+    * for the non-matching majority); only rows whose term is in the
+    * (tiny, literal) query set shuffle into the (doc, term) count; df
+    * and the (N, Σdl) stats are broadcast 1-row/terms-sized relations;
+    * the cut is TakeOrderedAndProject. Corpus-linear, one small
+    * shuffle, no pair space. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25: query-term set must be non-empty")
+    val base = docs.select(col(idCol).as("doc_id"),
+        filter(split(coalesce(col(textCol), lit("")), " "),
+          x => x =!= "").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", round(log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("contrib", round(
+        col("idf") * col("tf") /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))),
+        6).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("s"))
+      .select(col("doc_id"), col("n_terms"),
+        round(col("s"), 4).cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   // ---- distributed BPE tokenizer training --------------------------
 
   /** Learn the first `rounds` BPE merges over the corpus (Sennrich et

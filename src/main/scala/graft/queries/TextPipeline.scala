@@ -546,6 +546,49 @@ object TextPipeline {
       |SELECT doc_id, word, score FROM ranked WHERE rn <= 5
       |ORDER BY doc_id, word""".stripMargin
 
+  /** T33: BM25 query scoring (Corpus.bm25) — the Okapi ranking
+    * function over a fixed 5-term query drawn from the synthetic
+    * vocabulary, returning the top-20 documents. Exact integer tf/df/
+    * dl; idf and per-term contributions rounded to 6 then summed on
+    * DECIMAL (the t9 float discipline); the cut ranks on the ROUNDED
+    * score with a doc_id tie-break so the limit is a total order the
+    * oracle replays cell-exact. */
+  val t33Bm25: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Corpus.bm25(
+      Tables.load(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("spark", "window", "hash", "merge", "stream"))
+  }
+
+  val t33Bm25Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |b2 AS (SELECT doc_id, len(w) AS dl, w FROM base),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM b2),
+      |tf AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(w) AS term FROM b2)
+      |  WHERE term IN ('spark', 'window', 'hash', 'merge', 'stream')
+      |  GROUP BY 1, 2, 3),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |c AS (
+      |  SELECT tf.doc_id,
+      |    CAST(round(
+      |      round(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)), 6)
+      |        * tf.tf
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+      |                          / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))),
+      |      6) AS DECIMAL(18,6)) AS contrib
+      |  FROM tf JOIN df USING (term) CROSS JOIN stats s),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_terms,
+      |    CAST(round(sum(contrib), 4) AS DOUBLE) AS bm25
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_terms, bm25 FROM agg
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   /** T3: token counting — whitespace and BPE-ish pre-tokenizer counts. */
   val t3Tokens: Q = (s, dir) => {
     import s.implicits._
@@ -1729,6 +1772,7 @@ object TextPipeline {
     "t8_stratified_sample" -> t8StratifiedSample,
     "t18_epoch_shuffle" -> t18EpochShuffle,
     "t9_tfidf"         -> t9Tfidf,
+    "t33_bm25"         -> t33Bm25,
     "c1_curate"        -> c1Curate,
     "c3_curation_funnel" -> c3CurationFunnel,
     "t26_leakage_safe_split" -> t26LeakageSafeSplit,
@@ -1778,6 +1822,7 @@ object TextPipeline {
     "t8_stratified_sample" -> t8StratifiedSampleSql,
     "t18_epoch_shuffle" -> t18EpochShuffleSql,
     "t9_tfidf"         -> t9TfidfSql,
+    "t33_bm25"         -> t33Bm25Sql,
     "c1_curate"        -> c1CurateSql,
     "c3_curation_funnel" -> c3CurationFunnelSql,
     "t26_leakage_safe_split" -> t26LeakageSafeSplitSql,

@@ -96,7 +96,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // t30 shares t13's scaffolding: the ONE-ROW broadcast snippet
       // crossJoin that PLANTS contamination (test rig, not the
       // operator, whose own join is an equi broadcast on the n-gram)
-      "t30_decontaminate_spans")
+      "t30_decontaminate_spans",
+      // t33: ONE-ROW broadcast (N, Σdl) stats crossJoin — the t9-style
+      // scalar fan-out; the df join is an equi broadcast on the term
+      "t33_bm25")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(PlanAudit.excluded.contains).flatMap { name =>
         val plan = sparkPlan(name).toString

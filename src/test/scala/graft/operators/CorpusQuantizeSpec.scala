@@ -474,6 +474,43 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     assert(run(sharded) === Seq((1L, 2L, 30L)))
   }
 
+  test("t33: BM25 scores equal a driver-side replay of the Okapi formula") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark window spark hash x y z"),     // dl 7
+      (2L, "window merge merge merge a b c d"),  // dl 8
+      (3L, "no query terms here at all"),        // dl 6, no match
+      (4L, null.asInstanceOf[String]),           // null text: dl 0
+      (5L, "stream"))                            // dl 1
+    val terms = Seq("spark", "window", "hash", "merge", "stream")
+    val got = Corpus.bm25(docs.toDF("doc_id", "text"), "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // driver replay: N=5, sum_dl=22, avgdl=4.4; same rounding ladder
+    val corpus = Map(1L -> "spark window spark hash x y z",
+      2L -> "window merge merge merge a b c d", 3L -> "no query terms here at all",
+      5L -> "stream").map { case (k, v) => k -> v.split(" ").toSeq }
+    val n = 5.0; val avgdl = 22.0 / 5.0
+    def rnd(x: Double, p: Int) = BigDecimal(x)
+      .setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = corpus.flatMap { case (id, w) =>
+      val dl = w.length
+      val hits = terms.flatMap { t =>
+        val tf = w.count(_ == t)
+        if (tf == 0) None else {
+          val dfT = corpus.values.count(_.contains(t))
+          val idf = rnd(math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5)), 6)
+          Some(rnd(idf * tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6))
+        }
+      }
+      if (hits.isEmpty) None
+      else Some(id -> ((hits.size.toLong,
+        rnd(BigDecimal(hits.map(BigDecimal(_)).sum.toDouble).toDouble, 4))))
+    }
+    assert(got === want)
+    // unmatched and null-text docs produce no row; matched set is 1,2,5
+    assert(got.keySet === Set(1L, 2L, 5L))
+  }
+
   /** Driver-side reference BPE trainer: greedy (weight desc, pair asc)
     * winner over adjacent-pair weighted counts, non-overlapping
     * left-to-right merge — the naive replay bpeTrain must match. */
