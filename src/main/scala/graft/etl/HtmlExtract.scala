@@ -53,7 +53,7 @@ object HtmlExtract {
     * the ends trim — `.text`'s own whitespace normalization. */
   private def innerText(c: Column): Column =
     trim(regexp_replace(regexp_replace(regexp_replace(c,
-      """(?i)<(?:br|/?(?:p|div|li|tr|h[1-6]|dd|dt|ul|ol|table|section|article))\b[^>]*>""",
+      """(?i)<(?:br|hr|/?(?:p|div|li|tr|td|th|h[1-6]|dd|dt|ul|ol|table|section|article|blockquote))\b[^>]*>""",
       " "), "<[^>]+>", ""), """\s+""", " "))
 
   /** Subtree-text capture — see the object scaladoc. `group` > 1 when

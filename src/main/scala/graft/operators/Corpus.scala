@@ -711,12 +711,17 @@ object Corpus {
     * final score rounds to 4. Ranking is (rounded score desc, doc_id):
     * a total order, so the top-k cut is deterministic.
     *
-    * Scale shape: per-doc length is a SCALAR projection (no explode
-    * for the non-matching majority); only rows whose term is in the
-    * (tiny, literal) query set shuffle into the (doc, term) count; df
-    * and the (N, Σdl) stats are broadcast 1-row/terms-sized relations;
-    * the cut is TakeOrderedAndProject. Corpus-linear, one small
-    * shuffle, no pair space. */
+    * Scale shape: ONE corpus tokenization pass projects each doc to
+    * (id, dl, matched-terms) — the length is a scalar and the match
+    * filter runs INSIDE the array, so the non-matching majority never
+    * explodes into the row stream (its `hits` is empty and the
+    * generate emits nothing); that tiny projection is materialized
+    * once (two consumers: the (N, Σdl) stats and the tf branch — the
+    * exactSpans convention) instead of re-scanning the corpus per
+    * consumer. Only query-term hits shuffle into the (doc, term)
+    * count; df and the stats are broadcast terms-sized/1-row
+    * relations; the cut is TakeOrderedAndProject. Corpus-linear, one
+    * small shuffle, no pair space. */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 20): DataFrame = {
@@ -724,11 +729,14 @@ object Corpus {
     val base = docs.select(col(idCol).as("doc_id"),
         filter(split(coalesce(col(textCol), lit("")), " "),
           x => x =!= "").as("w"))
-      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        filter(col("w"), x => x.isin(terms: _*)).as("hits"))
+      // two consumers (stats + tf): one tokenization, one tiny
+      // (id, dl, hits) materialization
+      .localCheckpoint()
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val tf = base
-      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -843,6 +843,44 @@ object CurationQueries {
       |FROM base b LEFT JOIN reasm r USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** The planted duplicate corpus t28 AND t31 run on (one copy: the
+    * two gates must stay synchronized by construction): full copies of
+    * every 10th document at +1000000, head-30 chimeras (doc d's first
+    * 30 words glued to doc d+7's) at +2000000. Null text coalesces
+    * into the head-30 slice on BOTH engines so Spark's null-skipping
+    * concat_ws and DuckDB's null-propagating || can't diverge. */
+  private def plantedDupCorpus(d0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import d0.sparkSession.implicits._
+    val head30 = (c: org.apache.spark.sql.Column) =>
+      concat_ws(" ", slice(split(coalesce(c, lit("")), " "), 1, 30))
+    val copies = d0.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val chimeras = d0.filter($"doc_id" % 25 === 0)
+      .select($"doc_id".as("a_id"), head30($"text").as("a_txt"))
+      .join(d0.select(($"doc_id" - 7).as("a_id"), head30($"text").as("b_txt")),
+        "a_id")
+      .select(($"a_id" + 2000000L).as("doc_id"),
+        concat_ws(" ", $"a_txt", $"b_txt").as("text"))
+    d0.unionByName(copies).unionByName(chimeras)
+  }
+
+  /** The oracle-side replay of [[plantedDupCorpus]], shared by the
+    * t28/t31 SQL as their leading `src` CTE. Interpolated into
+    * stripMargin'd strings, so no line here may START with `|` after
+    * this constant's own strip (the outer strip would eat the first
+    * pipe of a leading `||` concat). */
+  private val plantedSrcCte: String =
+    """src AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT a.doc_id + 2000000,
+      |    array_to_string(string_split(coalesce(a.text, ''), ' ')[1:30], ' ') ||
+      |    ' ' || array_to_string(string_split(coalesce(b.text, ''), ' ')[1:30], ' ')
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 7
+      |  WHERE a.doc_id % 25 = 0)""".stripMargin
+
   /** T28: EXACT duplicated-substring spans (Corpus.exactSpans) — the
     * suffix-array-fidelity upgrade over t20's windowed approximation:
     * every output row is a provably exact duplicate of its reported
@@ -858,34 +896,12 @@ object CurationQueries {
   val t28ExactSpans: Q = (s, dir) => {
     import s.implicits._
     val d0 = Tables.load(s, dir, "documents").select($"doc_id", $"text")
-    val head30 = (c: org.apache.spark.sql.Column) =>
-      concat_ws(" ", slice(split(c, " "), 1, 30))
-    val copies = d0.filter($"doc_id" % 10 === 0)
-      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
-    val chimeras = d0.filter($"doc_id" % 25 === 0)
-      .select($"doc_id".as("a_id"),
-        head30(coalesce($"text", lit(""))).as("a_txt"))
-      .join(d0.select(($"doc_id" - 7).as("a_id"),
-        head30(coalesce($"text", lit(""))).as("b_txt")), "a_id")
-      .select(($"a_id" + 2000000L).as("doc_id"),
-        concat_ws(" ", $"a_txt", $"b_txt").as("text"))
-    Corpus.exactSpans(d0.unionByName(copies).unionByName(chimeras),
-        "doc_id", "text")
+    Corpus.exactSpans(plantedDupCorpus(d0), "doc_id", "text")
       .orderBy($"doc_id", $"span_start", $"src_doc")
   }
 
   val t28ExactSpansSql: String =
-    """WITH src AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
-      |  UNION ALL
-      |  SELECT a.doc_id + 2000000,
-      |    array_to_string(string_split(coalesce(a.text, ''), ' ')[1:30], ' ')
-      |      || ' ' ||
-      |    array_to_string(string_split(coalesce(b.text, ''), ' ')[1:30], ' ')
-      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 7
-      |  WHERE a.doc_id % 25 = 0),
+    s"""WITH $plantedSrcCte,
       |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM src
       |       WHERE len(string_split(text, ' ')) >= 10),
       |wp AS (
@@ -957,34 +973,12 @@ object CurationQueries {
   val t31ExciseDuplicates: Q = (s, dir) => {
     import s.implicits._
     val d0 = Tables.load(s, dir, "documents").select($"doc_id", $"text")
-    val head30 = (c: org.apache.spark.sql.Column) =>
-      concat_ws(" ", slice(split(c, " "), 1, 30))
-    val copies = d0.filter($"doc_id" % 10 === 0)
-      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
-    val chimeras = d0.filter($"doc_id" % 25 === 0)
-      .select($"doc_id".as("a_id"),
-        head30(coalesce($"text", lit(""))).as("a_txt"))
-      .join(d0.select(($"doc_id" - 7).as("a_id"),
-        head30(coalesce($"text", lit(""))).as("b_txt")), "a_id")
-      .select(($"a_id" + 2000000L).as("doc_id"),
-        concat_ws(" ", $"a_txt", $"b_txt").as("text"))
-    Corpus.exciseExactDuplicates(
-        d0.unionByName(copies).unionByName(chimeras), "doc_id", "text")
+    Corpus.exciseExactDuplicates(plantedDupCorpus(d0), "doc_id", "text")
       .orderBy($"doc_id")
   }
 
   val t31ExciseDuplicatesSql: String =
-    """WITH src AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
-      |  UNION ALL
-      |  SELECT a.doc_id + 2000000,
-      |    array_to_string(string_split(coalesce(a.text, ''), ' ')[1:30], ' ')
-      |      || ' ' ||
-      |    array_to_string(string_split(coalesce(b.text, ''), ' ')[1:30], ' ')
-      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 7
-      |  WHERE a.doc_id % 25 = 0),
+    s"""WITH $plantedSrcCte,
       |base AS (
       |  SELECT doc_id, text,
       |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w

@@ -218,6 +218,12 @@ class HtmlExtractSpec extends AnyFunSuite {
       .getAs[scala.collection.Seq[Row]]("authors_with_affiliations").toSeq
       .map(a => (a.getAs[String]("university"), a.getAs[String]("country")))
     assert(awa.head === (("MIT Cambridge", "USA")))
+    // table cells and <hr> are rendered boundaries too: adjacent
+    // </td><td> must not glue cell contents
+    val page3 = ieeePage.replace("This paper studies engines.",
+      "<table><tr><td>Dept of CS</td><td>France</td></tr></table><hr>End.")
+    assert(parse("ieee", page3).getAs[String]("abstract") ===
+      "Dept of CS France End.")
   }
 
   test("unknown site profile fails loudly") {
