@@ -380,6 +380,38 @@ object ScaleStress {
       }
     }
 
+    // t33 BM25: the match filter runs inside the token array, so cost
+    // must track corpus size, not matched volume — EXCEPT when a hot
+    // term matches every document ("the" is in essentially every
+    // synthetic doc): then the (doc, term) relation is corpus-sized
+    // but map-side-combined on the doc key, so it must stay linear
+    // too, just with a bigger constant.
+    if (sect("t33")) {
+      // disjoint tags every word per replica, so NOTHING matches the
+      // query: this measures the pure tokenize+filter cost the
+      // non-matching majority pays (the dominant term at corpus scale)
+      Seq(1, 5, 20).foreach { n =>
+        val d = disjoint(n).cache(); val rows = d.count()
+        time(s"t33 bm25 no-match n=$n rows=$rows") {
+          Corpus.bm25(d, "doc_id", "text",
+            Seq("spark", "window", "hash", "merge", "stream")) }
+        d.unpersist(blocking = true)
+      }
+      // identical replicas keep the vocabulary, so the query terms
+      // really match; "the" is in essentially every synthetic doc —
+      // the (doc, term) relation goes corpus-sized but stays
+      // map-side-combined on the doc key, so it must remain linear
+      Seq(2, 8, 20).foreach { n =>
+        val d = identical(n).cache(); val rows = d.count()
+        time(s"t33 bm25 matched n=$n rows=$rows") {
+          Corpus.bm25(d, "doc_id", "text",
+            Seq("spark", "window", "hash", "merge", "stream")) }
+        time(s"t33 bm25 hot-term n=$n rows=$rows") {
+          Corpus.bm25(d, "doc_id", "text", Seq("the", "spark")) }
+        d.unpersist(blocking = true)
+      }
+    }
+
     // BPE training depth: with the per-8-rounds vocab localCheckpoint
     // the live plan stays O(8) layers deep, so total time must grow
     // ~linearly in rounds (each round = one vocab-sized pair count +
