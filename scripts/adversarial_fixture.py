@@ -100,6 +100,13 @@ def events(t):
         r["ts"] = epoch + datetime.timedelta(microseconds=us)
         r["user_id"] = 10_000_000 + (i % 2)
         d.append(r)
+    # NULL value: aggregates must null-skip identically on both engines
+    # and an28's pinned NULLS LAST rank order must hold (Spark's asc
+    # default would rank this row FIRST and shift every percentile pick)
+    r = dict(proto)
+    r["event_id"] = mx + 6
+    r["value"] = None
+    d.append(r)
     return pa.Table.from_pylist(d, schema=t.schema)
 
 
