@@ -86,4 +86,43 @@ object Graph {
     deg.unpersist(blocking = false)
     out
   }
+
+  /** Minimum-hop BFS distances from a seed set, capped at `maxHops` —
+    * the k-hop neighborhood-expansion primitive ("which suppliers are
+    * within 3 trades of these customers", interaction-graph features,
+    * blast-radius audits). `seeds`: (node); `edges`: (src, dst).
+    * Output: (node, dist), dist = fewest hops from any seed, reached
+    * nodes only.
+    *
+    * Frontier BFS as iterate-by-join: `dist` holds the best-known
+    * (node, dist); hop h expands ONLY nodes whose minimum distance is
+    * h−1 — after the min-fold, a node sits at its discovery hop, so
+    * every node is expanded exactly once across the whole run — joins
+    * them against the src-partitioned cached edge relation, and folds
+    * the discovered candidates back with a min-aggregate. State is
+    * |reached| rows, never paths: total work is Σ frontier-degree ≤
+    * |E| — the BFS bound — where a naive transitive closure pays the
+    * path-count blowup (deg^k). Each hop shuffles only the dist
+    * relation; the oracle replays the same fixpoint as a recursive CTE
+    * with UNION-dedup semantics plus a final min-group. */
+  def kHopReach(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"kHopReach: maxHops must be >= 0, got $maxHops")
+    val ed = edges.repartition(col("src")).cache()
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).distinct()
+    (1 to maxHops).foreach { h =>
+      val frontier = dist.filter(col("dist") === (h - 1))
+        .select(col("node").as("src"))
+        .join(ed, "src")
+        .select(col("dst").as("node"), lit(h.toLong).as("dist"))
+        .distinct()
+      dist = dist.unionByName(frontier)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      // pageRank's lineage-truncation cadence: one join+agg layer per
+      // hop otherwise stacks into optimizer-killing plan depth
+      if (h % 3 == 0 && h < maxHops) dist = dist.localCheckpoint()
+    }
+    val out = dist.localCheckpoint()
+    ed.unpersist(blocking = false)
+    out
+  }
 }

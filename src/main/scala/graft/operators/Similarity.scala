@@ -112,6 +112,46 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fuse N already-cut candidate lists — e.g. a BM25 lexical top-k and
+    * a dense-cosine top-k, the standard hybrid-retrieval pair — into one
+    * ranking by `score(d) = Σ_lists 1/(kRrf + rank_list(d))`. Rank-based
+    * fusion needs no score calibration across rankers, which is exactly
+    * why RAG stacks reach for it over weighted score sums.
+    *
+    * Each input must be a BOUNDED candidate list (a top-k retrieval
+    * result, k a constant — not a corpus): ranks are recomputed inside,
+    * per list, by `(score desc, id)` — a total order over the rounded
+    * scores every ranker here emits, so the integer ranks replay
+    * engine-exact. The window partitions on the LIST TAG, so ranking is
+    * one hash exchange of Σk rows, never a single-partition funnel of
+    * anything corpus-sized; per-list contributions are rounded to 6 and
+    * summed on DECIMAL(18,6) (the t9 float discipline), and the final
+    * cut is a TakeOrderedAndProject. The id column keeps its own type
+    * (the t30/t31 contract — no silent long cast).
+    *
+    * Output: (doc_id, n_lists, rrf), top `topK` by (rrf desc, doc_id). */
+  def rrfFuse(lists: Seq[(String, DataFrame)], idCol: String,
+      scoreCol: String, kRrf: Int = 60, topK: Int = 20): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: need at least one ranked list")
+    val tagged = lists.map { case (tag, df) =>
+      df.select(lit(tag).as("src"), col(idCol).as("doc_id"),
+        col(scoreCol).cast("double").as("score"))
+    }.reduce(_ unionByName _)
+    tagged
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .withColumn("contrib",
+        round(lit(1.0) / (lit(kRrf) + col("rank")), 6).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("contrib")).as("s"))
+      .select(col("doc_id"), col("n_lists"),
+        round(col("s"), 6).cast("double").as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (v1 < v2) pairs within
     * the same block whose cosine ≥ threshold. Blocking (a cluster id, a
     * coarse LSH cell, a source partition) is what keeps the pair space

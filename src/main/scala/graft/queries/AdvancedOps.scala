@@ -75,6 +75,53 @@ object AdvancedOps {
       |  r AS rank
       |FROM r3 ORDER BY rank DESC, node""".stripMargin
 
+  // ---- an30: k-hop reachability --------------------------------------
+
+  /** AN30: 3-hop BFS over the an15 trade graph — minimum hop distance
+    * from the three lowest-key customers (nodes 2/4/6) to every node
+    * within three trades, via [[graft.operators.Graph.kHopReach]]'s
+    * frontier-expansion loop (each node expanded exactly once, state =
+    * |reached| rows, never path counts). The bipartite alternation
+    * (even = customer, odd = supplier) makes the expected dist parity
+    * a built-in sanity check. The oracle is DuckDB's recursive CTE
+    * with UNION-dedup semantics + a final min-group — the same
+    * fixpoint by a different engine mechanism. */
+  val an30KhopReach: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val l = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+    val e0 = o.join(l, $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = edges.filter($"src".isin(2, 4, 6))
+      .select($"src".as("node")).distinct()
+    Graph.kHopReach(edges, seeds, maxHops = 3)
+      .select($"node",
+        when($"node" % 2 === 0, "customer").otherwise("supplier").as("kind"),
+        $"dist")
+      .orderBy($"dist", $"node")
+  }
+
+  val an30KhopReachSql: String =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |edges AS (SELECT src, dst FROM e0
+      |          UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      |walk(node, dist) AS (
+      |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+      |  FROM edges WHERE src IN (2, 4, 6)
+      |  UNION
+      |  SELECT e.dst AS node, w.dist + 1 AS dist
+      |  FROM walk w JOIN edges e ON w.node = e.src
+      |  WHERE w.dist < 3)
+      |SELECT node,
+      |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+      |  min(dist) AS dist
+      |FROM walk GROUP BY node
+      |ORDER BY dist, node""".stripMargin
+
   // ---- u7: SCD Type 2 ------------------------------------------------
 
   /** U7: SCD Type-2 dimension history — fold a per-user change log
@@ -790,6 +837,7 @@ object AdvancedOps {
     "an17_triangles"   -> an17Triangles,
     "d11_semantic_dedup" -> d11SemanticDedup,
     "an15_pagerank"    -> an15PageRank,
+    "an30_khop_reach"  -> an30KhopReach,
     "u7_scd2"          -> u7Scd2,
     "e8_funnel"        -> e8Funnel,
     "t14_boilerplate"  -> t14BoilerplateStrip,
@@ -807,6 +855,7 @@ object AdvancedOps {
     "an17_triangles"   -> an17TrianglesSql,
     "d11_semantic_dedup" -> d11SemanticDedupSql,
     "an15_pagerank"    -> an15PageRankSql,
+    "an30_khop_reach"  -> an30KhopReachSql,
     "u7_scd2"          -> u7Scd2Sql,
     "e8_funnel"        -> e8FunnelSql,
     "t14_boilerplate"  -> t14BoilerplateStripSql,

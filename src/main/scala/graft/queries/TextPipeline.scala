@@ -589,6 +589,79 @@ object TextPipeline {
       |SELECT doc_id, n_terms, bm25 FROM agg
       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  /** N18: hybrid retrieval — t33's BM25 lexical scorer (top-50 for the
+    * fixed 5-term query) fused with n1's dense-cosine scorer (top-50
+    * around the vec_id=0 probe; documents and embeddings share the id
+    * space) by reciprocal-rank fusion, k=60
+    * ([[graft.operators.Similarity.rrfFuse]]). Both candidate lists
+    * are already rank-cut on (rounded score desc, id) — total orders —
+    * so the integer ranks, the round-6 1/(60+rank) contributions, and
+    * the DECIMAL sum all replay engine-exact. The oracle rebuilds both
+    * rankers (the t33 and n1 SQL chains) and the same fusion. */
+  val n18RrfFusion: Q = (s, dir) => {
+    import s.implicits._
+    val lex = graft.operators.Corpus.bm25(
+      Tables.load(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("spark", "window", "hash", "merge", "stream"), topK = 50)
+      .select($"doc_id", $"bm25".as("score"))
+    val emb = Tables.load(s, dir, "embeddings")
+    val den = Similarity.cosineTopK(emb, emb.filter($"vec_id" === 0), k = 50)
+      .select($"vec_id".as("doc_id"), $"cos".as("score"))
+    Similarity.rrfFuse(Seq("lex" -> lex, "dense" -> den), "doc_id", "score")
+  }
+
+  val n18RrfFusionSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |b2 AS (SELECT doc_id, len(w) AS dl, w FROM base),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM b2),
+      |tf AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(w) AS term FROM b2)
+      |  WHERE term IN ('spark', 'window', 'hash', 'merge', 'stream')
+      |  GROUP BY 1, 2, 3),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |c AS (
+      |  SELECT tf.doc_id,
+      |    CAST(round(
+      |      round(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)), 6)
+      |        * tf.tf
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+      |                          / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))),
+      |      6) AS DECIMAL(18,6)) AS contrib
+      |  FROM tf JOIN df USING (term) CROSS JOIN stats s),
+      |lexs AS (
+      |  SELECT doc_id, CAST(round(sum(contrib), 4) AS DOUBLE) AS score
+      |  FROM c GROUP BY doc_id),
+      |lex AS (
+      |  SELECT 'lex' AS src, doc_id, score FROM lexs
+      |  QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 50),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |dens AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    round(list_dot_product(q.qv, e.v) /
+      |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) + 0
+      |      AS score
+      |  FROM q, e WHERE e.vec_id <> 0),
+      |den AS (
+      |  SELECT 'dense' AS src, doc_id, score FROM dens
+      |  QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 50),
+      |u AS (SELECT * FROM lex UNION ALL SELECT * FROM den),
+      |rk AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (PARTITION BY src ORDER BY score DESC, doc_id) AS rank
+      |  FROM u),
+      |fused AS (
+      |  SELECT doc_id, count(*) AS n_lists,
+      |    CAST(round(sum(CAST(round(1.0 / (60 + rank), 6) AS DECIMAL(18,6))), 6)
+      |      AS DOUBLE) AS rrf
+      |  FROM rk GROUP BY doc_id)
+      |SELECT doc_id, n_lists, rrf FROM fused
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   /** T3: token counting — whitespace and BPE-ish pre-tokenizer counts. */
   val t3Tokens: Q = (s, dir) => {
     import s.implicits._
@@ -1773,6 +1846,7 @@ object TextPipeline {
     "t18_epoch_shuffle" -> t18EpochShuffle,
     "t9_tfidf"         -> t9Tfidf,
     "t33_bm25"         -> t33Bm25,
+    "n18_rrf_fusion"   -> n18RrfFusion,
     "c1_curate"        -> c1Curate,
     "c3_curation_funnel" -> c3CurationFunnel,
     "t26_leakage_safe_split" -> t26LeakageSafeSplit,
@@ -1823,6 +1897,7 @@ object TextPipeline {
     "t18_epoch_shuffle" -> t18EpochShuffleSql,
     "t9_tfidf"         -> t9TfidfSql,
     "t33_bm25"         -> t33Bm25Sql,
+    "n18_rrf_fusion"   -> n18RrfFusionSql,
     "c1_curate"        -> c1CurateSql,
     "c3_curation_funnel" -> c3CurationFunnelSql,
     "t26_leakage_safe_split" -> t26LeakageSafeSplitSql,

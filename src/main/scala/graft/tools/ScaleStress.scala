@@ -249,6 +249,27 @@ object ScaleStress {
       }
       edges.unpersist(blocking = true)
     }
+    // ---- an30: BFS depth over the same trade graph -------------------
+    // cost per hop is frontier-degree-bounded and every node expands at
+    // most once, so once the reachable set saturates (a dense bipartite
+    // graph saturates in ~2-3 hops) additional hops cost ~nothing —
+    // depth 12 must NOT cost 4x depth 3. That flatness is the claim.
+    if (sect("an30")) {
+      val o = Tables.load(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))).cache()
+      val ne = edges.count()
+      val seeds = edges.filter(col("src").isin(2, 4, 6))
+        .select(col("src").as("node")).distinct()
+      Seq(1, 3, 6, 12).foreach { hops =>
+        time(f"khop edges=$ne hops=$hops%-3d an30") {
+          graft.operators.Graph.kHopReach(edges, seeds, hops) }
+      }
+      edges.unpersist(blocking = true)
+    }
     // ---- PQ: encode + ADC at growing corpus sizes --------------------
     // codebooks train ONCE on the base embeddings (the sample-train /
     // full-encode deployment shape); encode and ADC should both be

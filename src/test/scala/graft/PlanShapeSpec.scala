@@ -99,7 +99,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "t30_decontaminate_spans",
       // t33: ONE-ROW broadcast (N, Σdl) stats crossJoin — the t9-style
       // scalar fan-out; the df join is an equi broadcast on the term
-      "t33_bm25")
+      "t33_bm25",
+      // n18 composes t33's one-row stats crossJoin and n1's bounded
+      // 1-query broadcast fan-out; the fusion itself adds only an
+      // equi groupBy over two top-50 lists
+      "n18_rrf_fusion")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(PlanAudit.excluded.contains).flatMap { name =>
         val plan = sparkPlan(name).toString

@@ -162,4 +162,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(2L, 4L, 6L), "survivors + unclustered docs remain")
   }
+
+  // ---- reciprocal-rank fusion ----------------------------------------
+
+  test("rrfFuse: hand-computed fusion — shared doc sums both contributions") {
+    val lex = Seq((10L, 0.9), (20L, 0.8)).toDF("doc_id", "score")
+    val den = Seq((20L, 0.5), (30L, 0.4)).toDF("doc_id", "score")
+    val out = Similarity.rrfFuse(Seq("lex" -> lex, "dense" -> den),
+        "doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // ranks: lex 10→1, 20→2; dense 20→1, 30→2
+    // round(1/61,6)=0.016393, round(1/62,6)=0.016129
+    assert(out.toSeq === Seq(
+      (20L, 2L, 0.032522), // 0.016129 + 0.016393
+      (10L, 1L, 0.016393),
+      (30L, 1L, 0.016129)))
+  }
+
+  test("rrfFuse: ranks break score ties by id and topK cuts on (rrf, id)") {
+    val a = Seq((3L, 0.5), (1L, 0.5), (2L, 0.5)).toDF("doc_id", "score")
+    val out = Similarity.rrfFuse(Seq("a" -> a), "doc_id", "score", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // tied scores rank by id asc: 1→1, 2→2, 3→3; topK=2 keeps 1, 2
+    assert(out.toSeq === Seq((1L, 0.016393), (2L, 0.016129)))
+  }
+
+  test("rrfFuse: the id column keeps its own type (string-keyed lists fuse)") {
+    val a = Seq(("u1", 0.9), ("u2", 0.8)).toDF("doc_id", "score")
+    val b = Seq(("u2", 0.7)).toDF("doc_id", "score")
+    val out = Similarity.rrfFuse(Seq("a" -> a, "b" -> b), "doc_id", "score")
+    assert(out.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === Seq(("u2", 2L), ("u1", 1L)))
+  }
 }

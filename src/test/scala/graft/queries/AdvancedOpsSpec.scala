@@ -49,6 +49,39 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(r === Map(0L -> 500000000000L, 1L -> 500000000000L))
   }
 
+  // ---- k-hop BFS -----------------------------------------------------
+
+  test("kHopReach: path graph — distances count hops, beyond-horizon nodes absent") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val d = Graph.kHopReach(edges, seeds, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), s"got $d")
+  }
+
+  test("kHopReach: min distance wins when paths of different lengths reach a node") {
+    // 0→1→2 (two hops) and 0→2 (one hop): the fold must keep 1
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("src", "dst")
+    val d = Graph.kHopReach(edges, Seq(0L).toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("kHopReach: cycles don't inflate distances or loop state") {
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val d = Graph.kHopReach(edges, Seq(0L).toDF("node"), maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(0L -> 0L, 1L -> 1L))
+  }
+
+  test("kHopReach: multiple seeds take the nearest, and hop 4+ stays truncated (lineage checkpoint)") {
+    val edges = (0L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val d = Graph.kHopReach(edges, Seq(0L, 6L).toDF("node"), maxHops = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 7/8 are 1/2 hops from seed 6, not 7/8 hops from seed 0
+    assert(d(7L) === 1L && d(8L) === 2L && d(5L) === 5L && d.size === 9)
+  }
+
   test("pageRank: a source-only node keeps its teleport rank and its contributions") {
     // c has out-edges but no in-edges — legal under the operator
     // contract (every node appears as a source). The receiver-only
