@@ -33,9 +33,10 @@ object Bench {
     "d11_semantic_dedup", "an26_rolling_active", "n11_pq_adc_topk",
     "t28_exact_spans", "t30_decontaminate_spans",
     // r9: excision of exact duplicated substrings (t28's end state),
-    // BM25 query scoring, hybrid-retrieval RRF fusion, k-hop BFS
+    // BM25 query scoring, hybrid-retrieval RRF fusion, k-hop BFS,
+    // content-defined chunking
     "t31_excise_duplicates", "t33_bm25", "n18_rrf_fusion",
-    "an30_khop_reach")
+    "an30_khop_reach", "t34_cdc_chunks")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —

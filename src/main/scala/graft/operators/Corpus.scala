@@ -617,6 +617,59 @@ object Corpus {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
+  // ---- content-defined chunking ------------------------------------
+
+  /** Content-defined chunking — the Rabin/FastCDC boundary discipline
+    * at word granularity: cut each document into variable-size chunks
+    * at positions where a rolling window hash hits a boundary pattern,
+    * so chunk edges are a function of CONTENT, not offsets. This is
+    * what makes chunk-level dedup robust to edits: an insertion shifts
+    * every fixed-width segment after it (segmentDedup's t22 regime
+    * stops matching from the edit point on), but content-defined
+    * boundaries RESYNCHRONIZE within one window width, so everything
+    * past the edit still fingerprints identically — the storage-dedup
+    * result (LBFS, Muthitacharoen et al. SOSP'01) applied to corpus
+    * boilerplate.
+    *
+    * Boundary rule (engine-shared, no native hash dependence): a chunk
+    * ends after word i when the first hex nibble of
+    * `md5(w[i-2] ' ' w[i-1] ' ' w[i])` is '0' or '8' — P = 1/8, mean
+    * chunk ≈ 8 words; the first window-1 words of a doc can't cut.
+    *
+    * Scale shape: ONE doc-keyed window shuffle computes the two lags,
+    * the boundary flag, and the running chunk id (the t7 partitioned-
+    * window discipline — never a global window); chunk assembly is a
+    * (doc, chunk) groupBy with an in-group array_sort. Everything is
+    * doc-local: corpus-linear, two doc-keyed shuffles, no pair space.
+    * The id keeps its own type. Output: one row per chunk —
+    * (doc_id, chunk_id, n_words, chunk_fp). */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(filter(split(coalesce(col(textCol), lit("")), " "),
+          x => x =!= "")).as(Seq("pos", "word")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val flagged = words
+      .withColumn("w1", lag(col("word"), 2).over(w))
+      .withColumn("w2", lag(col("word"), 1).over(w))
+      .withColumn("bflag",
+        when(col("w1").isNotNull &&
+          substring(md5(concat_ws(" ", col("w1"), col("w2"), col("word"))), 1, 1)
+            .isin("0", "8"), 1L)
+          .otherwise(0L))
+      // chunk id = boundaries strictly BEFORE this word (a boundary
+      // after word i opens a new chunk at i+1, not at i)
+      .withColumn("chunk_id", coalesce(
+        sum(col("bflag")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    flagged
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_words"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, word))), x -> x.word)")))
+          .as("chunk_fp"))
+  }
+
   // ---- hashed linear quality classifier (fastText-style scoring) ---
 
   /** Score every document with a HASHED LINEAR classifier — the

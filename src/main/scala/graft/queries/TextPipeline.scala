@@ -716,6 +716,62 @@ object TextPipeline {
       |SELECT doc_id + 1000000, text || ' near dup tail', source
       |FROM documents WHERE doc_id % 97 = 0""".stripMargin
 
+  /** T34: content-defined chunking + chunk-level dedup
+    * ([[graft.operators.Corpus.cdcChunks]]) — chunk every document at
+    * rolling-hash boundaries, then report every chunk fingerprint that
+    * occurs more than once across the corpus. Run over the planted
+    * near-dup corpus: each planted copy differs from its original only
+    * by an appended tail, so CDC boundaries resynchronize and all its
+    * interior chunks collide with the original's — the signal a
+    * fixed-offset segmenter loses when lengths shift. The oracle
+    * replays tokenization (1-based `l[i]`), both lags, the md5-nibble
+    * boundary rule, the exclusive running chunk id, and the ordered
+    * chunk fingerprint. */
+  val t34CdcChunks: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Corpus.cdcChunks(docsWithDups(s, dir), "doc_id", "text")
+      .groupBy($"chunk_fp")
+      .agg(max($"n_words").as("n_words"),
+        count(lit(1)).as("n_copies"),
+        countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_copies" > 1)
+      .orderBy($"chunk_fp")
+  }
+
+  val t34CdcChunksSql: String =
+    s"""WITH docs AS ($docsWithDupsSql),
+       |f AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS l
+       |  FROM docs),
+       |wd AS (
+       |  SELECT doc_id, i, l[i] AS word
+       |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM f)),
+       |tri AS (
+       |  SELECT doc_id, i, word,
+       |    lag(word, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w1,
+       |    lag(word, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+       |  FROM wd),
+       |b AS (
+       |  SELECT doc_id, i, word,
+       |    CASE WHEN w1 IS NOT NULL
+       |           AND substr(md5(w1 || ' ' || w2 || ' ' || word), 1, 1) IN ('0', '8')
+       |         THEN 1 ELSE 0 END AS bflag
+       |  FROM tri),
+       |c AS (
+       |  SELECT doc_id, i, word,
+       |    coalesce(sum(bflag) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |  FROM b),
+       |ch AS (
+       |  SELECT doc_id, chunk_id, count(*) AS n_words,
+       |    md5(string_agg(word, ' ' ORDER BY i)) AS chunk_fp
+       |  FROM c GROUP BY doc_id, chunk_id)
+       |SELECT chunk_fp, max(n_words) AS n_words, count(*) AS n_copies,
+       |  count(DISTINCT doc_id) AS n_docs
+       |FROM ch GROUP BY chunk_fp HAVING count(*) > 1
+       |ORDER BY chunk_fp""".stripMargin
+
   /** D1: exact-duplicate groups by canonical fingerprint. Exact dups are
     * injected (identical canonical text under punctuation noise). */
   val d1ExactDedup: Q = (s, dir) => {
@@ -1847,6 +1903,7 @@ object TextPipeline {
     "t9_tfidf"         -> t9Tfidf,
     "t33_bm25"         -> t33Bm25,
     "n18_rrf_fusion"   -> n18RrfFusion,
+    "t34_cdc_chunks"   -> t34CdcChunks,
     "c1_curate"        -> c1Curate,
     "c3_curation_funnel" -> c3CurationFunnel,
     "t26_leakage_safe_split" -> t26LeakageSafeSplit,
@@ -1898,6 +1955,7 @@ object TextPipeline {
     "t9_tfidf"         -> t9TfidfSql,
     "t33_bm25"         -> t33Bm25Sql,
     "n18_rrf_fusion"   -> n18RrfFusionSql,
+    "t34_cdc_chunks"   -> t34CdcChunksSql,
     "c1_curate"        -> c1CurateSql,
     "c3_curation_funnel" -> c3CurationFunnelSql,
     "t26_leakage_safe_split" -> t26LeakageSafeSplitSql,

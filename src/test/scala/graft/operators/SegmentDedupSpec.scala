@@ -287,4 +287,53 @@ class SegmentDedupSpec extends AnyFunSuite {
     // coverage is sets + array filters — no window function anywhere
     assert(!df.queryExecution.optimizedPlan.toString.contains("Window"))
   }
+
+  // ---- content-defined chunking (t34) --------------------------------
+
+  private val baseWords: Seq[String] =
+    (0 until 60).map(i => s"tok${(i * 7) % 13}v$i")
+  private def chunksOf(rows: Seq[(Long, String)]): Map[Long, Seq[String]] =
+    Corpus.cdcChunks(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy($"doc_id", $"chunk_id").collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  test("cdcChunks: words are conserved and chunks partition each doc") {
+    val text = baseWords.mkString(" ")
+    val out = Corpus.cdcChunks(
+        Seq((1L, text), (2L, ""), (3L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall(_._1 == 1L), "empty/null docs emit no chunks")
+    assert(out.map(_._3).sum === 60L, "chunk word counts sum to the doc")
+    assert(out.map(_._2).sorted.toSeq === (0L until out.length).toSeq,
+      "chunk ids are dense from 0")
+    assert(out.length > 1, "a 60-word doc must cut at least once (P=1/8)")
+  }
+
+  test("cdcChunks: an appended tail leaves every earlier chunk identical") {
+    val a = baseWords.mkString(" ")
+    val c = a + " tail0 tail1 tail2"
+    val fps = chunksOf(Seq((1L, a), (2L, c)))
+    // fixed-offset segmenting also survives appends; the pin here is
+    // that CDC does too: all of A's chunks except possibly the last
+    // recur in C byte-identically
+    assert(fps(1L).dropRight(1).toSet.subsetOf(fps(2L).toSet))
+  }
+
+  test("cdcChunks: a prepended edit resynchronizes after the first boundary") {
+    val a = baseWords.mkString(" ")
+    val b = "zzz " + a
+    val fps = chunksOf(Seq((1L, a), (2L, b)))
+    // the shift-robustness claim (what segmentDedup loses on shifted
+    // text): boundary windows see content, not offsets, so every A
+    // chunk after A's first cut recurs in the prepended doc
+    assert(fps(1L).drop(1).toSet.subsetOf(fps(2L).toSet))
+    assert(fps(1L).drop(1).nonEmpty, "fixture must have >1 chunk")
+    // and the fixed-width contrast: 3-word segments of A vs B share
+    // NOTHING once shifted by one word (disjoint word windows)
+    val segA = baseWords.grouped(3).map(_.mkString(" ")).toSet
+    val segB = ("zzz" +: baseWords).grouped(3).map(_.mkString(" ")).toSet
+    assert((segA & segB).isEmpty)
+  }
 }
