@@ -443,6 +443,26 @@ object ScaleStress {
       time(f"bpe train rounds=$rounds%-3d t24") {
         Corpus.bpeMerges(base, "text", rounds) }
     }
+
+    // CDC chunking is one doc-keyed window + one (doc, chunk) groupBy:
+    // both regimes must be linear in rows. Under identical replicas
+    // the DUP-CHUNK OUTPUT grows (every chunk becomes an N-way
+    // collision) but the per-fingerprint aggregation stays a count —
+    // no pair space exists anywhere, so hot duplication costs the same
+    // as clean growth at equal row count.
+    if (sect("t34")) Seq(("disjoint", disjoint _), ("identical", identical _))
+      .foreach { case (label, mk) =>
+        Seq(1, 5, 20).foreach { n =>
+          val docs = mk(n).cache()
+          val rows = docs.count()
+          time(s"t34 $label n=$n rows=$rows") {
+            Corpus.cdcChunks(docs, "doc_id", "text")
+              .groupBy(col("chunk_fp"))
+              .agg(count(lit(1)).as("n_copies"))
+              .filter(col("n_copies") > 1) }
+          docs.unpersist(blocking = true)
+        }
+      }
     // depth PAST the base corpus's exhaustion point (r9 measurement:
     // sf0.1 word soup runs out of learnable merges at 89 — out=89 at
     // both rounds=100 and 200, the empty-winner guard stopping with
