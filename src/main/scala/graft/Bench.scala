@@ -36,7 +36,12 @@ object Bench {
     // BM25 query scoring, hybrid-retrieval RRF fusion, k-hop BFS,
     // content-defined chunking
     "t31_excise_duplicates", "t33_bm25", "n18_rrf_fusion",
-    "an30_khop_reach", "t34_cdc_chunks")
+    "an30_khop_reach", "t34_cdc_chunks",
+    // r9 late additions: bucketed interval-overlap join, URL
+    // canonicalization dedup, exact-moment per-group OLS, and the
+    // sliding real-streaming window (auto-split into streaming_fixed)
+    "j12_interval_join", "t35_url_canon", "an31_regression",
+    "e17_stream_sliding")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —

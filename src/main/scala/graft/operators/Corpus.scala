@@ -121,6 +121,43 @@ object Corpus {
       .agg(count(lit(1)).as("n_hits"), min(col("ngram")).as("sample_ngram"))
   }
 
+  // ---- URL canonicalization (provenance-level dedup) ----------------
+
+  /** Canonical form of an absolute http(s) URL — the provenance-dedup
+    * key a web corpus groups by before content dedup (the same page
+    * crawled as `HTTP://WWW.Site.com:80/a/?utm_source=x&b=2&a=1` and
+    * `http://site.com/a?a=1&b=2` must collide). Rules, applied as one
+    * codegen'd per-row expression chain (no UDF, no shuffle):
+    * lowercase scheme and host; strip the scheme's default port
+    * (`:80` / `:443`) and a leading `www.`; drop the fragment;
+    * collapse an empty path to `/` and trailing slashes off a
+    * non-root path; drop `utm_*` tracking parameters and sort the
+    * survivors byte-lexicographically. Non-URL strings (no
+    * `scheme://`) pass through unchanged, so the function is safe to
+    * apply to a mixed column. ASCII-only, lookaround-free patterns —
+    * Java regex and RE2 agree (the t15/emailPattern discipline). */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noPort = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val host = regexp_replace(noPort, "^www\\.", "")
+    val trimmedPath = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val path = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
+    // `^[^#?]*` anchors the '?' BEFORE any '#': a '?' inside the
+    // fragment is fragment text, not a query marker
+    val q = regexp_extract(url, "^[^#?]*[?]([^#]*)", 1)
+    val kept = array_sort(filter(split(q, "&"),
+      p => p =!= "" && !p.startsWith("utm_")))
+    val qs = array_join(kept, "&")
+    when(scheme === "", url).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
+  }
+
   // ---- domain-mix rebalancing --------------------------------------
 
   /** Rebalance a corpus to target per-domain mixture weights: given an

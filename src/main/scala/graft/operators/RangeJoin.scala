@@ -87,4 +87,52 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("_bkt")
   }
+
+  /** Interval × interval OVERLAP join: every `(left, right)` pair whose
+    * half-open intervals `[lLo, lHi) ∩ [rLo, rHi)` is non-empty —
+    * `greatest(lo) < least(hi)`, the temporal/genomic overlap-join
+    * predicate. Same nested-loop trap as [[pointInInterval]], same
+    * bucket-decomposition fix, with one extra wrinkle: BOTH sides
+    * explode to their overlapped buckets, so a wide pair can meet in
+    * several buckets. Instead of a post-join `distinct` (a second
+    * corpus-wide shuffle), each pair is emitted exactly once at its
+    * CANONICAL bucket — the bucket containing `greatest(lLo, rLo)`,
+    * the intersection's first point, which both sides' explosions are
+    * guaranteed to cover whenever the pair overlaps at all. Empty
+    * intervals (`lo >= hi`) match nothing, exactly like the naive
+    * predicate. Pick `bucketWidth` near the typical span of the WIDER
+    * side so rows explode to O(1) buckets each.
+    *
+    * Input column sets must be disjoint (the output carries both). */
+  def intervalOverlap(left: DataFrame, lLoCol: String, lHiCol: String,
+      right: DataFrame, rLoCol: String, rHiCol: String,
+      bucketWidth: Long): DataFrame = {
+    val reserved = Seq("_rj_num", "_bl", "_bh", "_bkt", "_ov_g", "_ov_cb")
+    val clash = reserved.filter(c =>
+      left.columns.contains(c) || right.columns.contains(c))
+    require(clash.isEmpty,
+      s"intervalOverlap's internal columns $clash collide with input columns; rename them")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"intervalOverlap inputs share column names $shared; rename one side")
+    def spans(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val withBl = withExactBucket(df, col(lo), "_bl", bucketWidth)
+      val withBh = withExactBucket(withBl,
+        when(col(hi) <= lit(Long.MinValue), col(hi))
+          .otherwise(col(hi) - lit(1L)), "_bh", bucketWidth)
+      withBh
+        .withColumn("_bkt", explode(sequence(col("_bl"),
+          greatest(col("_bh"), col("_bl")))))
+        .drop("_bl", "_bh")
+    }
+    val joined = spans(left, lLoCol, lHiCol)
+      .join(spans(right, rLoCol, rHiCol), Seq("_bkt"))
+    withExactBucket(
+        joined.withColumn("_ov_g", greatest(col(lLoCol), col(rLoCol))),
+        col("_ov_g"), "_ov_cb", bucketWidth)
+      .filter(greatest(col(lLoCol), col(rLoCol)) <
+        least(col(lHiCol), col(rHiCol)))
+      .filter(col("_bkt") === col("_ov_cb"))
+      .drop("_bkt", "_ov_g", "_ov_cb")
+  }
 }

@@ -372,6 +372,67 @@ object CoreRelational {
       |    AS corr_qty_price
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  /** AN31: per-group ordinary least squares (the `regr_slope` /
+    * `regr_intercept` / `regr_r2` family) — price regressed on
+    * quantity per returnflag, computed from EXACT decimal moments
+    * (an12's discipline): one map-side-combined groupBy producing
+    * bit-identical sums in both engines, then the closed-form OLS in
+    * doubles written with the identical association on both sides.
+    * The closed forms use raw moments only (intercept from
+    * `(sy·sxx − sx·sxy)/det`, never from the already-rounded slope),
+    * so no rounding error compounds. `+ 0.0` on the sign-indefinite
+    * outputs normalizes IEEE −0. Scale shape: one partial-agg
+    * shuffle of 6 numbers per group — nothing grows with rows. */
+  val an31Regression: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_returnflag",
+        $"l_quantity".cast("decimal(12,2)").as("x"),
+        $"l_extendedprice".cast("decimal(12,2)").as("y"))
+    li.groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      .select($"l_returnflag", $"n",
+        (round(($"n" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double"))
+          / ($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double")), 6)
+          + lit(0.0)).as("slope"),
+        (round(($"sy".cast("double") * $"sxx".cast("double") - $"sx".cast("double") * $"sxy".cast("double"))
+          / ($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double")), 6)
+          + lit(0.0)).as("intercept"),
+        round((($"n" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double"))
+            * ($"n" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double")))
+          / (($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double"))
+            * ($"n" * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double"))), 6)
+          .as("r2"))
+      .orderBy($"l_returnflag")
+  }
+
+  val an31RegressionSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0
+      |    AS slope,
+      |  round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+      |        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0
+      |    AS intercept,
+      |  round(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |        / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |           * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS r2
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   /** AN6: ROLLUP over (returnflag, linestatus) — subtotal/grand-total
     * rows via grouping sets, with DECIMAL-exact sums and an explicit
     * grouping-id so NULL group keys are unambiguous. */
@@ -533,6 +594,7 @@ object CoreRelational {
     "u4_except_all"     -> u4ExceptAll,
     "u5_intersect_all"  -> u5IntersectAll,
     "an12_moments"      -> an12Moments,
+    "an31_regression"   -> an31Regression,
     "an13_histogram"    -> an13Histogram,
     "q3_sql"            -> q3Sql,
     "an6_rollup"        -> an6Rollup,
@@ -555,6 +617,7 @@ object CoreRelational {
     "u4_except_all"     -> u4ExceptAllSql,
     "u5_intersect_all"  -> u5IntersectAllSql,
     "an12_moments"      -> an12MomentsSql,
+    "an31_regression"   -> an31RegressionSql,
     "an13_histogram"    -> an13HistogramSql,
     "q3_sql"            -> q3SqlSql,
     "an6_rollup"        -> an6RollupSql,

@@ -579,6 +579,84 @@ object CurationQueries {
       |  count(*) AS n, min(doc_id) AS first_doc
       |FROM u GROUP BY 1 ORDER BY domain""".stripMargin
 
+  /** T35: URL canonicalization ([[Corpus.normalizeUrl]]) — provenance
+    * dedup: four planted crawl variants per page (clean; upper-cased
+    * scheme/host + `www.` + default port + trailing slash; unordered
+    * params + `utm_` tracker; tracker + fragment) collapse to two
+    * canonical keys per page, then group to (occurrences, distinct raw
+    * forms). The page key derives from `doc_id div 4` and the variant
+    * from `doc_id % 4`, so every run of four ids is one page in four
+    * spellings — the collapse is non-vacuous at every scale factor.
+    * One codegen'd per-row expression chain + one small groupBy on the
+    * canonical key — the same shape URL-level dedup has at crawl
+    * scale. Oracle replays the construction and every normalization
+    * rule in DuckDB's list/regex dialect. */
+  val t35UrlCanon: Q = (s, dir) => {
+    import s.implicits._
+    // page identity from doc_id div 4, variant from doc_id % 4: the
+    // four consecutive ids 4t..4t+3 are the SAME page in four crawl
+    // spellings, so the collapse is exercised at every scale factor
+    val k = expr("(doc_id div 4) % 97").cast("string")
+    val m = expr("(doc_id div 4) % 23").cast("string")
+    val v = $"doc_id" % 4
+    val url = when(v === 0,
+        concat(lit("https://example"), k, lit(".com/a/"), m))
+      .when(v === 1,
+        concat(lit("HTTPS://WWW.EXAMPLE"), k, lit(".COM:443/a/"), m, lit("/")))
+      .when(v === 2,
+        concat(lit("https://example"), k, lit(".com/a/"), m,
+          lit("?utm_source=x&b=2&a=1")))
+      .otherwise(
+        concat(lit("https://www.example"), k, lit(".com/a/"), m,
+          lit("/?a=1&b=2&utm_campaign=z#frag")))
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", url.as("url"))
+      .select($"url", Corpus.normalizeUrl($"url").as("canon_url"))
+      .groupBy($"canon_url")
+      .agg(count(lit(1)).as("n"), countDistinct($"url").as("n_raw_forms"))
+      .orderBy($"canon_url")
+  }
+
+  val t35UrlCanonSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'https://example' || ((doc_id // 4) % 97)::VARCHAR
+      |        || '.com/a/' || ((doc_id // 4) % 23)::VARCHAR
+      |      WHEN 1 THEN 'HTTPS://WWW.EXAMPLE' || ((doc_id // 4) % 97)::VARCHAR
+      |        || '.COM:443/a/' || ((doc_id // 4) % 23)::VARCHAR || '/'
+      |      WHEN 2 THEN 'https://example' || ((doc_id // 4) % 97)::VARCHAR
+      |        || '.com/a/' || ((doc_id // 4) % 23)::VARCHAR || '?utm_source=x&b=2&a=1'
+      |      ELSE 'https://www.example' || ((doc_id // 4) % 97)::VARCHAR
+      |        || '.com/a/' || ((doc_id // 4) % 23)::VARCHAR || '/?a=1&b=2&utm_campaign=z#frag'
+      |    END AS url
+      |  FROM documents),
+      |norm AS (
+      |  SELECT url,
+      |    lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+      |    lower(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS hostport,
+      |    regexp_replace(coalesce(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''), '/+$', '') AS tpath,
+      |    coalesce(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '') AS q
+      |  FROM u),
+      |qn AS (
+      |  -- coalesce: duckdb's array_to_string is NULL on an empty list
+      |  SELECT *, coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS qs
+      |  FROM norm),
+      |canon AS (
+      |  SELECT url,
+      |    scheme || '://'
+      |    || regexp_replace(
+      |         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |              ELSE hostport END, '^www\.', '')
+      |    || CASE WHEN tpath = '' THEN '/' ELSE tpath END
+      |    || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url
+      |  FROM qn)
+      |SELECT canon_url, count(*) AS n, count(DISTINCT url) AS n_raw_forms
+      |FROM canon GROUP BY 1 ORDER BY canon_url""".stripMargin
+
   /** T16: HTML strip + entity decode — the first cleaning pass of any
     * web-scraped corpus: planted markup (tags, attribute quotes,
     * escaped entities) is stripped by a global tag regex and the five
@@ -1215,6 +1293,7 @@ object CurationQueries {
     "n14_jl_recall"   -> n14JlRecall,
     "t13_decontaminate" -> t13Decontaminate,
     "t15_url_extract" -> t15UrlExtract,
+    "t35_url_canon"   -> t35UrlCanon,
     "n6_quantized_topk" -> n6QuantizedTopK,
     "t16_html_strip"  -> t16HtmlStrip,
   )
@@ -1243,6 +1322,7 @@ object CurationQueries {
     "n14_jl_recall"   -> n14JlRecallSql,
     "t13_decontaminate" -> t13DecontaminateSql,
     "t15_url_extract" -> t15UrlExtractSql,
+    "t35_url_canon"   -> t35UrlCanonSql,
     "n6_quantized_topk" -> n6QuantizedTopKSql,
     "t16_html_strip"  -> t16HtmlStripSql,
     "t17_inverted_index" -> t17InvertedIndexSql,

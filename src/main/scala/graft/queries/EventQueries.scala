@@ -989,6 +989,58 @@ object EventQueries {
       |       count(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** E17: watermarked SLIDING-window aggregation as a REAL streaming
+    * query in Append mode — e11's discipline applied to OVERLAPPING
+    * windows (1 hour every 30 minutes), the streaming path where each
+    * event updates TWO window states and eviction must finalize both.
+    * Same staging/epoch-shift/sentinel machinery as e11 (the shift's
+    * 1-hour granularity is a multiple of the 30-minute slide, so
+    * window starts translate exactly). Oracle: e3's batch sliding
+    * enumeration — two floor-aligned starts per event. */
+  val e17StreamSliding: Q = (s, dir) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val ev = Tables.load(s, dir, "events").select($"ts", $"event_type", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e17").toString
+    val off = Streams.stageWithEpochShift(ev, "ts", tmp)
+    val stream = Streams.shiftTs(
+      s.readStream.schema(ev.schema).parquet(tmp), "ts", off)
+    val q = Streams.slidingCounts(stream)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("e17_win").start()
+    def sentinel(sec: Long): Unit =
+      Seq((new java.sql.Timestamp(sec * 1000L), "__sentinel", 0.0))
+        .toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(tmp)
+    try {
+      q.processAllAvailable()
+      sentinel(4102444800L) // 2100-01-01: watermark passes every real window
+      q.processAllAvailable()
+      sentinel(4102444860L) // next batch fires the evictions
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
+    }
+    s.table("e17_win").filter($"event_type" =!= "__sentinel")
+      .select((unix_micros($"win_start") - off).as("ws_us"), $"event_type", $"n")
+      .orderBy($"ws_us", $"event_type")
+  }
+
+  val e17StreamSlidingSql: String =
+    """WITH placed AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - ((epoch_us(ts) % 1800000000) + 1800000000) % 1800000000
+      |      - off AS ws_us,
+      |    epoch_us(ts) AS t
+      |  FROM events, (SELECT unnest([0, 1800000000]) AS off))
+      |SELECT ws_us, event_type, count(*) AS n
+      |FROM placed
+      |WHERE t >= ws_us AND t < ws_us + 3600000000
+      |GROUP BY 1, 2
+      |ORDER BY ws_us, event_type""".stripMargin
+
   /** E12: streaming dedup in the gate — documents (with injected
     * exact duplicates) replayed through `dropDuplicatesWithinWatermark`
     * on the canonical fingerprint. WHICH copy survives depends on
@@ -1074,6 +1126,7 @@ object EventQueries {
 
   val defs: Map[String, Q] = Map(
     "e11_stream_tumbling" -> e11StreamTumbling,
+    "e17_stream_sliding" -> e17StreamSliding,
     "e12_stream_dedup" -> e12StreamDedup,
     "j4_asof_join"  -> j4AsOf,
     "j11_asof_tolerance" -> j11AsOfTolerance,
@@ -1102,6 +1155,7 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "e11_stream_tumbling" -> e11StreamTumblingSql,
+    "e17_stream_sliding" -> e17StreamSlidingSql,
     "e12_stream_dedup" -> e12StreamDedupSql,
     "j4_asof_join"  -> j4AsOfSql,
     "j11_asof_tolerance" -> j11AsOfToleranceSql,

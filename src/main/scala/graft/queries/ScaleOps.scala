@@ -305,6 +305,40 @@ object ScaleOps {
       |  CAST(round(max(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS max_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** J12: interval-OVERLAP join ([[RangeJoin.intervalOverlap]]) —
+    * each order's activity interval joined to every price band whose
+    * range intersects it, the temporal-overlap predicate
+    * `greatest(lo) < least(hi)` that Spark would otherwise plan as a
+    * BroadcastNestedLoopJoin. Both sides decompose to coarse buckets;
+    * a pair spanning several shared buckets is emitted once, at the
+    * bucket of the intersection's first point — no post-join
+    * distinct. Interval widths (≤ 98 and 131) sit near the 128 bucket
+    * width, so each row explodes to at most 2–3 buckets.
+    * Oracle: the naive theta join. */
+  val j12IntervalJoin: Q = (s, dir) => {
+    import s.implicits._
+    val ivs = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("order_id"),
+        pmod($"o_orderkey", lit(9000L)).as("s_lo"))
+      .withColumn("s_hi", $"s_lo" + lit(1L) + pmod($"order_id", lit(97L)))
+    val bands = s.range(150).select($"id".as("band_id"),
+      ($"id" * 67).as("b_lo"), ($"id" * 67 + 131).as("b_hi"))
+    RangeJoin.intervalOverlap(ivs, "s_lo", "s_hi", bands, "b_lo", "b_hi",
+        bucketWidth = 128L)
+      .select($"order_id", $"s_lo", $"s_hi", $"band_id", $"b_lo", $"b_hi")
+      .orderBy($"order_id", $"band_id")
+  }
+
+  val j12IntervalJoinSql: String =
+    """WITH l AS (SELECT o_orderkey AS order_id, o_orderkey % 9000 AS s_lo,
+      |             o_orderkey % 9000 + 1 + o_orderkey % 97 AS s_hi
+      |           FROM orders),
+      |r AS (SELECT t.i AS band_id, t.i * 67 AS b_lo, t.i * 67 + 131 AS b_hi
+      |      FROM range(150) t(i))
+      |SELECT l.order_id, l.s_lo, l.s_hi, r.band_id, r.b_lo, r.b_hi
+      |FROM l JOIN r ON greatest(l.s_lo, r.b_lo) < least(l.s_hi, r.b_hi)
+      |ORDER BY order_id, band_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "u8_incremental_agg" -> u8IncrementalAgg,
     "j6_bloom_semijoin" -> j6BloomSemijoin,
@@ -313,6 +347,7 @@ object ScaleOps {
     "s12_zorder_layout" -> s12ZorderLayout,
     "an14_cms_topk"     -> an14CmsTopk,
     "j7_range_join"     -> j7RangeJoin,
+    "j12_interval_join" -> j12IntervalJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -323,5 +358,6 @@ object ScaleOps {
     "s12_zorder_layout" -> s12ZorderLayoutSql,
     "an14_cms_topk"     -> an14CmsTopkSql,
     "j7_range_join"     -> j7RangeJoinSql,
+    "j12_interval_join" -> j12IntervalJoinSql,
   )
 }

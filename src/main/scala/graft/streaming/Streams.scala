@@ -31,7 +31,7 @@ object Streams {
     "e4_stream_sessions", "e6_stream_join", "e7_stream_static",
     "e11_stream_tumbling", "e12_stream_dedup", "e13_stream_outer_join",
     "e14_stream_merge_sink", "e15_checkpoint_resume",
-    "e16_stream_full_outer_join")
+    "e16_stream_full_outer_join", "e17_stream_sliding")
 
   /** Exactly-once incremental article ingest: JSONL landing dir →
     * stream with the explicit article schema. */
@@ -59,6 +59,22 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** e3's streaming form: OVERLAPPING (sliding) event-time windows —
+    * 1-hour windows advancing every 30 minutes, so each event lands in
+    * exactly two windows and the streaming state holds two open
+    * windows per slide boundary instead of one. Same watermark/Append
+    * eviction contract as [[windowedCounts]]; counts only (a streamed
+    * double sum accumulates in arrival order). Window starts align to
+    * multiples of the SLIDE, so [[epochShiftMicros]]'s default 1-hour
+    * granularity (a slide multiple) keeps the shift translation-exact
+    * for pre-epoch replays. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
 
   /** Opt-in PRE-EPOCH support for watermarked streaming (the r7
     * documented boundary above, made optional): when historical

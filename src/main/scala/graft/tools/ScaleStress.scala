@@ -470,6 +470,29 @@ object ScaleStress {
     // the vocabulary ~4× (and lengthen every word by 3 chars), so
     // 100/200-round marginal cost is measurable without exhaustion —
     // the honest per-round asymptote at tokenizer-scale depth.
+    // Interval-overlap join (j12): bucketWidth sensitivity. Too narrow
+    // → both sides explode to ~span/width bucket rows each; too wide →
+    // most intervals share every bucket and the residual filter does
+    // the work (candidate:result degrades toward the cross product).
+    // The sweet spot sits near the wider side's typical span (~250
+    // here) — the number to tune per workload, not per engine.
+    if (sect("j12")) {
+      val left = Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey").as("lid"),
+          pmod(col("o_orderkey"), lit(900000L)).as("l_lo"))
+        .withColumn("l_hi", col("l_lo") + lit(1L) + pmod(col("lid"), lit(197L)))
+        .cache()
+      left.count()
+      val right = spark.range(8000).select(col("id").as("rid"),
+        (col("id") * 113).as("r_lo"), (col("id") * 113 + 251).as("r_hi"))
+      Seq(16L, 64L, 256L, 1024L, 8192L).foreach { w =>
+        time(f"j12 intervalOverlap bucketWidth=$w%-5d") {
+          graft.operators.RangeJoin.intervalOverlap(left, "l_lo", "l_hi",
+            right, "r_lo", "r_hi", w) }
+      }
+      left.unpersist(blocking = true)
+    }
+
     if (sect("bpe-deep")) {
       val deep = disjoint(4).cache(); deep.count()
       Seq(50, 100, 200).foreach { rounds =>

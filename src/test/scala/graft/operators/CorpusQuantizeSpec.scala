@@ -28,6 +28,33 @@ class CorpusQuantizeSpec extends AnyFunSuite {
 
   // ---- Corpus.repetitionStats ---------------------------------------
 
+  test("normalizeUrl: case, www, default port, trailing slash, utm filter, param sort, fragment") {
+    val cases = Seq(
+      // scheme+host lowercase; :80 stripped for http; www. stripped;
+      // trailing slashes trimmed; PATH case preserved
+      ("HTTP://WWW.Example.COM:80/A/B/", "http://example.com/A/B"),
+      // :80 is NOT https's default port — it stays
+      ("https://h.com:80/x", "https://h.com:80/x"),
+      ("https://h.com:443/x", "https://h.com/x"),
+      // utm_* dropped, survivors sorted, fragment dropped
+      ("https://h.com/p?z=1&utm_x=9&a=2#f", "https://h.com/p?a=2&z=1"),
+      // empty path canonicalizes to /; bare root unchanged
+      ("https://h.com", "https://h.com/"),
+      ("https://h.com/", "https://h.com/"),
+      // a '?' inside the fragment is fragment text, not a query
+      ("https://h.com/p#f?x=1", "https://h.com/p"),
+      // all params dropped -> no dangling '?'
+      ("https://h.com/p?utm_only=1", "https://h.com/p"),
+      // non-URL strings pass through untouched
+      ("not a url", "not a url"))
+    val out = cases.map(_._1).toDF("url")
+      .select($"url", Corpus.normalizeUrl($"url").as("canon"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (raw, want) =>
+      assert(out(raw) === want, s"normalizeUrl($raw)")
+    }
+  }
+
   test("repetitionStats on a hand-computed document") {
     // "a a b a": n=4, distinct=2, dup_bp = 2*10000 div 4 = 5000
     // bigrams: "a a"(1), "a b"(1), "b a"(1) -> top = "a a" (lex-first tie), top_bp = 10000 div 3 = 3333

@@ -180,6 +180,72 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("_bl"))
   }
 
+  test("interval overlap join equals the naive theta join, each pair exactly once") {
+    // intervals wide relative to the bucket (multi-bucket pairs must
+    // still emit ONCE), touching intervals (adjacency is not overlap),
+    // an empty interval, and a fully-contained one
+    val left = Seq(
+      (1L, 0L, 100L), (2L, 50L, 250L), (3L, 100L, 105L),
+      (4L, 300L, 300L), (5L, 240L, 400L), (6L, 10L, 20L)
+    ).toDF("lid", "l_lo", "l_hi")
+    val right = Seq(
+      (10L, 90L, 260L), (11L, 105L, 110L), (12L, 0L, 10L),
+      (13L, 399L, 500L), (14L, 12L, 14L)
+    ).toDF("rid", "r_lo", "r_hi")
+    val fast = RangeJoin.intervalOverlap(left, "l_lo", "l_hi",
+        right, "r_lo", "r_hi", bucketWidth = 16L)
+      .select("lid", "rid")
+    val naive = left.join(right,
+        greatest($"l_lo", $"r_lo") < least($"l_hi", $"r_hi"))
+      .select("lid", "rid")
+    assert(fast.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(fast).count() === 0)
+    // no duplicate emission despite shared buckets
+    assert(fast.count() === fast.distinct().count())
+    val pairs = fast.as[(Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 10L)))  // wide overlap across many buckets
+    assert(!pairs.contains((3L, 11L))) // touching at 105: not an overlap
+    assert(!pairs.exists(_._1 == 4L))  // empty interval matches nothing
+    assert(pairs.contains((6L, 14L)))  // containment is overlap
+  }
+
+  test("interval overlap join is exact on negative and Long.MIN-adjacent intervals") {
+    val left = Seq((1L, -100L, -50L), (2L, Long.MinValue, Long.MinValue + 8L))
+      .toDF("lid", "l_lo", "l_hi")
+    val right = Seq((10L, -60L, -55L), (11L, Long.MinValue + 5L, Long.MinValue + 20L),
+        (12L, -49L, 0L))
+      .toDF("rid", "r_lo", "r_hi")
+    val fast = RangeJoin.intervalOverlap(left, "l_lo", "l_hi",
+        right, "r_lo", "r_hi", bucketWidth = 7L).select("lid", "rid")
+    val naive = left.join(right,
+        greatest($"l_lo", $"r_lo") < least($"l_hi", $"r_hi"))
+      .select("lid", "rid")
+    assert(naive.count() === 2)
+    assert(fast.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(fast).count() === 0)
+  }
+
+  test("interval overlap join rejects shared or reserved column names") {
+    val l = Seq((1L, 2L)).toDF("lo", "hi")
+    val r = Seq((1L, 2L)).toDF("lo2", "hi2")
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(l, "lo", "hi",
+        Seq((1L, 2L)).toDF("lo", "hi2"), "lo", "hi2", 8L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(l.withColumn("_bkt", lit(1L)), "lo", "hi",
+        r, "lo2", "hi2", 8L)
+    }
+  }
+
+  test("interval overlap join plans no nested-loop strategy") {
+    val l = (0L to 50L).map(i => (i, i * 3, i * 3 + 5)).toDF("lid", "l_lo", "l_hi")
+    val r = Seq((1L, 10L, 30L)).toDF("rid", "r_lo", "r_hi")
+    val plan = RangeJoin.intervalOverlap(l, "l_lo", "l_hi", r, "r_lo", "r_hi", 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("range join plan is an equi-join on buckets, not a nested-loop join") {
     val points = (0L to 100L).toDF("p")
     val intervals = Seq((1L, 10L, 30L)).toDF("iid", "lo", "hi")

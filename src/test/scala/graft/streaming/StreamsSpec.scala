@@ -444,6 +444,28 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed === batchAgg)
   }
 
+  test("sliding streaming agg equals the batch sliding window (two windows per event)") {
+    val dir = Files.createTempDirectory("graft-ev-slide")
+    val batch = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select($"ts", $"event_type", $"value")
+    batch.write.mode("overwrite").parquet(dir.toString + "/pq")
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.toString + "/pq")
+    Streams.runOnce(Streams.slidingCounts(stream), "slideagg",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    val streamed = spark.sql("SELECT win_start, event_type, n FROM slideagg")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batchAgg = batch
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour", "30 minutes"),
+        $"event_type")
+      .count()
+      .select($"window.start".as("win_start"), $"event_type", $"count")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batchAgg)
+    // overlap sanity: every event is in two windows, so total mass doubles
+    val total = streamed.toSeq.map(_._3).sum
+    assert(total === 2 * batch.count())
+  }
+
   test("epochShiftForMin lands the minimum STRICTLY past epoch, even at exact multiples") {
     val g = 3600L * 1000000L
     assert(Streams.epochShiftForMin(0L) === 0L)   // post-epoch: inert
