@@ -130,8 +130,7 @@ object RangeJoin {
     withExactBucket(
         joined.withColumn("_ov_g", greatest(col(lLoCol), col(rLoCol))),
         col("_ov_g"), "_ov_cb", bucketWidth)
-      .filter(greatest(col(lLoCol), col(rLoCol)) <
-        least(col(lHiCol), col(rHiCol)))
+      .filter(col("_ov_g") < least(col(lHiCol), col(rHiCol)))
       .filter(col("_bkt") === col("_ov_cb"))
       .drop("_bkt", "_ov_g", "_ov_cb")
   }

@@ -328,18 +328,41 @@ object CoreRelational {
     * re-plan); the closed-form combination to moments happens ONCE on
     * exact inputs, so the rounded result is deterministic. Same
     * map-side-combined single-shuffle plan as any groupBy agg. */
-  val an12Moments: Q = (s, dir) => {
+  /** The exact power-sum relation an12 and an31 both start from:
+    * per returnflag (n, Σx, Σy, Σx², Σy², Σxy) over decimal(12,2)
+    * quantity/price casts. ONE definition (plus [[momentSumsCte]], its
+    * SQL twin) so a future precision change cannot drift the two
+    * queries apart. */
+  private def momentSums(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.load(s, dir, "lineitem")
+    Tables.load(s, dir, "lineitem")
       .select($"l_returnflag",
         $"l_quantity".cast("decimal(12,2)").as("x"),
         $"l_extendedprice".cast("decimal(12,2)").as("y"))
-    li.groupBy($"l_returnflag")
+      .groupBy($"l_returnflag")
       .agg(
         count(lit(1)).as("n"),
         sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
         sum($"x" * $"y").as("sxy"))
+  }
+
+  /** SQL twin of [[momentSums]]; interpolate as `WITH $momentSumsCte`.
+    * Pre-stripped (no margin pipes) so embedding in a stripMargin'd
+    * string is safe. */
+  private val momentSumsCte: String =
+    """s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+      |  FROM lineitem GROUP BY 1)""".stripMargin
+
+  val an12Moments: Q = (s, dir) => {
+    import s.implicits._
+    momentSums(s, dir)
       .select($"l_returnflag", $"n",
         round($"sx".cast("double") / $"n", 6).as("mean_qty"),
         round(($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double"))
@@ -354,14 +377,7 @@ object CoreRelational {
   }
 
   val an12MomentsSql: String =
-    """WITH s AS (
-      |  SELECT l_returnflag, count(*) AS n,
-      |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
-      |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
-      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
-      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
-      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
-      |  FROM lineitem GROUP BY 1)
+    s"""WITH $momentSumsCte
       |SELECT l_returnflag, n,
       |  round(CAST(sx AS DOUBLE) / n, 6) AS mean_qty,
       |  round((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
@@ -385,16 +401,7 @@ object CoreRelational {
     * shuffle of 6 numbers per group — nothing grows with rows. */
   val an31Regression: Q = (s, dir) => {
     import s.implicits._
-    val li = Tables.load(s, dir, "lineitem")
-      .select($"l_returnflag",
-        $"l_quantity".cast("decimal(12,2)").as("x"),
-        $"l_extendedprice".cast("decimal(12,2)").as("y"))
-    li.groupBy($"l_returnflag")
-      .agg(
-        count(lit(1)).as("n"),
-        sum($"x").as("sx"), sum($"y").as("sy"),
-        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
-        sum($"x" * $"y").as("sxy"))
+    momentSums(s, dir)
       .select($"l_returnflag", $"n",
         (round(($"n" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double"))
           / ($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double")), 6)
@@ -411,14 +418,7 @@ object CoreRelational {
   }
 
   val an31RegressionSql: String =
-    """WITH s AS (
-      |  SELECT l_returnflag, count(*) AS n,
-      |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
-      |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
-      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
-      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
-      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
-      |  FROM lineitem GROUP BY 1)
+    s"""WITH $momentSumsCte
       |SELECT l_returnflag, n,
       |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0

@@ -312,7 +312,7 @@ object ScaleOps {
     * BroadcastNestedLoopJoin. Both sides decompose to coarse buckets;
     * a pair spanning several shared buckets is emitted once, at the
     * bucket of the intersection's first point — no post-join
-    * distinct. Interval widths (≤ 98 and 131) sit near the 128 bucket
+    * distinct. Interval widths (≤ 97 and 131) sit near the 128 bucket
     * width, so each row explodes to at most 2–3 buckets.
     * Oracle: the naive theta join. */
   val j12IntervalJoin: Q = (s, dir) => {

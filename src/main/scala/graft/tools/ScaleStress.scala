@@ -470,6 +470,15 @@ object ScaleStress {
     // the vocabulary ~4× (and lengthen every word by 3 chars), so
     // 100/200-round marginal cost is measurable without exhaustion —
     // the honest per-round asymptote at tokenizer-scale depth.
+    if (sect("bpe-deep")) {
+      val deep = disjoint(4).cache(); deep.count()
+      Seq(50, 100, 200).foreach { rounds =>
+        time(f"bpe-deep train rounds=$rounds%-3d (4x vocab)") {
+          Corpus.bpeMerges(deep, "text", rounds) }
+      }
+      deep.unpersist(blocking = true)
+    }
+
     // Interval-overlap join (j12): bucketWidth sensitivity. Too narrow
     // → both sides explode to ~span/width bucket rows each; too wide →
     // most intervals share every bucket and the residual filter does
@@ -491,15 +500,6 @@ object ScaleStress {
             right, "r_lo", "r_hi", w) }
       }
       left.unpersist(blocking = true)
-    }
-
-    if (sect("bpe-deep")) {
-      val deep = disjoint(4).cache(); deep.count()
-      Seq(50, 100, 200).foreach { rounds =>
-        time(f"bpe-deep train rounds=$rounds%-3d (4x vocab)") {
-          Corpus.bpeMerges(deep, "text", rounds) }
-      }
-      deep.unpersist(blocking = true)
     }
 
     spark.stop()
