@@ -41,7 +41,7 @@ object Bench {
     // canonicalization dedup, exact-moment per-group OLS, and the
     // sliding real-streaming window (auto-split into streaming_fixed)
     "j12_interval_join", "t35_url_canon", "an31_regression",
-    "e17_stream_sliding")
+    "e17_stream_sliding", "j14_asof_nearest")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —

@@ -2,10 +2,12 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 
 /** Left as-of join: for each left row, attach the single right row with
-  * the greatest `rightTime <= leftTime`, matching on equi-keys.
+  * the greatest `rightTime <= leftTime` (direction "backward", the
+  * default), the least `rightTime >= leftTime` ("forward"), or the
+  * closest in either direction ([[nearestAsOf]]), matching on equi-keys.
   *
   * Re-expresses the reference's per-row "greatest year <= article year
   * within 10 back" quartile lookup (SD_Upd.py:89-98, IEEE_Upd.py:88-97)
@@ -18,9 +20,10 @@ import org.apache.spark.sql.expressions.Window
   *   1. tag left and right rows, union them (right payload nulled on
   *      left rows),
   *   2. one shuffle: window partitioned by key, ordered by
-  *      (time, isRight desc, tieBreaker),
-  *   3. last(payload, ignoreNulls) carries the most recent right payload
-  *      forward onto each left row.
+  *      (time, isRight desc, tieBreaker) — time descending for the
+  *      forward direction,
+  *   3. last(payload, ignoreNulls) carries the nearest right payload
+  *      in the chosen direction onto each left row.
   *
   * The payload travels as ONE struct column (null on left rows, non-null
   * on every right row even when all its fields are null), so a single
@@ -31,53 +34,28 @@ import org.apache.spark.sql.expressions.Window
   * Cost: a single hash partition + sort per side — the same as any
   * sort-merge join — independent of how many right rows precede a left
   * row. Ties: right rows at the same timestamp as a left row ARE
-  * visible (<= semantics); among equal right timestamps the greatest
-  * `tieBreaker` wins.
+  * visible (<= / >= semantics); among equal right timestamps the
+  * greatest `tieBreaker` wins backward, the LEAST wins forward (the
+  * "first row in scan direction" rule).
   */
 object AsOfJoin {
 
-  /** @param left         left (probe) side
-    * @param right        right (reference) side
-    * @param keys         equi-join column names present on both sides
-    * @param leftTime     event-time column on `left`
-    * @param rightTime    event-time column on `right`
-    * @param payloadCols  right columns to attach (aliased as-is)
-    * @param tieBreaker   right column breaking equal-timestamp ties
-    *                     (greatest wins); must be one of payloadCols or
-    *                     rightTime
-    * @param tolerance    optional MAX STALENESS (same units as the time
-    *                     columns, which must be numeric when set): a
-    *                     match older than `leftTime - tolerance` nulls
-    *                     out — the feature-store "ASOF ... TOLERANCE"
-    *                     rule (a stale feature is worse than no
-    *                     feature). Since the carried match is the
-    *                     LATEST right ≤ leftTime, it is out of
-    *                     tolerance iff every earlier one is too, so the
-    *                     post-carry test is exact and the plan shape is
-    *                     unchanged: the matched right time rides inside
-    *                     the payload struct through the same single
-    *                     shuffle.
-    */
-  def leftAsOf(
+  /** Tagged union of both sides — the shared step-1 of every direction.
+    * Output columns: keys ++ (__t, __isRight, __tie, __payload) ++
+    * left passthrough columns (null on right rows). */
+  private def tagUnion(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
       payloadCols: Seq[String],
-      tieBreaker: String,
-      tolerance: Option[Long] = None): DataFrame = {
-
+      tieBreaker: String): (DataFrame, Seq[String]) = {
     val leftCols = left.columns.toSeq
     require(!payloadCols.exists(leftCols.contains),
       s"payload columns ${payloadCols.intersect(leftCols)} collide with left side")
     require(!payloadCols.contains("__rt"),
       "payload column name __rt is reserved for the carried match time")
-    tolerance.foreach { _ =>
-      require(right.schema(rightTime).dataType
-          .isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"tolerance requires a numeric time column, got ${right.schema(rightTime).dataType}")
-    }
     val passthrough = leftCols.filterNot(c => keys.contains(c) || c == leftTime)
 
     // the matched right row's own time rides in the payload so the
@@ -87,10 +65,10 @@ object AsOfJoin {
       payloadCols.map(c => right.schema(c).copy(name = c)) :+
         right.schema(rightTime).copy(name = "__rt"))
 
-    // A NULL rightTime can never satisfy `rightTime <= leftTime` (SQL
-    // 3VL), but the asc sort puts NULLS FIRST: un-filtered, such a
-    // row's payload would attach to every left row preceding the
-    // first real right row. Drop them up front.
+    // A NULL rightTime can never satisfy the as-of inequality (SQL
+    // 3VL), but a sort would place it at one end: un-filtered, such a
+    // row's payload would attach to the left rows beyond the last real
+    // right row. Drop them up front.
     val taggedRight = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++
         Seq(col(rightTime).as("__t"), lit(1).as("__isRight"),
@@ -106,30 +84,146 @@ object AsOfJoin {
             lit(null).cast(payloadType).as("__payload")) ++
         passthrough.map(col): _*)
 
-    // Right rows sort before left rows at the same timestamp so that a
-    // right row with rightTime == leftTime is visible (<= semantics).
-    val w = Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__isRight").desc, col("__tie").asc_nulls_first)
+    (taggedRight.unionByName(taggedLeft), passthrough)
+  }
+
+  /** The carry window for one direction. Right rows sort before left
+    * rows at the same timestamp so that a right row with
+    * rightTime == leftTime is visible in BOTH directions. */
+  private def carryWindow(keys: Seq[String], backward: Boolean): WindowSpec = {
+    val order =
+      if (backward) Seq(col("__t").asc, col("__isRight").desc, col("__tie").asc_nulls_first)
+      else Seq(col("__t").desc, col("__isRight").desc, col("__tie").desc_nulls_last)
+    Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  }
 
-    val carried = taggedRight.unionByName(taggedLeft)
-      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
-      // staleness: null the WHOLE payload (atomically — field-wise
-      // nulling would mix "no match" with "stale match" per column)
-      .withColumn("__payload", tolerance match {
-        case None => col("__payload")
-        case Some(tol) =>
-          when(col("__t") - col("__payload").getField("__rt") <= lit(tol),
-            col("__payload"))
-      })
+  /** Directed staleness of a carried payload: how far the match is from
+    * the left row against the scan direction (backward: how old;
+    * forward: how far ahead). */
+  private def staleness(payload: Column, backward: Boolean): Column =
+    if (backward) col("__t") - payload.getField("__rt")
+    else payload.getField("__rt") - col("__t")
 
+  private def finalSelect(carried: DataFrame, keys: Seq[String],
+      leftTime: String, payloadCols: Seq[String], passthrough: Seq[String],
+      payload: Column): DataFrame =
     carried
       .filter(col("__isRight") === 0)
       .select(
         keys.map(col) ++
           Seq(col("__t").as(leftTime)) ++
-          payloadCols.map(c => col("__payload").getField(c).as(c)) ++
+          payloadCols.map(c => payload.getField(c).as(c)) ++
           passthrough.map(col): _*)
+
+  /** @param left         left (probe) side
+    * @param right        right (reference) side
+    * @param keys         equi-join column names present on both sides
+    * @param leftTime     event-time column on `left`
+    * @param rightTime    event-time column on `right`
+    * @param payloadCols  right columns to attach (aliased as-is)
+    * @param tieBreaker   right column breaking equal-timestamp ties
+    *                     (greatest wins backward, least wins forward);
+    *                     must be one of payloadCols or rightTime
+    * @param tolerance    optional MAX STALENESS (same units as the time
+    *                     columns, which must be numeric when set): a
+    *                     match farther than `tolerance` from `leftTime`
+    *                     against the direction nulls out — the
+    *                     feature-store "ASOF ... TOLERANCE" rule (a
+    *                     stale feature is worse than no feature). Since
+    *                     the carried match is the nearest one in the
+    *                     direction, it is out of tolerance iff every
+    *                     farther one is too, so the post-carry test is
+    *                     exact and the plan shape is unchanged: the
+    *                     matched right time rides inside the payload
+    *                     struct through the same single shuffle.
+    * @param direction    "backward" (default; greatest rightTime <=
+    *                     leftTime) or "forward" (least rightTime >=
+    *                     leftTime — the pandas merge_asof direction
+    *                     surface)
+    */
+  def leftAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      tieBreaker: String,
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
+    val backward = direction == "backward"
+    tolerance.foreach { _ =>
+      require(right.schema(rightTime).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"tolerance requires a numeric time column, got ${right.schema(rightTime).dataType}")
+    }
+    val (tagged, passthrough) =
+      tagUnion(left, right, keys, leftTime, rightTime, payloadCols, tieBreaker)
+
+    val carried = tagged
+      .withColumn("__payload",
+        last(col("__payload"), ignoreNulls = true).over(carryWindow(keys, backward)))
+      // staleness: null the WHOLE payload (atomically — field-wise
+      // nulling would mix "no match" with "stale match" per column)
+      .withColumn("__payload", tolerance match {
+        case None => col("__payload")
+        case Some(tol) =>
+          when(staleness(col("__payload"), backward) <= lit(tol), col("__payload"))
+      })
+
+    finalSelect(carried, keys, leftTime, payloadCols, passthrough, col("__payload"))
+  }
+
+  /** Nearest as-of: for each left row, the right row minimizing
+    * `|rightTime - leftTime|`; an exact tie in distance prefers the
+    * BACKWARD match (the at-or-before row). Both time columns must be
+    * numeric (the distance comparison is arithmetic).
+    *
+    * Plan shape: the same single tagged union and ONE hash partition,
+    * with TWO window sorts over it (one per scan direction) — the
+    * winner is picked per row by comparing the two carried deltas, so
+    * no pair space and no second shuffle exist. With `tolerance`, a
+    * winner farther than `tolerance` nulls out; picking the closer
+    * match FIRST and testing tolerance after is exact, because if the
+    * closer match is out of tolerance the farther one is too. */
+  def nearestAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      tieBreaker: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    Seq(left.schema(leftTime).dataType, right.schema(rightTime).dataType).foreach { t =>
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"nearestAsOf requires numeric time columns, got $t")
+    }
+    val (tagged, passthrough) =
+      tagUnion(left, right, keys, leftTime, rightTime, payloadCols, tieBreaker)
+
+    val b = last(col("__payload"), ignoreNulls = true).over(carryWindow(keys, backward = true))
+    val f = last(col("__payload"), ignoreNulls = true).over(carryWindow(keys, backward = false))
+    val carried = tagged
+      .withColumn("__pB", b)
+      .withColumn("__pF", f)
+      .withColumn("__chosen",
+        when(col("__pB").isNull, col("__pF"))
+          .when(col("__pF").isNull, col("__pB"))
+          // strict <: an equidistant pair keeps the backward match
+          .when(staleness(col("__pF"), backward = false) <
+                  staleness(col("__pB"), backward = true), col("__pF"))
+          .otherwise(col("__pB")))
+      .withColumn("__chosen", tolerance match {
+        case None => col("__chosen")
+        case Some(tol) =>
+          when(abs(col("__t") - col("__chosen").getField("__rt")) <= lit(tol),
+            col("__chosen"))
+      })
+
+    finalSelect(carried, keys, leftTime, payloadCols, passthrough, col("__chosen"))
   }
 }

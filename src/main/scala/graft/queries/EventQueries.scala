@@ -1062,13 +1062,7 @@ object EventQueries {
     * stale-match purchases keep their NULL row. */
   val j11AsOfTolerance: Q = (s, dir) => {
     import s.implicits._
-    val ev = Tables.load(s, dir, "events")
-      .select($"event_id", $"user_id", unix_micros($"ts").as("tus"),
-        $"event_type", expr("CAST(round(value * 10000) AS BIGINT)").as("feat"))
-    val purchases = ev.filter($"event_type" === "purchase")
-      .select($"event_id".as("purchase_id"), $"user_id", $"tus")
-    val clicks = ev.filter($"event_type" === "click")
-      .select($"user_id", $"tus".as("c_tus"), $"event_id".as("click_id"), $"feat")
+    val (purchases, clicks) = purchaseClick(s, dir)
     graft.operators.AsOfJoin.leftAsOf(
         purchases, clicks, keys = Seq("user_id"),
         leftTime = "tus", rightTime = "c_tus",
@@ -1079,15 +1073,8 @@ object EventQueries {
   }
 
   val j11AsOfToleranceSql: String =
-    """WITH ev AS (
-      |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type,
-      |    CAST(round(value * 10000) AS BIGINT) AS feat
-      |  FROM events),
-      |p AS (SELECT event_id AS purchase_id, user_id, tus FROM ev
-      |      WHERE event_type = 'purchase'),
-      |c AS (SELECT user_id, tus AS c_tus, event_id AS click_id, feat FROM ev
-      |      WHERE event_type = 'click'),
-      |m AS (
+    s"""WITH $purchaseClickCtes,
+       |m AS (
       |  SELECT p.purchase_id, c.click_id, c.feat
       |  FROM p JOIN c ON p.user_id = c.user_id
       |    AND c.c_tus <= p.tus AND p.tus - c.c_tus <= 3600000000
@@ -1096,6 +1083,99 @@ object EventQueries {
       |SELECT p.purchase_id, p.user_id, p.tus, m.click_id, m.feat
       |FROM p LEFT JOIN m USING (purchase_id)
       |ORDER BY purchase_id""".stripMargin
+
+  /** Shared j11/j13/j14 input shape: purchases probe clicks per user
+    * on numeric event-time micros. ONE construction (and one `ev` CTE
+    * text below) so the three direction variants cannot drift. */
+  private def purchaseClick(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tus"),
+        $"event_type", expr("CAST(round(value * 10000) AS BIGINT)").as("feat"))
+    (ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id", $"tus"),
+      ev.filter($"event_type" === "click")
+        .select($"user_id", $"tus".as("c_tus"), $"event_id".as("click_id"), $"feat"))
+  }
+
+  /** Pre-stripped `ev`/`p`/`c` CTEs shared by the j11/j13/j14 oracles
+    * (no margin pipes — safe to interpolate into stripMargin'd SQL). */
+  private def purchaseClickCtes: String =
+    """ev AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type,
+      |    CAST(round(value * 10000) AS BIGINT) AS feat
+      |  FROM events),
+      |p AS (SELECT event_id AS purchase_id, user_id, tus FROM ev
+      |      WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, tus AS c_tus, event_id AS click_id, feat FROM ev
+      |      WHERE event_type = 'click')""".stripMargin
+
+  /** J13: FORWARD as-of — each purchase attaches its user's FIRST
+    * click at-or-after the purchase, at most 1 hour ahead (the
+    * "next-action" lookup: post-purchase behavior attribution, the
+    * pandas merge_asof direction="forward" surface). Same
+    * single-shuffle union-merge plan as j4/j11 with the window scan
+    * reversed; among equal-timestamp clicks the LEAST click_id wins
+    * (first row in scan direction). Oracle: windowed top-1 under the
+    * mirrored bounded interval, left-joined back so no-match
+    * purchases keep their NULL row. */
+  val j13AsOfForward: Q = (s, dir) => {
+    import s.implicits._
+    val (purchases, clicks) = purchaseClick(s, dir)
+    graft.operators.AsOfJoin.leftAsOf(
+        purchases, clicks, keys = Seq("user_id"),
+        leftTime = "tus", rightTime = "c_tus",
+        payloadCols = Seq("click_id", "feat"), tieBreaker = "click_id",
+        tolerance = Some(3600L * 1000000L), direction = "forward")
+      .select($"purchase_id", $"user_id", $"tus", $"click_id", $"feat")
+      .orderBy($"purchase_id")
+  }
+
+  val j13AsOfForwardSql: String =
+    s"""WITH $purchaseClickCtes,
+       |m AS (
+       |  SELECT p.purchase_id, c.click_id, c.feat
+       |  FROM p JOIN c ON p.user_id = c.user_id
+       |    AND c.c_tus >= p.tus AND c.c_tus - p.tus <= 3600000000
+       |  QUALIFY row_number() OVER (PARTITION BY p.purchase_id
+       |                             ORDER BY c.c_tus ASC, c.click_id ASC) = 1)
+       |SELECT p.purchase_id, p.user_id, p.tus, m.click_id, m.feat
+       |FROM p LEFT JOIN m USING (purchase_id)
+       |ORDER BY purchase_id""".stripMargin
+
+  /** J14: NEAREST as-of — each purchase attaches its user's closest
+    * click within 30 minutes on EITHER side; an equidistant pair
+    * prefers the backward (at-or-before) match. One tagged union, ONE
+    * hash partition, two window sorts over it (one per scan
+    * direction), winner picked by comparing the two carried deltas —
+    * no pair space, no second shuffle ([[AsOfJoin.nearestAsOf]]).
+    * Oracle: rank over all in-tolerance candidates by (distance,
+    * backward-preferred, per-side tie rule — greatest id backward,
+    * least id forward), which selects exactly the same row. */
+  val j14AsOfNearest: Q = (s, dir) => {
+    import s.implicits._
+    val (purchases, clicks) = purchaseClick(s, dir)
+    graft.operators.AsOfJoin.nearestAsOf(
+        purchases, clicks, keys = Seq("user_id"),
+        leftTime = "tus", rightTime = "c_tus",
+        payloadCols = Seq("click_id", "feat"), tieBreaker = "click_id",
+        tolerance = Some(1800L * 1000000L))
+      .select($"purchase_id", $"user_id", $"tus", $"click_id", $"feat")
+      .orderBy($"purchase_id")
+  }
+
+  val j14AsOfNearestSql: String =
+    s"""WITH $purchaseClickCtes,
+       |m AS (
+       |  SELECT p.purchase_id, c.click_id, c.feat
+       |  FROM p JOIN c ON p.user_id = c.user_id
+       |    AND abs(c.c_tus - p.tus) <= 1800000000
+       |  QUALIFY row_number() OVER (PARTITION BY p.purchase_id
+       |    ORDER BY abs(c.c_tus - p.tus) ASC, (c.c_tus <= p.tus) DESC,
+       |      CASE WHEN c.c_tus <= p.tus THEN -c.click_id ELSE c.click_id END ASC) = 1)
+       |SELECT p.purchase_id, p.user_id, p.tus, m.click_id, m.feat
+       |FROM p LEFT JOIN m USING (purchase_id)
+       |ORDER BY purchase_id""".stripMargin
 
   val e12StreamDedup: Q = (s, dir) => {
     import s.implicits._
@@ -1130,6 +1210,8 @@ object EventQueries {
     "e12_stream_dedup" -> e12StreamDedup,
     "j4_asof_join"  -> j4AsOf,
     "j11_asof_tolerance" -> j11AsOfTolerance,
+    "j13_asof_forward" -> j13AsOfForward,
+    "j14_asof_nearest" -> j14AsOfNearest,
     "e1_window_agg" -> e1WindowAgg,
     "e2_sessionize" -> e2Sessionize,
     "e3_sliding_window" -> e3SlidingWindow,
@@ -1159,6 +1241,8 @@ object EventQueries {
     "e12_stream_dedup" -> e12StreamDedupSql,
     "j4_asof_join"  -> j4AsOfSql,
     "j11_asof_tolerance" -> j11AsOfToleranceSql,
+    "j13_asof_forward" -> j13AsOfForwardSql,
+    "j14_asof_nearest" -> j14AsOfNearestSql,
     "e1_window_agg" -> e1WindowAggSql,
     "e2_sessionize" -> e2SessionizeSql,
     "e3_sliding_window" -> e3SlidingWindowSql,

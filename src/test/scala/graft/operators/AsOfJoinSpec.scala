@@ -112,6 +112,101 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("forward direction picks the least right time >= left time, >= visible, least tie wins") {
+    val left = Seq((1L, 10L, "l10"), (1L, 20L, "l20"), (1L, 16L, "l16"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 1L, "r10a"), (1L, 10L, 2L, "r10b"),
+        (1L, 15L, 3L, "r15")).toDF("k", "rt", "rid", "payload")
+    val got = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt",
+        Seq("payload"), "rid", direction = "forward")
+      .select("tag", "payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("l10") === Some("r10a")) // equal timestamp visible; LEAST tie
+    assert(got("l16") === None)         // 15 < 16: nothing at or after
+    assert(got("l20") === None)
+  }
+
+  test("forward matches the naive reversed range-join + top-1 on random data") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = (1 to 200).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))
+      .toDF("k", "rt", "rid")
+    val fast = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt", Seq("rid"), "rid",
+        direction = "forward")
+      .select("lid", "rid").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val naive = left.join(right, Seq("k"), "left")
+      .filter(col("rt").isNull || col("rt") >= col("t"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lid").orderBy(col("rt").asc_nulls_last, col("rid").asc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select("lid", "rid").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val lids = left.select("lid").collect().map(_.getLong(0))
+    assert(fast === lids.map(l => l -> naive.getOrElse(l, None)).toMap)
+  }
+
+  test("nearest picks the closest side; an equidistant pair prefers backward") {
+    val left = Seq((1L, 10L, "mid"), (1L, 3L, "lo"), (1L, 30L, "hi"))
+      .toDF("k", "t", "tag")
+    // for t=10: backward at 7 (d=3), forward at 12 (d=2) -> forward;
+    // for t=3: nothing behind, forward at 7 (d=4);
+    // for t=30: backward at 25 (d=5), forward at 35 (d=5) -> BACKWARD on tie
+    val right = Seq((1L, 7L, 1L, "r7"), (1L, 12L, 2L, "r12"),
+        (1L, 25L, 3L, "r25"), (1L, 35L, 4L, "r35"))
+      .toDF("k", "rt", "rid", "payload")
+    val got = AsOfJoin.nearestAsOf(left, right, Seq("k"), "t", "rt",
+        Seq("payload"), "rid")
+      .select("tag", "payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("mid") === Some("r12"))
+    assert(got("lo") === Some("r7"))
+    assert(got("hi") === Some("r25"))
+  }
+
+  test("nearest tolerance nulls a winner farther than the bound") {
+    val left = Seq((1L, 10L, "a"), (1L, 100L, "b")).toDF("k", "t", "tag")
+    val right = Seq((1L, 13L, 1L, "r13")).toDF("k", "rt", "rid", "payload")
+    val got = AsOfJoin.nearestAsOf(left, right, Seq("k"), "t", "rt",
+        Seq("payload"), "rid", tolerance = Some(5L))
+      .select("tag", "payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("a") === Some("r13")) // d=3 <= 5
+    assert(got("b") === None)        // d=87 > 5
+  }
+
+  test("nearest matches a naive all-pairs argmin on random data") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 300).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = (1 to 200).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))
+      .toDF("k", "rt", "rid")
+    val fast = AsOfJoin.nearestAsOf(left, right, Seq("k"), "t", "rt", Seq("rid"), "rid")
+      .select("lid", "rid").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val naive = left.join(right, Seq("k"), "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lid").orderBy(
+          abs(col("rt") - col("t")).asc_nulls_last,
+          (col("rt") <= col("t")).desc_nulls_last,
+          when(col("rt") <= col("t"), -col("rid")).otherwise(col("rid")).asc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select("lid", "rid").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val lids = left.select("lid").collect().map(_.getLong(0))
+    assert(fast === lids.map(l => l -> naive.getOrElse(l, None)).toMap)
+  }
+
+  test("nearest plans ONE exchange over the union, not two") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 7L, 1L, "r")).toDF("k", "rt", "rid", "payload")
+    val plan = AsOfJoin.nearestAsOf(left, right, Seq("k"), "t", "rt",
+        Seq("payload"), "rid").queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected one hash exchange, plan:\n$plan")
+  }
+
   test("matches the naive range-join + top-1 on random data") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
