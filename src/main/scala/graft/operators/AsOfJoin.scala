@@ -91,9 +91,17 @@ object AsOfJoin {
     * rows at the same timestamp so that a right row with
     * rightTime == leftTime is visible in BOTH directions. */
   private def carryWindow(keys: Seq[String], backward: Boolean): WindowSpec = {
+    // Null placement is load-bearing in BOTH directions. __t: a left
+    // row with a NULL time can match nothing (3VL), so it must lead
+    // the scan — asc does that by default (nulls first); desc needs
+    // the explicit nulls_first or such rows would trail every right
+    // row and soak up a spurious match. __tie: a NULL tie-breaker must
+    // LOSE among equal-timestamp right rows (mirroring the oracles'
+    // NULLS-LAST rank order), so it leads the scan and a real tie is
+    // carried over it — nulls_first on both directions.
     val order =
       if (backward) Seq(col("__t").asc, col("__isRight").desc, col("__tie").asc_nulls_first)
-      else Seq(col("__t").desc, col("__isRight").desc, col("__tie").desc_nulls_last)
+      else Seq(col("__t").desc_nulls_first, col("__isRight").desc, col("__tie").desc_nulls_first)
     Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
   }

@@ -147,6 +147,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(fast === lids.map(l => l -> naive.getOrElse(l, None)).toMap)
   }
 
+  test("forward: a NULL left time matches nothing; a NULL tie-breaker loses") {
+    // both edges found by the r9 review pass: under __t desc the
+    // default NULLS LAST trailed null-time left rows behind every
+    // right row (spurious match), and __tie desc_nulls_last let a
+    // NULL tie-breaker WIN among equal-timestamp right rows
+    val left = Seq((1L, Option(10L), "t10"), (1L, Option.empty[Long], "tnull"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 12L, Option(2L), "r12"), (1L, 12L, Option.empty[Long], "rNull"))
+      .toDF("k", "rt", "rid", "payload")
+    val got = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt",
+        Seq("payload"), "rid", direction = "forward")
+      .select("tag", "payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("tnull") === None)       // NULL >= rt can never hold
+    assert(got("t10") === Some("r12"))  // non-null tie-breaker wins
+    val nearest = AsOfJoin.nearestAsOf(left, right, Seq("k"), "t", "rt",
+        Seq("payload"), "rid")
+      .select("tag", "payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(nearest("tnull") === None)
+  }
+
   test("nearest picks the closest side; an equidistant pair prefers backward") {
     val left = Seq((1L, 10L, "mid"), (1L, 3L, "lo"), (1L, 30L, "hi"))
       .toDF("k", "t", "tag")
