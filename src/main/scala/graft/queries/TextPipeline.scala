@@ -1189,6 +1189,48 @@ object TextPipeline {
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10
       |ORDER BY qid, cos DESC, vec_id""".stripMargin
 
+  /** N19: k-NN majority-vote classification — each query vector takes
+    * the majority label of its 10 nearest cosine neighbors (vote ties
+    * → the smaller label id), the classic embedding-space label
+    * propagation / eval probe. Rides n1's broadcast top-k machinery
+    * (round-6 scores, vec_id tie-break — the engine-exact rank
+    * discipline), then joins labels by broadcasting the TINY top-k
+    * relation (|queries|·k rows) against the candidate table — the
+    * direction that stays broadcastable at any corpus size — and
+    * finishes with a |queries|-sized vote window. Nothing corpus-sized
+    * shuffles. */
+  val n19KnnClassify: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val topk = Similarity.cosineTopK(emb, emb.filter($"vec_id" < 20), k = 10)
+    emb.select($"vec_id", $"label")
+      .join(broadcast(topk), Seq("vec_id"))
+      .groupBy($"qid", $"label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"votes".desc, $"label".asc)))
+      .filter($"rn" === 1)
+      .select($"qid", $"label".as("pred_label"), $"votes")
+      .orderBy($"qid")
+  }
+
+  val n19KnnClassifySql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT q.qid, e.vec_id, e.label,
+      |    round(list_dot_product(q.qv, e.v) /
+      |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) + 0
+      |      AS cos
+      |  FROM q, e WHERE e.vec_id <> q.qid),
+      |topk AS (
+      |  SELECT qid, vec_id, label FROM scored
+      |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10),
+      |v AS (SELECT qid, label, count(*) AS votes FROM topk GROUP BY 1, 2)
+      |SELECT qid, label AS pred_label, votes FROM v
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) = 1
+      |ORDER BY qid""".stripMargin
+
   /** N10/N11: product quantization — split the 64-dim embedding into
     * 4 subspaces, Lloyd-train a k=8 codebook per subspace (lowest-id
     * seeds, 2 iterations — the [[graft.operators.Clustering]]
@@ -1926,6 +1968,7 @@ object TextPipeline {
     "a4_profile"       -> a4Profile,
     "a6_dq_audit"      -> a6DqAudit,
     "n1_cosine_topk"   -> n1CosineTopK,
+    "n19_knn_classify" -> n19KnnClassify,
     "n10_pq_codes"     -> n10PqCodes,
     "n11_pq_adc_topk"  -> n11PqAdcTopK,
     "n12_ivf_pq"       -> n12IvfPq,
@@ -1978,6 +2021,7 @@ object TextPipeline {
     "a4_profile"       -> a4ProfileSql,
     "a6_dq_audit"      -> a6DqAuditSql,
     "n1_cosine_topk"   -> n1CosineTopKSql,
+    "n19_knn_classify" -> n19KnnClassifySql,
     "n10_pq_codes"     -> n10PqCodesSql,
     "n11_pq_adc_topk"  -> n11PqAdcTopKSql,
     "n12_ivf_pq"       -> n12IvfPqSql,

@@ -165,6 +165,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   // ---- reciprocal-rank fusion ----------------------------------------
 
+  test("n19 kNN classification equals a driver-side majority replay on real embeddings") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 20)
+    val got = graft.queries.TextPipeline.n19KnnClassify(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    assert(got.size === 20 && got.values.forall { case (_, v) => v >= 1 && v <= 10 })
+    // replay: collect the top-k relation + label map, vote in Scala
+    val labels = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val topk = Similarity.cosineTopK(emb, queries, k = 10)
+      .select($"qid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val replay = topk.groupBy(_._1).map { case (qid, rows) =>
+      val votes = rows.map(r => labels(r._2)).groupBy(identity)
+        .map { case (l, xs) => (l, xs.length.toLong) }
+      qid -> votes.toSeq.minBy { case (l, v) => (-v, l) }
+    }
+    assert(got === replay)
+  }
+
   test("rrfFuse: hand-computed fusion — shared doc sums both contributions") {
     val lex = Seq((10L, 0.9), (20L, 0.8)).toDF("doc_id", "score")
     val den = Seq((20L, 0.5), (30L, 0.4)).toDF("doc_id", "score")
