@@ -103,7 +103,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // n18 composes t33's one-row stats crossJoin and n1's bounded
       // 1-query broadcast fan-out; the fusion itself adds only an
       // equi groupBy over two top-50 lists
-      "n18_rrf_fusion")
+      "n18_rrf_fusion",
+      // n19 rides n1's bounded 20-query broadcast fan-out (the
+      // deliberate brute-force top-k); the label join it ADDS is an
+      // equi broadcast of the tiny top-k relation
+      "n19_knn_classify")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(PlanAudit.excluded.contains).flatMap { name =>
         val plan = sparkPlan(name).toString
