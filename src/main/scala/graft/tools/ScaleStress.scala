@@ -502,6 +502,40 @@ object ScaleStress {
       left.unpersist(blocking = true)
     }
 
+    // Nearest as-of (j14) vs the single-direction carry (j4): the
+    // marginal cost of "nearest" is the SECOND window sort over the
+    // same hash partition, never a second shuffle or a pair space —
+    // both must grow linearly in rows (replicas share user keys, so
+    // per-key density grows n×: the sort-cost regime, not the
+    // candidate-pair regime a range-join encoding would hit).
+    if (sect("j14")) Seq(1, 5, 20).foreach { n =>
+      val ev = Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus"), col("event_type"))
+      val evN = (0 until n).map { r =>
+        ev.select((col("event_id") + lit(r.toLong * 100000000L)).as("event_id"),
+          col("user_id"), (col("tus") + lit(r.toLong)).as("tus"), col("event_type"))
+      }.reduce(_.unionByName(_)).cache()
+      val rows = evN.count()
+      val purchases = evN.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("tus"))
+      val clicks = evN.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tus").as("c_tus"), col("event_id").as("click_id"))
+      // the .filter on the CARRIED column keeps time()'s count from
+      // letting Catalyst prune the window away (a bare count is
+      // invariant to the carry, so the first cut of this block
+      // measured nothing — identical 0.22 s at n=5 and n=20)
+      time(s"j4  backward n=$n rows=$rows") {
+        graft.operators.AsOfJoin.leftAsOf(purchases, clicks, Seq("user_id"),
+          "tus", "c_tus", Seq("click_id"), "click_id")
+          .filter(col("click_id").isNotNull) }
+      time(s"j14 nearest  n=$n rows=$rows") {
+        graft.operators.AsOfJoin.nearestAsOf(purchases, clicks, Seq("user_id"),
+          "tus", "c_tus", Seq("click_id"), "click_id")
+          .filter(col("click_id").isNotNull) }
+      evN.unpersist(blocking = true)
+    }
+
     spark.stop()
   }
 }
