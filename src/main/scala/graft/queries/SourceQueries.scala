@@ -540,6 +540,50 @@ object SourceQueries {
       |SELECT 'total', count(*) FROM orders
       |ORDER BY step""".stripMargin
 
+  /** S21: `binaryFile` source — the reader a multimodal lake actually
+    * starts from: opaque media files on disk, not binary columns
+    * already inside parquet. Stages one deterministic PNG per sampled
+    * doc (executor-side writes, no driver collect), reads the
+    * directory back through Spark's binaryFile format (pathGlobFilter
+    * pushed into the file index), and runs the m3 header decode over
+    * the `content` column. The id rides in the FILENAME and is parsed
+    * back out — the provenance path a real media crawl uses. Oracle:
+    * m3's byte-window arithmetic over the same sampled docs. */
+  val s21BinaryFiles: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val stage = tmp("graft-s21")
+    Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 50 === 0)
+      .select($"doc_id", coalesce($"text", lit("")).as("text"))
+      .as[(Long, String)]
+      .foreachPartition { (it: Iterator[(Long, String)]) =>
+        it.foreach { case (id, text) =>
+          val w = (id % 3000 + 16).toInt
+          val h = (id % 2000 + 16).toInt
+          Files.write(java.nio.file.Paths.get(stage, s"img_$id.png"),
+            Multimodal.pngBytes(w, h, text.getBytes("UTF-8")))
+        }
+      }
+    val media = s.read.format("binaryFile").option("pathGlobFilter", "*.png")
+      .load(stage)
+      .select(
+        regexp_extract($"path", "img_([0-9]+)\\.png", 1).cast("long").as("media_id"),
+        lit("image/png").as("kind"), $"content".as("payload"))
+      .as[Multimodal.MediaRow]
+    Multimodal.decodeHeaders(media)
+      .select($"media_id", $"kind", $"n_bytes".cast("long").as("n_bytes"),
+        $"width".cast("long").as("width"), $"height".cast("long").as("height"))
+      .orderBy($"media_id")
+  }
+
+  val s21BinaryFilesSql: String =
+    """SELECT doc_id AS media_id, 'image/png' AS kind,
+      |  CAST(33 + octet_length(coalesce(text, '')::BLOB) AS BIGINT) AS n_bytes,
+      |  CAST(doc_id % 3000 + 16 AS BIGINT) AS width,
+      |  CAST(doc_id % 2000 + 16 AS BIGINT) AS height
+      |FROM documents WHERE doc_id % 50 = 0 ORDER BY media_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "s1_json_read"  -> s1JsonRead,
     "s7_csv_read"   -> s7CsvRead,
@@ -554,6 +598,7 @@ object SourceQueries {
     "s18_html_extract" -> s18HtmlExtract,
     "s19_html_extract_sd" -> s19HtmlExtractSd,
     "s20_xml_read" -> s20XmlRead,
+    "s21_binary_files" -> s21BinaryFiles,
     "a1_count_audit" -> a1CountAudit,
   )
 
@@ -571,6 +616,7 @@ object SourceQueries {
     "s18_html_extract" -> s18HtmlExtractSql,
     "s19_html_extract_sd" -> s19HtmlExtractSdSql,
     "s20_xml_read" -> s20XmlReadSql,
+    "s21_binary_files" -> s21BinaryFilesSql,
     "a1_count_audit" -> a1CountAuditSql,
   )
 }
