@@ -131,8 +131,11 @@ object AsOfJoin {
     * @param rightTime    event-time column on `right`
     * @param payloadCols  right columns to attach (aliased as-is)
     * @param tieBreaker   right column breaking equal-timestamp ties
-    *                     (greatest wins backward, least wins forward);
-    *                     must be one of payloadCols or rightTime
+    *                     (greatest wins backward, least wins forward;
+    *                     a NULL tie-breaker always loses to a non-null
+    *                     one). Any right column works — it rides the
+    *                     sort as its own tagged column, independent of
+    *                     payloadCols
     * @param tolerance    optional MAX STALENESS (same units as the time
     *                     columns, which must be numeric when set): a
     *                     match farther than `tolerance` from `leftTime`

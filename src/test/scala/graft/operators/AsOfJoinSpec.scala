@@ -167,6 +167,27 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("tag", "payload").collect()
       .map(r => r.getString(0) -> Option(r.getString(1))).toMap
     assert(nearest("tnull") === None)
+    assert(nearest("t10") === Some("r12")) // tie edge holds through nearest too
+  }
+
+  test("backward: a NULL tie-breaker loses among equal right timestamps") {
+    // the backward twin of the forward null-tie pin: asc_nulls_first
+    // scans the null tie FIRST so a real tie is carried over it — a
+    // refactor to asc_nulls_last would flip this and diverge from the
+    // oracles' NULLS-LAST rank order
+    val left = Seq((1L, 15L, "t15")).toDF("k", "t", "tag")
+    val right = Seq((1L, 12L, Option(2L), "r12"), (1L, 12L, Option.empty[Long], "rNull"))
+      .toDF("k", "rt", "rid", "payload")
+    val got = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "rt",
+        Seq("payload"), "rid")
+      .select("tag", "payload").as[(String, String)].collect().toMap
+    assert(got("t15") === "r12")
+    // a NULL tie-breaker that is the ONLY candidate still matches
+    val only = AsOfJoin.leftAsOf(left,
+        right.filter($"rid".isNull), Seq("k"), "t", "rt",
+        Seq("payload"), "rid")
+      .select("tag", "payload").as[(String, String)].collect().toMap
+    assert(only("t15") === "rNull")
   }
 
   test("nearest picks the closest side; an equidistant pair prefers backward") {
