@@ -117,4 +117,71 @@ object SetSimJoin {
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
       .orderBy("d1", "d2")
   }
+
+  /** Directional containment self-join: all ordered pairs (a ≠ b) with
+    * C(A→B) = |A∩B| / |A| ≥ τNum/τDen over a DISTINCT token relation —
+    * the asymmetric measure Jaccard structurally cannot express: an
+    * EXCERPT (a 20-word quote of a 500-word page, a function lifted
+    * into a larger file) has containment ≈ 1 but Jaccard ≈ |A|/|B| ≈
+    * 0.04, far below any usable symmetric threshold. This is the
+    * quote/excerpt/sub-document detector of the near-dup family
+    * (the set-containment join of the clone-detection literature —
+    * SourcererCC's index direction, Sajnani et al. ICSE'16), next to
+    * d13's symmetric Jaccard.
+    *
+    * Prefix filtering is one-sided, which is the published containment
+    * asymmetry: the CONTAINED side a must share a token within its
+    * first `la - ceil(τ·la) + 1` rarest-first tokens (the Jaccard
+    * prefix lemma with the overlap bound ceil(τ·la)), but the
+    * container side b admits no own-length bound (any token of b can
+    * be the one a's prefix hits), so b is fully token-indexed and the
+    * join's bucket pressure is carried entirely by the PREFIX side
+    * being rare tokens: a stopword enters the join only when some
+    * contained doc is nearly all stopwords. Lossless int64 prunes
+    * before the distinct: length bound τ·la ≤ lb (the overlap can't
+    * exceed |B|), and the positional bound 1 + (la − rnA) ≥ ceil(τ·la)
+    * (tokens before a's prefix hit can't contribute).
+    *
+    * Output: (a, b, inter, la, lb, containment = round(inter/la, 6)),
+    * ordered by (a, b). A mutual near-dup pair emits BOTH directions —
+    * callers wanting undirected pairs filter a < b. */
+  def containmentJoin(tokens: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be a rational in (0, 1]: got $tauNum/$tauDen")
+    val tok = tokens.localCheckpoint()
+    val len = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val df = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+
+    // contained-side prefix: rank tokens rarest-first within the doc,
+    // keep rank ≤ la - ceil(τ·la) + 1 (exact int64 ceil)
+    val prefix = tok
+      .join(df, "tok")
+      .join(len, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)))
+      .filter(col("rn") <= expr(s"len - (($tauNum * len + ${tauDen - 1}) DIV $tauDen) + 1"))
+      .select(col("doc_id").as("a"), col("tok"), col("len").as("la"), col("rn"))
+
+    val indexed = tok.join(len, "doc_id")
+      .select(col("doc_id").as("b"), col("tok"), col("len").as("lb"))
+    val cands = prefix
+      .join(indexed, "tok")
+      .filter(col("a") =!= col("b") &&
+        lit(tauNum) * col("la") <= lit(tauDen) * col("lb") &&
+        lit(tauDen) * (lit(1) + col("la") - col("rn")) >= lit(tauNum) * col("la"))
+      .select(col("a"), col("b"), col("la"), col("lb"))
+      .distinct()
+
+    val inter = cands
+      .join(tok.select(col("doc_id").as("a"), col("tok")), Seq("a"))
+      .join(tok.select(col("doc_id").as("b"), col("tok")), Seq("b", "tok"))
+      .groupBy("a", "b", "la", "lb")
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .filter(lit(tauDen) * col("inter") >= lit(tauNum) * col("la"))
+      .select(col("a"), col("b"), col("inter"), col("la"), col("lb"),
+        round(col("inter").cast("double") / col("la"), 6).as("containment"))
+      .orderBy("a", "b")
+  }
 }

@@ -54,6 +54,95 @@ object CurationQueries {
       |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
       |FROM inj ORDER BY doc_id""".stripMargin
 
+  /** T36: credit-card PII with Luhn validation — detection beyond
+    * pattern matching. The corpus has no cards, so the query plants a
+    * Luhn-VALID card on every doc_id % 5 == 0 (15 payload digits from
+    * the doc id, check digit computed by the mod-10 rule) and a
+    * checksum-INVALID lookalike (check digit shifted +5) on every
+    * doc_id % 13 == 0; `Corpus.redactCards` must then redact exactly
+    * the valid ones and leave the lookalikes — the candidate/valid
+    * split the gate pins. Check-digit construction is pure integer
+    * expression arithmetic, replayed digit-for-digit by the oracle. */
+  val t36LuhnCards: Q = (s, dir) => {
+    import s.implicits._
+    // Luhn sum over the 15 payload digits (positions 1..15 of the
+    // final 16-digit number: odd positions double, >9 drops 9)
+    def luhnSum15(d15: org.apache.spark.sql.Column) =
+      aggregate(transform(sequence(lit(1), lit(15)), i => {
+        val d = ascii(d15.substr(i, lit(1))) - lit(48)
+        val dbl = d * 2
+        when(i % 2 === 1, when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(d)
+      }), lit(0), (a, x) => a + x)
+    def dashed(d16: org.apache.spark.sql.Column) = concat_ws("-",
+      d16.substr(1, 4), d16.substr(5, 4), d16.substr(9, 4), d16.substr(13, 4))
+    val d15 = lpad((($"doc_id" * 37) % 100000000).cast("string"), 15, "4")
+    val check = (lit(10) - (luhnSum15(d15) % 10)) % 10
+    val good = dashed(concat(d15, check.cast("string")))
+    val bad = dashed(concat(d15, ((check + 5) % 10).cast("string")))
+    val injected = Tables.load(s, dir, "documents")
+      .withColumn("text", concat($"text",
+        when($"doc_id" % 5 === 0, concat(lit(" pay "), good, lit(" ok")))
+          .otherwise(lit("")),
+        when($"doc_id" % 13 === 0, concat(lit(" ref "), bad))
+          .otherwise(lit(""))))
+    Corpus.redactCards(injected, "text")
+      .select($"doc_id", $"n_card_candidates", $"n_cards_valid", $"redacted")
+      .orderBy($"doc_id")
+  }
+
+  val t36LuhnCardsSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    lpad(((doc_id * 37) % 100000000)::VARCHAR, 15, '4') AS d15
+      |  FROM documents),
+      |chk AS (
+      |  SELECT doc_id, text, d15,
+      |    (10 - list_sum(list_transform(range(1, 16), i ->
+      |       CASE WHEN i % 2 = 1
+      |         THEN CASE WHEN 2 * (ascii(substr(d15, i, 1)) - 48) > 9
+      |                THEN 2 * (ascii(substr(d15, i, 1)) - 48) - 9
+      |                ELSE 2 * (ascii(substr(d15, i, 1)) - 48) END
+      |         ELSE ascii(substr(d15, i, 1)) - 48 END)) % 10) % 10 AS ck
+      |  FROM base),
+      |cards AS (
+      |  SELECT doc_id, text,
+      |    substr(d15 || ck::VARCHAR, 1, 4) || '-' ||
+      |    substr(d15 || ck::VARCHAR, 5, 4) || '-' ||
+      |    substr(d15 || ck::VARCHAR, 9, 4) || '-' ||
+      |    substr(d15 || ck::VARCHAR, 13, 4) AS good,
+      |    substr(d15 || ((ck + 5) % 10)::VARCHAR, 1, 4) || '-' ||
+      |    substr(d15 || ((ck + 5) % 10)::VARCHAR, 5, 4) || '-' ||
+      |    substr(d15 || ((ck + 5) % 10)::VARCHAR, 9, 4) || '-' ||
+      |    substr(d15 || ((ck + 5) % 10)::VARCHAR, 13, 4) AS bad
+      |  FROM chk),
+      |inj AS (
+      |  SELECT doc_id,
+      |    text
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' pay ' || good || ' ok' ELSE '' END
+      |    || CASE WHEN doc_id % 13 = 0 THEN ' ref ' || bad ELSE '' END AS text
+      |  FROM cards),
+      |found AS (
+      |  SELECT doc_id, text,
+      |    regexp_extract_all(text, '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}') AS cands
+      |  FROM inj),
+      |v AS (
+      |  SELECT doc_id, text, cands,
+      |    list_filter(cands, c ->
+      |      list_sum(list_transform(range(1, 17), i ->
+      |        CASE WHEN i % 2 = 1
+      |          THEN CASE WHEN 2 * (ascii(substr(replace(c, '-', ''), i, 1)) - 48) > 9
+      |                 THEN 2 * (ascii(substr(replace(c, '-', ''), i, 1)) - 48) - 9
+      |                 ELSE 2 * (ascii(substr(replace(c, '-', ''), i, 1)) - 48) END
+      |          ELSE ascii(substr(replace(c, '-', ''), i, 1)) - 48 END)) % 10 = 0)
+      |      AS valid
+      |  FROM found)
+      |SELECT doc_id,
+      |  CAST(len(cands) AS BIGINT) AS n_card_candidates,
+      |  CAST(len(valid) AS BIGINT) AS n_cards_valid,
+      |  list_reduce(list_prepend(text, valid),
+      |    (acc, c) -> replace(acc, c, '<CARD>')) AS redacted
+      |FROM v ORDER BY doc_id""".stripMargin
+
   /** T11: Gopher-style repetition signals per document (duplicate-token
     * and top-bigram fractions, integer basis points). */
   val t11Repetition: Q = (s, dir) => {
@@ -1282,6 +1371,7 @@ object CurationQueries {
     "t19_bigram_lm"   -> t19BigramLm,
     "t17_inverted_index" -> t17InvertedIndex,
     "t10_pii_redact"  -> t10PiiRedact,
+    "t36_luhn_cards"  -> t36LuhnCards,
     "t11_repetition"  -> t11Repetition,
     "t12_domain_mix"  -> t12DomainMix,
     "n4_quantize"     -> n4Quantize,
@@ -1311,6 +1401,7 @@ object CurationQueries {
     "t21_weighted_sample" -> t21WeightedSampleSql,
     "t19_bigram_lm"   -> t19BigramLmSql,
     "t10_pii_redact"  -> t10PiiRedactSql,
+    "t36_luhn_cards"  -> t36LuhnCardsSql,
     "t11_repetition"  -> t11RepetitionSql,
     "t12_domain_mix"  -> t12DomainMixSql,
     "n4_quantize"     -> n4QuantizeSql,

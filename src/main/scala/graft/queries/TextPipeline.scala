@@ -1166,6 +1166,70 @@ object TextPipeline {
        |WHERE 3 * inter >= 2 * (l1 + l2 - inter)
        |ORDER BY d1, d2""".stripMargin
 
+  /** D15: directional set-containment self-join — the quote/excerpt
+    * detector ([[graft.operators.SetSimJoin.containmentJoin]]). The
+    * corpus plants a 20-word EXCERPT of every doc_id % 53 == 0
+    * document (+1000000 id): its 3-shingle set is a strict subset of
+    * the source's, so containment(excerpt→source) = 1.0 while Jaccard
+    * ≈ 20/len sits far below d13's τ — the pair class the symmetric
+    * join structurally cannot emit. τ = 9/10; candidates come from
+    * the contained side's rarest-first prefix probing the full token
+    * index, verification is one exact intersection count — all int64
+    * until the final reported quotient. */
+  val d15ContainmentJoin: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents")
+    val corpus = d.select($"doc_id", $"text")
+      .unionByName(
+        d.filter($"doc_id" % 53 === 0)
+          .select(($"doc_id" + 1000000).as("doc_id"),
+            array_join(slice(split($"text", " "), 1, 20), " ").as("text")))
+    val tok = Dedup.shingles(corpus, "doc_id", "text", k = 3)
+      .withColumnRenamed("shingle", "tok")
+    graft.operators.SetSimJoin.containmentJoin(tok, tauNum = 9, tauDen = 10)
+  }
+
+  val d15ContainmentJoinSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    array_to_string(string_split(text, ' ')[1:20], ' ')
+      |  FROM documents WHERE doc_id % 53 = 0),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+      |tok AS (
+      |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tok
+      |  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i
+      |        FROM w WHERE len(l) >= 3)),
+      |ln AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+      |df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+      |pre AS (
+      |  SELECT doc_id, tok, len, rn
+      |  FROM (
+      |    SELECT t.doc_id, t.tok, l.len,
+      |      row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df ASC, t.tok ASC) AS rn
+      |    FROM tok t JOIN df d ON t.tok = d.tok JOIN ln l ON t.doc_id = l.doc_id)
+      |  WHERE rn <= len - ((9 * len + 9) // 10) + 1),
+      |cand AS (
+      |  SELECT DISTINCT p.doc_id AS a, t.doc_id AS b, p.len AS la, lb.len AS lb
+      |  FROM pre p
+      |  JOIN tok t ON p.tok = t.tok
+      |  JOIN ln lb ON t.doc_id = lb.doc_id
+      |  WHERE p.doc_id <> t.doc_id
+      |    AND 9 * p.len <= 10 * lb.len
+      |    AND 10 * (1 + p.len - p.rn) >= 9 * p.len),
+      |inter AS (
+      |  SELECT c.a, c.b, c.la, c.lb, count(*) AS inter
+      |  FROM cand c
+      |  JOIN tok t1 ON t1.doc_id = c.a
+      |  JOIN tok t2 ON t2.doc_id = c.b AND t2.tok = t1.tok
+      |  GROUP BY c.a, c.b, c.la, c.lb)
+      |SELECT a, b, inter, la, lb,
+      |  round(inter::DOUBLE / la, 6) AS containment
+      |FROM inter
+      |WHERE 10 * inter >= 9 * la
+      |ORDER BY a, b""".stripMargin
+
   // ---- similarity search -------------------------------------------
 
   /** N1: brute-force cosine top-10 for query vectors (vec_id < 5). */
@@ -1962,6 +2026,7 @@ object TextPipeline {
     "d8_simhash_neardups"  -> d8SimhashNearDups,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d13_prefix_simjoin" -> d13PrefixSimjoin,
+    "d15_containment_join" -> d15ContainmentJoin,
     "t20_repeated_spans" -> t20RepeatedSpans,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "g2_posexplode"    -> g2Posexplode,
@@ -2015,6 +2080,7 @@ object TextPipeline {
     "d8_simhash_neardups"  -> d8SimhashNearDupsSql,
     "d4_ngram_jaccard" -> d4NgramJaccardSql,
     "d13_prefix_simjoin" -> d13PrefixSimjoinSql,
+    "d15_containment_join" -> d15ContainmentJoinSql,
     "t20_repeated_spans" -> t20RepeatedSpansSql,
     "d5_embedding_neardup" -> d5EmbeddingNearDupSql,
     "g2_posexplode"    -> g2PosexplodeSql,

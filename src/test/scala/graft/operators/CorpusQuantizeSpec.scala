@@ -26,6 +26,48 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     assert(out(2) === ((3L, 2L, 2L, "two mails <EMAIL> and <EMAIL>, digits <PHONE> <PHONE>")))
   }
 
+  // ---- Corpus.redactCards (Luhn) ------------------------------------
+
+  test("redactCards validates the Luhn checksum and redacts only valid cards") {
+    val df = Seq(
+      // 4532-0151-1283-0366 is Luhn-valid; 1234-5678-9012-3456 is not
+      (1L, "pay 4532-0151-1283-0366 or quote 1234-5678-9012-3456 thanks"),
+      (2L, "all zeros 0000-0000-0000-0000 is trivially valid"),
+      (3L, "no cards, just a date 2024-0101 and words"),
+      (4L, "two valid 4532-0151-1283-0366 and 1111-1111-1111-1117 here")
+    ).toDF("doc_id", "text")
+    val out = Corpus.redactCards(df, "text")
+      .select("doc_id", "n_card_candidates", "n_cards_valid", "redacted")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out(0) === ((1L, 2L, 1L,
+      "pay <CARD> or quote 1234-5678-9012-3456 thanks")))
+    assert(out(1) === ((2L, 1L, 1L, "all zeros <CARD> is trivially valid")))
+    assert(out(2) === ((3L, 0L, 0L, "no cards, just a date 2024-0101 and words")))
+    assert(out(3) === ((4L, 2L, 2L, "two valid <CARD> and <CARD> here")))
+  }
+
+  test("luhnValid agrees with a driver-side Luhn implementation") {
+    def luhnRef(digits: String): Boolean = {
+      val s = digits.zipWithIndex.map { case (ch, i0) =>
+        val d = ch - '0'
+        if ((i0 + 1) % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      s % 10 == 0
+    }
+    // every check digit 0..9 on one payload: exactly one must validate
+    val payload = "453201511283036"
+    val cands = (0 to 9).map(c => s"$payload$c")
+      .map(d => s"${d.substring(0, 4)}-${d.substring(4, 8)}-${d.substring(8, 12)}-${d.substring(12, 16)}")
+    val got = cands.toDF("card")
+      .select($"card", Corpus.luhnValid($"card").as("ok"))
+      .as[(String, Boolean)].collect().toMap
+    cands.foreach { card =>
+      assert(got(card) === luhnRef(card.replace("-", "")), s"luhnValid($card)")
+    }
+    assert(got.values.count(identity) === 1)
+  }
+
   // ---- Corpus.repetitionStats ---------------------------------------
 
   test("normalizeUrl: case, www, default port, trailing slash, utm filter, param sort, fragment") {

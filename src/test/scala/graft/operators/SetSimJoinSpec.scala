@@ -76,4 +76,67 @@ class SetSimJoinSpec extends AnyFunSuite {
     val keys = out.map(r => (r.getLong(0), r.getLong(1)))
     assert(keys.length === keys.distinct.length)
   }
+
+  // ---- containmentJoin ----------------------------------------------
+
+  val cdocs = Seq(
+    (1L, "a b c d e f g h i j"),
+    (2L, "a b c"),                // subset of 1: C(2->1)=1, C(1->2)=0.3
+    (3L, "a b c z"),              // 3/4 of it inside 1
+    (4L, "p q r s"),              // disjoint
+    (5L, "p q r s"),              // identical to 4: both directions 1
+    (6L, "a b c d e f g h i j")   // identical to 1
+  ).toDF("doc_id", "text")
+
+  private def bruteContain(tauNum: Int, tauDen: Int): Set[(Long, Long, Long, Long, Long)] = {
+    val sets = cdocs.collect().map(r =>
+      r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      i = (sets(a) & sets(b)).size.toLong
+      la = sets(a).size.toLong; lb = sets(b).size.toLong
+      if tauDen * i >= tauNum * la
+    } yield (a, b, i, la, lb)).toSet
+  }
+
+  private def runContain(tauNum: Int, tauDen: Int): Set[(Long, Long, Long, Long, Long)] =
+    SetSimJoin.containmentJoin(
+        SetSimJoin.wordSets(cdocs, "doc_id", "text"), tauNum, tauDen)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+  test("containment join equals brute force at several thresholds") {
+    for ((n, d) <- Seq((1, 2), (3, 4), (9, 10), (1, 1)))
+      assert(runContain(n, d) === bruteContain(n, d), s"tau=$n/$d")
+  }
+
+  test("containment is directional: the subset direction fires, the reverse does not") {
+    val out = runContain(9, 10)
+    assert(out.exists(p => p._1 == 2L && p._2 == 1L))   // C(2->1) = 1
+    assert(!out.exists(p => p._1 == 1L && p._2 == 2L))  // C(1->2) = 3/10
+  }
+
+  test("an excerpt pair invisible to Jaccard is found by containment") {
+    // C(2->1) = 1 but Jaccard(1,2) = 3/10: jaccardJoin at tau=9/10
+    // can never emit it, containmentJoin must
+    val j = SetSimJoin.jaccardJoin(
+        SetSimJoin.wordSets(cdocs, "doc_id", "text"), 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((1L, 2L)) && !j.contains((2L, 1L)))
+    assert(runContain(9, 10).exists(p => p._1 == 2L && p._2 == 1L))
+  }
+
+  test("identical docs contain each other in both directions at tau = 1") {
+    val out = runContain(1, 1).filter(p => Set(p._1, p._2) == Set(4L, 5L) ||
+      Set(p._1, p._2) == Set(1L, 6L))
+    assert(out.map(p => (p._1, p._2)) ===
+      Set((4L, 5L), (5L, 4L), (1L, 6L), (6L, 1L)))
+  }
+
+  test("threshold boundary: containment exactly at tau is kept, above is cut") {
+    // doc 3 -> doc 1: inter=3, la=4 — exactly 3/4
+    assert(runContain(3, 4).exists(p => p._1 == 3L && p._2 == 1L))
+    assert(!runContain(76, 100).exists(p => p._1 == 3L && p._2 == 1L))
+  }
 }
