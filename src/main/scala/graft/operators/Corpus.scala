@@ -128,6 +128,62 @@ object Corpus {
         expr("(top_n * 10000) div (n_words - 1)").as("top_bp"))
   }
 
+  // ---- Gopher quality rules ----------------------------------------
+
+  /** The full Gopher document-quality rule set (Rae et al. 2021,
+    * §A.1.1 — the published filter battery MassiveText/Gopher applied
+    * before training, and the de-facto baseline every later corpus
+    * pipeline cites): word count in [50, 100000]; mean word length in
+    * [3, 10]; symbol-to-word ratio ('#' and '...' hits) < 0.1; < 90%
+    * of lines bullet-initial; < 30% of lines ellipsis-final; ≥ 80% of
+    * words containing an alphabetic character; ≥ 2 of the 8 canonical
+    * stopwords present. t2's qualityScore is a scalar HEURISTIC; this
+    * is the named, citable RULE GATE with per-rule attribution — the
+    * difference between "score 0.7" and "dropped by the bullet rule",
+    * which is what a curation audit needs.
+    *
+    * Every ratio test is integer cross-multiplication (10·sym <
+    * n_words, not sym/n_words < 0.1): no division, no rounding mode,
+    * oracle-exact. One per-row expression pass — no explode, no
+    * shuffle; at 100 TB this is a map-only stage fused into the scan.
+    * Words split on spaces AND newlines; line metrics split on
+    * newlines only, empty segments dropped from both. */
+  def gopherRules(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(t, "[ \n]+"), w => w =!= "")
+    val lines = filter(split(t, "\n"), l => l =!= "")
+    val stop = array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(lit): _*)
+    docs
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("sum_len",
+        aggregate(transform(words, w => length(w).cast("long")), lit(0L), (a, x) => a + x))
+      .withColumn("sym_hits",
+        (size(regexp_extract_all(t, lit("#"), lit(0))) +
+         size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0)))).cast("long"))
+      .withColumn("bullet_lines",
+        size(filter(lines, l => l.startsWith("- ") || l.startsWith("* "))).cast("long"))
+      .withColumn("ellipsis_lines",
+        size(filter(lines, l => l.endsWith("..."))).cast("long"))
+      .withColumn("alpha_words",
+        size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(words), stop)).cast("long"))
+      .withColumn("r_count", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_mean_len",
+        lit(3) * col("n_words") <= col("sum_len") &&
+          col("sum_len") <= lit(10) * col("n_words"))
+      .withColumn("r_symbol", lit(10) * col("sym_hits") < col("n_words"))
+      .withColumn("r_bullet", lit(10) * col("bullet_lines") < lit(9) * col("n_lines"))
+      .withColumn("r_ellipsis", lit(10) * col("ellipsis_lines") < lit(3) * col("n_lines"))
+      .withColumn("r_alpha", lit(5) * col("alpha_words") >= lit(4) * col("n_words"))
+      .withColumn("r_stop", col("stop_hits") >= 2)
+      .withColumn("keep",
+        col("r_count") && col("r_mean_len") && col("r_symbol") && col("r_bullet") &&
+          col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+  }
+
   // ---- benchmark decontamination -----------------------------------
 
   /** All word n-grams of `textCol` as an array<string> column

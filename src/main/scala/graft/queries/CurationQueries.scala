@@ -143,6 +143,100 @@ object CurationQueries {
       |    (acc, c) -> replace(acc, c, '<CARD>')) AS redacted
       |FROM v ORDER BY doc_id""".stripMargin
 
+  /** T37: the full Gopher rule gate (Rae et al. 2021 §A.1.1) with
+    * per-rule attribution. The word-soup corpus is single-line and
+    * near-uniform, so the query plants each violation class
+    * deterministically: doc_id % 29 truncated to 10 words (word-count
+    * rule), % 17 given 10 appended bullet lines (10/11 > 90%), % 19
+    * given 30 '#' tokens (symbol ratio and alpha share), % 23 given
+    * two ellipsis-final lines (2/3 > 30%). Every ratio is an integer
+    * cross-multiplication both engines replay exactly. */
+  val t37GopherRules: Q = (s, dir) => {
+    import s.implicits._
+    val bullets = (1 to 10).map(i => s"- bullet item $i").mkString("\n", "\n", "")
+    val base = when($"doc_id" % 29 === 0,
+        array_join(slice(split($"text", " "), 1, 10), " ")).otherwise($"text")
+    val withBul = when($"doc_id" % 17 === 0, concat(base, lit(bullets))).otherwise(base)
+    val withSym = when($"doc_id" % 19 === 0, concat(withBul, repeat(lit(" #"), 30)))
+      .otherwise(withBul)
+    val withEll = when($"doc_id" % 23 === 0,
+        concat(withSym, lit("\nread more...\nsee details..."))).otherwise(withSym)
+    val injected = Tables.load(s, dir, "documents")
+      .select($"doc_id", withEll.as("text"))
+    Corpus.gopherRules(injected, "text")
+      .select($"doc_id", $"n_words", $"n_lines", $"sum_len", $"sym_hits",
+        $"bullet_lines", $"ellipsis_lines", $"alpha_words", $"stop_hits",
+        $"r_count", $"r_mean_len", $"r_symbol", $"r_bullet", $"r_ellipsis",
+        $"r_alpha", $"r_stop", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  val t37GopherRulesSql: String = {
+    val bullets = (1 to 10).map(i => s"- bullet item $i")
+      .map(b => s"chr(10) || '$b'").mkString(" || ")
+    s"""WITH inj AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 29 = 0
+       |       THEN array_to_string(string_split(text, ' ')[1:10], ' ')
+       |       ELSE text END)
+       |    AS t0
+       |  FROM documents),
+       |i2 AS (
+       |  SELECT doc_id,
+       |    t0 || CASE WHEN doc_id % 17 = 0 THEN $bullets ELSE '' END AS t1
+       |  FROM inj),
+       |i3 AS (
+       |  SELECT doc_id,
+       |    t1 || CASE WHEN doc_id % 19 = 0 THEN repeat(' #', 30) ELSE '' END AS t2
+       |  FROM i2),
+       |i4 AS (
+       |  SELECT doc_id,
+       |    t2 || CASE WHEN doc_id % 23 = 0
+       |      THEN chr(10) || 'read more...' || chr(10) || 'see details...'
+       |      ELSE '' END AS text
+       |  FROM i3),
+       |m AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '[ \\n]+'), w -> w <> '') AS words,
+       |    list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
+       |    CAST(len(regexp_extract_all(text, '#')) +
+       |         len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS sym_hits
+       |  FROM i4),
+       |x AS (
+       |  SELECT doc_id,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT)
+       |      AS sum_len,
+       |    sym_hits,
+       |    CAST(len(list_filter(lines, l ->
+       |      l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS bullet_lines,
+       |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
+       |      AS ellipsis_lines,
+       |    CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+       |      AS alpha_words,
+       |    CAST(len(list_intersect(list_distinct(words),
+       |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+       |  FROM m)
+       |SELECT doc_id, n_words, n_lines, sum_len, sym_hits, bullet_lines,
+       |  ellipsis_lines, alpha_words, stop_hits,
+       |  (n_words >= 50 AND n_words <= 100000) AS r_count,
+       |  (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS r_mean_len,
+       |  (10 * sym_hits < n_words) AS r_symbol,
+       |  (10 * bullet_lines < 9 * n_lines) AS r_bullet,
+       |  (10 * ellipsis_lines < 3 * n_lines) AS r_ellipsis,
+       |  (5 * alpha_words >= 4 * n_words) AS r_alpha,
+       |  (stop_hits >= 2) AS r_stop,
+       |  ((n_words >= 50 AND n_words <= 100000)
+       |   AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+       |   AND (10 * sym_hits < n_words)
+       |   AND (10 * bullet_lines < 9 * n_lines)
+       |   AND (10 * ellipsis_lines < 3 * n_lines)
+       |   AND (5 * alpha_words >= 4 * n_words)
+       |   AND (stop_hits >= 2)) AS keep
+       |FROM x ORDER BY doc_id""".stripMargin
+  }
+
   /** T11: Gopher-style repetition signals per document (duplicate-token
     * and top-bigram fractions, integer basis points). */
   val t11Repetition: Q = (s, dir) => {
@@ -1372,6 +1466,7 @@ object CurationQueries {
     "t17_inverted_index" -> t17InvertedIndex,
     "t10_pii_redact"  -> t10PiiRedact,
     "t36_luhn_cards"  -> t36LuhnCards,
+    "t37_gopher_rules" -> t37GopherRules,
     "t11_repetition"  -> t11Repetition,
     "t12_domain_mix"  -> t12DomainMix,
     "n4_quantize"     -> n4Quantize,
@@ -1402,6 +1497,7 @@ object CurationQueries {
     "t19_bigram_lm"   -> t19BigramLmSql,
     "t10_pii_redact"  -> t10PiiRedactSql,
     "t36_luhn_cards"  -> t36LuhnCardsSql,
+    "t37_gopher_rules" -> t37GopherRulesSql,
     "t11_repetition"  -> t11RepetitionSql,
     "t12_domain_mix"  -> t12DomainMixSql,
     "n4_quantize"     -> n4QuantizeSql,

@@ -68,6 +68,48 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     assert(got.values.count(identity) === 1)
   }
 
+  // ---- Corpus.gopherRules -------------------------------------------
+
+  test("gopherRules: each rule fires on its planted violation class") {
+    val pass = ("word " * 48 + "the of").trim             // 50 words, the+of stopwords
+    val docs = Seq(
+      (1L, pass),                                       // all rules pass
+      (2L, "the of tiny"),                              // word count < 50
+      (3L, ("xxxxxxxxxxxxxxx " * 49 + "the of").trim),  // mean len 15 > 10
+      (4L, ("word " * 42 + "the of " + "# " * 6).trim),    // 10*6 >= 50 words w/ syms
+      (5L, pass + "\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"), // 10/11 bullets
+      (6L, pass + "\nmore...\nagain..."),               // 2/3 ellipsis lines
+      (7L, ("9 " * 30 + "word " * 18 + "the of").trim),    // alpha 20/50 < 80%
+      (8L, ("word " * 49 + "the").trim)                    // only 1 stopword
+    ).toDF("doc_id", "text")
+    val out = Corpus.gopherRules(docs, "text")
+      .select("doc_id", "r_count", "r_mean_len", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stop", "keep")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8)))
+      .toMap
+    assert(out(1L) === ((true, true, true, true, true, true, true, true)))
+    assert(!out(2L)._1 && !out(2L)._8)                 // count rule
+    assert(!out(3L)._2 && !out(3L)._8)                 // mean-length rule
+    assert(!out(4L)._3 && !out(4L)._8)                 // symbol rule
+    assert(!out(5L)._4 && !out(5L)._8)                 // bullet rule
+    assert(!out(6L)._5 && !out(6L)._8)                 // ellipsis rule
+    assert(!out(7L)._6 && !out(7L)._8)                 // alpha rule
+    assert(!out(8L)._7 && !out(8L)._8)                 // stopword rule
+  }
+
+  test("gopherRules boundary arithmetic: exactly-at-threshold cases") {
+    // 50 words exactly -> count passes; 10 syms in 100 words: 10*10 < 100
+    // is FALSE (ratio exactly 0.1 fails, Rae's strict <)
+    val hundred = ("word " * 88 + "the of " + "# " * 10).trim
+    val out = Corpus.gopherRules(Seq((1L, hundred)).toDF("doc_id", "text"), "text")
+      .select("n_words", "sym_hits", "r_symbol").collect().head
+    assert(out.getLong(0) === 100L && out.getLong(1) === 10L)
+    assert(!out.getBoolean(2))
+  }
+
   // ---- Corpus.repetitionStats ---------------------------------------
 
   test("normalizeUrl: case, www, default port, trailing slash, utm filter, param sort, fragment") {
