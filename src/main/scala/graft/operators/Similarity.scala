@@ -112,6 +112,36 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Hard-negative mining for contrastive training (the DPR recipe,
+    * Karpukhin et al. EMNLP 2020: the best negatives are the top-ranked
+    * retrieval results that are NOT gold — random negatives are too
+    * easy and the bi-encoder stops learning from them). For each query
+    * vector, score the cosine top-`k` candidates (k deep enough to see
+    * past the positives), drop every candidate sharing the query's
+    * label (the gold/positive class), and keep the `m` highest-ranked
+    * survivors — the negatives that look most like positives.
+    *
+    * Scale shape: rides [[cosineTopK]]'s broadcast-query scoring (the
+    * corpus never shuffles; per-partition heaps via the qid window over
+    * |queries|·k rows), then joins labels by broadcasting the TINY
+    * top-k relation against the candidate table — n19's direction, the
+    * one that stays broadcastable at any corpus size. Output:
+    * (qid, q_label, neg_id, neg_label, cos, rank), rank 1 = hardest. */
+  def hardNegatives(candidates: DataFrame, queries: DataFrame,
+      k: Int, m: Int): DataFrame = {
+    val topk = cosineTopK(candidates, queries, k)
+    val qLabels = queries.select(col("vec_id").as("qid"), col("label").as("q_label"))
+    candidates.select(col("vec_id"), col("label").as("neg_label"))
+      .join(broadcast(topk), Seq("vec_id"))
+      .join(broadcast(qLabels), Seq("qid"))
+      .filter(col("neg_label") =!= col("q_label"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= m)
+      .select(col("qid"), col("q_label"), col("vec_id").as("neg_id"),
+        col("neg_label"), col("cos"), col("rank"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
     * fuse N already-cut candidate lists — e.g. a BM25 lexical top-k and
     * a dense-cosine top-k, the standard hybrid-retrieval pair — into one

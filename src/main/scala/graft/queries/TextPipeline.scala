@@ -1295,6 +1295,40 @@ object TextPipeline {
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) = 1
       |ORDER BY qid""".stripMargin
 
+  /** N20: hard-negative mining ([[graft.operators.Similarity
+    * .hardNegatives]]) — for each query vector (vec_id < 20), the 5
+    * hardest label-mismatched candidates among its cosine top-20: the
+    * DPR contrastive-training negative set. The oracle replays n1's
+    * scoring chain, the label anti-filter, and both rank cuts with the
+    * same (cos desc, vec_id) tie-break. */
+  val n20HardNegatives: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    graft.operators.Similarity.hardNegatives(emb, emb.filter($"vec_id" < 20), k = 20, m = 5)
+      .orderBy($"qid", $"rank")
+  }
+
+  val n20HardNegativesSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv, label AS q_label FROM e WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT q.qid, q.q_label, e.vec_id, e.label,
+      |    round(list_dot_product(q.qv, e.v) /
+      |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) + 0
+      |      AS cos
+      |  FROM q, e WHERE e.vec_id <> q.qid),
+      |topk AS (
+      |  SELECT qid, q_label, vec_id, label, cos FROM scored
+      |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 20),
+      |neg AS (
+      |  SELECT qid, q_label, vec_id AS neg_id, label AS neg_label, cos,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+      |      AS INTEGER) AS rank
+      |  FROM topk WHERE label <> q_label)
+      |SELECT qid, q_label, neg_id, neg_label, cos, rank
+      |FROM neg WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
   /** N10/N11: product quantization — split the 64-dim embedding into
     * 4 subspaces, Lloyd-train a k=8 codebook per subspace (lowest-id
     * seeds, 2 iterations — the [[graft.operators.Clustering]]
@@ -2034,6 +2068,7 @@ object TextPipeline {
     "a6_dq_audit"      -> a6DqAudit,
     "n1_cosine_topk"   -> n1CosineTopK,
     "n19_knn_classify" -> n19KnnClassify,
+    "n20_hard_negatives" -> n20HardNegatives,
     "n10_pq_codes"     -> n10PqCodes,
     "n11_pq_adc_topk"  -> n11PqAdcTopK,
     "n12_ivf_pq"       -> n12IvfPq,
@@ -2088,6 +2123,7 @@ object TextPipeline {
     "a6_dq_audit"      -> a6DqAuditSql,
     "n1_cosine_topk"   -> n1CosineTopKSql,
     "n19_knn_classify" -> n19KnnClassifySql,
+    "n20_hard_negatives" -> n20HardNegativesSql,
     "n10_pq_codes"     -> n10PqCodesSql,
     "n11_pq_adc_topk"  -> n11PqAdcTopKSql,
     "n12_ivf_pq"       -> n12IvfPqSql,

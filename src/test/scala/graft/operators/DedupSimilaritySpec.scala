@@ -185,6 +185,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === replay)
   }
 
+  test("n20 hard negatives: label-mismatched only, ranked hardest-first, from the top-k pool") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 20)
+    val got = Similarity.hardNegatives(emb, queries, k = 20, m = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(5)))
+    // no negative shares its query's label; ranks are 1..m contiguous per query
+    assert(got.forall { case (_, ql, _, nl, _) => ql != nl })
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._5).sorted.toSeq === (1 to rows.length).toSeq, s"qid $qid")
+      assert(rows.length <= 5)
+    }
+    // every emitted negative must come from that query's cosine top-20
+    val pool = Similarity.cosineTopK(emb, queries, k = 20)
+      .select($"qid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall { case (qid, _, nid, _, _) => pool.contains((qid, nid)) })
+    // and be the HIGHEST-cos label-mismatched members of that pool
+    val labels = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cosByPair = Similarity.cosineTopK(emb, queries, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val qLabels = queries.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val replay = pool.groupBy(_._1).flatMap { case (qid, pairs) =>
+      pairs.toSeq.map(_._2).filter(v => labels(v) != qLabels(qid))
+        .sortBy(v => (-cosByPair((qid, v)), v)).take(5).zipWithIndex
+        .map { case (v, i) => (qid, qLabels(qid), v, labels(v), i + 1) }
+    }.toSet
+    assert(got.toSet === replay)
+  }
+
   test("rrfFuse: hand-computed fusion — shared doc sums both contributions") {
     val lex = Seq((10L, 0.9), (20L, 0.8)).toDF("doc_id", "score")
     val den = Seq((20L, 0.5), (30L, 0.4)).toDF("doc_id", "score")
