@@ -716,6 +716,92 @@ object AdvancedOps {
       |  (vc IS NOT NULL) AS observed
       |FROM j ORDER BY user_id, slot""".stripMargin
 
+  /** E18: time-grid resample with LINEAR interpolation — e10's grid
+    * (per-user hourly slots, last-event value per observed slot) but
+    * gaps fill with the line between the surrounding observations
+    * instead of carrying the last one: `v = (vp·(sn−s) + vn·(s−sp))
+    * div (sn−sp)` in exact integer-cent arithmetic (both engines
+    * truncate integer division identically, so no rounding-mode
+    * hazard — the float form `vp + (vn−vp)·frac` would be an
+    * association-order trap). The sensor/feature-store gap-fill
+    * discipline: forward-fill says "unchanged since", interpolation
+    * says "moving between readings" — both are needed surface.
+    * Interior slots always have both neighbors because each user's
+    * grid spans [min slot, max slot], whose endpoints are observed.
+    * Scale shape identical to e10: one user-keyed shuffle, grid rows
+    * = users × their own span, two frame-bounded windows over the
+    * same partitioning — no self-join, nothing corpus-wide. */
+  val e18Interpolate: Q = (s, dir) => {
+    import s.implicits._
+    val W = 3600000000L // 1 h in µs
+    val ev = Tables.load(s, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"),
+        floor($"value" * 100).cast("long").as("vc"))
+      .withColumn("slot", expr(s"(tus - pmod(tus, $W)) div $W"))
+    val slotv = ev.groupBy($"user_id", $"slot")
+      .agg(max(struct($"tus", $"event_id", $"vc")).as("w"))
+      .select($"user_id", $"slot", $"w.vc".as("vc"))
+    val grid = ev.groupBy($"user_id")
+      .agg(min($"slot").as("lo"), max($"slot").as("hi"))
+      .select($"user_id", explode(sequence($"lo", $"hi")).as("slot"))
+    val back = Window.partitionBy($"user_id").orderBy($"slot")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy($"user_id").orderBy($"slot")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(slotv, Seq("user_id", "slot"), "left")
+      .select($"user_id", $"slot", $"vc",
+        last($"vc", ignoreNulls = true).over(back).as("vp"),
+        last(when($"vc".isNotNull, $"slot"), ignoreNulls = true).over(back).as("sp"),
+        first($"vc", ignoreNulls = true).over(fwd).as("vn"),
+        first(when($"vc".isNotNull, $"slot"), ignoreNulls = true).over(fwd).as("sn"))
+      .select($"user_id", $"slot",
+        when($"vc".isNotNull, $"vc")
+          .otherwise(expr("(vp * (sn - slot) + vn * (slot - sp)) div (sn - sp)"))
+          .as("vc_lin"),
+        $"vc".isNotNull.as("observed"))
+      .orderBy($"user_id", $"slot")
+  }
+
+  val e18InterpolateSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |         CAST(floor(value * 100) AS BIGINT) AS vc,
+      |         (epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000)
+      |           // 3600000000 AS slot
+      |  FROM events),
+      |slotv AS (
+      |  SELECT user_id, slot, vc FROM (
+      |    SELECT user_id, slot, vc,
+      |      row_number() OVER (PARTITION BY user_id, slot
+      |                         ORDER BY tus DESC, event_id DESC) AS rn
+      |    FROM ev) WHERE rn = 1),
+      |grid AS (
+      |  SELECT user_id, unnest(range(lo, hi + 1)) AS slot
+      |  FROM (SELECT user_id, min(slot) AS lo, max(slot) AS hi
+      |        FROM ev GROUP BY user_id)),
+      |j AS (SELECT g.user_id, g.slot, s.vc
+      |      FROM grid g LEFT JOIN slotv s USING (user_id, slot)),
+      |n AS (
+      |  SELECT user_id, slot, vc,
+      |    last_value(vc IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY slot
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+      |    last_value(CASE WHEN vc IS NOT NULL THEN slot END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY slot
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp,
+      |    first_value(vc IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY slot
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+      |    first_value(CASE WHEN vc IS NOT NULL THEN slot END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY slot
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sn
+      |  FROM j)
+      |SELECT user_id, slot,
+      |  CASE WHEN vc IS NOT NULL THEN vc
+      |       ELSE (vp * (sn - slot) + vn * (slot - sp)) // (sn - sp) END AS vc_lin,
+      |  (vc IS NOT NULL) AS observed
+      |FROM n ORDER BY user_id, slot""".stripMargin
+
   // ---- an17: triangle counting --------------------------------------
 
   /** AN17: triangle counting over the supplier co-fulfilment graph
@@ -834,6 +920,7 @@ object AdvancedOps {
 
   val defs: Map[String, Q] = Map(
     "e10_resample"     -> e10Resample,
+    "e18_interpolate"  -> e18Interpolate,
     "an17_triangles"   -> an17Triangles,
     "d11_semantic_dedup" -> d11SemanticDedup,
     "an15_pagerank"    -> an15PageRank,
@@ -852,6 +939,7 @@ object AdvancedOps {
 
   val oracle: Map[String, String] = Map(
     "e10_resample"     -> e10ResampleSql,
+    "e18_interpolate"  -> e18InterpolateSql,
     "an17_triangles"   -> an17TrianglesSql,
     "d11_semantic_dedup" -> d11SemanticDedupSql,
     "an15_pagerank"    -> an15PageRankSql,

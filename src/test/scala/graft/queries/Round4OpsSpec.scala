@@ -57,6 +57,37 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e18: interpolation hits the exact line between surrounding observations") {
+    val out = AdvancedOps.e18Interpolate(spark, sf)
+      .orderBy($"user_id", $"slot").collect()
+    assert(out.nonEmpty)
+    // replay: per user, collect observed (slot, v) pairs and check every
+    // unobserved slot against integer-exact line arithmetic
+    out.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("slot"))
+      assert(sorted.head.getAs[Boolean]("observed") &&
+        sorted.last.getAs[Boolean]("observed"), s"user $u grid endpoints observed")
+      val obs = sorted.filter(_.getAs[Boolean]("observed"))
+        .map(r => r.getAs[Long]("slot") -> r.getAs[Long]("vc_lin"))
+      sorted.filterNot(_.getAs[Boolean]("observed")).foreach { r =>
+        val s0 = r.getAs[Long]("slot")
+        val (sp, vp) = obs.filter(_._1 < s0).last
+        val (sn, vn) = obs.filter(_._1 > s0).head
+        val want = (vp * (sn - s0) + vn * (s0 - sp)) / (sn - sp)
+        assert(r.getAs[Long]("vc_lin") === want, s"user $u slot $s0")
+      }
+    }
+    // observed slots pass their own value through untouched vs e10
+    val ff = AdvancedOps.e10Resample(spark, sf)
+      .filter($"observed").orderBy($"user_id", $"slot").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("slot")) -> r.getAs[Long]("vc_ff"))
+      .toMap
+    out.filter(_.getAs[Boolean]("observed")).foreach { r =>
+      assert(r.getAs[Long]("vc_lin") ===
+        ff((r.getAs[Long]("user_id"), r.getAs[Long]("slot"))))
+    }
+  }
+
   test("d11: injected exact copies are always found as semantic dups") {
     val pairs = AdvancedOps.d11SemanticDedup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
