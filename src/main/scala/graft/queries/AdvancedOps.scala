@@ -802,6 +802,67 @@ object AdvancedOps {
       |  (vc IS NOT NULL) AS observed
       |FROM n ORDER BY user_id, slot""".stripMargin
 
+  /** AN32: key-skew diagnostic report — the pre-flight a 100 TB join
+    * or aggregation runs BEFORE choosing a strategy: per-key row
+    * counts reduced to one row of integer metrics (total rows, key
+    * cardinality, max / floor-mean / discrete-p99 key size, the
+    * heaviest key, skew ratio in basis points, and the salt factor
+    * `ceil(max/mean)` that [[graft.operators.Skew]] would need to
+    * level the hottest key). This is the observability half of the
+    * sk1/sk2 salting pair: salting blind costs a shuffle everywhere;
+    * this report says WHERE it pays.
+    *
+    * Scale shape: one key-keyed count aggregation (map-side combined),
+    * then everything runs on the |keys|-sized count relation: the p99
+    * comes from [[graft.operators.Ranking.globalRowNumber]]'s
+    * range-partitioned two-phase rank (no single-task window), the
+    * heaviest key from one max(struct), and the final row is a scalar
+    * aggregate. Integer arithmetic throughout — `div` floors, the
+    * ceil is `(max + mean − 1) div mean` — so the oracle replays
+    * bit-for-bit. */
+  val an32SkewReport: Q = (s, dir) => {
+    import s.implicits._
+    val counts = Tables.load(s, dir, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.Ranking.globalRowNumber(
+      counts, Seq(col("n").asc, col("user_id").asc), "rnk")
+    val agg = counts.agg(
+      sum($"n").as("n_rows"), count(lit(1)).as("n_keys"),
+      max($"n").as("max_n"),
+      max(struct($"n", (-$"user_id").as("neg"))).as("w"))
+    val p99 = ranked.crossJoin(broadcast(agg.select($"n_keys")))
+      .filter($"rnk" === expr("(99 * n_keys + 99) div 100"))
+      .select($"n".as("p99_n"))
+    agg.crossJoin(broadcast(p99))
+      .select($"n_rows", $"n_keys", $"max_n",
+        expr("n_rows div n_keys").as("mean_n"), $"p99_n",
+        (-$"w.neg").as("top_key"),
+        expr("(max_n * 10000) div (n_rows div n_keys)").as("skew_bp"),
+        expr("(max_n + (n_rows div n_keys) - 1) div (n_rows div n_keys)").as("salt_factor"))
+  }
+
+  val an32SkewReportSql: String =
+    """WITH c AS (
+      |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+      |r AS (
+      |  SELECT n, row_number() OVER (ORDER BY n ASC, user_id ASC) AS rnk FROM c),
+      |a AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+      |         max(n) AS max_n
+      |  FROM c),
+      |tk AS (
+      |  SELECT user_id AS top_key FROM c
+      |  QUALIFY row_number() OVER (ORDER BY n DESC, user_id ASC) = 1),
+      |p AS (
+      |  SELECT r.n AS p99_n FROM r, a
+      |  WHERE r.rnk = (99 * a.n_keys + 99) // 100)
+      |SELECT a.n_rows, a.n_keys, a.max_n,
+      |  a.n_rows // a.n_keys AS mean_n, p.p99_n, tk.top_key,
+      |  (a.max_n * 10000) // (a.n_rows // a.n_keys) AS skew_bp,
+      |  (a.max_n + (a.n_rows // a.n_keys) - 1) // (a.n_rows // a.n_keys)
+      |    AS salt_factor
+      |FROM a, p, tk""".stripMargin
+
   // ---- an17: triangle counting --------------------------------------
 
   /** AN17: triangle counting over the supplier co-fulfilment graph
@@ -921,6 +982,7 @@ object AdvancedOps {
   val defs: Map[String, Q] = Map(
     "e10_resample"     -> e10Resample,
     "e18_interpolate"  -> e18Interpolate,
+    "an32_skew_report" -> an32SkewReport,
     "an17_triangles"   -> an17Triangles,
     "d11_semantic_dedup" -> d11SemanticDedup,
     "an15_pagerank"    -> an15PageRank,
@@ -940,6 +1002,7 @@ object AdvancedOps {
   val oracle: Map[String, String] = Map(
     "e10_resample"     -> e10ResampleSql,
     "e18_interpolate"  -> e18InterpolateSql,
+    "an32_skew_report" -> an32SkewReportSql,
     "an17_triangles"   -> an17TrianglesSql,
     "d11_semantic_dedup" -> d11SemanticDedupSql,
     "an15_pagerank"    -> an15PageRankSql,

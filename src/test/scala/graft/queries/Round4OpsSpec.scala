@@ -88,6 +88,26 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("an32: skew report metrics on a hand-built key distribution") {
+    // user 1 x10, user 2 x5, users 3..7 x1 -> 20 rows over 7 keys
+    val rows = (Seq.fill(10)(1L) ++ Seq.fill(5)(2L) ++ (3L to 7L)).zipWithIndex
+      .map { case (u, i) => (u, i.toLong, new java.sql.Timestamp(1700000000000L + i)) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    rows.toDF("user_id", "event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AdvancedOps.an32SkewReport(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_rows") === 20L)
+    assert(r.getAs[Long]("n_keys") === 7L)
+    assert(r.getAs[Long]("max_n") === 10L)
+    assert(r.getAs[Long]("mean_n") === 2L)       // 20 div 7
+    assert(r.getAs[Long]("p99_n") === 10L)       // rank ceil(6.93)=7 of 7 asc
+    assert(r.getAs[Long]("top_key") === 1L)
+    assert(r.getAs[Long]("skew_bp") === 50000L)  // 10*10000 div 2
+    assert(r.getAs[Long]("salt_factor") === 5L)  // ceil(10/2)
+  }
+
   test("d11: injected exact copies are always found as semantic dups") {
     val pairs = AdvancedOps.d11SemanticDedup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
