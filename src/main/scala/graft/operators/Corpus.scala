@@ -184,6 +184,113 @@ object Corpus {
           col("r_ellipsis") && col("r_alpha") && col("r_stop"))
   }
 
+  /** The full Gopher REPETITION battery (Rae et al. 2021, Table A1 —
+    * the per-document repetition signals MassiveText filtered on,
+    * complementing [[gopherRules]]' document-quality gate and
+    * [[repetitionStats]]' word/bigram pair): duplicate-line fraction
+    * and duplicate-line CHARACTER fraction; the character share of the
+    * most frequent {2,3,4}-gram; and the character share covered by
+    * duplicated {5,10}-grams. All fractions are integer basis points
+    * (floor division — never a rounded float quotient), so every value
+    * replays exactly on any engine.
+    *
+    * Definitions (pinned here because published implementations vary):
+    * words split on spaces AND newlines, lines on newlines, empty
+    * segments dropped. `dup_line_bp` = lines beyond the first
+    * occurrence of their content / lines; `dup_line_char_bp` the same
+    * with line character lengths. `top{n}gram_bp` = (count of the most
+    * frequent word n-gram, ties to the lexicographically first) × its
+    * character length (separator spaces excluded) / total word
+    * characters, capped at 10000 (overlapping occurrences can exceed
+    * the doc — the Dolma-style count×len form). `dup{n}gram_bp` = the
+    * character share of word POSITIONS covered by any n-gram occurring
+    * ≥ 2 times within the document — a covered-position UNION (the t30
+    * discipline), so overlaps never double-count and the value is a
+    * true fraction. Docs with no lines/words emit zeros.
+    *
+    * Scale shape: the line metrics are pure per-row array expressions
+    * (map-only, fused into the scan). Each gram family is one
+    * corpus-linear explode + a (doc, gram)-keyed map-side-combined
+    * count — duplicate detection is WITHIN-document, so every shuffle
+    * key carries the doc id and hot grams cannot concentrate; the
+    * covered-position union fans out HITS only (≤n× of duplicated
+    * windows). Five doc-keyed left joins assemble the result — no
+    * corpus-sized unpartitioned window, no driver materialization. */
+  def gopherRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val base = docs.select(col(idCol).as("doc_id"),
+        filter(split(t, "\n"), l => l =!= "").as("lines"),
+        filter(split(t, "[ \n]+"), x => x =!= "").as("w"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("total_chars", aggregate(
+        transform(col("w"), x => length(x).cast("long")), lit(0L), (a, x) => a + x))
+      .withColumn("line_chars", aggregate(
+        transform(col("lines"), l => length(l).cast("long")), lit(0L), (a, x) => a + x))
+      .withColumn("dls", array_distinct(col("lines")))
+      .withColumn("distinct_line_chars", aggregate(
+        transform(col("dls"), l => length(l).cast("long")), lit(0L), (a, x) => a + x))
+      // base feeds the five gram branches AND the final assembly: one
+      // tokenization, one materialization (the exactSpans convention)
+      .localCheckpoint()
+
+    // word n-grams with 1-based positions over the pre-tokenized w —
+    // the wordNgrams guard inlined (sub-n docs yield an empty array,
+    // which explode simply drops)
+    def grams(n: Int) = base
+      .select(col("doc_id"), col("total_chars"), posexplode(
+        when(size(col("w")) >= n,
+          transform(sequence(lit(0), size(col("w")) - n),
+            i => array_join(slice(col("w"), i + lit(1), lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as(Seq("p0", "gram")))
+      .select(col("doc_id"), col("total_chars"),
+        (col("p0") + 1).cast("long").as("pos"), col("gram"))
+
+    // most frequent n-gram per doc (ties lexicographic) → char share
+    def topShare(n: Int) = grams(n)
+      .groupBy(col("doc_id"), col("total_chars"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("gram").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), least(lit(10000L), expr(
+        s"(cnt * (length(gram) - ${n - 1}) * 10000) div total_chars"))
+        .as(s"top${n}gram_bp"))
+
+    // char share of positions covered by in-doc duplicated n-grams:
+    // per-doc window counts, hits-only ≤n× fan-out, covered-position
+    // union, char weights looked up in the doc's own word array
+    def dupShare(n: Int) = {
+      val wp = grams(n).select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
+      val dup = wp.groupBy(col("doc_id"), col("h"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+        .select(col("doc_id"), col("h"))
+      wp.join(dup, Seq("doc_id", "h"))
+        .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${n - 1})")).as("p"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(collect_set(col("p")).as(s"cov$n"))
+    }
+
+    Seq(topShare(2), topShare(3), topShare(4), dupShare(5), dupShare(10))
+      .foldLeft(base)((acc, d) => acc.join(d, Seq("doc_id"), "left"))
+      .select(col("doc_id"), col("n_words"), col("n_lines"),
+        when(col("n_lines") > 0, expr(
+          "((n_lines - size(dls)) * 10000) div n_lines")).otherwise(0L)
+          .cast("long").as("dup_line_bp"),
+        when(col("line_chars") > 0, expr(
+          "((line_chars - distinct_line_chars) * 10000) div line_chars")).otherwise(0L)
+          .cast("long").as("dup_line_char_bp"),
+        coalesce(col("top2gram_bp"), lit(0L)).as("top2gram_bp"),
+        coalesce(col("top3gram_bp"), lit(0L)).as("top3gram_bp"),
+        coalesce(col("top4gram_bp"), lit(0L)).as("top4gram_bp"),
+        when(col("cov5").isNull, lit(0L)).otherwise(expr(
+          "aggregate(cov5, CAST(0 AS BIGINT), (a, p) -> a + length(element_at(w, CAST(p AS INT)))) " +
+            "* 10000 div total_chars")).as("dup5gram_bp"),
+        when(col("cov10").isNull, lit(0L)).otherwise(expr(
+          "aggregate(cov10, CAST(0 AS BIGINT), (a, p) -> a + length(element_at(w, CAST(p AS INT)))) " +
+            "* 10000 div total_chars")).as("dup10gram_bp"))
+  }
+
   // ---- benchmark decontamination -----------------------------------
 
   /** All word n-grams of `textCol` as an array<string> column

@@ -446,6 +446,147 @@ object CurationQueries {
       |  END AS err
       |FROM qq ORDER BY vec_id, block""".stripMargin
 
+  /** T38: the full Gopher REPETITION battery
+    * (Corpus.gopherRepetition, Rae et al. 2021 Table A1). The
+    * word-soup corpus is single-line and near-duplicate-free, so the
+    * query plants each repetition class deterministically from the
+    * doc's OWN words: doc_id % 13 == 2 re-appends its first 10 words
+    * (a duplicated 10-gram, which also covers 5-grams), % 19 == 6
+    * appends its first 5 words TWICE (a dup 5-gram + a top-gram spike
+    * without any 10-gram), % 17 == 0 appends three identical nav
+    * lines (duplicate-line fractions). The oracle replays the
+    * injection, the per-doc gram counting, the tie-broken top pick,
+    * and the covered-position union character sums. */
+  val t38GopherRepetition: Q = (s, dir) => {
+    import s.implicits._
+    val w0 = filter(split($"text", " "), x => x =!= "")
+    val first10 = array_join(slice(w0, 1, 10), " ")
+    val first5 = array_join(slice(w0, 1, 5), " ")
+    val nav = "\nnav menu item\nnav menu item\nnav menu item"
+    val injected = Tables.load(s, dir, "documents")
+      .select($"doc_id", concat($"text",
+        when($"doc_id" % 13 === 2, concat(lit(" "), first10)).otherwise(lit("")),
+        when($"doc_id" % 19 === 6,
+          concat(lit(" "), first5, lit(" "), first5)).otherwise(lit("")),
+        when($"doc_id" % 17 === 0, lit(nav)).otherwise(lit(""))).as("text"))
+    Corpus.gopherRepetition(injected, "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  val t38GopherRepetitionSql: String =
+    """WITH w0 AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ww
+      |  FROM documents),
+      |inj AS (
+      |  SELECT doc_id,
+      |    text
+      |    || CASE WHEN doc_id % 13 = 2
+      |         THEN ' ' || array_to_string(ww[1:10], ' ') ELSE '' END
+      |    || CASE WHEN doc_id % 19 = 6
+      |         THEN ' ' || array_to_string(ww[1:5], ' ')
+      |           || ' ' || array_to_string(ww[1:5], ' ') ELSE '' END
+      |    || CASE WHEN doc_id % 17 = 0
+      |         THEN chr(10) || 'nav menu item' || chr(10) || 'nav menu item'
+      |           || chr(10) || 'nav menu item' ELSE '' END AS text
+      |  FROM w0),
+      |base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
+      |    list_filter(string_split_regex(text, '[ \n]+'), x -> x <> '') AS w
+      |  FROM inj),
+      |b3 AS (
+      |  SELECT doc_id, lines, w,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT)
+      |      AS total_chars,
+      |    CAST(coalesce(list_sum(list_transform(lines, l -> len(l))), 0) AS BIGINT)
+      |      AS line_chars,
+      |    CAST(len(list_distinct(lines)) AS BIGINT) AS n_dls,
+      |    CAST(coalesce(list_sum(list_transform(list_distinct(lines),
+      |      l -> len(l))), 0) AS BIGINT) AS distinct_line_chars
+      |  FROM base),
+      |g2 AS (SELECT doc_id, total_chars,
+      |         array_to_string(w[i+1:i+2], ' ') AS gram
+      |       FROM (SELECT doc_id, total_chars, w, unnest(range(len(w) - 1)) AS i
+      |             FROM b3 WHERE len(w) >= 2)),
+      |g3 AS (SELECT doc_id, total_chars,
+      |         array_to_string(w[i+1:i+3], ' ') AS gram
+      |       FROM (SELECT doc_id, total_chars, w, unnest(range(len(w) - 2)) AS i
+      |             FROM b3 WHERE len(w) >= 3)),
+      |g4 AS (SELECT doc_id, total_chars,
+      |         array_to_string(w[i+1:i+4], ' ') AS gram
+      |       FROM (SELECT doc_id, total_chars, w, unnest(range(len(w) - 3)) AS i
+      |             FROM b3 WHERE len(w) >= 4)),
+      |t2c AS (SELECT doc_id, total_chars, gram, count(*) AS cnt
+      |        FROM g2 GROUP BY doc_id, total_chars, gram),
+      |t2 AS (SELECT doc_id,
+      |         least(10000, (cnt * (len(gram) - 1) * 10000) // total_chars)
+      |           AS top2gram_bp
+      |       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |               ORDER BY cnt DESC, gram) AS rn FROM t2c)
+      |       WHERE rn = 1),
+      |t3c AS (SELECT doc_id, total_chars, gram, count(*) AS cnt
+      |        FROM g3 GROUP BY doc_id, total_chars, gram),
+      |t3 AS (SELECT doc_id,
+      |         least(10000, (cnt * (len(gram) - 2) * 10000) // total_chars)
+      |           AS top3gram_bp
+      |       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |               ORDER BY cnt DESC, gram) AS rn FROM t3c)
+      |       WHERE rn = 1),
+      |t4c AS (SELECT doc_id, total_chars, gram, count(*) AS cnt
+      |        FROM g4 GROUP BY doc_id, total_chars, gram),
+      |t4 AS (SELECT doc_id,
+      |         least(10000, (cnt * (len(gram) - 3) * 10000) // total_chars)
+      |           AS top4gram_bp
+      |       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |               ORDER BY cnt DESC, gram) AS rn FROM t4c)
+      |       WHERE rn = 1),
+      |g5 AS (SELECT doc_id, i + 1 AS pos,
+      |         md5(array_to_string(w[i+1:i+5], ' ')) AS h
+      |       FROM (SELECT doc_id, w, unnest(range(len(w) - 4)) AS i
+      |             FROM b3 WHERE len(w) >= 5)),
+      |d5 AS (SELECT doc_id, h FROM
+      |         (SELECT doc_id, h, count(*) AS c FROM g5 GROUP BY doc_id, h)
+      |       WHERE c >= 2),
+      |c5 AS (SELECT DISTINCT g5.doc_id, g5.pos + o.o AS p
+      |       FROM g5 JOIN d5 USING (doc_id, h),
+      |            (SELECT unnest(range(5)) AS o) o),
+      |s5 AS (SELECT c5.doc_id, CAST(sum(len(b3.w[c5.p])) AS BIGINT) AS cchars
+      |       FROM c5 JOIN b3 USING (doc_id) GROUP BY c5.doc_id),
+      |g10 AS (SELECT doc_id, i + 1 AS pos,
+      |          md5(array_to_string(w[i+1:i+10], ' ')) AS h
+      |        FROM (SELECT doc_id, w, unnest(range(len(w) - 9)) AS i
+      |              FROM b3 WHERE len(w) >= 10)),
+      |d10 AS (SELECT doc_id, h FROM
+      |          (SELECT doc_id, h, count(*) AS c FROM g10 GROUP BY doc_id, h)
+      |        WHERE c >= 2),
+      |c10 AS (SELECT DISTINCT g10.doc_id, g10.pos + o.o AS p
+      |        FROM g10 JOIN d10 USING (doc_id, h),
+      |             (SELECT unnest(range(10)) AS o) o),
+      |s10 AS (SELECT c10.doc_id, CAST(sum(len(b3.w[c10.p])) AS BIGINT) AS cchars
+      |        FROM c10 JOIN b3 USING (doc_id) GROUP BY c10.doc_id)
+      |SELECT b3.doc_id, n_words, n_lines,
+      |  CAST(CASE WHEN n_lines > 0
+      |    THEN ((n_lines - n_dls) * 10000) // n_lines ELSE 0 END AS BIGINT)
+      |    AS dup_line_bp,
+      |  CAST(CASE WHEN line_chars > 0
+      |    THEN ((line_chars - distinct_line_chars) * 10000) // line_chars
+      |    ELSE 0 END AS BIGINT) AS dup_line_char_bp,
+      |  CAST(coalesce(t2.top2gram_bp, 0) AS BIGINT) AS top2gram_bp,
+      |  CAST(coalesce(t3.top3gram_bp, 0) AS BIGINT) AS top3gram_bp,
+      |  CAST(coalesce(t4.top4gram_bp, 0) AS BIGINT) AS top4gram_bp,
+      |  CAST(CASE WHEN s5.cchars IS NULL THEN 0
+      |    ELSE (s5.cchars * 10000) // total_chars END AS BIGINT) AS dup5gram_bp,
+      |  CAST(CASE WHEN s10.cchars IS NULL THEN 0
+      |    ELSE (s10.cchars * 10000) // total_chars END AS BIGINT) AS dup10gram_bp
+      |FROM b3
+      |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+      |LEFT JOIN t4 USING (doc_id) LEFT JOIN s5 USING (doc_id)
+      |LEFT JOIN s10 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** T13: benchmark decontamination. Benchmark items = every 211th
     * document; contamination is planted by appending the first 8 words
     * of benchmark doc 5 to every 89th corpus doc (same construction in
@@ -1467,6 +1608,7 @@ object CurationQueries {
     "t10_pii_redact"  -> t10PiiRedact,
     "t36_luhn_cards"  -> t36LuhnCards,
     "t37_gopher_rules" -> t37GopherRules,
+    "t38_gopher_repetition" -> t38GopherRepetition,
     "t11_repetition"  -> t11Repetition,
     "t12_domain_mix"  -> t12DomainMix,
     "n4_quantize"     -> n4Quantize,
@@ -1498,6 +1640,7 @@ object CurationQueries {
     "t10_pii_redact"  -> t10PiiRedactSql,
     "t36_luhn_cards"  -> t36LuhnCardsSql,
     "t37_gopher_rules" -> t37GopherRulesSql,
+    "t38_gopher_repetition" -> t38GopherRepetitionSql,
     "t11_repetition"  -> t11RepetitionSql,
     "t12_domain_mix"  -> t12DomainMixSql,
     "n4_quantize"     -> n4QuantizeSql,

@@ -107,7 +107,14 @@ class PlanShapeSpec extends AnyFunSuite {
       // n19 rides n1's bounded 20-query broadcast fan-out (the
       // deliberate brute-force top-k); the label join it ADDS is an
       // equi broadcast of the tiny top-k relation
-      "n19_knn_classify")
+      "n19_knn_classify",
+      // n20 composes the same bounded 20-query fan-out (hardNegatives
+      // = n1 scoring + label anti-filter + rank cuts)
+      "n20_hard_negatives",
+      // an32: TWO one-row broadcast crossJoins — the |keys|-sized
+      // count relation meets its own scalar aggregate and the one-row
+      // p99 pick (the t9/c2 scalar fan-out pattern)
+      "an32_skew_report")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(PlanAudit.excluded.contains).flatMap { name =>
         val plan = sparkPlan(name).toString

@@ -731,4 +731,50 @@ class CorpusQuantizeSpec extends AnyFunSuite {
       assert(sparkMerged(w) === refMerge(w, p1, p2), s"word $w pair ($p1,$p2)")
     }
   }
+
+  // ---- Corpus.gopherRepetition (t38) ---------------------------------
+
+  test("t38: gopherRepetition hand-computed battery — lines, top-grams, dup covers") {
+    val df = Seq(
+      (1L, "a b a b a b"),            // top-gram caps; tie → lexicographic
+      (2L, "x y z x y q r s t u"),    // one repeated bigram, nothing else
+      (3L, "p q r s t p q r s t v"),  // duplicated 5-gram, no dup 10-gram
+      (4L, "hello world\nfoo\nfoo\nfoo\nbar"), // duplicate lines
+      (5L, ""),                       // empty → all zeros
+      (6L, null.asInstanceOf[String]) // null → all zeros
+    ).toDF("doc_id", "text")
+    val out = Corpus.gopherRepetition(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9))).toMap
+    // doc 1: 6 one-char words. top2 "a b"×3 (2 chars) = 60000/6 → cap 10000;
+    // top3 tie ("a b a","b a b" both ×2) → "a b a" (3 chars) = exactly 10000;
+    // top4 "a b a b"×2 (4 chars) = 13333 → cap. No dup 5-gram (two distinct
+    // windows), no 10-gram at 6 words.
+    assert(out(1L) === ((6L, 1L, 0L, 0L, 10000L, 10000L, 10000L, 0L, 0L)))
+    // doc 2: "x y" twice → 2·2·10000/10 = 4000; all 3/4-grams unique → the
+    // lexicographic first ("q r s" / "q r s t") at count 1: 3000 / 4000.
+    assert(out(2L) === ((10L, 1L, 0L, 0L, 4000L, 3000L, 4000L, 0L, 0L)))
+    // doc 3: "p q r s t" at pos 1 and 6 → cover {1..10} of 11 chars = 9090;
+    // top2 tie → "p q" ×2 = 3636; top3 "p q r" ×2 = 5454; top4 "p q r s" ×2
+    // = 7272; the two 10-gram windows differ → dup10 0.
+    assert(out(3L) === ((11L, 1L, 0L, 0L, 3636L, 5454L, 7272L, 9090L, 0L)))
+    // doc 4: lines [hello world, foo×3, bar]: dup lines 2/5 = 4000; dup line
+    // chars (23−17)/23 = 2608. Words 6, chars 22: top2 "foo foo" ×2 (6 chars)
+    // = 5454; top3 min-tie "foo foo bar" (9) = 4090; top4 "foo foo foo bar"
+    // (12) = 5454.
+    assert(out(4L) === ((6L, 5L, 4000L, 2608L, 5454L, 4090L, 5454L, 0L, 0L)))
+    assert(out(5L) === ((0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(out(6L) === ((0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("t38: dup-gram cover is a position UNION — overlaps never double-count") {
+    // "w w w w w w" : every 5-gram window is the same gram, positions 1/2 →
+    // covered = {1..6} = ALL 6 positions, so dup5 = 10000 exactly (a naive
+    // count×len sum would claim 2×5 = 10 char-slots of 6 and overflow)
+    val df = Seq((1L, "w w w w w w")).toDF("doc_id", "text")
+    val r = Corpus.gopherRepetition(df, "doc_id", "text").collect()(0)
+    assert(r.getLong(8) === 10000L)  // dup5gram_bp
+    assert(r.getLong(5) === 10000L)  // top2 capped
+  }
 }
