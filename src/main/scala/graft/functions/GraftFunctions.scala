@@ -65,6 +65,24 @@ object GraftFunctions {
         case Seq(c) => BitmapDistinctExpr(c)
         case args => throw new IllegalArgumentException(
           s"bitmap_distinct expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("bitmap_sketch"),
+      info(classOf[BitmapSketchExpr], "bitmap_sketch",
+        "bitmap_sketch(key) - re-aggregable exact distinct sketch (binary bitmap) " +
+          "over dense non-negative int keys; merge with bitmap_merge_count"),
+      {
+        case Seq(c) => BitmapSketchExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"bitmap_sketch expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("bitmap_merge_count"),
+      info(classOf[BitmapMergeCountExpr], "bitmap_merge_count",
+        "bitmap_merge_count(sketch) - exact distinct count from OR-merged " +
+          "bitmap_sketch values"),
+      {
+        case Seq(c) => BitmapMergeCountExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"bitmap_merge_count expects 1 argument, got ${args.length}")
       }))
 
   /** Register on an already-running session. */

@@ -125,4 +125,95 @@ object Graph {
     ed.unpersist(blocking = false)
     out
   }
+
+  /** Connected components by ALTERNATING STAR CONTRACTION — the
+    * two-round large-star / small-star scheme of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" (SoCC 2014). This
+    * is the adversarial-diameter complement to
+    * [[graft.operators.Dedup.dupClusters]]' min-label propagation:
+    * propagation pays one shuffle round per hop of graph diameter (a
+    * 10,000-link chain = ~10,000 rounds), star contraction halves
+    * chain structure every alternation and converges in O(log²)
+    * rounds on ANY topology — the right primitive when components can
+    * be long paths (URL redirect chains, citation chains, linked-page
+    * graphs), not the tiny cliques near-dup graphs produce.
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ u);
+    *  - small-star(u): orient edges toward the larger endpoint; every
+    *    smaller neighbor (and u itself) re-attaches to the minimum.
+    *
+    * Both operations are ONE groupBy + ONE join over the edge list —
+    * no windows, no driver state; edge weights only ever decrease, so
+    * the (count, hash-sum) fingerprint is a sound fixpoint test (the
+    * d6 label-sum discipline). At convergence every component is a
+    * star centered on its minimum node: labels read off as
+    * min(self, neighbors). Nodes compare with their column's own
+    * ordering — string keys work, ids are never cast.
+    *
+    * Scale posture: shuffles are sized to the GRAPH (dupClusters'
+    * repartition discipline: ~1M edges/partition, never corpus
+    * parallelism); each round moves only the current edge relation,
+    * which contraction SHRINKS round over round. localCheckpoint per
+    * round bounds lineage. Output: (node, component), component = the
+    * component's minimum node id.
+    *
+    * Input `pairs`: (src, dst) — undirected, duplicates and self-loops
+    * tolerated. Ids must be non-null. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val p0 = pairs.select(col("src").as("a"), col("dst").as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val nEdges = p0.count()
+    val sess = p0.sparkSession
+    val sessParts = sess.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val nParts = math.max(1L,
+      math.min(sessParts.toLong, nEdges / 1000000L + 1L)).toInt
+    // nodes captured BEFORE contraction: star edges at convergence
+    // don't necessarily mention every input node pairing (dup input
+    // rows), and the contract is one output row per distinct node
+    val nodes = p0.select(col("a").as("node"))
+      .unionByName(p0.select(col("b").as("node"))).distinct()
+      .localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val m = nb.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      nb.join(m, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("a"), col("b")).as("c"),
+        least(col("a"), col("b")).as("w"))
+      val m = o.groupBy(col("c")).agg(min(col("w")).as("m"))
+      o.join(m, "c").select(col("w").as("a"), col("m").as("b"))
+        .unionByName(m.select(col("c").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var e = p0.repartition(nParts, col("a"))
+    var prev = (-1L, null.asInstanceOf[java.math.BigDecimal])
+    var r = 0
+    var done = false
+    while (!done && r < maxRounds) {
+      e = smallStar(largeStar(e)).repartition(nParts, col("a")).localCheckpoint()
+      val fp = fingerprint(e)
+      done = fp._1 == prev._1 && fp._2 == prev._2
+      prev = fp
+      r += 1
+    }
+    // at the fixpoint E is a union of stars: component = min over
+    // self ∪ neighbors (centers have only larger neighbors → self)
+    val nb = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .groupBy(col("a")).agg(min(col("b")).as("mn"))
+    nodes.join(nb.select(col("a").as("node"), col("mn")), Seq("node"), "left")
+      .select(col("node"),
+        least(col("node"), coalesce(col("mn"), col("node"))).as("component"))
+  }
 }

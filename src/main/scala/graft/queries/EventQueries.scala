@@ -413,6 +413,42 @@ object EventQueries {
       |  count(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** AN33: sketch ROLL-UP — the re-aggregation discipline that makes
+    * distinct counts cheap at 100 TB: materialize one exact bitmap
+    * sketch per FINE grain (day × event_type,
+    * [[graft.functions.BitmapSketchExpr]]), then answer the coarser
+    * per-day distinct-user question by MERGING sketches
+    * ([[graft.functions.BitmapMergeCountExpr]]) over the
+    * |days × types|-sized sketch table. The fact table is scanned and
+    * shuffled ONCE for any number of coarser grains; a per-grain
+    * `count(distinct)` would re-shuffle the raw user ids for every
+    * grain (Spark plans Expand + a (group, user) shuffle each time).
+    * The Druid / BigQuery `HLL_COUNT.INIT → MERGE` pattern, exact for
+    * dense int keys. Null ts/event_type rows are excluded identically
+    * on both engines (the adversarial-fixture guard); null user_ids
+    * set no bit, matching count(DISTINCT)'s null rule. The oracle
+    * computes the end value directly — equality IS the proof that the
+    * OR-merge loses nothing. */
+  val an33BitmapRollup: Q = (s, dir) => {
+    import s.implicits._
+    val sk = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"event_type".isNotNull)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(graft.functions.BitmapDistinct.bitmap_sketch($"user_id").as("sk"))
+    sk.groupBy($"day")
+      .agg(count(lit(1)).as("n_types"),
+        graft.functions.BitmapDistinct.bitmap_merge_count($"sk").as("distinct_users"))
+      .orderBy($"day")
+  }
+
+  val an33BitmapRollupSql: String =
+    """SELECT date_trunc('day', ts)::DATE AS day,
+      |  count(DISTINCT event_type) AS n_types,
+      |  count(DISTINCT user_id) AS distinct_users
+      |FROM events
+      |WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** AN21: first-order Markov transition matrix over per-user event
     * sequences — the session-flow analysis behind "what do users do
     * after an error?". lead() over a window PARTITIONED BY user_id
@@ -1224,6 +1260,7 @@ object EventQueries {
     "e13_stream_outer_join" -> e13StreamOuterJoin,
     "e16_stream_full_outer_join" -> e16StreamFullOuterJoin,
     "an20_bitmap_distinct" -> an20BitmapDistinct,
+    "an33_bitmap_rollup" -> an33BitmapRollup,
     "an21_transitions" -> an21TransitionMatrix,
     "an22_type_overlap" -> an22TypeOverlap,
     "an23_robust_outliers" -> an23RobustOutliers,
@@ -1253,6 +1290,7 @@ object EventQueries {
     "e13_stream_outer_join" -> e13StreamOuterJoinSql,
     "e16_stream_full_outer_join" -> e16StreamFullOuterJoinSql,
     "an20_bitmap_distinct" -> an20BitmapDistinctSql,
+    "an33_bitmap_rollup" -> an33BitmapRollupSql,
     "an21_transitions" -> an21TransitionMatrixSql,
     "an22_type_overlap" -> an22TypeOverlapSql,
     "an23_robust_outliers" -> an23RobustOutliersSql,

@@ -891,6 +891,46 @@ object TextPipeline {
        |$clusterCtes
        |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin
 
+  /** D16: connected components by ALTERNATING STAR CONTRACTION
+    * ([[graft.operators.Graph.connectedComponents]], Kiveris et al.
+    * SoCC'14) — the adversarial-diameter complement to d6's min-label
+    * propagation, exercised on the topology propagation is worst at:
+    * LONG CHAINS. The graph is derived deterministically from document
+    * ids: three interleaved 80-link chains (doc_id < 237 → edge
+    * (doc_id, doc_id+3), one chain per residue mod 3 — diameter ~79,
+    * where propagation would pay ~79 shuffle rounds and contraction
+    * pays ~log), plus size-2 components ((doc_id, doc_id+1) for
+    * doc_id % 17 == 0 above the chains). The oracle computes the same
+    * fixpoint as a recursive-CTE transitive closure with a final
+    * min-group (the d6 oracle discipline). */
+  val d16CcStars: Q = (s, dir) => {
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents").select($"doc_id")
+    val chains = ids.filter($"doc_id" < 237)
+      .select($"doc_id".as("src"), ($"doc_id" + 3).as("dst"))
+    val pairs = ids.filter($"doc_id" % 17 === 0 && $"doc_id" >= 240)
+      .select($"doc_id".as("src"), ($"doc_id" + 1).as("dst"))
+    graft.operators.Graph.connectedComponents(chains.unionByName(pairs))
+      .select($"node".as("doc_id"), $"component".as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  val d16CcStarsSql: String =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT doc_id AS d1, doc_id + 3 AS d2 FROM documents WHERE doc_id < 237
+      |  UNION ALL
+      |  SELECT doc_id, doc_id + 1 FROM documents
+      |  WHERE doc_id % 17 = 0 AND doc_id >= 240),
+      |nodes AS (SELECT d1 AS id FROM e0 UNION SELECT d2 FROM e0),
+      |e2 AS (SELECT d1 AS src, d2 AS dst FROM e0
+      |       UNION ALL SELECT d2, d1 FROM e0),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e2.src, reach.r FROM e2 JOIN reach ON reach.id = e2.dst)
+      |SELECT id AS doc_id, min(r) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** D9: canonical-survivor selection — per dup cluster keep the
     * highest-quality member (chars, ties → smallest id). The Spark
     * side is one `max(struct(quality, -id))` aggregation over the
@@ -2053,6 +2093,7 @@ object TextPipeline {
     "d2_minhash_lsh"   -> d2Minhash,
     "d3_simhash"       -> d3Simhash,
     "d6_dup_clusters"  -> d6DupClusters,
+    "d16_cc_stars"     -> d16CcStars,
     "d7_incremental_dedup" -> d7Incremental,
     "d9_survivorship"  -> d9Survivorship,
     "d10_dedup_apply"  -> d10DedupApply,
@@ -2108,6 +2149,7 @@ object TextPipeline {
     "d2_minhash_lsh"   -> d2MinhashSql,
     "d3_simhash"       -> d3SimhashSql,
     "d6_dup_clusters"  -> d6DupClustersSql,
+    "d16_cc_stars"     -> d16CcStarsSql,
     "d7_incremental_dedup" -> d7IncrementalSql,
     "d9_survivorship"  -> d9SurvivorshipSql,
     "d10_dedup_apply"  -> d10DedupApplySql,

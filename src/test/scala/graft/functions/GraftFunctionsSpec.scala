@@ -83,4 +83,43 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bitmap_distinct") ||
       Option(e.getCause).exists(_.getMessage.contains("bitmap_distinct")))
   }
+
+  test("bitmap_sketch → bitmap_merge_count roll-up equals a direct distinct, any partitioning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // fine grain (g, sub): overlapping key sets per sub-group, so the
+    // merged count is strictly less than the sum of per-sketch counts
+    // (the roll-up must OR, not add)
+    val df = (1L to 6000L).map(i => (s"g${i % 2}", s"s${i % 5}", i % 311))
+      .toDF("g", "sub", "k")
+    for (p <- Seq(1, 7, 32)) {
+      val sk = df.repartition(p).groupBy($"g", $"sub")
+        .agg(BitmapDistinct.bitmap_sketch($"k").as("sk"))
+      val rolled = sk.groupBy($"g")
+        .agg(BitmapDistinct.bitmap_merge_count($"sk").as("n"))
+      val direct = df.groupBy($"g").agg(countDistinct($"k").as("n"))
+      val r = rolled.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      val d = direct.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(r === d, s"parts=$p")
+    }
+  }
+
+  test("bitmap_sketch/bitmap_merge_count registered in SQL; null sketches ignored") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L), ("b", 3L))
+      .toDF("g", "k").createOrReplaceTempView("sk_in")
+    val n = spark.sql(
+      """SELECT bitmap_merge_count(sk) FROM (
+        |  SELECT g, bitmap_sketch(k) AS sk FROM sk_in GROUP BY g)""".stripMargin)
+      .head().getLong(0)
+    assert(n === 3L) // {1,2} ∪ {2,3}
+    // a null sketch (outer-join shape) contributes nothing
+    val withNull = spark.sql(
+      """SELECT bitmap_merge_count(sk) FROM (
+        |  SELECT bitmap_sketch(k) AS sk FROM sk_in GROUP BY g
+        |  UNION ALL SELECT CAST(NULL AS BINARY))""".stripMargin)
+      .head().getLong(0)
+    assert(withNull === 3L)
+  }
 }

@@ -292,4 +292,55 @@ class AdvancedOpsSpec extends AnyFunSuite {
     val pairs = out.map(r => (r.getLong(1), r.getString(0)))
     assert(pairs.sortBy { case (n, p) => (-n, p) }.toSeq === pairs.toSeq)
   }
+
+  // ---- Graph.connectedComponents (d16: alternating star contraction) --
+
+  test("connectedComponents: long chain collapses to its min in logarithmic rounds") {
+    import spark.implicits._
+    // a 200-link chain is the min-label worst case (~100 propagation
+    // rounds); star contraction must finish inside 12 alternations
+    val edges = (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Graph.connectedComponents(edges, maxRounds = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === 201)
+    assert(out.forall(_._2 === 0L), s"non-root labels: ${out.filterNot(_._2 == 0L).take(5).toSeq}")
+  }
+
+  test("connectedComponents: multiple components, duplicate and self-loop edges tolerated") {
+    import spark.implicits._
+    val edges = Seq(
+      (5L, 9L), (9L, 5L), (9L, 9L),        // pair w/ dup + self-loop
+      (20L, 21L), (21L, 22L), (22L, 20L),  // triangle
+      (40L, 41L)                           // isolated pair
+    ).toDF("src", "dst")
+    val out = Graph.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(5L -> 5L, 9L -> 5L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 40L -> 40L, 41L -> 40L))
+  }
+
+  test("connectedComponents agrees with dupClusters on a pseudo-random graph") {
+    import spark.implicits._
+    // deterministic scatter: 300 edges over ~120 nodes, mixed shapes
+    val edges = (1 to 300).map { i =>
+      val a = (i * 37) % 120; val b = (i * i * 13 + 7) % 120
+      (a.toLong, b.toLong)
+    }.filter { case (a, b) => a != b }.toDF("src", "dst")
+    val stars = Graph.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val prop = graft.operators.Dedup.dupClusters(
+        edges.select($"src".as("d1"), $"dst".as("d2"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stars === prop)
+  }
+
+  test("connectedComponents: string-keyed nodes order lexicographically, never cast") {
+    import spark.implicits._
+    val edges = Seq(("url-b", "url-a"), ("url-c", "url-b"), ("zz", "yy"))
+      .toDF("src", "dst")
+    val out = Graph.connectedComponents(edges).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out === Map("url-a" -> "url-a", "url-b" -> "url-a",
+      "url-c" -> "url-a", "yy" -> "yy", "zz" -> "yy"))
+  }
 }
