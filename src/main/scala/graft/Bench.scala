@@ -41,7 +41,11 @@ object Bench {
     // canonicalization dedup, exact-moment per-group OLS, and the
     // sliding real-streaming window (auto-split into streaming_fixed)
     "j12_interval_join", "t35_url_canon", "an31_regression",
-    "e17_stream_sliding", "j14_asof_nearest")
+    "e17_stream_sliding", "j14_asof_nearest",
+    // r9 second wave: the Gopher repetition battery (five gram
+    // families in one query), the bitmap sketch roll-up, and
+    // alternating-star connected components on a chain graph
+    "t38_gopher_repetition", "an33_bitmap_rollup", "d16_cc_stars")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —

@@ -508,6 +508,27 @@ object ScaleStress {
     // both must grow linearly in rows (replicas share user keys, so
     // per-key density grows n×: the sort-cost regime, not the
     // candidate-pair regime a range-join encoding would hit).
+    // d16: alternating-star CC vs min-label propagation on CHAINS —
+    // the adversarial-diameter topology. Stars should grow ~log with
+    // chain length; propagation pays one round per 2 hops of diameter
+    // (so 256 links ≈ 128 propagations ≈ 64 loop iterations), which is
+    // why dupClusters is only measured at the short lengths and with
+    // maxIter raised past its 20-round near-dup default.
+    if (sect("d16")) {
+      import spark.implicits._
+      def chain(len: Int): DataFrame =
+        spark.range(0, len).select(col("id").as("src"), (col("id") + 1).as("dst"))
+      Seq(64, 256, 1024, 4096).foreach { len =>
+        time(s"d16 stars chain=$len") {
+          graft.operators.Graph.connectedComponents(chain(len)) }
+      }
+      Seq(64, 256).foreach { len =>
+        time(s"d6  prop  chain=$len") {
+          Dedup.dupClusters(chain(len)
+            .select(col("src").as("d1"), col("dst").as("d2")), maxIter = 2048) }
+      }
+    }
+
     if (sect("j14")) Seq(1, 5, 20).foreach { n =>
       val ev = Tables.load(spark, sfDir, "events")
         .select(col("event_id"), col("user_id"),
