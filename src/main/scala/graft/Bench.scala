@@ -45,7 +45,8 @@ object Bench {
     // r9 second wave: the Gopher repetition battery (five gram
     // families in one query), the bitmap sketch roll-up, and
     // alternating-star connected components on a chain graph
-    "t38_gopher_repetition", "an33_bitmap_rollup", "d16_cc_stars")
+    "t38_gopher_repetition", "an33_bitmap_rollup", "d16_cc_stars",
+    "t39_ngram_novelty", "an34_retention")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —

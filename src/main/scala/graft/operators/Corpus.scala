@@ -328,6 +328,49 @@ object Corpus {
       .agg(count(lit(1)).as("n_hits"), min(col("ngram")).as("sample_ngram"))
   }
 
+  /** N-gram NOVELTY score (t39) — the corpus-diversity audit: per
+    * document, the share of its word n-grams that occur NOWHERE else
+    * in the corpus (corpus-wide occurrence count exactly 1). Low
+    * novelty = the doc is assembled from text the corpus already has
+    * (boilerplate mosaics, template pages, near-dups below d2's
+    * threshold); corpus-mean novelty falling over ingestion batches is
+    * the canonical "we're scraping the same web twice" signal. The
+    * measurement complement to the REMOVAL ops: t13/t30 cut known
+    * contamination, d1–d14 cut duplicates, t39 tells you how much
+    * TRULY new text a batch added.
+    *
+    * Scale shape: one corpus-linear explode through [[wordNgrams]]
+    * (fingerprinted to md5 so hot grams shuffle fixed-width keys), one
+    * map-side-combined gram-keyed count, one hash join back, one
+    * doc-keyed aggregate — t17's inverted-index shape with a count==1
+    * filter. Docs with fewer than n words emit (0, 0, 0) — no grams,
+    * nothing to judge. Integer basis points, floor division.
+    *
+    * Output: (doc_id, n_ngrams, n_novel, novelty_bp). */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val wp = base
+      .select(col("doc_id"),
+        explode(wordNgrams(coalesce(col("__text"), lit("")), n)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+      // two consumers (corpus counts + the join back): the exactSpans
+      // one-materialization convention
+      .localCheckpoint()
+    val counts = wp.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val perDoc = wp.join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_novel"))
+    base.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_ngrams"), lit(0L)) > 0,
+          expr("(n_novel * 10000) div n_ngrams")).otherwise(0L)
+          .cast("long").as("novelty_bp"))
+  }
+
   // ---- URL canonicalization (provenance-level dedup) ----------------
 
   /** Canonical form of an absolute http(s) URL — the provenance-dedup

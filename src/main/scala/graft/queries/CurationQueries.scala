@@ -587,6 +587,56 @@ object CurationQueries {
       |LEFT JOIN s10 USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** T39: n-gram novelty audit (Corpus.ngramNovelty) — the share of
+    * each document's 8-grams that occur nowhere else in the corpus.
+    * The word-soup corpus is near-fully novel, so the query plants
+    * SHARED text deterministically: every 7th doc gets pangram tail A,
+    * every doc ≡ 1 (mod 3) gets pangram tail B — tail grams (and, for
+    * docs carrying both, the A→B boundary grams shared by the mod-21
+    * class) are non-novel, and each doc's novelty drops by its length.
+    * The oracle replays the injection, the md5 gram counting, and the
+    * count==1 filter. */
+  val t39NgramNovelty: Q = (s, dir) => {
+    import s.implicits._
+    val tailA = " the quick brown fox jumps over lazy dogs"
+    val tailB = " pack my box with five dozen liquor jugs"
+    val injected = Tables.load(s, dir, "documents")
+      .select($"doc_id", concat($"text",
+        when($"doc_id" % 7 === 0, lit(tailA)).otherwise(lit("")),
+        when($"doc_id" % 3 === 1, lit(tailB)).otherwise(lit(""))).as("text"))
+    Corpus.ngramNovelty(injected, "doc_id", "text", n = 8)
+      .orderBy($"doc_id")
+  }
+
+  val t39NgramNoveltySql: String =
+    """WITH inj AS (
+      |  SELECT doc_id,
+      |    text
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN ' the quick brown fox jumps over lazy dogs' ELSE '' END
+      |    || CASE WHEN doc_id % 3 = 1
+      |         THEN ' pack my box with five dozen liquor jugs' ELSE '' END AS text
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+      |  FROM inj),
+      |wp AS (
+      |  SELECT doc_id, md5(array_to_string(w[i+1:i+8], ' ')) AS h
+      |  FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS i
+      |        FROM base WHERE len(w) >= 8)),
+      |c AS (SELECT h, count(*) AS c FROM wp GROUP BY h),
+      |pd AS (SELECT doc_id, count(*) AS n_ngrams,
+      |         CAST(sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      |       FROM wp JOIN c USING (h) GROUP BY doc_id)
+      |SELECT b.doc_id,
+      |  CAST(coalesce(pd.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+      |  CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel,
+      |  CAST(CASE WHEN coalesce(pd.n_ngrams, 0) > 0
+      |    THEN (pd.n_novel * 10000) // pd.n_ngrams ELSE 0 END AS BIGINT)
+      |    AS novelty_bp
+      |FROM base b LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** T13: benchmark decontamination. Benchmark items = every 211th
     * document; contamination is planted by appending the first 8 words
     * of benchmark doc 5 to every 89th corpus doc (same construction in
@@ -1609,6 +1659,7 @@ object CurationQueries {
     "t36_luhn_cards"  -> t36LuhnCards,
     "t37_gopher_rules" -> t37GopherRules,
     "t38_gopher_repetition" -> t38GopherRepetition,
+    "t39_ngram_novelty" -> t39NgramNovelty,
     "t11_repetition"  -> t11Repetition,
     "t12_domain_mix"  -> t12DomainMix,
     "n4_quantize"     -> n4Quantize,
@@ -1641,6 +1692,7 @@ object CurationQueries {
     "t36_luhn_cards"  -> t36LuhnCardsSql,
     "t37_gopher_rules" -> t37GopherRulesSql,
     "t38_gopher_repetition" -> t38GopherRepetitionSql,
+    "t39_ngram_novelty" -> t39NgramNoveltySql,
     "t11_repetition"  -> t11RepetitionSql,
     "t12_domain_mix"  -> t12DomainMixSql,
     "n4_quantize"     -> n4QuantizeSql,

@@ -449,6 +449,49 @@ object EventQueries {
       |WHERE ts IS NOT NULL AND event_type IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** AN34: cohort retention matrix — the canonical product-analytics
+    * warehouse query: users are grouped into cohorts by FIRST-ACTIVE
+    * day, and each (cohort, day-offset) cell counts how many of that
+    * cohort were active again `offset` days later, as an integer
+    * basis-point share of the cohort. Three user/cohort-keyed
+    * map-side-combined aggregations and one broadcast-sized join —
+    * the (user, day) activity relation is the only corpus-scale
+    * shuffle, and it is deduplicated BEFORE the matrix so n_active is
+    * a distinct-user count without a count(distinct) expand. Null
+    * ts/user rows are excluded identically on both engines (the
+    * adversarial-fixture guard). Integer floor division — oracle
+    * replays bit-for-bit. */
+  val an34Retention: Q = (s, dir) => {
+    import s.implicits._
+    val activity = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"user_id".isNotNull)
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+    val cohorts = activity.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val sizes = cohorts.groupBy($"cohort_day").agg(count(lit(1)).as("cohort_n"))
+    activity.join(cohorts, "user_id")
+      .select($"cohort_day", datediff($"day", $"cohort_day").cast("long").as("day_offset"))
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_day")
+      .select($"cohort_day", $"day_offset", $"n_active", $"cohort_n",
+        expr("(n_active * 10000) div cohort_n").as("retention_bp"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val an34RetentionSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id),
+      |s AS (SELECT cohort_day, count(*) AS cohort_n FROM c GROUP BY cohort_day),
+      |m AS (SELECT c.cohort_day, CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+      |        count(*) AS n_active
+      |      FROM a JOIN c USING (user_id) GROUP BY 1, 2)
+      |SELECT m.cohort_day, m.day_offset, m.n_active, s.cohort_n,
+      |  (m.n_active * 10000) // s.cohort_n AS retention_bp
+      |FROM m JOIN s USING (cohort_day) ORDER BY 1, 2""".stripMargin
+
   /** AN21: first-order Markov transition matrix over per-user event
     * sequences — the session-flow analysis behind "what do users do
     * after an error?". lead() over a window PARTITIONED BY user_id
@@ -1261,6 +1304,7 @@ object EventQueries {
     "e16_stream_full_outer_join" -> e16StreamFullOuterJoin,
     "an20_bitmap_distinct" -> an20BitmapDistinct,
     "an33_bitmap_rollup" -> an33BitmapRollup,
+    "an34_retention" -> an34Retention,
     "an21_transitions" -> an21TransitionMatrix,
     "an22_type_overlap" -> an22TypeOverlap,
     "an23_robust_outliers" -> an23RobustOutliers,
@@ -1291,6 +1335,7 @@ object EventQueries {
     "e16_stream_full_outer_join" -> e16StreamFullOuterJoinSql,
     "an20_bitmap_distinct" -> an20BitmapDistinctSql,
     "an33_bitmap_rollup" -> an33BitmapRollupSql,
+    "an34_retention" -> an34RetentionSql,
     "an21_transitions" -> an21TransitionMatrixSql,
     "an22_type_overlap" -> an22TypeOverlapSql,
     "an23_robust_outliers" -> an23RobustOutliersSql,

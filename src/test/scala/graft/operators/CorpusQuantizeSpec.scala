@@ -777,4 +777,24 @@ class CorpusQuantizeSpec extends AnyFunSuite {
     assert(r.getLong(8) === 10000L)  // dup5gram_bp
     assert(r.getLong(5) === 10000L)  // top2 capped
   }
+
+  // ---- Corpus.ngramNovelty (t39) --------------------------------------
+
+  test("t39: novelty counts grams occurring exactly once corpus-wide") {
+    val df = Seq(
+      (1L, "a b c d e"),   // grams (n=3): abc, bcd, cde
+      (2L, "x y a b c"),   // xya, yab, abc — shares abc with doc 1
+      (3L, "p q r"),       // pqr unique
+      (4L, "p q"),         // < 3 words → no grams
+      (5L, "a b c")        // abc a THIRD time
+    ).toDF("doc_id", "text")
+    val out = Corpus.ngramNovelty(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((3L, 2L, 6666L))) // abc shared → 2/3 novel
+    assert(out(2L) === ((3L, 2L, 6666L)))
+    assert(out(3L) === ((1L, 1L, 10000L)))
+    assert(out(4L) === ((0L, 0L, 0L)))
+    assert(out(5L) === ((1L, 0L, 0L)))   // its only gram occurs 3×
+  }
 }

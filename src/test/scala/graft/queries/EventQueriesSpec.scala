@@ -95,4 +95,23 @@ class EventQueriesSpec extends AnyFunSuite {
       .toSet
     assert(out === plain)
   }
+
+  test("an34: retention matrix — offset-0 cells are full cohorts; counts bounded by cohort size") {
+    val sf = "/root/testdata/sf0.001"
+    val out = EventQueries.an34Retention(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // every user is active on their own cohort day: offset 0 = the cohort
+    out.filter(_._2 == 0L).foreach { case (c, _, active, n, bp) =>
+      assert(active === n, s"cohort $c"); assert(bp === 10000L, s"cohort $c")
+    }
+    // no cell exceeds its cohort; offsets are non-negative
+    out.foreach { case (c, off, active, n, bp) =>
+      assert(off >= 0L, s"$c"); assert(active <= n, s"$c+$off")
+      assert(bp === active * 10000L / n, s"$c+$off")
+    }
+    // ordering contract: (cohort_day, day_offset)
+    assert(out.map(x => (x._1, x._2)).sortBy(identity).toSeq ===
+      out.map(x => (x._1, x._2)).toSeq)
+  }
 }
