@@ -218,6 +218,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus-sized join in t32 (weights must broadcast):\n$p")
   }
 
+  test("t38 repetition battery: every window is doc-partitioned; gram aggs combine map-side") {
+    val p = sparkPlan("t38_gopher_repetition").toString
+    // five gram branches, all keyed by the doc: any windowspec must be
+    // partitioned (the global audit separately bans the unpartitioned
+    // kind); the per-(doc,gram) counts must combine map-side
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"top-gram pick lost its doc partitioning:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"gram counts not map-side combined:\n$p")
+  }
+
+  test("an33 sketch roll-up: no Expand — the point is avoiding count-distinct's double shuffle") {
+    // count(distinct) plans Expand + a (group, key) re-shuffle; the
+    // sketch roll-up must not (one fact shuffle to the fine grain,
+    // then sketch-table work only)
+    val p = sparkPlan("an33_bitmap_rollup").toString
+    assert(!p.contains("Expand"), s"Expand in the sketch roll-up:\n$p")
+    assert(p.contains("bitmap_sketch") && p.contains("bitmap_merge_count"),
+      s"sketch pair missing from plan:\n$p")
+  }
+
+  test("an34 retention: distinct-before-count keeps Expand out; matrix aggs combine map-side") {
+    val p = sparkPlan("an34_retention").toString
+    assert(!p.contains("Expand"), s"Expand in retention matrix:\n$p")
+    assert(p.contains("partial_count"), s"matrix counts not map-side combined:\n$p")
+  }
+
+  test("t39 novelty: gram counts join as hash equi-joins, per-doc agg combines map-side") {
+    val p = sparkPlan("t39_ngram_novelty").toString
+    assert(p.contains("partial_count"), s"gram/doc counts not map-side combined:\n$p")
+    assert(!p.contains("SortMergeJoin [__text") && !p.contains("CartesianProduct"),
+      s"novelty joining on non-key columns:\n$p")
+  }
+
   test("t29 classifier scoring is one map-side-combined doc aggregate") {
     val p = sparkPlan("t29_hashed_classifier").toString
     assert(p.contains("partial_count") || p.contains("partial_sum"),
