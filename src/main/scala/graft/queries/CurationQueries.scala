@@ -1591,6 +1591,54 @@ object CurationQueries {
        |FROM inst2 i JOIN vocab3 v USING (word)
        |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
 
+  /** T40: tokenizer FERTILITY per source — tokens/word and
+    * chars/token (integer basis points: 13500 = 1.35 tokens per word)
+    * of the t24-trained BPE tokenizer, aggregated per corpus source.
+    * Fertility is the metric tokenizer and mixture decisions actually
+    * key on: a source whose fertility is far above the corpus mean is
+    * expensive to train on (more tokens per unit text) and usually
+    * signals domain mismatch with the tokenizer's training corpus
+    * (non-English, code, tables). Rides [[Corpus.bpeTokenCounts]]'
+    * per-doc counts — the corpus side stays one explode + vocab join
+    * + two bounded aggregates; the oracle replays the full 3-round
+    * BPE train (the t24/t25 CTE scaffolding) and the per-source
+    * roll-up. */
+  val t40TokenizerFertility: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val perDoc = Corpus.bpeTokenCounts(docs, "doc_id", "text", rounds = 3)
+    docs.select($"doc_id", $"source").join(perDoc, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_words"),
+        sum($"n_chars").as("n_chars"), sum($"n_tokens").as("n_tokens"))
+      .select($"source", $"n_docs", $"n_words", $"n_chars", $"n_tokens",
+        expr("(n_tokens * 10000) div n_words").as("tokens_per_word_bp"),
+        expr("(n_chars * 10000) div n_tokens").as("chars_per_token_bp"))
+      .orderBy($"source")
+  }
+
+  val t40TokenizerFertilitySql: String =
+    s"""$bpeCtes,
+       |inst AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |inst2 AS (SELECT doc_id, word FROM inst WHERE word <> ''),
+       |per AS (
+       |  SELECT i.doc_id, count(*) AS n_words,
+       |    sum(length(i.word))::BIGINT AS n_chars,
+       |    sum(len(v.syms))::BIGINT AS n_tokens
+       |  FROM inst2 i JOIN vocab3 v USING (word)
+       |  GROUP BY i.doc_id)
+       |SELECT d.source, count(*) AS n_docs,
+       |  sum(per.n_words)::BIGINT AS n_words,
+       |  sum(per.n_chars)::BIGINT AS n_chars,
+       |  sum(per.n_tokens)::BIGINT AS n_tokens,
+       |  (sum(per.n_tokens)::BIGINT * 10000) // sum(per.n_words)::BIGINT
+       |    AS tokens_per_word_bp,
+       |  (sum(per.n_chars)::BIGINT * 10000) // sum(per.n_tokens)::BIGINT
+       |    AS chars_per_token_bp
+       |FROM per JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** T27: epoch upsampling plan — the data-recipe counterpart of t12's
     * downsampling: high-value sources REPEAT across training epochs
     * (factor 1.0×/1.5×/2.0× by source index here). The integer part of
@@ -1660,6 +1708,7 @@ object CurationQueries {
     "t37_gopher_rules" -> t37GopherRules,
     "t38_gopher_repetition" -> t38GopherRepetition,
     "t39_ngram_novelty" -> t39NgramNovelty,
+    "t40_tokenizer_fertility" -> t40TokenizerFertility,
     "t11_repetition"  -> t11Repetition,
     "t12_domain_mix"  -> t12DomainMix,
     "n4_quantize"     -> n4Quantize,
@@ -1693,6 +1742,7 @@ object CurationQueries {
     "t37_gopher_rules" -> t37GopherRulesSql,
     "t38_gopher_repetition" -> t38GopherRepetitionSql,
     "t39_ngram_novelty" -> t39NgramNoveltySql,
+    "t40_tokenizer_fertility" -> t40TokenizerFertilitySql,
     "t11_repetition"  -> t11RepetitionSql,
     "t12_domain_mix"  -> t12DomainMixSql,
     "n4_quantize"     -> n4QuantizeSql,
