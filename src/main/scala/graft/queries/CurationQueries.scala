@@ -492,8 +492,8 @@ object CurationQueries {
       |  FROM w0),
       |base AS (
       |  SELECT doc_id,
-      |    list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
-      |    list_filter(string_split_regex(text, '[ \n]+'), x -> x <> '') AS w
+      |    list_filter(string_split(coalesce(text, ''), chr(10)), l -> l <> '') AS lines,
+      |    list_filter(string_split_regex(coalesce(text, ''), '[ \n]+'), x -> x <> '') AS w
       |  FROM inj),
       |b3 AS (
       |  SELECT doc_id, lines, w,
