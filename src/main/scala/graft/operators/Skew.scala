@@ -41,4 +41,46 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** HOT/COLD SPLIT join (sk3) — the third skew weapon, for when the
+    * right side is too big to broadcast whole AND too big to replicate
+    * `salts`× ([[saltedJoin]]'s cost): measure the left side's key
+    * histogram, split the keys at `hotThreshold` rows, and run TWO
+    * joins — the hot keys' right rows (a tiny relation by definition:
+    * few keys are hot) BROADCAST against the hot left partition, the
+    * cold majority through the ordinary shuffled equi-join — then
+    * union. Every production engine's manual skew recipe (and what
+    * AQE's OptimizeSkewedJoin approximates at runtime for sort-merge
+    * plans); the explicit form handles the degenerate single-key-owns-
+    * double-digit-percent case AQE splits can't fully level.
+    *
+    * The hot-key set is computed with one map-side-combined count on
+    * the LEFT side and must be small (it's broadcast twice — as the
+    * split filter and through the hot join); `require`-guarded via
+    * `maxHotKeys`. Inner-join semantics; result equals the plain join
+    * exactly (spec-pinned), only the physical distribution differs.
+    *
+    * Scale shape: one count agg over the left (map-side combined, key
+    * cardinality rows), two equi-joins each seeing DISJOINT key sets
+    * (no row duplicated, no post-union dedup needed), the hot side's
+    * shuffle avoided entirely — the hot key never converges on one
+    * reducer. */
+  def hotColdJoin(left: DataFrame, right: DataFrame, key: String,
+      hotThreshold: Long, maxHotKeys: Int = 1000): DataFrame = {
+    val counts = left.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= hotThreshold)
+      .select(col(key))
+    val hotKeys = counts.collect().map(_.get(0))
+    require(hotKeys.length <= maxHotKeys,
+      s"hotColdJoin: ${hotKeys.length} keys exceed hotThreshold=$hotThreshold " +
+        s"(maxHotKeys=$maxHotKeys) — raise the threshold or salt instead")
+    if (hotKeys.isEmpty) left.join(right, key)
+    else {
+      val isHot = col(key).isin(hotKeys: _*)
+      val hot = left.filter(isHot)
+        .join(broadcast(right.filter(isHot)), key)
+      val cold = left.filter(!isHot).join(right.filter(!isHot), key)
+      hot.unionByName(cold)
+    }
+  }
 }

@@ -867,6 +867,43 @@ object EventQueries {
       |FROM events e JOIN dim d ON e.event_type = d.event_type
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** SK3: HOT/COLD SPLIT join ([[graft.operators.Skew.hotColdJoin]])
+    * — the third skew weapon next to sk1's salted agg and sk2's
+    * replicated salted join: a synthetic 70%-hot key (user_id % 10 < 7
+    * collapses to key 0) would pin a plain equi-join's hottest task at
+    * ~70% of the data; the split joins the hot keys' tiny right rows
+    * by BROADCAST and only the cold majority through the shuffle. The
+    * result is exactly the plain inner join (the oracle IS the plain
+    * join); only the physical distribution differs — SkewSpec pins the
+    * two-join plan shape and the disjoint-key no-dup invariant. The
+    * hotThreshold sits so the hot branch engages at sf0.01+ and the
+    * no-hot-keys fallback is exercised at sf0.001. */
+  val sk3HotColdJoin: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_id", $"event_type", $"value",
+        when($"user_id" % 10 < 7, 0L).otherwise($"user_id").as("k"))
+    val dim = ev.select($"k").distinct()
+      .withColumn("w", (pmod($"k", lit(97)) + 1).cast("long"))
+    graft.operators.Skew.hotColdJoin(ev, dim, "k", hotThreshold = 1000)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("w * CAST(floor(value) AS BIGINT)")).as("wv"))
+      .orderBy($"event_type")
+  }
+
+  val sk3HotColdJoinSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, value,
+      |    CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k
+      |  FROM events),
+      |dim AS (SELECT DISTINCT k,
+      |          CAST(((k % 97) + 97) % 97 + 1 AS BIGINT) AS w FROM ev)
+      |SELECT e.event_type, count(*) AS n,
+      |  CAST(sum(d.w * CAST(floor(e.value) AS BIGINT)) AS BIGINT) AS wv
+      |FROM ev e JOIN dim d ON e.k = d.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Shared machinery for the REAL outer stream-stream attribution
     * joins (e13 leftOuter, e16 fullOuter): stage clicks/purchases to
     * parquet, run Streams.attributionJoin as a streaming query into a
@@ -1309,6 +1346,7 @@ object EventQueries {
     "an22_type_overlap" -> an22TypeOverlap,
     "an23_robust_outliers" -> an23RobustOutliers,
     "sk2_salted_join" -> sk2SaltedJoin,
+    "sk3_hotcold_join" -> sk3HotColdJoin,
     "e7_stream_static" -> e7StreamStatic,
     "e14_stream_merge_sink" -> e14StreamMergeSink,
     "u9_time_travel" -> u9TimeTravel,
@@ -1340,6 +1378,7 @@ object EventQueries {
     "an22_type_overlap" -> an22TypeOverlapSql,
     "an23_robust_outliers" -> an23RobustOutliersSql,
     "sk2_salted_join" -> sk2SaltedJoinSql,
+    "sk3_hotcold_join" -> sk3HotColdJoinSql,
     "e14_stream_merge_sink" -> e14StreamMergeSinkSql,
     "u9_time_travel" -> u9TimeTravelSql,
     "an26_rolling_active" -> an26RollingActiveSql,

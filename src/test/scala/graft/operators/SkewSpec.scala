@@ -41,4 +41,39 @@ class SkewSpec extends AnyFunSuite {
     // a salt bucket is fixed by the deterministic salt, so totals match
     assert(a.map(_.getString(0)) === b.map(_.getString(0)))
   }
+
+  // ---- Skew.hotColdJoin (sk3) -----------------------------------------
+
+  test("hotColdJoin equals the plain inner join, rows never duplicated") {
+    val dim = Seq(("hot", "HOT"), ("k1", "K1"), ("k7", "K7"), ("missing", "M"))
+      .toDF("k", "label")
+    val plain = skewed.join(dim, "k").select("k", "rid", "label")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val split = Skew.hotColdJoin(skewed, dim, "k", hotThreshold = 50)
+      .select("k", "rid", "label")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // multiset equality: the disjoint hot/cold key split must neither
+    // drop nor duplicate a single row
+    assert(split.sorted.toSeq === plain.sorted.toSeq)
+  }
+
+  test("hotColdJoin plans a broadcast for the hot keys and falls back to a plain join when none are hot") {
+    val dim = skewed.select("k").distinct().withColumn("label", org.apache.spark.sql.functions.upper($"k"))
+    val split = Skew.hotColdJoin(skewed, dim, "k", hotThreshold = 50)
+    val p = split.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"hot branch not broadcast:\n$p")
+    assert(p.contains("Union"), s"no hot/cold union:\n$p")
+    // threshold above every key's count → the plain single-join path
+    val none = Skew.hotColdJoin(skewed, dim, "k", hotThreshold = 1000000)
+    assert(!none.queryExecution.sparkPlan.toString.contains("Union"))
+  }
+
+  test("hotColdJoin fails fast when the hot-key set would not be broadcastable") {
+    // every key 'hot' at threshold 1 and maxHotKeys below the key count
+    val dim = skewed.select("k").distinct().withColumn("label", org.apache.spark.sql.functions.upper($"k"))
+    val e = intercept[IllegalArgumentException] {
+      Skew.hotColdJoin(skewed, dim, "k", hotThreshold = 1, maxHotKeys = 2)
+    }
+    assert(e.getMessage.contains("hotColdJoin"))
+  }
 }
