@@ -508,6 +508,35 @@ object ScaleStress {
     // both must grow linearly in rows (replicas share user keys, so
     // per-key density grows n×: the sort-cost regime, not the
     // candidate-pair regime a range-join encoding would hit).
+    // t38: the Gopher repetition battery is WITHIN-document, so both
+    // growth modes must be linear — identical replicas are separate
+    // docs and never interact (contrast d2's pair space). The check is
+    // that the five gram branches stay linear together.
+    if (sect("t38")) Seq(("disjoint", disjoint _), ("identical", identical _))
+      .foreach { case (mode, mk) =>
+        Seq(1, 5, 20).foreach { n =>
+          val d = mk(n).cache(); val rows = d.count()
+          time(s"t38 $mode n=$n rows=$rows") {
+            Corpus.gopherRepetition(d, "doc_id", "text") }
+          d.unpersist(blocking = true)
+        }
+      }
+
+    // t39: novelty's gram-count relation keys on the gram hash — under
+    // identical replication every count row goes hot (count = N) but
+    // stays ONE row per distinct gram, so the join fans out linearly
+    // (N occurrences × 1 count row), never quadratically. Expected:
+    // both modes linear; identical-mode novelty collapses to 0.
+    if (sect("t39")) Seq(("disjoint", disjoint _), ("identical", identical _))
+      .foreach { case (mode, mk) =>
+        Seq(1, 5, 20).foreach { n =>
+          val d = mk(n).cache(); val rows = d.count()
+          time(s"t39 $mode n=$n rows=$rows") {
+            Corpus.ngramNovelty(d, "doc_id", "text") }
+          d.unpersist(blocking = true)
+        }
+      }
+
     // d16: alternating-star CC vs min-label propagation on CHAINS —
     // the adversarial-diameter topology. Stars should grow ~log with
     // chain length; propagation pays one round per 2 hops of diameter
