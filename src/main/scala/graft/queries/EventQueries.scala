@@ -867,6 +867,61 @@ object EventQueries {
       |FROM events e JOIN dim d ON e.event_type = d.event_type
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** E19: STREAMING exact distinct users per day —
+    * [[graft.streaming.Streams.dailyDistinctStream]], the an33 bitmap
+    * sketch as flatMapGroupsWithState state: per-day bitmaps OR-update
+    * each micro-batch and flush once the watermark passes the day
+    * (state bounded by the watermark horizon, never the stream
+    * length; no count-distinct Expand anywhere). The e4 harness: file
+    * replay, epoch shift at DAY granularity (a day multiple, so day
+    * indexes translate exactly), two far-future sentinels to flush
+    * every real day, memory sink. Rows with null ts/user/value are
+    * excluded on both engines (the `Dataset[Event]` encoder contract —
+    * primitive fields reject nulls by design). Oracle = batch
+    * count(DISTINCT) per day: equality proves streaming ≡ batch. */
+  val e19StreamDailyDistinct: Q = (s, dir) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val ev = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull)
+      .select($"user_id", $"ts", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e19").toString
+    val off = Streams.stageWithEpochShift(ev, "ts", tmp,
+      granularitySeconds = 86400L)
+    val offDays = off / (86400L * 1000000L)
+    val stream = Streams.shiftTs(
+      s.readStream.schema(ev.schema).parquet(tmp), "ts", off).as[Streams.Event]
+    val q = Streams.dailyDistinctStream(stream)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("e19_daily").start()
+    def sentinel(sec: Long): Unit =
+      Seq((-1L, new java.sql.Timestamp(sec * 1000L), 0.0))
+        .toDF("user_id", "ts", "value")
+        .write.mode("append").parquet(tmp)
+    try {
+      q.processAllAvailable()
+      sentinel(4102444800L) // 2100-01-01 advances the watermark
+      q.processAllAvailable()
+      sentinel(4102444860L) // second batch fires the timeouts
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
+    }
+    s.table("e19_daily").filter($"distinct_users" > 0)
+      .select(expr(s"date_add(DATE '1970-01-01', CAST(day - $offDays AS INT))")
+        .as("day"), $"distinct_users")
+      .orderBy($"day")
+  }
+
+  val e19StreamDailyDistinctSql: String =
+    """SELECT date_trunc('day', ts)::DATE AS day,
+      |  count(DISTINCT user_id) AS distinct_users
+      |FROM events
+      |WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** SK3: HOT/COLD SPLIT join ([[graft.operators.Skew.hotColdJoin]])
     * — the third skew weapon next to sk1's salted agg and sk2's
     * replicated salted join: a synthetic 70%-hot key (user_id % 10 < 7
@@ -1347,6 +1402,7 @@ object EventQueries {
     "an23_robust_outliers" -> an23RobustOutliers,
     "sk2_salted_join" -> sk2SaltedJoin,
     "sk3_hotcold_join" -> sk3HotColdJoin,
+    "e19_stream_daily_distinct" -> e19StreamDailyDistinct,
     "e7_stream_static" -> e7StreamStatic,
     "e14_stream_merge_sink" -> e14StreamMergeSink,
     "u9_time_travel" -> u9TimeTravel,
@@ -1379,6 +1435,7 @@ object EventQueries {
     "an23_robust_outliers" -> an23RobustOutliersSql,
     "sk2_salted_join" -> sk2SaltedJoinSql,
     "sk3_hotcold_join" -> sk3HotColdJoinSql,
+    "e19_stream_daily_distinct" -> e19StreamDailyDistinctSql,
     "e14_stream_merge_sink" -> e14StreamMergeSinkSql,
     "u9_time_travel" -> u9TimeTravelSql,
     "an26_rolling_active" -> an26RollingActiveSql,

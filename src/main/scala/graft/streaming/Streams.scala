@@ -31,7 +31,8 @@ object Streams {
     "e4_stream_sessions", "e6_stream_join", "e7_stream_static",
     "e11_stream_tumbling", "e12_stream_dedup", "e13_stream_outer_join",
     "e14_stream_merge_sink", "e15_checkpoint_resume",
-    "e16_stream_full_outer_join", "e17_stream_sliding")
+    "e16_stream_full_outer_join", "e17_stream_sliding",
+    "e19_stream_daily_distinct")
 
   /** Exactly-once incremental article ingest: JSONL landing dir →
     * stream with the explicit article schema. */
@@ -217,6 +218,65 @@ object Streams {
           }
           closed.iterator.map { case (s0, l0, n0, a0) =>
             Session(uid, s0, l0, n0, a0)
+          }
+      }
+  }
+
+  // ---- streaming exact distinct (the an33 sketch, stateful) --------
+
+  case class DayDistinct(day: Long, distinct_users: Long)
+
+  private val dayMicros: Long = 86400L * 1000000L
+
+  /** Streaming EXACT distinct users per event-time day — the an33
+    * bitmap-sketch discipline crossed into Structured Streaming.
+    * State per day is the SERIALIZED BITMAP (bounded by the key
+    * domain, not the stream length — 10M users ≈ 1.25 MB per open
+    * day), OR-updated each micro-batch; the day's count is emitted
+    * ONCE as an Append row when the watermark passes the day's end
+    * (EventTimeTimeout), then state drops — an unbounded stream holds
+    * state only for days inside the watermark horizon. The streaming
+    * twin of `count(distinct)` exactly as e11 is the streaming twin
+    * of a tumbling count, with none of count-distinct's Expand: the
+    * distinct values never re-shuffle, they set bits.
+    *
+    * Day keys are `floorDiv(event micros, 86400e6)` — pre-epoch-safe
+    * (pair with the e11 epoch shift at 86400 s granularity, a day
+    * multiple, so day boundaries translate exactly). User ids must be
+    * in the bitmap domain [0, 2^31-8) — out-of-range fails fast —
+    * EXCEPT the negative ids the e-family reserves for watermark
+    * sentinels, which advance time without setting bits (their day
+    * emits 0 if it ever flushes; gates filter `distinct_users > 0`).
+    * Timeout-timestamp safety: any row reaching the function satisfies
+    * ts ≥ watermark, and its day's end > ts, so the day-end timeout is
+    * always strictly ahead of the watermark. */
+  def dailyDistinctStream(events: Dataset[Event],
+      watermarkDelay: String = "30 minutes"): Dataset[DayDistinct] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => Math.floorDiv(tsMicros(e.ts), dayMicros))
+      .flatMapGroupsWithState[Array[Byte], DayDistinct](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (day, it, state: GroupState[Array[Byte]]) =>
+          if (state.hasTimedOut) {
+            val n = java.util.BitSet.valueOf(state.get).cardinality().toLong
+            state.remove()
+            Iterator.single(DayDistinct(day, n))
+          } else {
+            val bits = state.getOption.map(java.util.BitSet.valueOf)
+              .getOrElse(new java.util.BitSet())
+            it.foreach { e =>
+              if (e.user_id >= 0L) {
+                require(e.user_id < Int.MaxValue - 8,
+                  s"dailyDistinctStream: user_id ${e.user_id} outside the bitmap domain")
+                bits.set(e.user_id.toInt)
+              }
+            }
+            state.update(bits.toByteArray)
+            // flush when the watermark passes the day's end (ms)
+            state.setTimeoutTimestamp((day + 1L) * 86400000L)
+            Iterator.empty
           }
       }
   }

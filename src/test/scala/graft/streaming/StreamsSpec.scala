@@ -483,4 +483,41 @@ class StreamsSpec extends AnyFunSuite {
       assert(Streams.epochShiftForMin(m) % g === 0L)
     }
   }
+
+  test("daily distinct stream: bitmap state dedups across batches, emits once per closed day") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400000L // ms
+    def ts(d: Long, h: Long) = new Timestamp(d * day + h * 3600000L)
+    val src = MemoryStream[Streams.Event]
+    val q = Streams.dailyDistinctStream(src.toDS(), "30 minutes").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("daily").start()
+    // batch 1 stays inside day 10 (a day-11 event would advance the
+    // watermark past day 10's end and late-drop batch 2's rows):
+    // users 1,2,1 — dup within the batch
+    src.addData(
+      Streams.Event(1L, ts(10, 1), 0.0),
+      Streams.Event(2L, ts(10, 2), 0.0),
+      Streams.Event(1L, ts(10, 3), 0.0))
+    q.processAllAvailable()
+    // nothing closed yet — Append emits only on watermark flush
+    assert(spark.table("daily").count() === 0)
+    // batch 2: day 10 again (user 2 dups ACROSS batches, user 4 new)
+    // plus day 11's user 3 — its watermark advance closes day 10
+    src.addData(
+      Streams.Event(2L, ts(10, 4), 0.0),
+      Streams.Event(4L, ts(10, 5), 0.0),
+      Streams.Event(3L, ts(11, 1), 0.0))
+    q.processAllAvailable()
+    // sentinel far future (negative user = no bit), then the firing batch
+    src.addData(Streams.Event(-1L, ts(1000, 0), 0.0))
+    q.processAllAvailable()
+    src.addData(Streams.Event(-1L, ts(1000, 1), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("daily")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(10L -> 3L, 11L -> 1L)) // users {1,2,4}, {3}
+  }
 }
