@@ -46,7 +46,9 @@ object Bench {
     // families in one query), the bitmap sketch roll-up, and
     // alternating-star connected components on a chain graph
     "t38_gopher_repetition", "an33_bitmap_rollup", "d16_cc_stars",
-    "t39_ngram_novelty", "an34_retention")
+    "t39_ngram_novelty", "an34_retention",
+    // the six-table join-reorder flight through the SQL facade
+    "q5_sql")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —

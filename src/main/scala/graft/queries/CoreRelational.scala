@@ -293,6 +293,42 @@ object CoreRelational {
 
   val q3SqlSql: String = q3Text
 
+  /** Q5: the six-table TPC-H Q5 shape (local-supplier volume) through
+    * the SQL facade — the join-REORDER showcase: region (5 rows) →
+    * nation → {customer, supplier} fan into orders ⋈ lineitem with the
+    * non-tree `c_nationkey = s_nationkey` condition. Declared as flat
+    * SQL and left to Catalyst: the region/nation/customer/supplier
+    * dims broadcast, the only real shuffle is orders ⋈ lineitem, and
+    * CBO/AQE pick the order — exactly the "declare, don't schedule"
+    * discipline SURVEY §4 commits to. Revenue on DECIMAL(18,4) then
+    * one rounded cast (the q3 float rule). */
+  private val q5Text =
+    """SELECT n_name,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+      |                 * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND s_nationkey = c_nationkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  val q5Sql: Q = (s, dir) => {
+    val views = Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+    views.foreach { t => Tables.load(s, dir, t).createOrReplaceTempView(t) }
+    val df = s.sql(q5Text)
+    views.foreach(s.catalog.dropTempView)
+    df
+  }
+
+  val q5SqlSql: String = q5Text
+
   /** AN13: equal-width histogram over a fixed range — the binning
     * pass of any data-profiling pipeline. The bucket index is plain
     * arithmetic (`floor(x * nb / hi)` clamped to the last bin), not a
@@ -597,6 +633,7 @@ object CoreRelational {
     "an31_regression"   -> an31Regression,
     "an13_histogram"    -> an13Histogram,
     "q3_sql"            -> q3Sql,
+    "q5_sql"            -> q5Sql,
     "an6_rollup"        -> an6Rollup,
     "p2_sentinel_filter" -> p2SentinelFilter,
   )
@@ -620,6 +657,7 @@ object CoreRelational {
     "an31_regression"   -> an31RegressionSql,
     "an13_histogram"    -> an13HistogramSql,
     "q3_sql"            -> q3SqlSql,
+    "q5_sql"            -> q5SqlSql,
     "an6_rollup"        -> an6RollupSql,
     "p2_sentinel_filter" -> p2SentinelFilterSql,
   )
