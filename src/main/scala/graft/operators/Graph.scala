@@ -161,18 +161,19 @@ object Graph {
     * Input `pairs`: (src, dst) — undirected, duplicates and self-loops
     * tolerated. Ids must be non-null. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
-    val p0 = pairs.select(col("src").as("a"), col("dst").as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val pIn = pairs.select(col("src").as("a"), col("dst").as("b"))
+    val p0 = pIn.filter(col("a") =!= col("b")).distinct().localCheckpoint()
     val nEdges = p0.count()
     val sess = p0.sparkSession
     val sessParts = sess.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val nParts = math.max(1L,
       math.min(sessParts.toLong, nEdges / 1000000L + 1L)).toInt
-    // nodes captured BEFORE contraction: star edges at convergence
-    // don't necessarily mention every input node pairing (dup input
-    // rows), and the contract is one output row per distinct node
-    val nodes = p0.select(col("a").as("node"))
-      .unionByName(p0.select(col("b").as("node"))).distinct()
+    // nodes captured from the RAW input, before the self-loop filter:
+    // a node appearing only as (x, x) is a singleton component and
+    // must still get its output row (dupClusters parity) — and star
+    // edges at convergence don't mention every input pairing anyway
+    val nodes = pIn.select(col("a").as("node"))
+      .unionByName(pIn.select(col("b").as("node"))).distinct()
       .localCheckpoint()
 
     def largeStar(e: DataFrame): DataFrame = {

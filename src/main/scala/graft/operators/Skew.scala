@@ -67,7 +67,13 @@ object Skew {
     * reducer. */
   def hotColdJoin(left: DataFrame, right: DataFrame, key: String,
       hotThreshold: Long, maxHotKeys: Int = 1000): DataFrame = {
-    val counts = left.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+    // null keys never become "hot": an IN list containing null makes
+    // every non-matching row evaluate NULL (not false), so `!isHot`
+    // would silently DROP the whole cold branch — and inner-join
+    // semantics discard null keys anyway, so excluding them here
+    // changes nothing about the result
+    val counts = left.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= hotThreshold)
       .select(col(key))
     val hotKeys = counts.collect().map(_.get(0))

@@ -68,6 +68,26 @@ class SkewSpec extends AnyFunSuite {
     assert(!none.queryExecution.sparkPlan.toString.contains("Union"))
   }
 
+  test("hotColdJoin: a null key crossing the threshold never poisons the IN list") {
+    // 200 null-keyed rows (over threshold) + normal keys: an IN list
+    // containing null makes non-matching rows NULL (not false), which
+    // would silently empty the cold branch — nulls must never be "hot"
+    val withNulls = ((1 to 200).map(i => (null.asInstanceOf[String], i.toLong, 0.0)) ++
+      (1 to 200).map(i => ("hot", 1000L + i, 0.0)) ++
+      (1 to 5).map(i => (s"cold$i", 2000L + i, 0.0))).toDF("k", "rid", "v")
+    val dim = withNulls.select("k").distinct()
+      .withColumn("label", org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.upper($"k"),
+        org.apache.spark.sql.functions.lit("NULL")))
+    val plain = withNulls.join(dim, "k").select("k", "rid")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val split = Skew.hotColdJoin(withNulls, dim, "k", hotThreshold = 50)
+      .select("k", "rid")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(split.sorted.toSeq === plain.sorted.toSeq)
+    assert(split.count(_._1.startsWith("cold")) === 5) // cold branch intact
+  }
+
   test("hotColdJoin fails fast when the hot-key set would not be broadcastable") {
     // every key 'hot' at threshold 1 and maxHotKeys below the key count
     val dim = skewed.select("k").distinct().withColumn("label", org.apache.spark.sql.functions.upper($"k"))

@@ -311,12 +311,14 @@ class AdvancedOpsSpec extends AnyFunSuite {
     val edges = Seq(
       (5L, 9L), (9L, 5L), (9L, 9L),        // pair w/ dup + self-loop
       (20L, 21L), (21L, 22L), (22L, 20L),  // triangle
-      (40L, 41L)                           // isolated pair
+      (40L, 41L),                          // isolated pair
+      (77L, 77L)                           // self-loop-ONLY node: singleton
     ).toDF("src", "dst")
     val out = Graph.connectedComponents(edges).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out === Map(5L -> 5L, 9L -> 5L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L, 40L -> 40L, 41L -> 40L))
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 40L -> 40L, 41L -> 40L,
+      77L -> 77L))
   }
 
   test("connectedComponents agrees with dupClusters on a pseudo-random graph") {
