@@ -537,6 +537,46 @@ object ScaleStress {
         }
       }
 
+    // an33: sketch roll-up vs count-distinct — the claim under test is
+    // that answering BOTH grains (day×type and day) from one fact scan
+    // via mergeable bitmap sketches beats running count(distinct)
+    // twice (each plans Expand + its own (group, key) re-shuffle of
+    // the raw user ids). Events replicated N× with shifted event ids
+    // but the SAME users/days, so distinct counts stay constant while
+    // fact rows grow — the regime where re-shuffling raw keys hurts.
+    if (sect("an33")) Seq(1, 5, 20, 50).foreach { n =>
+      import org.apache.spark.sql.functions.to_date
+      val ev0 = Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val evN = (0 until n).map { r =>
+        ev0.select((col("event_id") + lit(r.toLong * 100000000L)).as("event_id"),
+          col("user_id"), col("ts"), col("event_type"))
+      }.reduce(_.unionByName(_)).cache()
+      val rows = evN.count()
+      time(s"an33 sketch-rollup n=$n rows=$rows") {
+        val sk = evN.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(graft.functions.BitmapDistinct.bitmap_sketch(col("user_id")).as("sk"))
+          .localCheckpoint() // materialize the fine grain ONCE (the
+                             // stored-sketch-table discipline)
+        sk.groupBy(col("day"), col("event_type"))
+          .agg(graft.functions.BitmapDistinct.bitmap_merge_count(col("sk")).as("nu"))
+          .unionByName(sk.groupBy(col("day"))
+            .agg(graft.functions.BitmapDistinct.bitmap_merge_count(col("sk")).as("nu"))
+            .select(col("day"), lit("ALL").as("event_type"), col("nu")))
+          .filter(col("nu") > 0)
+      }
+      time(s"an33 count-distinct n=$n rows=$rows") {
+        evN.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count_distinct(col("user_id")).as("nu"))
+          .select(col("day"), col("event_type"), col("nu"))
+          .unionByName(evN.groupBy(to_date(col("ts")).as("day"))
+            .agg(count_distinct(col("user_id")).as("nu"))
+            .select(col("day"), lit("ALL").as("event_type"), col("nu")))
+          .filter(col("nu") > 0)
+      }
+      evN.unpersist(blocking = true)
+    }
+
     // d16: alternating-star CC vs min-label propagation on CHAINS —
     // the adversarial-diameter topology. Stars should grow ~log with
     // chain length; propagation pays one round per 2 hops of diameter
