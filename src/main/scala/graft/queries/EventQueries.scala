@@ -984,10 +984,15 @@ object EventQueries {
     ev.filter($"event_type" === "purchase").drop("event_type")
       .write.mode("overwrite").parquet(pDir)
     val sch = ev.drop("event_type").schema
-    val joined = Streams.attributionJoin(
-      s.readStream.schema(sch).parquet(cDir),
-      s.readStream.schema(sch).parquet(pDir),
-      joinType = joinType)
+    val joined =
+      if (joinType == "leftSemi")
+        Streams.attributionSemiJoin(
+          s.readStream.schema(sch).parquet(cDir),
+          s.readStream.schema(sch).parquet(pDir))
+      else Streams.attributionJoin(
+        s.readStream.schema(sch).parquet(cDir),
+        s.readStream.schema(sch).parquet(pDir),
+        joinType = joinType)
     val q = joined.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .format("memory").queryName(queryName).start()
@@ -1009,7 +1014,10 @@ object EventQueries {
       q.stop()
       graft.etl.Writers.deleteRecursively(base.toFile)
     }
-    s.table(queryName).filter($"user_id" =!= -1L)
+    val out = s.table(queryName).filter($"user_id" =!= -1L)
+    if (joinType == "leftSemi")
+      out.select($"click_id", $"user_id").orderBy($"click_id")
+    else out
       .select($"click_id", $"user_id", $"purchase_id", $"lag_us")
       .orderBy($"click_id", $"purchase_id")
   }
@@ -1024,6 +1032,28 @@ object EventQueries {
   val e13StreamOuterJoin: Q = (s, dir) =>
     runAttributionStream(s, dir, joinType = "leftOuter",
       queryName = "e13_outer")
+
+  /** E20: stream-stream LEFT SEMI interval join run as a REAL
+    * streaming query ([[graft.streaming.Streams.attributionSemiJoin]])
+    * — the conversion FLAG: each click emits at most once when any
+    * purchase lands in its window, never fanning out on multi-purchase
+    * users. Completes the streaming join-type matrix (inner e6,
+    * leftOuter e13, fullOuter e16, stream-static e7, semi here).
+    * Machinery shared via [[runAttributionStream]]. Oracle: the batch
+    * EXISTS under the identical interval condition. */
+  val e20StreamSemiJoin: Q = (s, dir) =>
+    runAttributionStream(s, dir, joinType = "leftSemi",
+      queryName = "e20_semi")
+
+  val e20StreamSemiJoinSql: String =
+    """SELECT c.event_id AS click_id, c.user_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      |    AND c.ts <= p.ts
+      |    AND epoch_us(p.ts) - epoch_us(c.ts) <= 7200::BIGINT * 1000000)
+      |ORDER BY click_id""".stripMargin
 
   val e13StreamOuterJoinSql: String =
     """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
@@ -1403,6 +1433,7 @@ object EventQueries {
     "sk2_salted_join" -> sk2SaltedJoin,
     "sk3_hotcold_join" -> sk3HotColdJoin,
     "e19_stream_daily_distinct" -> e19StreamDailyDistinct,
+    "e20_stream_semi_join" -> e20StreamSemiJoin,
     "e7_stream_static" -> e7StreamStatic,
     "e14_stream_merge_sink" -> e14StreamMergeSink,
     "u9_time_travel" -> u9TimeTravel,
@@ -1436,6 +1467,7 @@ object EventQueries {
     "sk2_salted_join" -> sk2SaltedJoinSql,
     "sk3_hotcold_join" -> sk3HotColdJoinSql,
     "e19_stream_daily_distinct" -> e19StreamDailyDistinctSql,
+    "e20_stream_semi_join" -> e20StreamSemiJoinSql,
     "e14_stream_merge_sink" -> e14StreamMergeSinkSql,
     "u9_time_travel" -> u9TimeTravelSql,
     "an26_rolling_active" -> an26RollingActiveSql,

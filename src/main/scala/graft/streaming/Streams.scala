@@ -32,7 +32,7 @@ object Streams {
     "e11_stream_tumbling", "e12_stream_dedup", "e13_stream_outer_join",
     "e14_stream_merge_sink", "e15_checkpoint_resume",
     "e16_stream_full_outer_join", "e17_stream_sliding",
-    "e19_stream_daily_distinct")
+    "e19_stream_daily_distinct", "e20_stream_semi_join")
 
   /** Exactly-once incremental article ingest: JSONL landing dir →
     * stream with the explicit article schema. */
@@ -446,6 +446,29 @@ object Streams {
         coalesce(col("user_id"), col("p_user")).as("user_id"), col("c_ts"),
         col("purchase_id"), col("p_ts"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
+  /** Left SEMI stream-stream interval join — "which clicks converted
+    * at all": each click emits AT MOST ONCE, as soon as any purchase
+    * lands in its 2-hour window — no purchase columns, no fan-out on
+    * multi-purchase users, and the smallest state and output of the
+    * join family (the conversion-FLAG complement to e6's inner
+    * attribution fan-out and e13's unmatched-click detection). The
+    * same two-sided time constraint bounds the join state under the
+    * watermarks. */
+  def attributionSemiJoin(clicks: DataFrame, purchases: DataFrame,
+      window: String = "2 hours", watermarkDelay: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    c.join(p, expr(
+        s"user_id = p_user AND c_ts <= p_ts AND p_ts <= c_ts + INTERVAL $window"),
+        "left_semi")
+      .select(col("click_id"), col("user_id"), col("c_ts"))
   }
 
   /** Stream-static enrichment join — the third streaming join shape

@@ -373,6 +373,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(got === Set((101L, Some(201L)), (102L, None)))
   }
 
+  test("semi stream join: one row per converted click, never a multi-purchase fan-out") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val h2us = 7200L * 1000000L
+    val clicks = Seq(
+      (101L, 1L, 1000L * 1000000L),  // TWO purchases in window → ONE row
+      (102L, 2L, 1000L * 1000000L),  // no purchase → no row
+      (103L, 3L, 1000L * 1000000L))  // purchase outside window → no row
+    val purchases = Seq(
+      (201L, 1L, 1000L * 1000000L + h2us / 4),
+      (202L, 1L, 1000L * 1000000L + h2us / 2),
+      (203L, 3L, 1000L * 1000000L + h2us + 1L))
+    def write(rows: Seq[(Long, Long, Long)], name: String): String = {
+      val dir = Files.createTempDirectory("graft-e20-spec").resolve(name).toString
+      rows.toDF("event_id", "user_id", "us")
+        .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val cDir = write(clicks, "clicks")
+    val pDir = write(purchases, "purchases")
+    val sch = clicks.toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts")).schema
+    val joined = Streams.attributionSemiJoin(
+      spark.readStream.schema(sch).parquet(cDir),
+      spark.readStream.schema(sch).parquet(pDir))
+    val q = joined.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("e20spec").start()
+    try {
+      q.processAllAvailable()
+      // drain once more so late state changes (none expected) settle
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("e20spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((101L, 1L))) // at-most-once, in-window only
+  }
+
   test("full-outer stream join emits both unmatched directions after expiry") {
     import org.apache.spark.sql.functions.timestamp_micros
     val h2us = 7200L * 1000000L
