@@ -193,6 +193,56 @@ case class BitmapMergeCountExpr(
     copy(child = newChild)
 }
 
+/** Scalar INTERSECTION count over two serialized sketches — the third
+  * leg of the sketch algebra next to INIT ([[BitmapSketchExpr]]) and
+  * MERGE/union ([[BitmapMergeCountExpr]]): `bitmap_and_count(a, b)` =
+  * |A ∩ B| exactly. What it buys at 100 TB: overlap questions
+  * (day-over-day retained users, audience intersections, cross-segment
+  * reach) answered by a JOIN OF THE SKETCH TABLE with per-row bit
+  * arithmetic — the fact table is never rescanned and no user id ever
+  * re-shuffles. HLL sketches only estimate intersections (via
+  * inclusion-exclusion, error compounds); exact bitmaps intersect
+  * exactly. Null if either side is null (outer-join friendly). */
+case class BitmapAndCountExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bitmap_and_count requires two BINARY sketches, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_and_count"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    BitmapAndCountExpr.andCount(
+      l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+
+  // real codegen (not CodegenFallback): the generated code calls the
+  // same static helper eval uses, so interpreted and compiled paths
+  // cannot diverge
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.BitmapAndCountExpr.andCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapAndCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object BitmapAndCountExpr {
+  /** Shared by eval and generated code. */
+  def andCount(l: Array[Byte], r: Array[Byte]): Long = {
+    val a = java.util.BitSet.valueOf(l)
+    a.and(java.util.BitSet.valueOf(r))
+    a.cardinality().toLong
+  }
+}
+
 object BitmapDistinct {
   /** Column-API entry point: `df.agg(bitmap_distinct($"user_id"))`. */
   def bitmap_distinct(c: Column): Column =
@@ -210,4 +260,10 @@ object BitmapDistinct {
   def bitmap_merge_count(c: Column): Column =
     ColumnBridge.column(
       BitmapMergeCountExpr(ColumnBridge.expression(c)).toAggregateExpression())
+
+  /** `bitmap_and_count($"sk_a", $"sk_b")` — exact |A ∩ B| of two
+    * sketches, per row (overlap/retention from the sketch table). */
+  def bitmap_and_count(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      BitmapAndCountExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

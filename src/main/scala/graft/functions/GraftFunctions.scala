@@ -83,6 +83,15 @@ object GraftFunctions {
         case Seq(c) => BitmapMergeCountExpr(c)
         case args => throw new IllegalArgumentException(
           s"bitmap_merge_count expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("bitmap_and_count"),
+      info(classOf[BitmapAndCountExpr], "bitmap_and_count",
+        "bitmap_and_count(sk1, sk2) - exact intersection cardinality of two " +
+          "bitmap_sketch values (overlap/retention from the sketch table)"),
+      {
+        case Seq(a, b) => BitmapAndCountExpr(a, b)
+        case args => throw new IllegalArgumentException(
+          s"bitmap_and_count expects 2 arguments, got ${args.length}")
       }))
 
   /** Register on an already-running session. */

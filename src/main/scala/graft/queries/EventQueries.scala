@@ -449,6 +449,48 @@ object EventQueries {
       |WHERE ts IS NOT NULL AND event_type IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** AN35: day-over-day retained users from the SKETCH TABLE —
+    * [[graft.functions.BitmapAndCountExpr]], the intersection leg of
+    * the sketch algebra (an33 is INIT→MERGE/union): per-day user
+    * bitmaps self-join on consecutive days and every overlap count is
+    * per-row bit arithmetic — the fact table is scanned once to build
+    * the sketches, and the retention question (an34 answers it from
+    * facts) re-reads only the |days|-sized sketch relation. Exact,
+    * where HLL-style sketches can only estimate intersections via
+    * compounding inclusion-exclusion. `bitmap_and_count(sk, sk)`
+    * doubles as each day's own cardinality, so the whole output is
+    * one join + three scalar expressions. */
+  val an35BitmapOverlap: Q = (s, dir) => {
+    import s.implicits._
+    val B = graft.functions.BitmapDistinct
+    val sk = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"user_id".isNotNull)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(B.bitmap_sketch($"user_id").as("sk"))
+    val nxt = sk.select(date_sub($"day", 1).as("day"), $"sk".as("sk_next"))
+    sk.join(nxt, "day")
+      .select($"day",
+        B.bitmap_and_count($"sk", $"sk").as("n_day"),
+        B.bitmap_and_count($"sk_next", $"sk_next").as("n_next"),
+        B.bitmap_and_count($"sk", $"sk_next").as("n_retained"))
+      .orderBy($"day")
+  }
+
+  val an35BitmapOverlapSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT date_trunc('day', ts)::DATE AS day, user_id
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |d AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY day),
+      |r AS (SELECT a1.day, CAST(count(*) AS BIGINT) AS n_retained
+      |      FROM a a1 JOIN a a2
+      |        ON a2.user_id = a1.user_id AND a2.day = a1.day + 1
+      |      GROUP BY a1.day)
+      |SELECT d.day, d.n AS n_day, d2.n AS n_next,
+      |  CAST(coalesce(r.n_retained, 0) AS BIGINT) AS n_retained
+      |FROM d JOIN d d2 ON d2.day = d.day + 1
+      |LEFT JOIN r ON r.day = d.day
+      |ORDER BY d.day""".stripMargin
+
   /** AN34: cohort retention matrix — the canonical product-analytics
     * warehouse query: users are grouped into cohorts by FIRST-ACTIVE
     * day, and each (cohort, day-offset) cell counts how many of that
@@ -1427,6 +1469,7 @@ object EventQueries {
     "an20_bitmap_distinct" -> an20BitmapDistinct,
     "an33_bitmap_rollup" -> an33BitmapRollup,
     "an34_retention" -> an34Retention,
+    "an35_bitmap_overlap" -> an35BitmapOverlap,
     "an21_transitions" -> an21TransitionMatrix,
     "an22_type_overlap" -> an22TypeOverlap,
     "an23_robust_outliers" -> an23RobustOutliers,
@@ -1461,6 +1504,7 @@ object EventQueries {
     "an20_bitmap_distinct" -> an20BitmapDistinctSql,
     "an33_bitmap_rollup" -> an33BitmapRollupSql,
     "an34_retention" -> an34RetentionSql,
+    "an35_bitmap_overlap" -> an35BitmapOverlapSql,
     "an21_transitions" -> an21TransitionMatrixSql,
     "an22_type_overlap" -> an22TypeOverlapSql,
     "an23_robust_outliers" -> an23RobustOutliersSql,

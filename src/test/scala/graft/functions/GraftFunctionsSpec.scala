@@ -122,4 +122,32 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(withNull === 3L)
   }
+
+  test("bitmap_and_count: exact intersection, self-AND = cardinality, null propagates") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // A = {1,2,3,100}, B = {2,100,500} → |A∩B| = 2
+    val sk = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 100L),
+      ("b", 2L), ("b", 100L), ("b", 500L)).toDF("g", "k")
+      .groupBy($"g").agg(BitmapDistinct.bitmap_sketch($"k").as("sk"))
+    val a = sk.filter($"g" === "a").select($"sk".as("ska"))
+    val b = sk.filter($"g" === "b").select($"sk".as("skb"))
+    val r = a.crossJoin(b).select(
+      BitmapDistinct.bitmap_and_count(col("ska"), col("skb")).as("i"),
+      BitmapDistinct.bitmap_and_count(col("ska"), col("ska")).as("na"),
+      BitmapDistinct.bitmap_and_count(col("skb"), col("skb")).as("nb"),
+      BitmapDistinct.bitmap_and_count(col("ska"),
+        org.apache.spark.sql.functions.lit(null).cast("binary")).as("nl"))
+      .head()
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === 4L && r.getLong(2) === 3L)
+    assert(r.isNullAt(3))
+    // SQL registration + disjoint sketches intersect to zero
+    sk.createOrReplaceTempView("and_in")
+    val viaSql = spark.sql(
+      """SELECT bitmap_and_count(x.sk, y.sk) FROM and_in x, and_in y
+        |WHERE x.g = 'a' AND y.g = 'b'""".stripMargin).head().getLong(0)
+    assert(viaSql === 2L)
+  }
 }
