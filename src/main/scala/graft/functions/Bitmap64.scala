@@ -1,0 +1,371 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+/** Compressed exact bitmap over the FULL 64-bit key domain — the
+  * roaring-bitmap container scheme (Chambi, Lemire, Kaser, Godin:
+  * "Better bitmap performance with Roaring bitmaps", 2016), built
+  * pure-JVM so the sketch algebra carries no dependency.
+  *
+  * Why it exists: the r9 sketch algebra buffered on `java.util.BitSet`,
+  * which caps keys at a dense `[0, 2^31-8)` int domain — real corpora
+  * key on 64-bit snowflake ids, hashes, or dictionary codes, and there
+  * the whole INIT/MERGE/AND family failed fast with no alternate path.
+  * This structure keeps the dense fast path (a fully-populated 2^16
+  * range costs the same 8 KiB page a flat bitmap pays) while making
+  * sparse and negative keys cheap: an isolated key costs one 2-byte
+  * array slot, not a bit position.
+  *
+  * Layout: the key's high 48 bits (`key >>> 16` — unsigned, so
+  * negative longs land in high buckets and every Long is legal) select
+  * a container; the low 16 bits live inside it. Containers are
+  *  - ARRAY: a sorted `Char` array, ≤ 4096 entries (≤ 8 KiB) — the
+  *    sparse representation;
+  *  - BITMAP: 1024 longs (8 KiB fixed) — the dense representation,
+  *    promoted to when an array would exceed 4096 entries.
+  * 4096 is the classic crossover: above it the 2-byte-per-entry array
+  * would outgrow the fixed 8 KiB page.
+  *
+  * Algebra: `add`, in-place `or` (set union — associative, commutative,
+  * idempotent, so partial-aggregate merges are order-independent),
+  * `cardinality`, and a non-materializing `andCardinality` (exact
+  * |A ∩ B| straight off the serialized form's containers — the only
+  * intersection the engine needs).
+  *
+  * Serialization is CANONICAL: containers are written in ascending
+  * bucket order, each in the representation its cardinality dictates
+  * (≤ 4096 → array form, regardless of in-memory promotion history),
+  * so the bytes are a pure function of the SET — any merge order, any
+  * partitioning, same sketch bytes. That is what lets a sketch column
+  * itself be grouped, compared, or stored without leaking the
+  * aggregation tree that built it.
+  */
+final class Bitmap64 private (
+    private val containers: java.util.TreeMap[java.lang.Long, Bitmap64.Container]) {
+  import Bitmap64._
+
+  def this() = this(new java.util.TreeMap[java.lang.Long, Bitmap64.Container]())
+
+  // hot-path locality cache: consecutive dense keys share a bucket for
+  // 65536 adds at a time; skipping the TreeMap probe there keeps the
+  // dense path close to the flat-BitSet cost it replaced
+  private var lastHi: Long = -1L
+  private var lastC: Container = null
+
+  /** Set `key`'s bit. Any Long is legal, including negatives. */
+  def add(key: Long): Unit = {
+    val hi = key >>> 16
+    val lo = (key & 0xFFFFL).toInt
+    if (hi == lastHi && (lastC ne null)) {
+      val c2 = lastC.add(lo)
+      if (c2 ne lastC) { containers.put(hi, c2); lastC = c2 }
+    } else {
+      var c = containers.get(hi)
+      if (c eq null) { c = new ArrayContainer(); containers.put(hi, c) }
+      val c2 = c.add(lo)
+      if (c2 ne c) containers.put(hi, c2)
+      lastHi = hi
+      lastC = c2
+    }
+  }
+
+  /** In-place set union. `other` is NOT mutated (its dense pages are
+    * cloned before absorption), so a deserialized partial can be
+    * merged into many buffers safely. */
+  def or(other: Bitmap64): Unit = {
+    val it = other.containers.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val mine = containers.get(e.getKey)
+      val merged =
+        if (mine eq null) e.getValue.copy()
+        else mine.or(e.getValue)
+      containers.put(e.getKey, merged)
+    }
+    lastHi = -1L
+    lastC = null
+  }
+
+  def cardinality: Long = {
+    var n = 0L
+    val it = containers.values().iterator()
+    while (it.hasNext) n += it.next().cardinality
+    n
+  }
+
+  def isEmpty: Boolean = containers.isEmpty
+
+  /** Canonical bytes: ascending bucket order, representation chosen by
+    * cardinality — a pure function of the set. */
+  def serialize(): Array[Byte] = {
+    var size = HeaderBytes
+    val it0 = containers.values().iterator()
+    val keys = containers.entrySet().iterator()
+    while (it0.hasNext) {
+      val c = it0.next()
+      val card = c.cardinality
+      size += 8 + 1 + (if (card <= ArrayMax) 4 + 2 * card else 4 + 8 * BitmapWords)
+    }
+    val buf = ByteBuffer.allocate(size)
+    buf.put(Magic)
+    buf.put(Version)
+    buf.putInt(containers.size())
+    while (keys.hasNext) {
+      val e = keys.next()
+      buf.putLong(e.getKey)
+      e.getValue.writeCanonical(buf)
+    }
+    buf.array()
+  }
+}
+
+object Bitmap64 {
+  private[functions] val ArrayMax = 4096
+  private[functions] val BitmapWords = 1024
+  private val Magic: Byte = 0x47 // 'G'
+  private val Version: Byte = 1
+  private val HeaderBytes = 1 + 1 + 4
+  private val KindArray: Byte = 0
+  private val KindBitmap: Byte = 1
+
+  def deserialize(bytes: Array[Byte]): Bitmap64 = {
+    val buf = ByteBuffer.wrap(bytes)
+    require(buf.remaining() >= HeaderBytes && buf.get() == Magic,
+      "Bitmap64: not a graft sketch (bad magic)")
+    val v = buf.get()
+    require(v == Version, s"Bitmap64: unsupported sketch version $v")
+    val n = buf.getInt()
+    val m = new java.util.TreeMap[java.lang.Long, Container]()
+    var i = 0
+    while (i < n) {
+      val hi = buf.getLong()
+      m.put(hi, readContainer(buf))
+      i += 1
+    }
+    new Bitmap64(m)
+  }
+
+  private def readContainer(buf: ByteBuffer): Container = buf.get() match {
+    case KindArray =>
+      val n = buf.getInt()
+      require(n >= 0 && n <= ArrayMax, s"Bitmap64: bad array container size $n")
+      val vs = new Array[Char](n)
+      var i = 0
+      while (i < n) { vs(i) = buf.getChar(); i += 1 }
+      new ArrayContainer(vs, n)
+    case KindBitmap =>
+      val card = buf.getInt()
+      val words = new Array[Long](BitmapWords)
+      var i = 0
+      while (i < BitmapWords) { words(i) = buf.getLong(); i += 1 }
+      new BitmapContainer(words, card)
+    case k => throw new IllegalArgumentException(s"Bitmap64: bad container kind $k")
+  }
+
+  /** Exact |A ∩ B| without materializing the intersection: walk the
+    * shorter container map, intersect only co-resident buckets. */
+  def andCardinality(a: Bitmap64, b: Bitmap64): Long = {
+    val (small, big) =
+      if (a.containers.size() <= b.containers.size()) (a, b) else (b, a)
+    var n = 0L
+    val it = small.containers.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val other = big.containers.get(e.getKey)
+      if (other ne null) n += Container.andCard(e.getValue, other)
+    }
+    n
+  }
+
+  // ---- containers ---------------------------------------------------
+
+  private[functions] sealed trait Container {
+    /** Returns the container holding the result — `this`, or the
+      * promoted replacement when an array overflows. */
+    def add(lo: Int): Container
+    /** Set-union `other` into this container's storage (or a fresh
+      * promotion); must NOT mutate `other`. */
+    def or(other: Container): Container
+    def cardinality: Int
+    def contains(lo: Int): Boolean
+    def copy(): Container
+    def writeCanonical(buf: ByteBuffer): Unit
+    /** Visit every set low-16 value in ascending order. */
+    def foreachValue(f: Int => Unit): Unit
+  }
+
+  private[functions] object Container {
+    def andCard(x: Container, y: Container): Int = (x, y) match {
+      case (a: ArrayContainer, b: ArrayContainer) =>
+        // two-pointer walk over the sorted value arrays
+        var i = 0; var j = 0; var n = 0
+        while (i < a.n && j < b.n) {
+          val av = a.values(i); val bv = b.values(j)
+          if (av == bv) { n += 1; i += 1; j += 1 }
+          else if (av < bv) i += 1
+          else j += 1
+        }
+        n
+      case (a: ArrayContainer, b: BitmapContainer) => probeCount(a, b)
+      case (a: BitmapContainer, b: ArrayContainer) => probeCount(b, a)
+      case (a: BitmapContainer, b: BitmapContainer) =>
+        var i = 0; var n = 0
+        while (i < BitmapWords) {
+          n += java.lang.Long.bitCount(a.words(i) & b.words(i)); i += 1
+        }
+        n
+    }
+    private def probeCount(a: ArrayContainer, b: BitmapContainer): Int = {
+      var i = 0; var n = 0
+      while (i < a.n) { if (b.contains(a.values(i))) n += 1; i += 1 }
+      n
+    }
+  }
+
+  private[functions] final class ArrayContainer(
+      var values: Array[Char], var n: Int) extends Container {
+    def this() = this(new Array[Char](8), 0)
+
+    def add(lo: Int): Container = {
+      val c = lo.toChar
+      val idx = java.util.Arrays.binarySearch(values, 0, n, c)
+      if (idx >= 0) this
+      else if (n < ArrayMax) {
+        if (n == values.length)
+          values = java.util.Arrays.copyOf(values, math.min(ArrayMax, n * 2))
+        val ins = -idx - 1
+        System.arraycopy(values, ins, values, ins + 1, n - ins)
+        values(ins) = c
+        n += 1
+        this
+      } else promote().add(lo)
+    }
+
+    private def promote(): BitmapContainer = {
+      val words = new Array[Long](BitmapWords)
+      var i = 0
+      while (i < n) {
+        val v = values(i).toInt
+        words(v >>> 6) |= (1L << v)
+        i += 1
+      }
+      new BitmapContainer(words, n)
+    }
+
+    def or(other: Container): Container = other match {
+      case o: ArrayContainer =>
+        // merged size bounded by n + o.n; spill to a bitmap only when
+        // the union actually exceeds the array ceiling
+        val merged = new Array[Char](n + o.n)
+        var i = 0; var j = 0; var k = 0
+        while (i < n && j < o.n) {
+          val av = values(i); val bv = o.values(j)
+          if (av == bv) { merged(k) = av; i += 1; j += 1 }
+          else if (av < bv) { merged(k) = av; i += 1 }
+          else { merged(k) = bv; j += 1 }
+          k += 1
+        }
+        while (i < n) { merged(k) = values(i); i += 1; k += 1 }
+        while (j < o.n) { merged(k) = o.values(j); j += 1; k += 1 }
+        if (k <= ArrayMax) new ArrayContainer(merged, k)
+        else {
+          val words = new Array[Long](BitmapWords)
+          var x = 0
+          while (x < k) {
+            val v = merged(x).toInt
+            words(v >>> 6) |= (1L << v)
+            x += 1
+          }
+          new BitmapContainer(words, k)
+        }
+      case o: BitmapContainer =>
+        // absorb into a CLONE of the dense page: `or` must not mutate
+        // its argument (partials can be merged into several buffers)
+        val b = new BitmapContainer(o.words.clone(), o.card)
+        var i = 0
+        while (i < n) { b.add(values(i).toInt); i += 1 }
+        b
+    }
+
+    def cardinality: Int = n
+
+    def contains(lo: Int): Boolean =
+      java.util.Arrays.binarySearch(values, 0, n, lo.toChar) >= 0
+
+    def copy(): Container =
+      new ArrayContainer(java.util.Arrays.copyOf(values, n), n)
+
+    def writeCanonical(buf: ByteBuffer): Unit = {
+      buf.put(KindArray)
+      buf.putInt(n)
+      var i = 0
+      while (i < n) { buf.putChar(values(i)); i += 1 }
+    }
+
+    def foreachValue(f: Int => Unit): Unit = {
+      var i = 0
+      while (i < n) { f(values(i).toInt); i += 1 }
+    }
+  }
+
+  private[functions] final class BitmapContainer(
+      val words: Array[Long], var card: Int) extends Container {
+
+    def add(lo: Int): Container = {
+      val w = lo >>> 6
+      val bit = 1L << lo // JVM shifts mask to the low 6 bits — exactly lo & 63
+      if ((words(w) & bit) == 0L) { words(w) |= bit; card += 1 }
+      this
+    }
+
+    def or(other: Container): Container = other match {
+      case o: ArrayContainer =>
+        var i = 0
+        while (i < o.n) { add(o.values(i).toInt); i += 1 }
+        this
+      case o: BitmapContainer =>
+        var i = 0; var n = 0
+        while (i < BitmapWords) {
+          words(i) |= o.words(i)
+          n += java.lang.Long.bitCount(words(i))
+          i += 1
+        }
+        card = n
+        this
+    }
+
+    def cardinality: Int = card
+
+    def contains(lo: Int): Boolean =
+      (words(lo >>> 6) & (1L << lo)) != 0L
+
+    def copy(): Container = new BitmapContainer(words.clone(), card)
+
+    def writeCanonical(buf: ByteBuffer): Unit =
+      if (card <= ArrayMax) {
+        // canonical demotion: the bytes depend on the SET, not on
+        // whether this page was ever promoted in memory
+        buf.put(KindArray)
+        buf.putInt(card)
+        foreachValue(v => buf.putChar(v.toChar))
+      } else {
+        buf.put(KindBitmap)
+        buf.putInt(card)
+        var i = 0
+        while (i < BitmapWords) { buf.putLong(words(i)); i += 1 }
+      }
+
+    def foreachValue(f: Int => Unit): Unit = {
+      var w = 0
+      while (w < BitmapWords) {
+        var bits = words(w)
+        while (bits != 0L) {
+          val t = java.lang.Long.numberOfTrailingZeros(bits)
+          f((w << 6) | t)
+          bits &= bits - 1
+        }
+        w += 1
+      }
+    }
+  }
+}

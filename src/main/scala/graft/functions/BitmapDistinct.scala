@@ -3,27 +3,30 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, LongType, ShortType}
 
-/** Exact distinct count over a dense non-negative integer key domain
-  * via a mergeable bitmap — the TypedImperativeAggregate extension
-  * point (the engine's fourth custom-extension kind, next to codegen'd
-  * scalar Expressions, the RangeJoinRewrite optimizer rule, and
-  * flatMapGroupsWithState streaming state).
+/** Exact distinct count over ANY 64-bit integral key domain via a
+  * mergeable compressed bitmap ([[Bitmap64]]) — the
+  * TypedImperativeAggregate extension point (the engine's fourth
+  * custom-extension kind, next to codegen'd scalar Expressions, the
+  * RangeJoinRewrite optimizer rule, and flatMapGroupsWithState
+  * streaming state).
   *
   * Why it earns custom code: `count(distinct x)` plans Expand +
   * a second shuffle keyed on (group, x) — the distinct values
   * themselves travel the wire. The bitmap buffer makes distinct-count
-  * ALGEBRAIC for dense int keys: partial bitmaps build map-side, merge
-  * by OR (order-independent, exactly mergeable — unlike HLL there is
-  * ZERO error, and unlike sort-based distinct nothing is re-shuffled
-  * but the fixed-size bitmaps). The classic warehouse trick for
-  * user-id-shaped keys (dense surrogate ints); 10 M users = 1.25 MB
-  * per group buffer. Keys must be in [0, 2^31-8); out-of-range input
-  * fails fast rather than silently truncating.
+  * ALGEBRAIC: partial bitmaps build map-side, merge by OR
+  * (order-independent, exactly mergeable — unlike HLL there is ZERO
+  * error, and unlike sort-based distinct nothing is re-shuffled but
+  * the compressed bitmaps). Dense surrogate-int keys pay the classic
+  * 1 bit/key (10 M users ≈ 1.25 MB per group buffer); sparse 64-bit
+  * snowflake ids, hashes, and dictionary codes pay ~2 bytes/key via
+  * roaring-style array containers — the r9 dense-domain `require` is
+  * gone, every Long (negatives included) is a legal key.
   *
   * Order-independence makes it oracle-exact: the gate compares against
   * DuckDB's COUNT(DISTINCT) — any merge order yields the same bitmap.
@@ -32,43 +35,36 @@ case class BitmapDistinctExpr(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.BitSet]
+  extends TypedImperativeAggregate[Bitmap64]
   with UnaryLike[Expression] {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def prettyName: String = "bitmap_distinct"
 
-  override def createAggregationBuffer(): java.util.BitSet = new java.util.BitSet()
+  // analysis-time contract (not a mid-job IllegalArgumentException): a
+  // mistyped key column fails the query before any task launches
+  override def checkInputDataTypes(): TypeCheckResult =
+    BitmapKey.checkIntegral(prettyName, child.dataType)
 
-  override def update(buffer: java.util.BitSet, input: InternalRow): java.util.BitSet = {
+  override def createAggregationBuffer(): Bitmap64 = new Bitmap64()
+
+  override def update(buffer: Bitmap64, input: InternalRow): Bitmap64 = {
     val v = child.eval(input)
-    if (v != null) {
-      val l = v match {
-        case x: Long => x
-        case x: Int => x.toLong
-        case x: Short => x.toLong
-        case x: Byte => x.toLong
-        case other => throw new IllegalArgumentException(
-          s"bitmap_distinct requires an integral key, got ${other.getClass.getSimpleName}")
-      }
-      require(l >= 0 && l < Int.MaxValue - 8,
-        s"bitmap_distinct requires keys in [0, 2^31-8): got $l")
-      buffer.set(l.toInt)
-    }
+    if (v != null) buffer.add(BitmapKey.toLong(v))
     buffer
   }
 
-  override def merge(b: java.util.BitSet, other: java.util.BitSet): java.util.BitSet = {
+  override def merge(b: Bitmap64, other: Bitmap64): Bitmap64 = {
     b.or(other); b
   }
 
-  override def eval(b: java.util.BitSet): Any = b.cardinality().toLong
+  override def eval(b: Bitmap64): Any = b.cardinality
 
-  override def serialize(b: java.util.BitSet): Array[Byte] = b.toByteArray
+  override def serialize(b: Bitmap64): Array[Byte] = b.serialize()
 
-  override def deserialize(bytes: Array[Byte]): java.util.BitSet =
-    java.util.BitSet.valueOf(bytes)
+  override def deserialize(bytes: Array[Byte]): Bitmap64 =
+    Bitmap64.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BitmapDistinctExpr =
     copy(mutableAggBufferOffset = newOffset)
@@ -78,22 +74,33 @@ case class BitmapDistinctExpr(
     copy(child = newChild)
 }
 
-/** Shared key coercion for the bitmap family: integral → bit index,
-  * with the same fail-fast domain contract as [[BitmapDistinctExpr]]. */
+/** Shared key handling for the bitmap family: integral → 64-bit key
+  * (any value — the compressed containers make sparse and negative
+  * domains cheap), plus the analysis-time type check every member
+  * mounts. */
 private[functions] object BitmapKey {
-  def set(buffer: java.util.BitSet, v: Any): Unit = {
-    val l = v match {
-      case x: Long => x
-      case x: Int => x.toLong
-      case x: Short => x.toLong
-      case x: Byte => x.toLong
-      case other => throw new IllegalArgumentException(
-        s"bitmap aggregate requires an integral key, got ${other.getClass.getSimpleName}")
-    }
-    require(l >= 0 && l < Int.MaxValue - 8,
-      s"bitmap aggregate requires keys in [0, 2^31-8): got $l")
-    buffer.set(l.toInt)
+  def toLong(v: Any): Long = v match {
+    case x: Long => x
+    case x: Int => x.toLong
+    case x: Short => x.toLong
+    case x: Byte => x.toLong
+    case other => throw new IllegalArgumentException(
+      s"bitmap aggregate requires an integral key, got ${other.getClass.getSimpleName}")
   }
+
+  private val integral: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType)
+
+  def checkIntegral(fn: String, dt: DataType): TypeCheckResult =
+    if (integral.contains(dt)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn requires an integral key column (TINYINT/SMALLINT/INT/BIGINT), " +
+        s"got ${dt.simpleString}")
+
+  def checkBinary(fn: String, dt: DataType): TypeCheckResult =
+    if (dt == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn requires a BINARY sketch column, got ${dt.simpleString}")
 }
 
 /** The SKETCH half of the bitmap roll-up pair: identical buffer
@@ -104,37 +111,43 @@ private[functions] object BitmapKey {
   * count — per day, per month, total — is a sketch MERGE over the tiny
   * sketch table, never a re-scan of the fact table. The exact-bitmap
   * version of the Druid / BigQuery `HLL_COUNT.INIT` → `MERGE` pattern
-  * (with zero error, for dense int keys). Pair with
+  * (with zero error, over any 64-bit integral key domain). The bytes
+  * are CANONICAL — a pure function of the key set, independent of
+  * merge order and partitioning ([[Bitmap64.serialize]]) — so sketch
+  * columns can themselves be compared or grouped. Pair with
   * [[BitmapMergeCountExpr]].
   */
 case class BitmapSketchExpr(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.BitSet]
+  extends TypedImperativeAggregate[Bitmap64]
   with UnaryLike[Expression] {
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = "bitmap_sketch"
 
-  override def createAggregationBuffer(): java.util.BitSet = new java.util.BitSet()
+  override def checkInputDataTypes(): TypeCheckResult =
+    BitmapKey.checkIntegral(prettyName, child.dataType)
 
-  override def update(buffer: java.util.BitSet, input: InternalRow): java.util.BitSet = {
+  override def createAggregationBuffer(): Bitmap64 = new Bitmap64()
+
+  override def update(buffer: Bitmap64, input: InternalRow): Bitmap64 = {
     val v = child.eval(input)
-    if (v != null) BitmapKey.set(buffer, v)
+    if (v != null) buffer.add(BitmapKey.toLong(v))
     buffer
   }
 
-  override def merge(b: java.util.BitSet, other: java.util.BitSet): java.util.BitSet = {
+  override def merge(b: Bitmap64, other: Bitmap64): Bitmap64 = {
     b.or(other); b
   }
 
-  override def eval(b: java.util.BitSet): Any = b.toByteArray
+  override def eval(b: Bitmap64): Any = b.serialize()
 
-  override def serialize(b: java.util.BitSet): Array[Byte] = b.toByteArray
-  override def deserialize(bytes: Array[Byte]): java.util.BitSet =
-    java.util.BitSet.valueOf(bytes)
+  override def serialize(b: Bitmap64): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): Bitmap64 =
+    Bitmap64.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BitmapSketchExpr =
     copy(mutableAggBufferOffset = newOffset)
@@ -150,40 +163,44 @@ case class BitmapSketchExpr(
   * merged cardinality. `bitmap_merge_count(sketch)` over a sketch
   * table IS `count(distinct key)` over the facts it summarized, at
   * sketch-table cost. Null sketches (e.g. from outer joins) are
-  * ignored; a non-binary input fails fast.
+  * ignored; a non-binary input fails at ANALYSIS (checkInputDataTypes),
+  * not mid-job.
   */
 case class BitmapMergeCountExpr(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.BitSet]
+  extends TypedImperativeAggregate[Bitmap64]
   with UnaryLike[Expression] {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def prettyName: String = "bitmap_merge_count"
 
-  override def createAggregationBuffer(): java.util.BitSet = new java.util.BitSet()
+  override def checkInputDataTypes(): TypeCheckResult =
+    BitmapKey.checkBinary(prettyName, child.dataType)
 
-  override def update(buffer: java.util.BitSet, input: InternalRow): java.util.BitSet = {
+  override def createAggregationBuffer(): Bitmap64 = new Bitmap64()
+
+  override def update(buffer: Bitmap64, input: InternalRow): Bitmap64 = {
     child.eval(input) match {
       case null => buffer
       case bytes: Array[Byte] =>
-        buffer.or(java.util.BitSet.valueOf(bytes)); buffer
+        buffer.or(Bitmap64.deserialize(bytes)); buffer
       case other => throw new IllegalArgumentException(
         s"bitmap_merge_count requires a binary sketch, got ${other.getClass.getSimpleName}")
     }
   }
 
-  override def merge(b: java.util.BitSet, other: java.util.BitSet): java.util.BitSet = {
+  override def merge(b: Bitmap64, other: Bitmap64): Bitmap64 = {
     b.or(other); b
   }
 
-  override def eval(b: java.util.BitSet): Any = b.cardinality().toLong
+  override def eval(b: Bitmap64): Any = b.cardinality
 
-  override def serialize(b: java.util.BitSet): Array[Byte] = b.toByteArray
-  override def deserialize(bytes: Array[Byte]): java.util.BitSet =
-    java.util.BitSet.valueOf(bytes)
+  override def serialize(b: Bitmap64): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): Bitmap64 =
+    Bitmap64.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BitmapMergeCountExpr =
     copy(mutableAggBufferOffset = newOffset)
@@ -202,14 +219,16 @@ case class BitmapMergeCountExpr(
   * arithmetic — the fact table is never rescanned and no user id ever
   * re-shuffles. HLL sketches only estimate intersections (via
   * inclusion-exclusion, error compounds); exact bitmaps intersect
-  * exactly. Null if either side is null (outer-join friendly). */
+  * exactly — and [[Bitmap64.andCardinality]] never materializes the
+  * intersection, it counts straight off co-resident containers. Null
+  * if either side is null (outer-join friendly). */
 case class BitmapAndCountExpr(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+  override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == BinaryType && right.dataType == BinaryType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
       s"bitmap_and_count requires two BINARY sketches, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def dataType: DataType = LongType
@@ -236,11 +255,8 @@ case class BitmapAndCountExpr(left: Expression, right: Expression)
 
 object BitmapAndCountExpr {
   /** Shared by eval and generated code. */
-  def andCount(l: Array[Byte], r: Array[Byte]): Long = {
-    val a = java.util.BitSet.valueOf(l)
-    a.and(java.util.BitSet.valueOf(r))
-    a.cardinality().toLong
-  }
+  def andCount(l: Array[Byte], r: Array[Byte]): Long =
+    Bitmap64.andCardinality(Bitmap64.deserialize(l), Bitmap64.deserialize(r))
 }
 
 object BitmapDistinct {

@@ -242,11 +242,13 @@ object Streams {
     *
     * Day keys are `floorDiv(event micros, 86400e6)` — pre-epoch-safe
     * (pair with the e11 epoch shift at 86400 s granularity, a day
-    * multiple, so day boundaries translate exactly). User ids must be
-    * in the bitmap domain [0, 2^31-8) — out-of-range fails fast —
-    * EXCEPT the negative ids the e-family reserves for watermark
-    * sentinels, which advance time without setting bits (their day
-    * emits 0 if it ever flushes; gates filter `distinct_users > 0`).
+    * multiple, so day boundaries translate exactly). State buffers on
+    * the compressed [[graft.functions.Bitmap64]], so ANY 64-bit user
+    * id is legal (sparse snowflake ids pay ~2 bytes/key, dense
+    * surrogate ints 1 bit/key) — EXCEPT the negative ids the e-family
+    * reserves for watermark sentinels, which advance time without
+    * setting bits (their day emits 0 if it ever flushes; gates filter
+    * `distinct_users > 0`).
     * Timeout-timestamp safety: any row reaching the function satisfies
     * ts ≥ watermark, and its day's end > ts, so the day-end timeout is
     * always strictly ahead of the watermark. */
@@ -260,20 +262,16 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (day, it, state: GroupState[Array[Byte]]) =>
           if (state.hasTimedOut) {
-            val n = java.util.BitSet.valueOf(state.get).cardinality().toLong
+            val n = graft.functions.Bitmap64.deserialize(state.get).cardinality
             state.remove()
             Iterator.single(DayDistinct(day, n))
           } else {
-            val bits = state.getOption.map(java.util.BitSet.valueOf)
-              .getOrElse(new java.util.BitSet())
+            val bits = state.getOption.map(graft.functions.Bitmap64.deserialize)
+              .getOrElse(new graft.functions.Bitmap64())
             it.foreach { e =>
-              if (e.user_id >= 0L) {
-                require(e.user_id < Int.MaxValue - 8,
-                  s"dailyDistinctStream: user_id ${e.user_id} outside the bitmap domain")
-                bits.set(e.user_id.toInt)
-              }
+              if (e.user_id >= 0L) bits.add(e.user_id)
             }
-            state.update(bits.toByteArray)
+            state.update(bits.serialize())
             // flush when the watermark passes the day's end (ms)
             state.setTimeoutTimestamp((day + 1L) * 86400000L)
             Iterator.empty

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit contract for the compressed 64-bit bitmap under the sketch
+  * algebra: exactness vs a reference Set over hostile key mixes,
+  * the array→bitmap promotion boundary, canonical serialization
+  * (bytes are a pure function of the SET), and the non-materializing
+  * intersection count. */
+class Bitmap64Spec extends AnyFunSuite {
+
+  private def bm(keys: Iterable[Long]): Bitmap64 = {
+    val b = new Bitmap64()
+    keys.foreach(b.add)
+    b
+  }
+
+  test("exact vs reference Set over a hostile key mix (sparse, dense, negative, extreme)") {
+    val rnd = new scala.util.Random(42)
+    val keys = Seq.fill(20000)(rnd.nextLong()) ++ // sparse 64-bit
+      (0L until 5000L) ++ // dense low ints
+      Seq.fill(5000)((rnd.nextLong() % 1000L) - 500L) ++ // dup-heavy, negatives
+      Seq(Long.MinValue, Long.MaxValue, -1L, 0L, 1L,
+        1L << 33, (1L << 33) + 1, Int.MaxValue.toLong, Int.MaxValue + 1L)
+    val ref = keys.toSet
+    val b = bm(keys)
+    assert(b.cardinality === ref.size.toLong)
+    // round-trip preserves cardinality and intersection-with-self
+    val rt = Bitmap64.deserialize(b.serialize())
+    assert(rt.cardinality === ref.size.toLong)
+    assert(Bitmap64.andCardinality(b, rt) === ref.size.toLong)
+  }
+
+  test("array container promotes at 4096 within one bucket, exactly") {
+    // 5000 distinct lows in one 2^16 bucket: crosses the 4096 boundary
+    val base = 1L << 40
+    val lows = (0 until 5000).map(i => i * 13 % 65536).distinct
+    val b = bm(lows.map(base + _))
+    assert(b.cardinality === lows.size.toLong)
+    assert(Bitmap64.deserialize(b.serialize()).cardinality === lows.size.toLong)
+    // and a fully dense bucket
+    val dense = bm((0L until 65536L).map(base + _))
+    assert(dense.cardinality === 65536L)
+    assert(Bitmap64.deserialize(dense.serialize()).cardinality === 65536L)
+  }
+
+  test("serialization is canonical: same set, any insert/merge order, same bytes") {
+    val rnd = new scala.util.Random(7)
+    val keys = (Seq.fill(6000)(rnd.nextLong() % 100000L) ++
+      Seq.fill(2000)(rnd.nextLong())).distinct
+    val a = bm(keys)
+    val b = bm(rnd.shuffle(keys))
+    // a third copy built by merging two halves in the opposite order
+    val (h1, h2) = keys.splitAt(keys.size / 3)
+    val c = bm(h2); c.or(bm(h1))
+    val ba = a.serialize(); val bb = b.serialize(); val bc = c.serialize()
+    assert(java.util.Arrays.equals(ba, bb), "insert order changed the bytes")
+    assert(java.util.Arrays.equals(ba, bc), "merge order changed the bytes")
+  }
+
+  test("or is a true union and does not mutate its argument") {
+    val rnd = new scala.util.Random(11)
+    val k1 = Seq.fill(3000)(rnd.nextLong() % 50000L).toSet
+    val k2 = Seq.fill(3000)(rnd.nextLong() % 50000L).toSet
+    val a = bm(k1)
+    val other = bm(k2)
+    val otherBytes = other.serialize()
+    a.or(other)
+    assert(a.cardinality === (k1 ++ k2).size.toLong)
+    assert(java.util.Arrays.equals(other.serialize(), otherBytes),
+      "or() mutated its argument")
+    // merging the same partial twice is idempotent (OR semantics)
+    a.or(other)
+    assert(a.cardinality === (k1 ++ k2).size.toLong)
+  }
+
+  test("andCardinality is exact across container kinds") {
+    val base = 1L << 35
+    // dense bucket (bitmap container) vs sparse picks (array container)
+    val dense = bm((0L until 10000L).map(base + _))
+    val sparse = bm(Seq(base + 5L, base + 9999L, base + 50000L, -42L))
+    assert(Bitmap64.andCardinality(dense, sparse) === 2L)
+    assert(Bitmap64.andCardinality(sparse, dense) === 2L)
+    // array vs array
+    val a = bm(Seq(1L, 2L, 3L, 1L << 40))
+    val b = bm(Seq(2L, 3L, 4L, 1L << 41))
+    assert(Bitmap64.andCardinality(a, b) === 2L)
+    // bitmap vs bitmap
+    val d2 = bm((5000L until 15000L).map(base + _))
+    assert(Bitmap64.andCardinality(dense, d2) === 5000L)
+    // disjoint buckets
+    assert(Bitmap64.andCardinality(bm(Seq(0L)), bm(Seq(1L << 20))) === 0L)
+  }
+
+  test("empty and single-key round trips") {
+    val e = new Bitmap64()
+    assert(e.cardinality === 0L && e.isEmpty)
+    assert(Bitmap64.deserialize(e.serialize()).cardinality === 0L)
+    val one = bm(Seq(Long.MinValue))
+    assert(one.cardinality === 1L)
+    assert(Bitmap64.deserialize(one.serialize()).cardinality === 1L)
+  }
+
+  test("deserialize rejects foreign bytes loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Bitmap64.deserialize(Array[Byte](1, 2, 3, 4, 5, 6, 7))
+    }
+    assert(e.getMessage.contains("magic"))
+  }
+}
