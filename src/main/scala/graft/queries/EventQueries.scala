@@ -491,6 +491,70 @@ object EventQueries {
       |LEFT JOIN r ON r.day = d.day
       |ORDER BY d.day""".stripMargin
 
+  /** AN36: the sketch roll-up over a SPARSE 64-bit key domain — the r9
+    * algebra's one real capability cliff, closed. User ids are lifted
+    * into snowflake-id territory (`uid * 2^21 + 2^33` — every key
+    * ≥ 2^33, ~2 MiB apart, so nearly every key owns its own bitmap
+    * container) and a second leg uses NEGATIVE keys; both flow
+    * INIT → MERGE exactly. On the r9 dense-domain bitmap this query
+    * fails fast at the first key; on [[graft.functions.Bitmap64]]'s
+    * array containers each isolated key costs ~2 bytes, and the merge
+    * stays an exact OR. Oracle equality against COUNT(DISTINCT) over
+    * the same lifted expressions IS the sparse-domain proof. */
+  val an36BitmapSparse: Q = (s, dir) => {
+    import s.implicits._
+    val B = graft.functions.BitmapDistinct
+    val lifted = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull)
+      .select($"event_type", $"ts",
+        ($"user_id" * lit(2097152L) + lit(8589934592L)).as("sid"),
+        (lit(-1L) - $"user_id" * lit(8589934592L)).as("nid"))
+    val sk = lifted
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(B.bitmap_sketch($"sid").as("sk_pos"),
+        B.bitmap_sketch($"nid").as("sk_neg"))
+    sk.groupBy($"event_type")
+      .agg(B.bitmap_merge_count($"sk_pos").as("n_sparse"),
+        B.bitmap_merge_count($"sk_neg").as("n_neg"))
+      .orderBy($"event_type")
+  }
+
+  val an36BitmapSparseSql: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id * 2097152 + 8589934592) AS n_sparse,
+      |  count(DISTINCT -1 - user_id * 8589934592) AS n_neg
+      |FROM events WHERE ts IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** AN37: STRING-keyed exact distinct via dictionary-encode → sketch —
+    * the composition that covers key domains the bitmap can't hold
+    * directly (URLs, UUIDs, raw text): [[graft.operators.Dictionary]]
+    * assigns dense deterministic codes `[0, |dict|)` (distinct → two-
+    * phase global rank — dictionary-cardinality work, never a corpus
+    * sort), the codes join back as an ordinary equi-join, and the
+    * bitmap algebra proceeds as if the keys were ints — dense codes
+    * are its best case (1 bit/key). Build the dictionary once, sketch
+    * any number of grains. Oracle: COUNT(DISTINCT props) per type —
+    * code-space distinct equals key-space distinct because the
+    * encoding is injective. */
+  val an37DictDistinct: Q = (s, dir) => {
+    import s.implicits._
+    val B = graft.functions.BitmapDistinct
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_type", $"props")
+    val (coded, _) = graft.operators.Dictionary.encode(ev, "props", "code")
+    coded.groupBy($"event_type")
+      .agg(B.bitmap_distinct($"code").as("n_props"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"event_type")
+  }
+
+  val an37DictDistinctSql: String =
+    """SELECT event_type, count(DISTINCT props) AS n_props,
+      |  count(*) AS n_rows
+      |FROM events WHERE props IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** AN34: cohort retention matrix — the canonical product-analytics
     * warehouse query: users are grouped into cohorts by FIRST-ACTIVE
     * day, and each (cohort, day-offset) cell counts how many of that
@@ -1470,6 +1534,8 @@ object EventQueries {
     "an33_bitmap_rollup" -> an33BitmapRollup,
     "an34_retention" -> an34Retention,
     "an35_bitmap_overlap" -> an35BitmapOverlap,
+    "an36_bitmap_sparse" -> an36BitmapSparse,
+    "an37_dict_distinct" -> an37DictDistinct,
     "an21_transitions" -> an21TransitionMatrix,
     "an22_type_overlap" -> an22TypeOverlap,
     "an23_robust_outliers" -> an23RobustOutliers,
@@ -1505,6 +1571,8 @@ object EventQueries {
     "an33_bitmap_rollup" -> an33BitmapRollupSql,
     "an34_retention" -> an34RetentionSql,
     "an35_bitmap_overlap" -> an35BitmapOverlapSql,
+    "an36_bitmap_sparse" -> an36BitmapSparseSql,
+    "an37_dict_distinct" -> an37DictDistinctSql,
     "an21_transitions" -> an21TransitionMatrixSql,
     "an22_type_overlap" -> an22TypeOverlapSql,
     "an23_robust_outliers" -> an23RobustOutliersSql,

@@ -57,72 +57,61 @@ class PlanShapeSpec extends AnyFunSuite {
       s"range-join blowup in j4:\n$p")
   }
 
-  test("no query plans a scale-killer shape (global audit with explicit allowlist)") {
-    // BroadcastNestedLoopJoin is acceptable ONLY where the broadcast
-    // side is bounded by construction: a one-row scalar (t8's n_min,
-    // t9's corpus N, t13's planted one-row snippet — the test
-    // scaffolding, not Corpus.decontaminate, whose own join is an
-    // equi broadcast join on the n-gram key), the small query set
-    // of a similarity fan-out (n1, n2, n6), or j6's ONE-ROW bloom
-    // bitmap relation (ScaleOpsSpec asserts that BNLJ is present —
-    // it IS the no-shuffle probe design). CartesianProduct and
-    // Exchange SinglePartition are never acceptable. e4 is excluded:
-    // constructing it executes a real streaming query, and its
-    // returned plan is a memory-sink read, not the streaming topology.
+  test("no query plans a scale-killer shape (executedPlan audit with rationale allowlists)") {
+    // r10: the sweep runs on PlanAudit.scan — the POST-
+    // EnsureRequirements executedPlan, which CONTAINS the exchanges
+    // the planner inserts for distribution requirements. The r9 sweep
+    // read sparkPlan, where `Exchange SinglePartition` cannot appear
+    // by construction — a vacuous ban (the r9 verdict's audit-gap
+    // finding). Allowed shapes carry a per-query boundedness rationale
+    // in PlanAudit.singlePartitionAllowed / bnljAllowed (the single
+    // canonical copy the PlanAudit main also prints): one-row scalar
+    // aggregates, |partitions|-row offsets windows of the two-phase
+    // global rank, k-item broadcast fan-outs. CartesianProduct has no
+    // allowlist — never acceptable. e4-family excluded: constructing a
+    // real streaming query returns the memory-sink read plan, not the
+    // streaming topology.
     import graft.tools.PlanAudit
-    // d11 inherits n7's Lloyd assignment (broadcast k=8 centroids);
-    // n8/n9 compose n1's exact side (broadcast 5-query fan-out);
-    // an3's Ranking.globalNtile crossJoins its ONE-ROW broadcast
-    // total (the t9-style scalar fan-out) to derive tile boundaries;
-    // n10/n11 are PQ — per-subspace Lloyd assignment (broadcast k=8
-    // sub-codebooks) and the per-query LUT build (3 queries × 8
-    // centroids), both bounded by construction
-    // n14 composes n1's exact side plus jlTopK's 5-query broadcast
-    // fan-out; t19 crossJoins its ONE-ROW broadcast vocabulary scalar
-    // (the t9-style pattern)
-    val bnljAllowed = Set("n1_cosine_topk", "n2_ann_ivf", "n6_quantized_topk",
-      "n7_kmeans", "d11_semantic_dedup", "n8_recall", "n9_lsh_recall",
-      "j6_bloom_semijoin", "t8_stratified_sample", "t9_tfidf",
-      "t13_decontaminate", "an3_ntile", "n10_pq_codes", "n11_pq_adc_topk",
-      "n12_ivf_pq", "n13_mmr", "n14_jl_recall", "t19_bigram_lm",
-      "c2_quality_gate", // c2: ONE-ROW broadcast threshold crossJoin
-      // an25: ONE-ROW broadcast user-count crossJoin for the ranks;
-      // u9: ONE-ROW broadcast count + cutoff crossJoins (same pattern);
-      // an29 inherits an3's globalNtile ONE-ROW boundary crossJoin;
-      // n15 composes n1/n5's bounded 5-query broadcast fan-out (n9's
-      // allowlisted shape)
-      "an25_convert_latency", "u9_time_travel",
-      "an29_decile_lift", "n15_rank_metrics",
-      // t30 shares t13's scaffolding: the ONE-ROW broadcast snippet
-      // crossJoin that PLANTS contamination (test rig, not the
-      // operator, whose own join is an equi broadcast on the n-gram)
-      "t30_decontaminate_spans",
-      // t33: ONE-ROW broadcast (N, Σdl) stats crossJoin — the t9-style
-      // scalar fan-out; the df join is an equi broadcast on the term
-      "t33_bm25",
-      // n18 composes t33's one-row stats crossJoin and n1's bounded
-      // 1-query broadcast fan-out; the fusion itself adds only an
-      // equi groupBy over two top-50 lists
-      "n18_rrf_fusion",
-      // n19 rides n1's bounded 20-query broadcast fan-out (the
-      // deliberate brute-force top-k); the label join it ADDS is an
-      // equi broadcast of the tiny top-k relation
-      "n19_knn_classify",
-      // n20 composes the same bounded 20-query fan-out (hardNegatives
-      // = n1 scoring + label anti-filter + rank cuts)
-      "n20_hard_negatives",
-      // an32: TWO one-row broadcast crossJoins — the |keys|-sized
-      // count relation meets its own scalar aggregate and the one-row
-      // p99 pick (the t9/c2 scalar fan-out pattern)
-      "an32_skew_report")
-    val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(PlanAudit.excluded.contains).flatMap { name =>
-        val plan = sparkPlan(name).toString
-        PlanAudit.suspects.filter(plan.contains)
-          .filterNot(s => s == "BroadcastNestedLoopJoin" && bnljAllowed.contains(name))
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => PlanAudit.excluded.contains(n) }
+      .flatMap { case (name, fn) =>
+        PlanAudit.scan(fn(spark, sf))
+          .filterNot(s => s == "BroadcastNestedLoopJoin" &&
+            PlanAudit.bnljAllowed.contains(name))
+          .filterNot(s => s == "Exchange SinglePartition" &&
+            PlanAudit.singlePartitionAllowed.contains(name))
           .map(s => s"$name: $s")
       }
     assert(offenders.isEmpty, s"scale-killer plans:\n${offenders.mkString("\n")}")
+  }
+
+  test("canary: the audit detector FIRES on an injected unpartitioned window") {
+    // proves the r10 executedPlan sweep can actually see the shape it
+    // bans (the r9 sweep could not): a Window.orderBy with no
+    // partitionBy plans `Exchange SinglePartition` — every row through
+    // one task — and scan() must report it
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val bad = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
+    val hits = graft.tools.PlanAudit.scan(bad)
+    assert(hits.contains("Exchange SinglePartition"),
+      s"audit failed to flag a single-partition window; saw: $hits")
+    // and the same query through the two-phase Ranking operator is clean
+    val good = graft.operators.Ranking.globalRowNumber(
+      spark.read.parquet(s"$sf/orders.parquet"),
+      Seq(col("o_orderkey")), "rn")
+    // globalRowNumber's offsets window is the |partitions|-row bounded
+    // funnel — present, but the DATA path never single-partitions:
+    // the final join is hash-partitioned on __pid
+    assert(good.queryExecution.executedPlan.toString.contains("hashpartitioning"))
+  }
+
+  test("allowlists only name registered queries (no stale entries)") {
+    import graft.tools.PlanAudit
+    val unknown = (PlanAudit.singlePartitionAllowed.keySet ++
+      PlanAudit.bnljAllowed.keySet).filterNot(SparkEntry.queries.contains)
+    assert(unknown.isEmpty, s"allowlist entries for unregistered queries: $unknown")
   }
 
   test("every query result is driver-sortable: no complex types at the top level") {
@@ -269,10 +258,13 @@ class PlanShapeSpec extends AnyFunSuite {
   test("t7 packing's running sum never funnels rows to one task") {
     // the r2 scale-killer: Window.orderBy with no partitionBy plans an
     // Exchange SinglePartition before the window — every chunk row
-    // through a single task. The two-phase scan must not contain one
-    // anywhere except the final presentation orderBy (which is a range
-    // exchange, not SinglePartition).
-    val p = sparkPlan("t7_packing").toString
+    // through a single task. r10: asserted on the EXECUTED plan (the
+    // representation that contains exchanges — the sparkPlan version
+    // of this assert was near-vacuous, r9 verdict), with NO allowlist
+    // entry: t7's two-phase design keeps even the offsets relation off
+    // a dedicated single-partition exchange here.
+    val p = SparkEntry.queries("t7_packing")(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange SinglePartition"),
       s"single-partition exchange in t7:\n$p")
     // and the window itself must be partitioned (by pid)
