@@ -48,7 +48,10 @@ object Bench {
     "t38_gopher_repetition", "an33_bitmap_rollup", "d16_cc_stars",
     "t39_ngram_novelty", "an34_retention",
     // the six-table join-reorder flight through the SQL facade
-    "q5_sql")
+    "q5_sql",
+    // r10: the sparse-64-bit sketch roll-up (array-container path) and
+    // the dictionary-encode -> sketch composition for string keys
+    "an36_bitmap_sparse", "an37_dict_distinct")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —
@@ -237,7 +240,20 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     // "forcing" stamp: r5 switched count() -> noop write, which makes
     // medians comparable only within runs carrying the same stamp
-    println(s"""{"metric":"total","value":$total,"unit":"sec","streaming_fixed_sec":$streamingFixed,"grand_total_sec":$grandTotal,"queries":$qjson,"spread":$sjson,"errors":$errors,"reps":$reps,"forcing":"noop_write","loadavg":"$load","loadavg_start":"$startLoad","busy_start":$busyStart,"steal_pct_run":$runSteal,"calib_sec_start":${f3(calib0)},"calib_sec_end":${f3(calibrate())},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","streaming_fixed_sec":$streamingFixed,"grand_total_sec":$grandTotal,"queries":$qjson,"spread":$sjson,"errors":$errors,"reps":$reps,"forcing":"noop_write","loadavg":"$load","loadavg_start":"$startLoad","busy_start":$busyStart,"steal_pct_run":$runSteal,"calib_sec_start":${f3(calib0)},"calib_sec_end":${f3(calibrate())},"sf":"$sfDir"}"""
+    println(json)
+    // ALSO write the artifact to a file: BENCH_r09's per-query medians
+    // were lost forever to a console-tail truncation — the artifact
+    // must not depend on terminal capture. Overridable for ad-hoc runs.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] artifact written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -311,6 +311,17 @@ object Dedup {
       prevSum = sum
       i += 1
     }
+    // CONVERGENCE CONTRACT (r10, twin of connectedComponents'): labels
+    // only decrease, so a stable label sum IS the fixpoint — and a
+    // loop that exits at the cap WITHOUT it has split clusters and
+    // must fail loudly, not return silently-wrong labels. Propagation
+    // pays one round per hop of cluster diameter; near-dup clusters
+    // are tiny cliques (diameter 1-2), so tripping this means the
+    // graph is path-shaped — use Graph.connectedComponents (star
+    // contraction, O(log^2) on any topology) or raise maxIter.
+    if (!done) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIter iterations (2 propagations each; " +
+        s"$nPairs pairs) — path-shaped duplicate graphs need Graph.connectedComponents")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -209,6 +209,17 @@ object Graph {
       prev = fp
       r += 1
     }
+    // CONVERGENCE CONTRACT (r10): a loop that exits at the round cap
+    // without the fingerprint fixpoint has NOT computed connected
+    // components — labels from a non-converged edge set silently split
+    // components. An exactness-everywhere engine fails loudly instead;
+    // the measured curves (SCALING.md: <=12 rounds on 4096-link
+    // chains, O(log^2) by Kiveris et al.) make the default cap
+    // generous for any realistic topology, so tripping this means the
+    // caller should raise maxRounds, not that the algorithm stalled.
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not reach the star fixpoint in $maxRounds rounds " +
+        s"(${nEdges} input edges) — raise maxRounds")
     // at the fixpoint E is a union of stars: component = min over
     // self ∪ neighbors (centers have only larger neighbors → self)
     val nb = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))

@@ -306,6 +306,34 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(out.forall(_._2 === 0L), s"non-root labels: ${out.filterNot(_._2 == 0L).take(5).toSeq}")
   }
 
+  test("connectedComponents fails LOUDLY at the round cap instead of returning split components (r10 contract)") {
+    import spark.implicits._
+    // a 64-link chain cannot reach the star fixpoint in 2 alternations:
+    // pre-r10 the loop returned the truncated (wrong) labels silently —
+    // the caller could not tell a converged result from a partial one
+    val edges = (0L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponents(edges, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("fixpoint") && e.getMessage.contains("maxRounds"))
+    // and the same graph under a sufficient cap converges fine
+    val ok = Graph.connectedComponents(edges, maxRounds = 12).collect()
+    assert(ok.length === 65 && ok.forall(_.getLong(1) === 0L))
+  }
+
+  test("dupClusters fails LOUDLY when maxIter is too small for the graph diameter (r10 contract)") {
+    import spark.implicits._
+    // a 64-link chain needs ~32 double-propagation rounds; 3 must trip
+    // the convergence contract, and the message routes the caller to
+    // the star-contraction operator built for path-shaped graphs
+    val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalStateException] {
+      graft.operators.Dedup.dupClusters(pairs, maxIter = 3)
+    }
+    assert(e.getMessage.contains("converge") &&
+      e.getMessage.contains("connectedComponents"))
+  }
+
   test("connectedComponents: multiple components, duplicate and self-loop edges tolerated") {
     import spark.implicits._
     val edges = Seq(
