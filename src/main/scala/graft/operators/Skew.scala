@@ -64,7 +64,16 @@ object Skew {
     * cardinality rows), two equi-joins each seeing DISJOINT key sets
     * (no row duplicated, no post-union dedup needed), the hot side's
     * shuffle avoided entirely — the hot key never converges on one
-    * reducer. */
+    * reducer.
+    *
+    * EAGER at construction: computing the hot-key set runs the left
+    * histogram (one map-side-combined count job + a `maxHotKeys`-
+    * bounded collect) when this method is CALLED, not when the
+    * returned DataFrame is first acted on — a threshold violation
+    * therefore aborts before any action, and calling the method twice
+    * scans the left input twice. Callers composing several skew
+    * decisions over one input should use [[dispatchJoin]], which
+    * caches the histogram across its probes. */
   def hotColdJoin(left: DataFrame, right: DataFrame, key: String,
       hotThreshold: Long, maxHotKeys: Int = 1000): DataFrame = {
     // null keys never become "hot": an IN list containing null makes
@@ -80,6 +89,11 @@ object Skew {
     require(hotKeys.length <= maxHotKeys,
       s"hotColdJoin: ${hotKeys.length} keys exceed hotThreshold=$hotThreshold " +
         s"(maxHotKeys=$maxHotKeys) — raise the threshold or salt instead")
+    hotColdJoinWith(left, right, key, hotKeys)
+  }
+
+  private[graft] def hotColdJoinWith(left: DataFrame, right: DataFrame,
+      key: String, hotKeys: Array[Any]): DataFrame =
     if (hotKeys.isEmpty) left.join(right, key)
     else {
       val isHot = col(key).isin(hotKeys: _*)
@@ -88,5 +102,59 @@ object Skew {
       val cold = left.filter(!isHot).join(right.filter(!isHot), key)
       hot.unionByName(cold)
     }
+
+  /** SKEW DISPATCHER — the an32-report → weapon composition: measure
+    * the left side's key histogram ONCE and route the join to the
+    * strategy the measured shape justifies (the decision table lives
+    * in SCALING.md "Skew routing"):
+    *
+    *  - `max/mean < skewRatio` → **plain** join: no degenerate skew;
+    *    AQE's OptimizeSkewedJoin levels moderate imbalance at runtime
+    *    for free, and salting/splitting would only add cost.
+    *  - skewed AND ≤ `maxHotKeys` keys above `skewRatio × mean` →
+    *    **hot/cold split** ([[hotColdJoin]]): the hot slice of the
+    *    right side is tiny by definition, broadcast it; the hot keys
+    *    never converge on one reducer and the cold majority pays
+    *    nothing extra.
+    *  - skewed with MORE hot keys than an IN-list/broadcast can carry
+    *    → **salted join** ([[saltedJoin]]): spread every key over
+    *    `salts` reducers; costs `salts`× replication of the right
+    *    side, the only weapon whose cost is independent of how MANY
+    *    keys are hot.
+    *
+    * Returns (joined DataFrame, decision string) so pipelines can log
+    * the routing. EAGER at construction like [[hotColdJoin]]: the
+    * histogram job runs when called — it is the price of deciding
+    * from measurement instead of guessing, paid once (the histogram
+    * is cached across the stats probe and the hot-key enumeration).
+    * Inner-join semantics; every route returns the exact same rows
+    * (spec-pinned). */
+  def dispatchJoin(left: DataFrame, right: DataFrame, key: String,
+      saltCarrier: String, skewRatio: Long = 4, maxHotKeys: Int = 1000,
+      salts: Int = 16): (DataFrame, String) = {
+    require(skewRatio >= 2, s"dispatchJoin: skewRatio must be >= 2, got $skewRatio")
+    val counts = left.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("__n")).cache()
+    try {
+      val r = counts.agg(sum(col("__n")), count(lit(1)), max(col("__n"))).head()
+      if (r.isNullAt(0)) (left.join(right, key), "plain") // empty left
+      else {
+        val nRows = r.getLong(0)
+        val nKeys = r.getLong(1)
+        val maxN = r.getLong(2)
+        val mean = math.max(1L, nRows / nKeys)
+        if (maxN < skewRatio * mean) (left.join(right, key), "plain")
+        else {
+          val hotThreshold = skewRatio * mean
+          // bounded driver materialization: one row past the cap is
+          // enough to know the IN-list route is off the table
+          val hotKeys = counts.filter(col("__n") >= hotThreshold)
+            .select(col(key)).limit(maxHotKeys + 1).collect().map(_.get(0))
+          if (hotKeys.length <= maxHotKeys)
+            (hotColdJoinWith(left, right, key, hotKeys), "hotcold")
+          else (saltedJoin(left, right, key, saltCarrier, salts), "salted")
+        }
+      }
+    } finally counts.unpersist(blocking = false)
   }
 }

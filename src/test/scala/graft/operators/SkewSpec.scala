@@ -42,6 +42,43 @@ class SkewSpec extends AnyFunSuite {
     assert(a.map(_.getString(0)) === b.map(_.getString(0)))
   }
 
+  // ---- Skew.dispatchJoin (the an32-report -> weapon composition) ------
+
+  test("dispatchJoin routes each measured regime to the weapon the curves justify") {
+    import org.apache.spark.sql.functions._
+    val dim = ((0 to 60).map(i => (s"k$i", s"L$i")) :+ (("hot", "HOT")))
+      .toDF("k", "label")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "rid", "label").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+
+    // regime 1 — uniform keys: max/mean ~ 1, AQE handles it -> plain
+    val uniform = (1 to 5000).map(i => (s"k${i % 50}", i.toLong, 1.0)).toDF("k", "rid", "v")
+    val (dfP, sP) = Skew.dispatchJoin(uniform, dim, "k", "rid")
+    assert(sP === "plain")
+    assert(rows(dfP) === rows(uniform.join(dim, "k")))
+
+    // regime 2 — one key owns 90% of rows, hot set enumerable -> hotcold
+    val (dfH, sH) = Skew.dispatchJoin(skewed, dim, "k", "rid")
+    assert(sH === "hotcold")
+    assert(rows(dfH) === rows(skewed.join(dim, "k")))
+    assert(dfH.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "hot slice not broadcast")
+
+    // regime 3 — MANY hot keys (more than the IN-list cap) -> salted
+    val manyHot = (1 to 6000).map(i => (s"k${i % 6}", i.toLong, 1.0))
+      .toDF("k", "rid", "v")
+      .unionByName((1 to 600).map(i => (s"t$i", i.toLong, 1.0)).toDF("k", "rid", "v"))
+    val (dfS, sS) = Skew.dispatchJoin(manyHot, dim, "k", "rid",
+      skewRatio = 2, maxHotKeys = 2, salts = 4)
+    assert(sS === "salted")
+    assert(rows(dfS) === rows(manyHot.join(dim, "k")))
+
+    // empty left never throws, routes plain
+    val (dfE, sE) = Skew.dispatchJoin(uniform.filter(lit(false)), dim, "k", "rid")
+    assert(sE === "plain" && dfE.count() === 0L)
+  }
+
   // ---- Skew.hotColdJoin (sk3) -----------------------------------------
 
   test("hotColdJoin equals the plain inner join, rows never duplicated") {
