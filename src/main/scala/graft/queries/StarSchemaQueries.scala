@@ -446,7 +446,76 @@ object StarSchemaQueries {
       |  (sum_cents // n) * 10000 // (total_cents // total_n) AS lift_bp
       |FROM g ORDER BY decile""".stripMargin
 
+  /** J15: default-vs-compat star build parity, oracle-pinned — the
+    * documented reference deviations (SURVEY §7 hazard 2: the
+    * 19,967-vs-17,696 authors-dim drift, the 27,317/7,336 keyword
+    * fanout, the name-only bridge join) re-played EVERY ROUND through
+    * the driver gate, not just in the real-corpus golden specs. The
+    * article shape is emulated from `part` (authors = p_name words ×
+    * (p_brand, p_container) affiliation, keywords = p_type words) and
+    * BOTH pipelines run the real [[graft.etl.StarSchema]] functions;
+    * the oracle recomputes each count from first principles, so
+    * equality pins exactly the fanout invariants the compat mode
+    * exists to reproduce: compat dims = instance counts (the late
+    * distinct can never collapse unique mono-ids), the compat author
+    * bridge = the FullName-only join's quadratic-in-duplicates fanout,
+    * default = deduped-before-id everywhere. Eight one-row scalar
+    * counts unioned as labeled rows (the an17 shape). */
+  val j15CompatBridges: Q = (s, dir) => {
+    import s.implicits._
+    val S = graft.etl.StarSchema
+    val clean = Tables.load(s, dir, "part")
+      .select(
+        $"p_partkey".cast("string").as("doi"),
+        expr("transform(split(p_name, ' '), " +
+          "w -> struct(w AS author, p_brand AS country, CAST(p_size AS STRING) AS university))")
+          .as("authors_with_affiliations"),
+        split($"p_type", " ").as("keywords"))
+    val aDim = S.authors(clean)
+    val aDimC = S.authorsCompat(clean)
+    val kDim = S.keywords(clean)
+    val kDimC = S.keywordsCompat(clean)
+    def m(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("metric"), $"n")
+    m("authors_bridge_compat", S.authorBridgeCompat(clean, aDimC))
+      .unionByName(m("authors_bridge_default", S.authorBridge(clean, aDim)))
+      .unionByName(m("authors_dim_compat", aDimC))
+      .unionByName(m("authors_dim_default", aDim))
+      .unionByName(m("keywords_bridge_compat", S.keywordBridgeCompat(clean, kDimC)))
+      .unionByName(m("keywords_bridge_default", S.keywordBridge(clean, kDim)))
+      .unionByName(m("keywords_dim_compat", kDimC))
+      .unionByName(m("keywords_dim_default", kDim))
+      .orderBy($"metric")
+  }
+
+  val j15CompatBridgesSql: String =
+    """WITH ainst AS (
+      |  SELECT CAST(p_partkey AS VARCHAR) AS doi,
+      |    unnest(string_split(p_name, ' ')) AS name,
+      |    p_brand AS country, CAST(p_size AS VARCHAR) AS univ
+      |  FROM part),
+      |kinst AS (
+      |  SELECT CAST(p_partkey AS VARCHAR) AS doi,
+      |    unnest(string_split(p_type, ' ')) AS kw
+      |  FROM part)
+      |SELECT 'authors_bridge_compat' AS metric,
+      |  (SELECT count(*) FROM ainst b JOIN ainst d ON d.name = b.name) AS n
+      |UNION ALL SELECT 'authors_bridge_default',
+      |  (SELECT count(*) FROM (SELECT DISTINCT doi, name, country, univ FROM ainst))
+      |UNION ALL SELECT 'authors_dim_compat', (SELECT count(*) FROM ainst)
+      |UNION ALL SELECT 'authors_dim_default',
+      |  (SELECT count(*) FROM (SELECT DISTINCT name, country, univ FROM ainst))
+      |UNION ALL SELECT 'keywords_bridge_compat',
+      |  (SELECT count(*) FROM kinst b JOIN kinst d ON d.kw = b.kw)
+      |UNION ALL SELECT 'keywords_bridge_default',
+      |  (SELECT count(*) FROM (SELECT DISTINCT doi, kw FROM kinst WHERE kw <> ''))
+      |UNION ALL SELECT 'keywords_dim_compat', (SELECT count(*) FROM kinst)
+      |UNION ALL SELECT 'keywords_dim_default',
+      |  (SELECT count(*) FROM (SELECT DISTINCT kw FROM kinst WHERE kw <> ''))
+      |ORDER BY metric""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "j15_compat_bridges" -> j15CompatBridges,
     "j10_bucketed_join" -> j10BucketedJoin,
     "an27_mix_entropy"  -> an27MixEntropy,
     "an29_decile_lift"  -> an29DecileLift,
@@ -464,6 +533,7 @@ object StarSchemaQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "j15_compat_bridges" -> j15CompatBridgesSql,
     "j10_bucketed_join" -> j10BucketedJoinSql,
     "an27_mix_entropy"  -> an27MixEntropySql,
     "an29_decile_lift"  -> an29DecileLiftSql,

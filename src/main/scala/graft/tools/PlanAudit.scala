@@ -62,6 +62,7 @@ object PlanAudit {
     "c2_quality_gate" -> "one-row threshold scalar aggregate (feeds the allowed crossJoin)",
     "d14_fuzzy_join" -> "globalRowNumber over the distinct VOCAB: offsets window sees |partitions| one-row partials",
     "j3_type_bridge" -> "token-dim surrogate ids ride globalRowNumber's offsets window",
+    "j15_compat_bridges" -> "eight one-row scalar counts unioned as labeled rows (an17 shape) + globalRowNumber offsets in the default dims",
     "s16_compaction" -> "one-row content-preservation scalar (count + key sum) over the compacted output",
     "s17_corrupt_records" -> "one-row quarantine-accounting scalar aggregate",
     "t8_stratified_sample" -> "one-row n_min scalar aggregate (feeds the allowed crossJoin)",
