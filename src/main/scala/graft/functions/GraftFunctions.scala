@@ -59,8 +59,8 @@ object GraftFunctions {
       dotProductBuilder),
     (FunctionIdentifier("bitmap_distinct"),
       info(classOf[BitmapDistinctExpr], "bitmap_distinct",
-        "bitmap_distinct(key) - exact mergeable distinct count over dense " +
-          "non-negative int keys (bitmap OR merge; no distinct-value shuffle)"),
+        "bitmap_distinct(key) - exact mergeable distinct count over any 64-bit " +
+          "integral keys (compressed bitmap OR merge; no distinct-value shuffle)"),
       {
         case Seq(c) => BitmapDistinctExpr(c)
         case args => throw new IllegalArgumentException(
@@ -68,8 +68,8 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("bitmap_sketch"),
       info(classOf[BitmapSketchExpr], "bitmap_sketch",
-        "bitmap_sketch(key) - re-aggregable exact distinct sketch (binary bitmap) " +
-          "over dense non-negative int keys; merge with bitmap_merge_count"),
+        "bitmap_sketch(key) - re-aggregable exact distinct sketch (compressed " +
+          "binary bitmap) over any 64-bit integral keys; merge with bitmap_merge_count"),
       {
         case Seq(c) => BitmapSketchExpr(c)
         case args => throw new IllegalArgumentException(
@@ -92,6 +92,34 @@ object GraftFunctions {
         case Seq(a, b) => BitmapAndCountExpr(a, b)
         case args => throw new IllegalArgumentException(
           s"bitmap_and_count expects 2 arguments, got ${args.length}")
+      }),
+    (FunctionIdentifier("hll_distinct"),
+      info(classOf[HllDistinctExpr], "hll_distinct",
+        "hll_distinct(key) - HyperLogLog distinct-count estimate (~1.6% error, " +
+          "4 KiB state) over integral/string/binary keys — the approximate twin " +
+          "of bitmap_distinct for unbounded domains"),
+      {
+        case Seq(c) => HllDistinctExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"hll_distinct expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("hll_sketch"),
+      info(classOf[HllSketchExpr], "hll_sketch",
+        "hll_sketch(key) - re-aggregable 4 KiB HLL register sketch; " +
+          "merge with hll_merge_count"),
+      {
+        case Seq(c) => HllSketchExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"hll_sketch expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("hll_merge_count"),
+      info(classOf[HllMergeCountExpr], "hll_merge_count",
+        "hll_merge_count(sketch) - distinct-count estimate from max-merged " +
+          "hll_sketch values"),
+      {
+        case Seq(c) => HllMergeCountExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"hll_merge_count expects 1 argument, got ${args.length}")
       }))
 
   /** Register on an already-running session. */

@@ -555,6 +555,43 @@ object EventQueries {
       |FROM events WHERE props IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** AN38: the HLL twin of an33 — the same INIT → MERGE roll-up
+    * discipline over a STRING key (`props`, an unbounded domain the
+    * exact bitmap can't hold without a dictionary): one 4 KiB
+    * [[graft.functions.HllSketchExpr]] per (day, type) fine grain,
+    * per-type distinct estimated by max-merging sketches. Estimates
+    * can't hash-match COUNT(DISTINCT), so the gate uses the n8/n9
+    * recall-gate pattern: output the EXACT count (oracle-pinned) next
+    * to `est_ok` = the estimate landing within ±5% (≈3σ of the p=12
+    * sketch; deterministic hash ⇒ no flake), which the oracle pins to
+    * TRUE. The deliberate division of labor stays visible: bitmap for
+    * exactness and intersections, HLL for unbounded domains at fixed
+    * state. */
+  val an38HllRollup: Q = (s, dir) => {
+    import s.implicits._
+    val H = graft.functions.Hll
+    val base = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"props".isNotNull)
+      .select($"event_type", $"ts", $"props")
+    val est = base
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(H.hll_sketch($"props").as("sk"))
+      .groupBy($"event_type")
+      .agg(H.hll_merge_count($"sk").as("est"))
+    val exact = base.groupBy($"event_type")
+      .agg(countDistinct($"props").as("n_exact"))
+    exact.join(est, "event_type")
+      .select($"event_type", $"n_exact",
+        ($"est" >= $"n_exact" * 0.95 && $"est" <= $"n_exact" * 1.05).as("est_ok"))
+      .orderBy($"event_type")
+  }
+
+  val an38HllRollupSql: String =
+    """SELECT event_type,
+      |  count(DISTINCT props) AS n_exact, TRUE AS est_ok
+      |FROM events WHERE ts IS NOT NULL AND props IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** AN34: cohort retention matrix — the canonical product-analytics
     * warehouse query: users are grouped into cohorts by FIRST-ACTIVE
     * day, and each (cohort, day-offset) cell counts how many of that
@@ -1536,6 +1573,7 @@ object EventQueries {
     "an35_bitmap_overlap" -> an35BitmapOverlap,
     "an36_bitmap_sparse" -> an36BitmapSparse,
     "an37_dict_distinct" -> an37DictDistinct,
+    "an38_hll_rollup" -> an38HllRollup,
     "an21_transitions" -> an21TransitionMatrix,
     "an22_type_overlap" -> an22TypeOverlap,
     "an23_robust_outliers" -> an23RobustOutliers,
@@ -1573,6 +1611,7 @@ object EventQueries {
     "an35_bitmap_overlap" -> an35BitmapOverlapSql,
     "an36_bitmap_sparse" -> an36BitmapSparseSql,
     "an37_dict_distinct" -> an37DictDistinctSql,
+    "an38_hll_rollup" -> an38HllRollupSql,
     "an21_transitions" -> an21TransitionMatrixSql,
     "an22_type_overlap" -> an22TypeOverlapSql,
     "an23_robust_outliers" -> an23RobustOutliersSql,
