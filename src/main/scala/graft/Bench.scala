@@ -49,9 +49,11 @@ object Bench {
     "t39_ngram_novelty", "an34_retention",
     // the six-table join-reorder flight through the SQL facade
     "q5_sql",
-    // r10: the sparse-64-bit sketch roll-up (array-container path) and
-    // the dictionary-encode -> sketch composition for string keys
-    "an36_bitmap_sparse", "an37_dict_distinct")
+    // r10: the sparse-64-bit sketch roll-up (array-container path), the
+    // dictionary-encode -> sketch composition for string keys, and the
+    // RefinedWeb-style curation funnel capstone (gopher rules ->
+    // repetition gate -> near-dedup -> excision in one plan)
+    "an36_bitmap_sparse", "an37_dict_distinct", "c4_curation_funnel")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —

@@ -1690,7 +1690,327 @@ object CurationQueries {
       |  count(*) * 10000 // count(DISTINCT doc_id) AS effective_bp
       |FROM x GROUP BY 1, 2 ORDER BY source""".stripMargin
 
+  /** C4: the CURATION FUNNEL CAPSTONE — the full RefinedWeb-style
+    * recipe (Penedo et al. 2023: quality rules → repetition gate →
+    * fuzzy dedup → exact-substring removal) composed as ONE DataFrame
+    * plan with per-stage attrition, each stage the engine's own
+    * operator:
+    *
+    *   0 input            — documents + planted hazards (see below)
+    *   1 gopher_rules     — [[graft.operators.Corpus.gopherRules]],
+    *                        the applicable subset (r_stop is skipped:
+    *                        the synthetic word-soup corpus contains no
+    *                        English stopwords, so the stopword rule
+    *                        would void the funnel rather than filter
+    *                        it — a real corpus would include it)
+    *   2 repetition       — [[graft.operators.Corpus.gopherRepetition]]
+    *                        gated at the Rae et al. Table A1 thresholds
+    *                        (dup-line 30%, dup-line-char 20%, top-2/3/4
+    *                        gram 20/18/16%, dup-5/10-gram 15/10%)
+    *   3 near_dedup       — [[graft.operators.Dedup.minhashNearDups]] →
+    *                        [[graft.operators.Dedup.dupClusters]],
+    *                        min-id survivor per cluster (fuzzy doc drop)
+    *   4 excision         — [[graft.operators.Corpus.exciseExactDuplicates]]
+    *                        over the survivors (cross-doc boilerplate
+    *                        spans removed in place, keeper protected)
+    *
+    * Planted hazards exercise every stage: doc_id % 29 truncated to 10
+    * words (dies at the word-count rule), % 17 + three duplicate nav
+    * lines (dies at dup-line 50% > 30%), % 31 ≡ 1 cloned with an
+    * appended tail (the clone dies at near-dedup — min-id keeps the
+    * original), % 11 ≡ 3 + a shared 12-word boilerplate tail (survives;
+    * its non-keeper copies are excised at stage 4). The oracle replays
+    * the whole funnel: the gopher metrics, the full repetition battery,
+    * the minhash/LSH/Jaccard chain + recursive-CTE clustering, and the
+    * keeper-protected cover subtraction — per-stage (n_docs, n_chars)
+    * equality pins every stage boundary, not just the final survivors.
+    *
+    * Scale shape: each stage is the already-audited operator plan (no
+    * new shuffles added by the composition); the only materialization
+    * is the lazy-checkpointed source (one pass) and dupClusters' own
+    * graph-sized propagation. Attrition rows are five bounded scalar
+    * aggregates unioned (the an17 shape — allowlisted same-commit). */
+  val c4CurationFunnel: Q = (s, dir) => {
+    import s.implicits._
+    val Corpus = graft.operators.Corpus
+    val Dedup = graft.operators.Dedup
+    val d0 = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val w0 = filter(split($"text", " "), x => x =!= "")
+    val nav = "\nnav menu item\nnav menu item\nnav menu item"
+    val boiler = " subscribe to our newsletter for updates and offers from the example site"
+    val tBase = when($"doc_id" % 29 === 0,
+      array_join(slice(w0, 1, 10), " ")).otherwise($"text")
+    val tNav = concat(tBase, when($"doc_id" % 17 === 0, lit(nav)).otherwise(lit("")))
+    val tBoil = concat(tNav, when($"doc_id" % 11 === 3, lit(boiler)).otherwise(lit("")))
+    val injected = d0.select($"doc_id", tBoil.as("text"))
+    val src = injected.unionByName(
+        injected.filter($"doc_id" % 31 === 1)
+          .select(($"doc_id" + 1000000).as("doc_id"),
+            concat($"text", lit(" near dup tail")).as("text")))
+      .localCheckpoint(false) // lazy: five stage scalars share ONE pass
+
+    val g = Corpus.gopherRules(src, "text")
+    val s1 = g.filter($"r_count" && $"r_mean_len" && $"r_symbol" &&
+        $"r_bullet" && $"r_ellipsis" && $"r_alpha")
+      .select($"doc_id", $"text")
+    val rep = Corpus.gopherRepetition(s1, "doc_id", "text")
+      .filter($"dup_line_bp" <= 3000 && $"dup_line_char_bp" <= 2000 &&
+        $"top2gram_bp" <= 2000 && $"top3gram_bp" <= 1800 &&
+        $"top4gram_bp" <= 1600 && $"dup5gram_bp" <= 1500 &&
+        $"dup10gram_bp" <= 1000)
+      .select($"doc_id")
+    val s2 = s1.join(rep, "doc_id")
+    val clusters = Dedup.dupClusters(
+      Dedup.minhashNearDups(s2, "doc_id", "text"))
+    val s3 = s2.join(
+      clusters.filter($"doc_id" =!= $"cluster_id").select($"doc_id"),
+      Seq("doc_id"), "left_anti")
+    val s4 = Corpus.exciseExactDuplicates(s3, "doc_id", "text")
+      .select($"doc_id", $"cleaned_text".as("text"))
+    def m(stage: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(length($"text")), lit(0L)).as("n_chars"))
+        .select(lit(stage).as("stage"), $"n_docs", $"n_chars")
+    m("0_input", src)
+      .unionByName(m("1_gopher_rules", s1))
+      .unionByName(m("2_repetition", s2))
+      .unionByName(m("3_near_dedup", s3))
+      .unionByName(m("4_excision", s4))
+      .orderBy($"stage")
+  }
+
+  /** The c4 oracle: every stage recomputed from first principles in one
+    * WITH RECURSIVE chain — gopher metrics, the full repetition
+    * battery, the minhash/LSH/Jaccard pair chain + transitive-closure
+    * clustering (shared with d2/d6 via
+    * [[TextPipeline.nearDupPairsCtes]]/[[TextPipeline.clusterCtes]]),
+    * and the keeper-protected excision. */
+  val c4CurationFunnelSql: String = {
+    val pairs = TextPipeline.nearDupPairsCtes("SELECT doc_id, text FROM s2")
+    val clusters = TextPipeline.clusterCtes
+    val raw = s"""WITH RECURSIVE fw0 AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS ww
+       |  FROM documents),
+       |finj AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 29 = 0
+       |       THEN array_to_string(ww[1:10], ' ') ELSE text END)
+       |    || (CASE WHEN doc_id % 17 = 0
+       |          THEN chr(10) || 'nav menu item' || chr(10) || 'nav menu item'
+       |            || chr(10) || 'nav menu item' ELSE '' END)
+       |    || (CASE WHEN doc_id % 11 = 3
+       |          THEN ' subscribe to our newsletter for updates and offers from the example site'
+       |          ELSE '' END) AS text
+       |  FROM fw0),
+       |src AS (
+       |  SELECT doc_id, text FROM finj
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' near dup tail'
+       |  FROM finj WHERE doc_id % 31 = 1),
+       |gm AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(text, '[ \\n]+'), w -> w <> '') AS words,
+       |    list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
+       |    CAST(len(regexp_extract_all(text, '#')) +
+       |         len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS sym_hits
+       |  FROM src),
+       |gx AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT)
+       |      AS sum_len,
+       |    sym_hits,
+       |    CAST(len(list_filter(lines, l ->
+       |      l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS bullet_lines,
+       |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
+       |      AS ellipsis_lines,
+       |    CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+       |      AS alpha_words
+       |  FROM gm),
+       |s1 AS (
+       |  SELECT doc_id, text FROM gx
+       |  WHERE n_words >= 50 AND n_words <= 100000
+       |    AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+       |    AND 10 * sym_hits < n_words
+       |    AND 10 * bullet_lines < 9 * n_lines
+       |    AND 10 * ellipsis_lines < 3 * n_lines
+       |    AND 5 * alpha_words >= 4 * n_words),
+       |rb3 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(coalesce(text, ''), chr(10)), l -> l <> '') AS rlines,
+       |    list_filter(string_split_regex(coalesce(text, ''), '[ \\n]+'), x -> x <> '') AS rw
+       |  FROM s1),
+       |rb4 AS (
+       |  SELECT doc_id, rlines, rw,
+       |    CAST(len(rlines) AS BIGINT) AS n_lines,
+       |    CAST(coalesce(list_sum(list_transform(rw, x -> len(x))), 0) AS BIGINT)
+       |      AS total_chars,
+       |    CAST(coalesce(list_sum(list_transform(rlines, l -> len(l))), 0) AS BIGINT)
+       |      AS line_chars,
+       |    CAST(len(list_distinct(rlines)) AS BIGINT) AS n_dls,
+       |    CAST(coalesce(list_sum(list_transform(list_distinct(rlines),
+       |      l -> len(l))), 0) AS BIGINT) AS distinct_line_chars
+       |  FROM rb3),
+       |rg2 AS (SELECT doc_id, total_chars,
+       |          array_to_string(rw[i+1:i+2], ' ') AS gram
+       |        FROM (SELECT doc_id, total_chars, rw, unnest(range(len(rw) - 1)) AS i
+       |              FROM rb4 WHERE len(rw) >= 2)),
+       |rt2 AS (SELECT doc_id,
+       |          least(10000, (cnt * (len(gram) - 1) * 10000) // total_chars)
+       |            AS top2gram_bp
+       |        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                ORDER BY cnt DESC, gram) AS rn
+       |              FROM (SELECT doc_id, total_chars, gram, count(*) AS cnt
+       |                    FROM rg2 GROUP BY doc_id, total_chars, gram))
+       |        WHERE rn = 1),
+       |rg3 AS (SELECT doc_id, total_chars,
+       |          array_to_string(rw[i+1:i+3], ' ') AS gram
+       |        FROM (SELECT doc_id, total_chars, rw, unnest(range(len(rw) - 2)) AS i
+       |              FROM rb4 WHERE len(rw) >= 3)),
+       |rt3 AS (SELECT doc_id,
+       |          least(10000, (cnt * (len(gram) - 2) * 10000) // total_chars)
+       |            AS top3gram_bp
+       |        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                ORDER BY cnt DESC, gram) AS rn
+       |              FROM (SELECT doc_id, total_chars, gram, count(*) AS cnt
+       |                    FROM rg3 GROUP BY doc_id, total_chars, gram))
+       |        WHERE rn = 1),
+       |rg4 AS (SELECT doc_id, total_chars,
+       |          array_to_string(rw[i+1:i+4], ' ') AS gram
+       |        FROM (SELECT doc_id, total_chars, rw, unnest(range(len(rw) - 3)) AS i
+       |              FROM rb4 WHERE len(rw) >= 4)),
+       |rt4 AS (SELECT doc_id,
+       |          least(10000, (cnt * (len(gram) - 3) * 10000) // total_chars)
+       |            AS top4gram_bp
+       |        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                ORDER BY cnt DESC, gram) AS rn
+       |              FROM (SELECT doc_id, total_chars, gram, count(*) AS cnt
+       |                    FROM rg4 GROUP BY doc_id, total_chars, gram))
+       |        WHERE rn = 1),
+       |rg5 AS (SELECT doc_id, i + 1 AS pos,
+       |          md5(array_to_string(rw[i+1:i+5], ' ')) AS h
+       |        FROM (SELECT doc_id, rw, unnest(range(len(rw) - 4)) AS i
+       |              FROM rb4 WHERE len(rw) >= 5)),
+       |rd5 AS (SELECT doc_id, h FROM
+       |          (SELECT doc_id, h, count(*) AS c FROM rg5 GROUP BY doc_id, h)
+       |        WHERE c >= 2),
+       |rc5 AS (SELECT DISTINCT rg5.doc_id, rg5.pos + o.o AS p
+       |        FROM rg5 JOIN rd5 USING (doc_id, h),
+       |             (SELECT unnest(range(5)) AS o) o),
+       |rs5 AS (SELECT rc5.doc_id, CAST(sum(len(rb4.rw[rc5.p])) AS BIGINT) AS cchars
+       |        FROM rc5 JOIN rb4 USING (doc_id) GROUP BY rc5.doc_id),
+       |rg10 AS (SELECT doc_id, i + 1 AS pos,
+       |           md5(array_to_string(rw[i+1:i+10], ' ')) AS h
+       |         FROM (SELECT doc_id, rw, unnest(range(len(rw) - 9)) AS i
+       |               FROM rb4 WHERE len(rw) >= 10)),
+       |rd10 AS (SELECT doc_id, h FROM
+       |           (SELECT doc_id, h, count(*) AS c FROM rg10 GROUP BY doc_id, h)
+       |         WHERE c >= 2),
+       |rc10 AS (SELECT DISTINCT rg10.doc_id, rg10.pos + o.o AS p
+       |         FROM rg10 JOIN rd10 USING (doc_id, h),
+       |              (SELECT unnest(range(10)) AS o) o),
+       |rs10 AS (SELECT rc10.doc_id, CAST(sum(len(rb4.rw[rc10.p])) AS BIGINT) AS cchars
+       |         FROM rc10 JOIN rb4 USING (doc_id) GROUP BY rc10.doc_id),
+       |rmet AS (
+       |  SELECT rb4.doc_id,
+       |    CASE WHEN n_lines > 0
+       |      THEN ((n_lines - n_dls) * 10000) // n_lines ELSE 0 END AS dup_line_bp,
+       |    CASE WHEN line_chars > 0
+       |      THEN ((line_chars - distinct_line_chars) * 10000) // line_chars
+       |      ELSE 0 END AS dup_line_char_bp,
+       |    coalesce(rt2.top2gram_bp, 0) AS top2gram_bp,
+       |    coalesce(rt3.top3gram_bp, 0) AS top3gram_bp,
+       |    coalesce(rt4.top4gram_bp, 0) AS top4gram_bp,
+       |    CASE WHEN rs5.cchars IS NULL THEN 0
+       |      ELSE (rs5.cchars * 10000) // total_chars END AS dup5gram_bp,
+       |    CASE WHEN rs10.cchars IS NULL THEN 0
+       |      ELSE (rs10.cchars * 10000) // total_chars END AS dup10gram_bp
+       |  FROM rb4
+       |  LEFT JOIN rt2 USING (doc_id) LEFT JOIN rt3 USING (doc_id)
+       |  LEFT JOIN rt4 USING (doc_id) LEFT JOIN rs5 USING (doc_id)
+       |  LEFT JOIN rs10 USING (doc_id)),
+       |s2 AS (
+       |  SELECT s1.doc_id, s1.text FROM s1 JOIN rmet USING (doc_id)
+       |  WHERE dup_line_bp <= 3000 AND dup_line_char_bp <= 2000
+       |    AND top2gram_bp <= 2000 AND top3gram_bp <= 1800
+       |    AND top4gram_bp <= 1600 AND dup5gram_bp <= 1500
+       |    AND dup10gram_bp <= 1000),
+       |$pairs,
+       |$clusters,
+       |s3 AS (
+       |  SELECT s2.doc_id, s2.text FROM s2 LEFT JOIN clusters USING (doc_id)
+       |  WHERE clusters.cluster_id IS NULL OR clusters.cluster_id = s2.doc_id),
+       |eb AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ew
+       |  FROM s3),
+       |ewp AS (
+       |  SELECT doc_id, i + 1 AS pos, md5(array_to_string(ew[i+1 : i+10], ' ')) AS h
+       |  FROM (SELECT doc_id, ew, unnest(range(len(ew) - 9)) AS i
+       |        FROM eb WHERE len(ew) >= 10)),
+       |emk AS (
+       |  SELECT doc_id, pos, rn
+       |  FROM (SELECT doc_id, pos,
+       |          row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+       |          count(*) OVER (PARTITION BY h) AS cnt
+       |        FROM ewp)
+       |  WHERE cnt >= 2),
+       |ecand AS (
+       |  SELECT DISTINCT doc_id, pos + d.d AS pos
+       |  FROM emk, (SELECT unnest(range(10)) AS d) d WHERE rn > 1),
+       |ekpr AS (
+       |  SELECT DISTINCT doc_id, pos + d.d AS pos
+       |  FROM emk, (SELECT unnest(range(10)) AS d) d WHERE rn = 1),
+       |-- EXCEPT spelled as an anti-join: DuckDB rejects setops other
+       |-- than UNION in any CTE of a WITH RECURSIVE chain
+       |ecov AS (
+       |  SELECT c.doc_id, c.pos FROM ecand c
+       |  LEFT JOIN ekpr k ON k.doc_id = c.doc_id AND k.pos = c.pos
+       |  WHERE k.pos IS NULL),
+       |ecovn AS (SELECT doc_id, count(*) AS nrem FROM ecov GROUP BY doc_id),
+       |ewd AS (
+       |  SELECT b.doc_id, x.i + 1 AS pos, b.ew[x.i + 1] AS word
+       |  FROM eb b JOIN ecovn USING (doc_id),
+       |       LATERAL (SELECT unnest(range(len(b.ew))) AS i) x),
+       |ekept AS (
+       |  SELECT wo.doc_id, wo.pos, wo.word
+       |  FROM ewd wo LEFT JOIN ecov ON wo.doc_id = ecov.doc_id AND wo.pos = ecov.pos
+       |  WHERE ecov.pos IS NULL),
+       |ere AS (
+       |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS ct
+       |  FROM ekept GROUP BY doc_id),
+       |s4 AS (
+       |  SELECT b.doc_id,
+       |    CASE WHEN ecovn.doc_id IS NOT NULL THEN coalesce(ere.ct, '')
+       |         ELSE coalesce(b.text, '') END AS text
+       |  FROM eb b LEFT JOIN ecovn USING (doc_id) LEFT JOIN ere USING (doc_id))
+       |SELECT '0_input' AS stage, count(*) AS n_docs,
+       |  CAST(coalesce(sum(len(text)), 0) AS BIGINT) AS n_chars FROM src
+       |UNION ALL SELECT '1_gopher_rules', count(*),
+       |  CAST(coalesce(sum(len(text)), 0) AS BIGINT) FROM s1
+       |UNION ALL SELECT '2_repetition', count(*),
+       |  CAST(coalesce(sum(len(text)), 0) AS BIGINT) FROM s2
+       |UNION ALL SELECT '3_near_dedup', count(*),
+       |  CAST(coalesce(sum(len(text)), 0) AS BIGINT) FROM s3
+       |UNION ALL SELECT '4_excision', count(*),
+       |  CAST(coalesce(sum(len(text)), 0) AS BIGINT) FROM s4
+       |ORDER BY stage""".stripMargin
+    // Force DuckDB to evaluate each stage ONCE: under a WITH RECURSIVE
+    // chain DuckDB inlines multiply-referenced CTEs, so every stage
+    // branch (and the recursive closure itself) re-ran the 13 s
+    // minhash chain — the un-hinted oracle measured >10 min; with
+    // MATERIALIZED on the shared stages it is 0.3 s at sf0.001.
+    Seq("src", "s1", "rb4", "s2", "hset", "sig", "buckets", "cand", "res",
+      "clusters", "s3", "eb", "ewp", "emk", "ecand", "ekpr", "ecov",
+      "ecovn", "ewd", "ekept", "ere", "s4")
+      .foldLeft(raw)((acc, c) =>
+        acc.replaceAll(s"(?<![A-Za-z0-9_])$c AS \\(", s"$c AS MATERIALIZED ("))
+  }
+
   val defs: Map[String, Q] = Map(
+    "c4_curation_funnel" -> c4CurationFunnel,
     "t27_upsample_plan" -> t27UpsamplePlan,
     "t24_bpe_merges" -> t24BpeMerges,
     "t25_bpe_tokenize" -> t25BpeTokenize,
@@ -1726,6 +2046,7 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "c4_curation_funnel" -> c4CurationFunnelSql,
     "t27_upsample_plan" -> t27UpsamplePlanSql,
     "t24_bpe_merges" -> t24BpeMergesSql,
     "t25_bpe_tokenize" -> t25BpeTokenizeSql,

@@ -809,9 +809,11 @@ object TextPipeline {
   }
 
   /** Shared CTE chain producing verified near-dup pairs `res(d1, d2,
-    * jaccard)` — the body of d2's oracle, reused by d6's clustering
-    * oracle. */
-  private val d2PairsCtes: String = {
+    * jaccard)` over an arbitrary `docs(doc_id, text)` source SQL — the
+    * body of d2's oracle, reused by d6's clustering oracle and c4's
+    * funnel (which feeds its stage-2 survivors in). Mirrors
+    * [[graft.operators.Dedup.minhashNearDups]] constant-for-constant. */
+  private[queries] def nearDupPairsCtes(docsSql: String): String = {
     val mhCols = (0 until Dedup.NumHashes)
       .map(s => s"min((h * ${Dedup.hashA(s)} + ${Dedup.hashB(s)}) % ${Dedup.HashP}) AS mh$s")
       .mkString(", ")
@@ -822,7 +824,7 @@ object TextPipeline {
         s"('0x' || substr(md5(concat_ws(',', $cols)), 1, 15))::BIGINT AS band$b"
       }.mkString(", ")
     val bandEq = (0 until Dedup.Bands).map(b => s"a.band$b = b.band$b").mkString(" OR ")
-    s"""docs AS ($docsWithDupsSql),
+    s"""docs AS ($docsSql),
        |w AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
        |wh AS (
        |  SELECT doc_id,
@@ -855,6 +857,8 @@ object TextPipeline {
        |  WHERE round(i::DOUBLE / (n1.n + n2.n - i)::DOUBLE, 4) >= 0.5)""".stripMargin
   }
 
+  private val d2PairsCtes: String = nearDupPairsCtes(docsWithDupsSql)
+
   val d2MinhashSql: String =
     s"""WITH $d2PairsCtes
        |SELECT d1, d2, jaccard FROM res ORDER BY d1, d2""".stripMargin
@@ -875,7 +879,7 @@ object TextPipeline {
     * fixpoint the Spark min-label propagation converges to. Shared by
     * d6 (cluster listing), d9 (survivor pick) and d10 (applied dedup).
     * Prepend `WITH RECURSIVE $d2PairsCtes,`. */
-  private val clusterCtes: String =
+  private[queries] val clusterCtes: String =
     """nodes AS (SELECT d1 AS id FROM res UNION SELECT d2 FROM res),
       |e2 AS (SELECT d1 AS src, d2 AS dst FROM res
       |       UNION ALL SELECT d2, d1 FROM res),

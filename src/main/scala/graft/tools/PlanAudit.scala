@@ -60,6 +60,7 @@ object PlanAudit {
     "an27_mix_entropy" -> "unpartitioned total window over the |sources|-row AGGREGATE (key-cardinality, not data-sized)",
     "an32_skew_report" -> "scalar histogram aggregate + one-row p99 pick (feeds the allowed crossJoins)",
     "c2_quality_gate" -> "one-row threshold scalar aggregate (feeds the allowed crossJoin)",
+    "c4_curation_funnel" -> "five per-stage one-row attrition scalars unioned (an17 shape) over already-audited stage operators",
     "d14_fuzzy_join" -> "globalRowNumber over the distinct VOCAB: offsets window sees |partitions| one-row partials",
     "j3_type_bridge" -> "token-dim surrogate ids ride globalRowNumber's offsets window",
     "j15_compat_bridges" -> "eight one-row scalar counts unioned as labeled rows (an17 shape) + globalRowNumber offsets in the default dims",
