@@ -1759,12 +1759,19 @@ object CurationQueries {
         $"top4gram_bp" <= 1600 && $"dup5gram_bp" <= 1500 &&
         $"dup10gram_bp" <= 1000)
       .select($"doc_id")
-    val s2 = s1.join(rep, "doc_id")
+    // lazy-checkpoint each stage BOUNDARY: the attrition branches and
+    // the downstream stages both read s2/s3, and without the pin the
+    // repetition battery re-ran three times per execution (its cost
+    // dominated the un-pinned funnel — measured 14.2 s vs the pinned
+    // form at sf0.1). Same inlining hazard the oracle's MATERIALIZED
+    // hints fix on the DuckDB side.
+    val s2 = s1.join(rep, "doc_id").localCheckpoint(false)
     val clusters = Dedup.dupClusters(
       Dedup.minhashNearDups(s2, "doc_id", "text"))
     val s3 = s2.join(
-      clusters.filter($"doc_id" =!= $"cluster_id").select($"doc_id"),
-      Seq("doc_id"), "left_anti")
+        clusters.filter($"doc_id" =!= $"cluster_id").select($"doc_id"),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
     val s4 = Corpus.exciseExactDuplicates(s3, "doc_id", "text")
       .select($"doc_id", $"cleaned_text".as("text"))
     def m(stage: String, df: org.apache.spark.sql.DataFrame) =

@@ -558,4 +558,33 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got === Map(10L -> 3L, 11L -> 1L)) // users {1,2,4}, {3}
   }
+
+  test("daily distinct stream: sparse 64-bit user ids are legal state keys (r10 Bitmap64)") {
+    // the r9 state capped ids at the dense int domain and FAILED on a
+    // snowflake-scale id; the compressed-bitmap state must count them
+    // exactly (each id lands in its own array container)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400000L
+    def ts(d: Long, h: Long) = new Timestamp(d * day + h * 3600000L)
+    val big = 1L << 33
+    val src = MemoryStream[Streams.Event]
+    val q = Streams.dailyDistinctStream(src.toDS(), "30 minutes").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("daily_sparse").start()
+    src.addData(
+      Streams.Event(big + 5L, ts(10, 1), 0.0),
+      Streams.Event(big * 7L, ts(10, 2), 0.0),
+      Streams.Event(big + 5L, ts(10, 3), 0.0), // dup
+      Streams.Event(Long.MaxValue - 1L, ts(10, 4), 0.0))
+    q.processAllAvailable()
+    src.addData(Streams.Event(-1L, ts(1000, 0), 0.0))
+    q.processAllAvailable()
+    src.addData(Streams.Event(-1L, ts(1000, 1), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("daily_sparse")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(10L -> 3L))
+  }
 }
