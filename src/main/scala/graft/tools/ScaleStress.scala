@@ -577,6 +577,64 @@ object ScaleStress {
       evN.unpersist(blocking = true)
     }
 
+    // b64 (r10): the COMPRESSED bitmap's sparse-key path vs the dense
+    // path vs count-distinct. Keys lifted to >= 2^33 and ~2 MiB apart
+    // put essentially every key in its own array container — the
+    // worst case for the container scheme (max bucket overhead, no
+    // dense page amortization) and exactly the snowflake-id shape the
+    // r9 dense bitmap rejected outright. The claim under test: sparse
+    // keys stay in the same cost regime as dense ones and both beat
+    // count-distinct's Expand + (group, key) re-shuffle as fact rows
+    // grow over a fixed key population.
+    if (sect("b64")) Seq(1, 5, 20, 50).foreach { n =>
+      import org.apache.spark.sql.functions.to_date
+      val ev0 = Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val evN = (0 until n).map { r =>
+        ev0.select((col("event_id") + lit(r.toLong * 100000000L)).as("event_id"),
+          col("user_id"), col("ts"), col("event_type"))
+      }.reduce(_.unionByName(_))
+        .withColumn("sparse_id",
+          col("user_id") * lit(2097152L) + lit(8589934592L))
+        .cache()
+      val rows = evN.count()
+      time(s"b64 dense  bitmap n=$n rows=$rows") {
+        evN.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(graft.functions.BitmapDistinct.bitmap_distinct(col("user_id")).as("nu"))
+          .filter(col("nu") > 0)
+      }
+      time(s"b64 sparse bitmap n=$n rows=$rows") {
+        evN.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(graft.functions.BitmapDistinct.bitmap_distinct(col("sparse_id")).as("nu"))
+          .filter(col("nu") > 0)
+      }
+      time(s"b64 count-distinct n=$n rows=$rows") {
+        evN.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count_distinct(col("sparse_id")).as("nu"))
+          .filter(col("nu") > 0)
+      }
+      evN.unpersist(blocking = true)
+    }
+
+    // b64card (r10): the ADVERSARIAL cardinality regime — every key
+    // distinct and maximally sparse (one array container per key), a
+    // single group. This is where the exact bitmap's per-key cost
+    // (container + tree node) is the whole story and the HLL twin's
+    // fixed 4 KiB becomes the right tool; the measured crossover backs
+    // the documented division of labor.
+    if (sect("b64card")) Seq(1000000L, 4000000L).foreach { n =>
+      val ids = spark.range(n)
+        .select((col("id") * 2097152L + 8589934592L).as("k"))
+      time(s"b64card exact bitmap n=$n") {
+        ids.agg(graft.functions.BitmapDistinct.bitmap_distinct(col("k")).as("nu"))
+          .filter(col("nu") > 0)
+      }
+      time(s"b64card hll          n=$n") {
+        ids.agg(graft.functions.Hll.hll_distinct(col("k")).as("nu"))
+          .filter(col("nu") > 0)
+      }
+    }
+
     // d16: alternating-star CC vs min-label propagation on CHAINS —
     // the adversarial-diameter topology. Stars should grow ~log with
     // chain length; propagation pays one round per 2 hops of diameter
