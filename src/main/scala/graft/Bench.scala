@@ -53,7 +53,8 @@ object Bench {
     // dictionary-encode -> sketch composition for string keys, and the
     // RefinedWeb-style curation funnel capstone (gopher rules ->
     // repetition gate -> near-dedup -> excision in one plan)
-    "an36_bitmap_sparse", "an37_dict_distinct", "c4_curation_funnel")
+    "an36_bitmap_sparse", "an37_dict_distinct", "c4_curation_funnel",
+    "an38_hll_rollup")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —
