@@ -120,6 +120,32 @@ object GraftFunctions {
         case Seq(c) => HllMergeCountExpr(c)
         case args => throw new IllegalArgumentException(
           s"hll_merge_count expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("vhist_sketch"),
+      info(classOf[VhistSketchExpr], "vhist_sketch",
+        "vhist_sketch(value) - exact mergeable value-histogram sketch over an " +
+          "integral metric domain (quantile leg of the sketch algebra)"),
+      {
+        case Seq(c) => VhistSketchExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"vhist_sketch expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("vhist_merge_quantile"),
+      info(classOf[VhistMergeQuantileExpr], "vhist_merge_quantile",
+        "vhist_merge_quantile(sketch, q) - EXACT q-quantile (discrete lower rule) " +
+          "from count-added vhist_sketch values"),
+      {
+        case Seq(c, q) => VhistMergeQuantileExpr(c, q)
+        case args => throw new IllegalArgumentException(
+          s"vhist_merge_quantile expects 2 arguments, got ${args.length}")
+      }),
+    (FunctionIdentifier("vhist_quantile"),
+      info(classOf[VhistQuantileExpr], "vhist_quantile",
+        "vhist_quantile(value, q) - one-shot EXACT q-quantile over integral values"),
+      {
+        case Seq(c, q) => VhistQuantileExpr(c, q)
+        case args => throw new IllegalArgumentException(
+          s"vhist_quantile expects 2 arguments, got ${args.length}")
       }))
 
   /** Register on an already-running session. */

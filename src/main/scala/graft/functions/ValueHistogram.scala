@@ -1,0 +1,317 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
+
+/** EXACT mergeable quantiles over integral value domains — the
+  * QUANTILE leg of the sketch algebra, next to the exact-distinct
+  * bitmap pair ([[BitmapSketchExpr]]/[[BitmapMergeCountExpr]]) and the
+  * approximate HLL twin: a value → count histogram whose merge is
+  * count ADDITION (associative, commutative — order-independent), so a
+  * warehouse materializes one sketch per fine grain (day × type) and
+  * answers ANY quantile at ANY coarser grain from the sketch table —
+  * P99 per day, per month, per everything — without rescanning facts,
+  * with ZERO error.
+  *
+  * Why exact is attainable where general quantile sketches (t-digest,
+  * KLL) accept error: real metric domains are integral and bounded in
+  * DISTINCT VALUES — latencies in ms, prices in cents, sizes in bytes
+  * land on at most a few million distinct points no matter how many
+  * billions of rows carry them. Memory is bounded by the distinct-value
+  * count (16 B/entry), NOT the row count; the resolution knob is
+  * pre-bucketing (`floor(value / unit)`) — the caller chooses the
+  * domain, the sketch never approximates within it. A domain past
+  * [[Vhist.MaxEntries]] fails FAST (the bitmap algebra's contract)
+  * rather than silently degrading; unbounded/continuous domains belong
+  * to `approx_percentile` or a coarser bucketing.
+  *
+  * Quantile rule (pinned so every engine replays it): `quantile(q)` =
+  * the smallest value whose cumulative count ≥ ceil(q × N) — the
+  * discrete lower quantile, the an28 exact-P99 rank rule. No
+  * interpolation, no float arithmetic on ranks (`ceil` on an exact
+  * integer product via BigDecimal), so Spark and the DuckDB oracle
+  * agree bit-for-bit.
+  *
+  * Serialization is canonical (ascending values), a pure function of
+  * the multiset — sketch bytes are stable under any partitioning or
+  * merge order.
+  */
+object Vhist {
+  /** Fail-fast distinct-value ceiling: 16M entries ≈ 256 MB buffer —
+    * generous for any integral metric domain, loud for a mistake
+    * (sketching raw nanosecond timestamps). */
+  val MaxEntries: Int = 1 << 24
+
+  private[functions] val Magic: Byte = 0x48 // 'H'
+  private[functions] val Version: Byte = 1
+
+  type Hist = java.util.TreeMap[java.lang.Long, java.lang.Long]
+
+  def newHist(): Hist = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+
+  def add(h: Hist, v: Long, n: Long): Unit = {
+    val prev = h.get(v)
+    if (prev eq null) {
+      require(h.size() < MaxEntries,
+        s"vhist: more than $MaxEntries distinct values — pre-bucket the domain " +
+          "(floor(value / unit)) or use approx_percentile")
+      h.put(v, n)
+    } else h.put(v, prev + n)
+  }
+
+  def merge(a: Hist, b: Hist): Hist = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); add(a, e.getKey, e.getValue) }
+    a
+  }
+
+  def serialize(h: Hist): Array[Byte] = {
+    val buf = ByteBuffer.allocate(1 + 1 + 4 + 16 * h.size())
+    buf.put(Magic)
+    buf.put(Version)
+    buf.putInt(h.size())
+    val it = h.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      buf.putLong(e.getKey)
+      buf.putLong(e.getValue)
+    }
+    buf.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): Hist = {
+    val buf = ByteBuffer.wrap(bytes)
+    require(buf.remaining() >= 6 && buf.get() == Magic,
+      "vhist: not a graft value-histogram sketch (bad magic)")
+    val v = buf.get()
+    require(v == Version, s"vhist: unsupported sketch version $v")
+    val n = buf.getInt()
+    val h = newHist()
+    var i = 0
+    while (i < n) { h.put(buf.getLong(), buf.getLong()); i += 1 }
+    h
+  }
+
+  /** Smallest value whose cumulative count ≥ ceil(q × N); null for an
+    * empty histogram. Rank arithmetic is exact (BigDecimal ceil). */
+  def quantile(h: Hist, q: Double): Any = {
+    var total = 0L
+    val it0 = h.values().iterator()
+    while (it0.hasNext) total += it0.next()
+    if (total == 0L) null
+    else {
+      val target = java.math.BigDecimal.valueOf(q)
+        .multiply(java.math.BigDecimal.valueOf(total))
+        .setScale(0, java.math.RoundingMode.CEILING).longValueExact()
+      val tgt = math.max(1L, target) // q = 0 → the minimum
+      var cum = 0L
+      val it = h.entrySet().iterator()
+      var res: java.lang.Long = null
+      while (it.hasNext && (res eq null)) {
+        val e = it.next()
+        cum += e.getValue
+        if (cum >= tgt) res = e.getKey
+      }
+      res.longValue()
+    }
+  }
+
+  private[functions] def extractQ(e: Expression, fn: String): Double = e match {
+    // fold at analysis: SQL numeric literals parse as DECIMAL(1,1),
+    // and foldable wrappers (CAST(0.99 AS DOUBLE)) are legal too
+    case f if f.foldable => f.eval() match {
+      case d: Double => d
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case null => throw new IllegalArgumentException(
+        s"$fn: quantile must be a non-null literal")
+      case other => throw new IllegalArgumentException(
+        s"$fn: quantile must be a DOUBLE/DECIMAL literal, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$fn: quantile must be a foldable DOUBLE literal, got $other")
+  }
+
+  private[functions] def checkQ(fn: String, q: Double): TypeCheckResult =
+    if (q >= 0.0 && q <= 1.0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$fn: quantile must be in [0, 1], got $q")
+
+  // ---- Column API ----------------------------------------------------
+
+  /** `df.groupBy(grain).agg(vhist_sketch($"latency_ms"))` — the
+    * re-aggregable exact histogram (binary). */
+  def vhist_sketch(c: Column): Column =
+    ColumnBridge.column(
+      VhistSketchExpr(ColumnBridge.expression(c)).toAggregateExpression())
+
+  /** `sketches.groupBy(coarser).agg(vhist_merge_quantile($"sk", 0.99))`
+    * — the exact q-quantile from merged sketches. */
+  def vhist_merge_quantile(c: Column, q: Double): Column =
+    ColumnBridge.column(
+      VhistMergeQuantileExpr(ColumnBridge.expression(c),
+        Literal(q, DoubleType)).toAggregateExpression())
+
+  /** `df.agg(vhist_quantile($"latency_ms", 0.5))` — one-shot exact
+    * quantile over raw values. */
+  def vhist_quantile(c: Column, q: Double): Column =
+    ColumnBridge.column(
+      VhistQuantileExpr(ColumnBridge.expression(c),
+        Literal(q, DoubleType)).toAggregateExpression())
+}
+
+/** INIT: raw integral values → serialized exact histogram. */
+case class VhistSketchExpr(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Vhist.Hist]
+  with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "vhist_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    BitmapKey.checkIntegral(prettyName, child.dataType)
+
+  override def createAggregationBuffer(): Vhist.Hist = Vhist.newHist()
+
+  override def update(buffer: Vhist.Hist, input: InternalRow): Vhist.Hist = {
+    val v = child.eval(input)
+    if (v != null) Vhist.add(buffer, BitmapKey.toLong(v), 1L)
+    buffer
+  }
+
+  override def merge(b: Vhist.Hist, other: Vhist.Hist): Vhist.Hist =
+    Vhist.merge(b, other)
+
+  override def eval(b: Vhist.Hist): Any = Vhist.serialize(b)
+
+  override def serialize(b: Vhist.Hist): Array[Byte] = Vhist.serialize(b)
+  override def deserialize(bytes: Array[Byte]): Vhist.Hist =
+    Vhist.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VhistSketchExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VhistSketchExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VhistSketchExpr =
+    copy(child = newChild)
+}
+
+/** MERGE: add sketch counts, eval the exact q-quantile. Null sketches
+  * (outer joins) ignored; empty merged histogram → null. */
+case class VhistMergeQuantileExpr(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Vhist.Hist]
+  with BinaryLike[Expression] {
+
+  private lazy val q: Double = Vhist.extractQ(right, prettyName)
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vhist_merge_quantile"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = BitmapKey.checkBinary(prettyName, left.dataType)
+    if (base != TypeCheckResult.TypeCheckSuccess) base
+    else if (!right.foldable || !(right.dataType == DoubleType ||
+        right.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable DOUBLE/DECIMAL quantile, got ${right.dataType.simpleString}")
+    else try Vhist.checkQ(prettyName, q)
+    catch { case e: IllegalArgumentException =>
+      TypeCheckResult.TypeCheckFailure(e.getMessage) }
+  }
+
+  override def createAggregationBuffer(): Vhist.Hist = Vhist.newHist()
+
+  override def update(buffer: Vhist.Hist, input: InternalRow): Vhist.Hist = {
+    left.eval(input) match {
+      case null => buffer
+      case bytes: Array[Byte] => Vhist.merge(buffer, Vhist.deserialize(bytes))
+      case other => throw new IllegalArgumentException(
+        s"$prettyName requires a binary sketch, got ${other.getClass.getSimpleName}")
+    }
+  }
+
+  override def merge(b: Vhist.Hist, other: Vhist.Hist): Vhist.Hist =
+    Vhist.merge(b, other)
+
+  override def eval(b: Vhist.Hist): Any = Vhist.quantile(b, q)
+
+  override def serialize(b: Vhist.Hist): Array[Byte] = Vhist.serialize(b)
+  override def deserialize(bytes: Array[Byte]): Vhist.Hist =
+    Vhist.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VhistMergeQuantileExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VhistMergeQuantileExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VhistMergeQuantileExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** One-shot: raw values → exact q-quantile (INIT + quantile fused). */
+case class VhistQuantileExpr(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Vhist.Hist]
+  with BinaryLike[Expression] {
+
+  private lazy val q: Double = Vhist.extractQ(right, prettyName)
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vhist_quantile"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = BitmapKey.checkIntegral(prettyName, left.dataType)
+    if (base != TypeCheckResult.TypeCheckSuccess) base
+    else if (!right.foldable || !(right.dataType == DoubleType ||
+        right.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable DOUBLE/DECIMAL quantile, got ${right.dataType.simpleString}")
+    else try Vhist.checkQ(prettyName, q)
+    catch { case e: IllegalArgumentException =>
+      TypeCheckResult.TypeCheckFailure(e.getMessage) }
+  }
+
+  override def createAggregationBuffer(): Vhist.Hist = Vhist.newHist()
+
+  override def update(buffer: Vhist.Hist, input: InternalRow): Vhist.Hist = {
+    val v = left.eval(input)
+    if (v != null) Vhist.add(buffer, BitmapKey.toLong(v), 1L)
+    buffer
+  }
+
+  override def merge(b: Vhist.Hist, other: Vhist.Hist): Vhist.Hist =
+    Vhist.merge(b, other)
+
+  override def eval(b: Vhist.Hist): Any = Vhist.quantile(b, q)
+
+  override def serialize(b: Vhist.Hist): Array[Byte] = Vhist.serialize(b)
+  override def deserialize(bytes: Array[Byte]): Vhist.Hist =
+    Vhist.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VhistQuantileExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VhistQuantileExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VhistQuantileExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -592,6 +592,52 @@ object EventQueries {
       |FROM events WHERE ts IS NOT NULL AND props IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** AN39: EXACT re-aggregable quantiles — the QUANTILE leg of the
+    * sketch algebra ([[graft.functions.VhistSketchExpr]] /
+    * [[graft.functions.VhistMergeQuantileExpr]]): one value-histogram
+    * sketch per (day, type) fine grain over value-cents, then exact
+    * per-type P50/P95/P99 by count-ADDING sketches — the fact table is
+    * scanned once for any number of coarser quantile grains, where a
+    * direct exact percentile re-sorts the raw values per grain (and
+    * `approx_percentile` gives up exactness). Values are pre-bucketed
+    * to cents via floor(value × 100) — the sketch's resolution knob;
+    * the quantile rule (smallest value with cumulative count ≥
+    * ceil(q·N), exact-decimal rank arithmetic) replays identically in
+    * the oracle's rank SQL, with DECIMAL literals so q·N never takes a
+    * float detour. */
+  val an39VhistQuantiles: Q = (s, dir) => {
+    import s.implicits._
+    val V = graft.functions.Vhist
+    val sk = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"value".isNotNull)
+      .select($"event_type", $"ts", floor($"value" * 100).as("cents"))
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(V.vhist_sketch($"cents").as("sk"))
+    sk.groupBy($"event_type")
+      .agg(V.vhist_merge_quantile($"sk", 0.5).as("p50_cents"),
+        V.vhist_merge_quantile($"sk", 0.95).as("p95_cents"),
+        V.vhist_merge_quantile($"sk", 0.99).as("p99_cents"))
+      .orderBy($"event_type")
+  }
+
+  val an39VhistQuantilesSql: String =
+    """WITH v AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v)
+      |SELECT event_type,
+      |  min(CASE WHEN rn = CAST(ceil(CAST(0.50 AS DECIMAL(8,6)) * n) AS BIGINT)
+      |           THEN cents END) AS p50_cents,
+      |  min(CASE WHEN rn = CAST(ceil(CAST(0.95 AS DECIMAL(8,6)) * n) AS BIGINT)
+      |           THEN cents END) AS p95_cents,
+      |  min(CASE WHEN rn = CAST(ceil(CAST(0.99 AS DECIMAL(8,6)) * n) AS BIGINT)
+      |           THEN cents END) AS p99_cents
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** AN34: cohort retention matrix — the canonical product-analytics
     * warehouse query: users are grouped into cohorts by FIRST-ACTIVE
     * day, and each (cohort, day-offset) cell counts how many of that
@@ -1574,6 +1620,7 @@ object EventQueries {
     "an36_bitmap_sparse" -> an36BitmapSparse,
     "an37_dict_distinct" -> an37DictDistinct,
     "an38_hll_rollup" -> an38HllRollup,
+    "an39_vhist_quantiles" -> an39VhistQuantiles,
     "an21_transitions" -> an21TransitionMatrix,
     "an22_type_overlap" -> an22TypeOverlap,
     "an23_robust_outliers" -> an23RobustOutliers,
@@ -1612,6 +1659,7 @@ object EventQueries {
     "an36_bitmap_sparse" -> an36BitmapSparseSql,
     "an37_dict_distinct" -> an37DictDistinctSql,
     "an38_hll_rollup" -> an38HllRollupSql,
+    "an39_vhist_quantiles" -> an39VhistQuantilesSql,
     "an21_transitions" -> an21TransitionMatrixSql,
     "an22_type_overlap" -> an22TypeOverlapSql,
     "an23_robust_outliers" -> an23RobustOutliersSql,

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Exact-quantile sketch contract: the pinned discrete-lower rule vs a
+  * brute-force reference, exactness and determinism across
+  * partitionings/merge orders, INIT→MERGE ≡ one-shot, null/empty
+  * handling, loud failures. */
+class ValueHistogramSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Reference: smallest value whose cumulative count >= ceil(q*n). */
+  private def ref(vs: Seq[Long], q: Double): Long = {
+    val sorted = vs.sorted
+    val tgt = math.max(1L, java.math.BigDecimal.valueOf(q)
+      .multiply(java.math.BigDecimal.valueOf(sorted.size.toLong))
+      .setScale(0, java.math.RoundingMode.CEILING).longValueExact())
+    sorted((tgt - 1).toInt)
+  }
+
+  test("quantiles equal the brute-force rule across partitionings, q sweep, dup-heavy + negative values") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val vs = Seq.fill(20000)((rnd.nextLong() % 500L) - 100L) // heavy dups, negatives
+    val df = vs.toDF("v")
+    for (q <- Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.95, 0.99, 1.0); p <- Seq(1, 7, 32)) {
+      val got = df.repartition(p).agg(Vhist.vhist_quantile($"v", q)).head().getLong(0)
+      assert(got === ref(vs, q), s"q=$q parts=$p")
+    }
+  }
+
+  test("INIT -> MERGE roll-up equals the one-shot quantile exactly (counts add losslessly)") {
+    import spark.implicits._
+    val df = (1L to 30000L).map(i => (s"g${i % 6}", (i * 7919L) % 1000L)).toDF("g", "v")
+    for (q <- Seq(0.5, 0.95, 0.99)) {
+      val oneShot = df.agg(Vhist.vhist_quantile($"v", q)).head().getLong(0)
+      val rolled = df.groupBy($"g").agg(Vhist.vhist_sketch($"v").as("sk"))
+        .agg(Vhist.vhist_merge_quantile($"sk", q)).head().getLong(0)
+      assert(rolled === oneShot, s"q=$q")
+      assert(rolled === ref(df.collect().map(_.getLong(1)).toSeq, q), s"q=$q vs ref")
+    }
+  }
+
+  test("sketch bytes are canonical: any partitioning, same bytes") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i * 31L) % 257L).toDF("v")
+    val bytes = Seq(1, 8, 32).map { p =>
+      df.repartition(p).agg(Vhist.vhist_sketch($"v")).head().getAs[Array[Byte]](0).toSeq
+    }
+    assert(bytes.distinct.size === 1)
+  }
+
+  test("nulls ignored; empty input yields null; SQL registration works") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(Some(5L), None, Some(1L), Some(9L)).toDF("v")
+    assert(df.agg(Vhist.vhist_quantile($"v", 0.5)).head().getLong(0) === 5L)
+    assert(df.filter($"v".isNull).agg(Vhist.vhist_quantile($"v", 0.5)).head().isNullAt(0))
+    df.createOrReplaceTempView("vh_in")
+    assert(spark.sql("SELECT vhist_quantile(v, 0.5) FROM vh_in").head().getLong(0) === 5L)
+    val viaSketch = spark.sql(
+      """SELECT vhist_merge_quantile(sk, CAST(1.0 AS DOUBLE)) FROM (
+        |  SELECT vhist_sketch(v) AS sk FROM vh_in GROUP BY v % 2)""".stripMargin)
+      .head().getLong(0)
+    assert(viaSketch === 9L)
+  }
+
+  test("analysis-time failures: bad q, mistyped inputs") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("v")
+    val e1 = intercept[Exception] {
+      df.agg(Vhist.vhist_quantile($"v", 1.5)).queryExecution.analyzed
+    }
+    assert(e1.getMessage.contains("[0, 1]") || e1.getMessage.contains("vhist"))
+    val e2 = intercept[Exception] {
+      Seq("x").toDF("v").agg(Vhist.vhist_sketch($"v")).queryExecution.analyzed
+    }
+    assert(e2.getMessage.toLowerCase.contains("integral") || e2.getMessage.contains("vhist"))
+    val e3 = intercept[Exception] {
+      Seq(1L).toDF("sk").agg(Vhist.vhist_merge_quantile($"sk", 0.5))
+        .queryExecution.analyzed
+    }
+    assert(e3.getMessage.toLowerCase.contains("binary") || e3.getMessage.contains("vhist"))
+  }
+
+  test("foreign bytes fail loudly at merge") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq(Array[Byte](9, 9, 9, 9, 9, 9, 9)).toDF("sk")
+        .agg(Vhist.vhist_merge_quantile($"sk", 0.5)).head()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("magic")))
+  }
+}
