@@ -28,7 +28,10 @@ python3 scripts/adversarial_fixture.py "$SRC" "$FIX"
 echo "[hostile] Verify -> $OUT"
 sbt -batch "runMain graft.Verify $FIX $OUT $QUERIES"
 echo "[hostile] DuckDB oracle compare"
-python3 scripts/check_oracle.py "$FIX" "$OUT" | tail -3
-python3 scripts/check_oracle.py "$FIX" "$OUT" | tail -1 | grep -q " 0 fail" \
+# run the oracle compare ONCE: the displayed output and the GREEN/RED
+# decision must come from the same run (and the compare isn't free)
+ORACLE_OUT="$(python3 scripts/check_oracle.py "$FIX" "$OUT")"
+echo "$ORACLE_OUT" | tail -3
+echo "$ORACLE_OUT" | tail -1 | grep -q " 0 fail" \
   && echo "[hostile] GREEN" \
   || { echo "[hostile] RED"; exit 1; }

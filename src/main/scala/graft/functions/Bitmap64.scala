@@ -231,8 +231,12 @@ object Bitmap64 {
       val idx = java.util.Arrays.binarySearch(values, 0, n, c)
       if (idx >= 0) this
       else if (n < ArrayMax) {
+        // max(8, …): a deserialized container may legally carry n = 0
+        // (readContainer allows it), where n * 2 = 0 would "grow" to an
+        // empty array and the insert below would throw out-of-bounds
         if (n == values.length)
-          values = java.util.Arrays.copyOf(values, math.min(ArrayMax, n * 2))
+          values = java.util.Arrays.copyOf(values,
+            math.max(8, math.min(ArrayMax, n * 2)))
         val ins = -idx - 1
         System.arraycopy(values, ins, values, ins + 1, n - ins)
         values(ins) = c

@@ -94,9 +94,19 @@ object Vhist {
     val v = buf.get()
     require(v == Version, s"vhist: unsupported sketch version $v")
     val n = buf.getInt()
+    require(n >= 0 && n <= MaxEntries, s"vhist: bad sketch entry count $n")
     val h = newHist()
     var i = 0
-    while (i < n) { h.put(buf.getLong(), buf.getLong()); i += 1 }
+    while (i < n) {
+      val value = buf.getLong()
+      val count = buf.getLong()
+      // counts must be positive: a corrupt/hostile negative count would
+      // make quantile()'s cumulative walk undershoot its target forever
+      // and surface as an NPE instead of this loud format error
+      require(count > 0L, s"vhist: non-positive count $count for value $value")
+      h.put(value, count)
+      i += 1
+    }
     h
   }
 

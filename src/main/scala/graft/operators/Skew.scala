@@ -85,9 +85,13 @@ object Skew {
       .groupBy(col(key)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= hotThreshold)
       .select(col(key))
-    val hotKeys = counts.collect().map(_.get(0))
+    // bounded driver materialization (same probe as dispatchJoin): one
+    // row past the cap proves the violation — a mis-set threshold on a
+    // high-cardinality key must fail with this require, never with a
+    // driver-sized collect of the whole key set
+    val hotKeys = counts.limit(maxHotKeys + 1).collect().map(_.get(0))
     require(hotKeys.length <= maxHotKeys,
-      s"hotColdJoin: ${hotKeys.length} keys exceed hotThreshold=$hotThreshold " +
+      s"hotColdJoin: more than $maxHotKeys keys exceed hotThreshold=$hotThreshold " +
         s"(maxHotKeys=$maxHotKeys) — raise the threshold or salt instead")
     hotColdJoinWith(left, right, key, hotKeys)
   }

@@ -251,7 +251,19 @@ object Streams {
     * `distinct_users > 0`).
     * Timeout-timestamp safety: any row reaching the function satisfies
     * ts ≥ watermark, and its day's end > ts, so the day-end timeout is
-    * always strictly ahead of the watermark. */
+    * always strictly ahead of the watermark.
+    *
+    * FORMAT BREAK (r10, deliberate): state bytes switched from
+    * `java.util.BitSet.toByteArray` to the magic-prefixed
+    * [[graft.functions.Bitmap64]] format with NO legacy fallback — a
+    * pre-r10 streaming checkpoint (or a persisted pre-r10
+    * `bitmap_sketch` column) fails loudly with "bad magic" rather than
+    * being silently misread: BitSet bytes carry no self-describing
+    * header, so "migrate on magic mismatch" would accept ARBITRARY
+    * corrupt bytes as legacy state. Restarting across the break means
+    * replaying the stream from a fresh checkpoint (all e-family gates
+    * stage their own input, so the engine's own queries are
+    * unaffected). */
   def dailyDistinctStream(events: Dataset[Event],
       watermarkDelay: String = "30 minutes"): Dataset[DayDistinct] = {
     import events.sparkSession.implicits._

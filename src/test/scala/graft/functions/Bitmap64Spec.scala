@@ -107,4 +107,21 @@ class Bitmap64Spec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("magic"))
   }
+
+  test("a deserialized zero-size array container accepts adds (growth never multiplies 0)") {
+    // hand-crafted bytes: one bucket holding an EMPTY array container —
+    // unreachable via serialize() (containers always hold ≥ 1 value) but
+    // legal per readContainer's n >= 0 check; add() must grow the backing
+    // array from 0, not copy to size 0*2 and throw out-of-bounds
+    val buf = java.nio.ByteBuffer.allocate(1 + 1 + 4 + 8 + 1 + 4)
+    buf.put(0x47.toByte).put(1.toByte).putInt(1)
+    buf.putLong(0L)      // bucket hi = 0
+    buf.put(0.toByte)    // kind = array
+    buf.putInt(0)        // n = 0
+    val b = Bitmap64.deserialize(buf.array())
+    assert(b.cardinality === 0L)
+    (0L until 10L).foreach(b.add)
+    assert(b.cardinality === 10L)
+    assert(Bitmap64.deserialize(b.serialize()).cardinality === 10L)
+  }
 }

@@ -96,4 +96,21 @@ class ValueHistogramSpec extends AnyFunSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("magic")))
   }
+
+  test("corrupt counts fail loudly at deserialize, never as an NPE in quantile") {
+    // well-formed header, one entry with a NEGATIVE count: the cumulative
+    // walk could never reach its target — deserialize must reject it
+    def sketch(count: Long): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(1 + 1 + 4 + 16)
+      buf.put(Vhist.Magic).put(Vhist.Version).putInt(1)
+      buf.putLong(42L).putLong(count)
+      buf.array()
+    }
+    // confirm the hand-crafted layout itself is accepted when sane
+    assert(Vhist.quantile(Vhist.deserialize(sketch(3L)), 0.5) === 42L)
+    val e = intercept[IllegalArgumentException] { Vhist.deserialize(sketch(-3L)) }
+    assert(e.getMessage.contains("non-positive count"))
+    val z = intercept[IllegalArgumentException] { Vhist.deserialize(sketch(0L)) }
+    assert(z.getMessage.contains("non-positive count"))
+  }
 }

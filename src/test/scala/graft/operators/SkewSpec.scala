@@ -133,4 +133,19 @@ class SkewSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("hotColdJoin"))
   }
+
+  test("hotColdJoin's hot-key probe is bounded on a WIDE all-hot key domain") {
+    // 100k distinct keys, every one 'hot' at threshold 1: the probe must
+    // materialize maxHotKeys + 1 rows (dispatchJoin's limit), never the
+    // whole key set — a mis-set threshold fails with the clean require,
+    // not a driver-sized collect
+    import org.apache.spark.sql.functions._
+    val wide = spark.range(100000L)
+      .select(concat(lit("w"), $"id").as("k"), $"id".as("rid"))
+    val dim = Seq(("w0", "W0")).toDF("k", "label")
+    val e = intercept[IllegalArgumentException] {
+      Skew.hotColdJoin(wide, dim, "k", hotThreshold = 1, maxHotKeys = 10)
+    }
+    assert(e.getMessage.contains("more than 10 keys"))
+  }
 }
