@@ -54,7 +54,11 @@ object Bench {
     // RefinedWeb-style curation funnel capstone (gopher rules ->
     // repetition gate -> near-dedup -> excision in one plan)
     "an36_bitmap_sparse", "an37_dict_distinct", "c4_curation_funnel",
-    "an38_hll_rollup", "an39_vhist_quantiles")
+    "an38_hll_rollup", "an39_vhist_quantiles",
+    // r11: the append-stable dictionary composition (stored batch-1
+    // sketches merged with batch-2 sketches coded through the extended
+    // dictionary)
+    "an40_dict_append")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —

@@ -638,6 +638,52 @@ object EventQueries {
       |           THEN cents END) AS p99_cents
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** AN40: APPEND-STABLE dictionary codes — the incremental-warehouse
+    * composition [[graft.operators.Dictionary.encodeIncremental]]
+    * exists for, replayed end-to-end: events split into two disjoint
+    * arrival batches (by user-id parity), batch 1 encoded and sketched
+    * as "yesterday's" STORED sketch table, batch 2 encoded through the
+    * EXTENDED dictionary (existing codes frozen bit-for-bit, new keys
+    * appended at max+1), and the two sketch generations merged as one
+    * INIT → MERGE roll-up. The oracle pins the whole contract: the
+    * merged exact distinct must equal COUNT(DISTINCT props) over the
+    * UNION of both batches — true ONLY if every code kept meaning the
+    * same key across the append (a rank re-encode renumbers mid-sort
+    * keys and the merged bitmaps double- or under-count) — and
+    * `codes_frozen` (zero batch-1 pairs moved in the extended
+    * dictionary, a one-row scalar) must be TRUE. */
+  val an40DictAppend: Q = (s, dir) => {
+    import s.implicits._
+    val B = graft.functions.BitmapDistinct
+    val D = graft.operators.Dictionary
+    val ev = Tables.load(s, dir, "events")
+      .filter($"user_id".isNotNull)
+      .select($"event_type", $"props", $"user_id")
+    val b1 = ev.filter(pmod($"user_id", lit(2)) === 0).select($"event_type", $"props")
+    val b2 = ev.filter(pmod($"user_id", lit(2)) === 1).select($"event_type", $"props")
+    val (coded1, dict1) = D.encode(b1, "props", "code")
+    val stored = coded1.groupBy($"event_type").agg(B.bitmap_sketch($"code").as("sk"))
+    val (coded2, dict2) = D.encodeIncremental(dict1, b2, "props", "code")
+    val today = coded2.groupBy($"event_type").agg(B.bitmap_sketch($"code").as("sk"))
+    // one-row append-stability audit: batch-1 pairs that MOVED in the
+    // extended dictionary (must be zero; broadcast as a scalar)
+    val moved = dict1.as("o").join(dict2.as("n"), "props")
+      .filter($"o.code" =!= $"n.code")
+      .agg(count(lit(1)).as("__moved"))
+    stored.unionByName(today)
+      .groupBy($"event_type")
+      .agg(B.bitmap_merge_count($"sk").as("n_props"))
+      .crossJoin(broadcast(moved))
+      .select($"event_type", $"n_props", ($"__moved" === 0L).as("codes_frozen"))
+      .orderBy($"event_type")
+  }
+
+  val an40DictAppendSql: String =
+    """SELECT event_type, count(DISTINCT props) AS n_props,
+      |  TRUE AS codes_frozen
+      |FROM events WHERE props IS NOT NULL AND user_id IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** AN34: cohort retention matrix — the canonical product-analytics
     * warehouse query: users are grouped into cohorts by FIRST-ACTIVE
     * day, and each (cohort, day-offset) cell counts how many of that
@@ -1621,6 +1667,7 @@ object EventQueries {
     "an37_dict_distinct" -> an37DictDistinct,
     "an38_hll_rollup" -> an38HllRollup,
     "an39_vhist_quantiles" -> an39VhistQuantiles,
+    "an40_dict_append" -> an40DictAppend,
     "an21_transitions" -> an21TransitionMatrix,
     "an22_type_overlap" -> an22TypeOverlap,
     "an23_robust_outliers" -> an23RobustOutliers,
@@ -1660,6 +1707,7 @@ object EventQueries {
     "an37_dict_distinct" -> an37DictDistinctSql,
     "an38_hll_rollup" -> an38HllRollupSql,
     "an39_vhist_quantiles" -> an39VhistQuantilesSql,
+    "an40_dict_append" -> an40DictAppendSql,
     "an21_transitions" -> an21TransitionMatrixSql,
     "an22_type_overlap" -> an22TypeOverlapSql,
     "an23_robust_outliers" -> an23RobustOutliersSql,

@@ -80,7 +80,8 @@ object PlanAudit {
     "t23_curriculum" -> "two-phase curriculum order: offsets window over |partitions| partials",
     "t33_bm25" -> "one-row (N, sum dl) stats aggregate",
     "n18_rrf_fusion" -> "inherits t33's one-row stats aggregate; fusion joins two top-50 lists",
-    "an37_dict_distinct" -> "Dictionary.encode = globalRowNumber over the DISTINCT key set: offsets window sees |partitions| one-row partials")
+    "an37_dict_distinct" -> "Dictionary.encode = globalRowNumber over the DISTINCT key set: offsets window sees |partitions| one-row partials",
+    "an40_dict_append" -> "two globalRowNumber offsets windows (batch-1 dict + incremental NEW-key rank, both dictionary-cardinality) + one-row max-code and moved-count scalars")
 
   /** BroadcastNestedLoopJoin sites where the broadcast side is bounded
     * by construction (one-row scalars, fixed query fan-outs, k
@@ -115,7 +116,8 @@ object PlanAudit {
     "n18_rrf_fusion" -> "composes t33's one-row stats crossJoin + n1's 1-query fan-out",
     "n19_knn_classify" -> "n1's bounded 20-query fan-out; label join is equi broadcast of top-k",
     "n20_hard_negatives" -> "same bounded 20-query fan-out (n1 scoring + anti-filter + rank cuts)",
-    "an32_skew_report" -> "TWO one-row crossJoins: scalar aggregate + one-row p99 pick")
+    "an32_skew_report" -> "TWO one-row crossJoins: scalar aggregate + one-row p99 pick",
+    "an40_dict_append" -> "TWO one-row broadcast crossJoins: encodeIncremental's max-code base + the codes_frozen moved-count scalar")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

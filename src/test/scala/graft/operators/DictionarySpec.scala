@@ -50,4 +50,78 @@ class DictionarySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaBitmap === direct)
   }
+
+  // ---- encodeIncremental (append-stable extension) ---------------------
+
+  test("encodeIncremental freezes batch-1 codes bit-for-bit and appends new keys at max+1") {
+    import spark.implicits._
+    // batch-2 keys deliberately sort BEFORE, BETWEEN, and AFTER batch-1
+    // keys — a plain re-encode would renumber almost everything
+    val b1 = Seq("m", "c", "x", "f").toDF("k")
+    val b2 = Seq("a", "d", "z", "c", "x").toDF("k") // c, x already known
+    val (_, dict1) = Dictionary.encode(b1, "k", "code")
+    val before = dict1.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val (coded2, dict2) = Dictionary.encodeIncremental(dict1, b2, "k", "code")
+    val after = dict2.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // every batch-1 pair unchanged
+    before.foreach { case (k, c) => assert(after(k) === c, s"code for '$k' moved") }
+    // new keys ranked among THEMSELVES, appended at max(code)+1, dense
+    assert(after("a") === 4L && after("d") === 5L && after("z") === 6L)
+    assert(after.values.toSeq.sorted === (0L until 7L))
+    // facts containing old AND new keys all code through the extended dict
+    val c2 = coded2.collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("code")))
+    assert(c2.length === 5 && c2.forall { case (k, c) => after(k) === c })
+  }
+
+  test("encodeIncremental with no new keys returns the dictionary unchanged") {
+    import spark.implicits._
+    val b1 = Seq("p", "q", "r").toDF("k")
+    val (_, dict1) = Dictionary.encode(b1, "k", "code")
+    val before = dict1.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val (_, dict2) = Dictionary.encodeIncremental(dict1, Seq("q", "p").toDF("k"), "k", "code")
+    assert(dict2.collect().map(r => (r.getString(0), r.getLong(1))).toSet === before)
+    // empty starting dictionary degrades to encode's codes
+    val empty = dict1.filter(lit(false))
+    val (_, dict3) = Dictionary.encodeIncremental(empty, b1, "k", "code")
+    val d3 = dict3.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(d3 === Map("p" -> 0L, "q" -> 1L, "r" -> 2L))
+  }
+
+  test("STORED sketches built on batch-1 codes merge exactly with batch-2 sketches") {
+    import spark.implicits._
+    val B = graft.functions.BitmapDistinct
+    val b1 = (1 to 1500).map(i => (s"g${i % 3}", s"u-${(i * 13) % 211}")).toDF("g", "k")
+    val b2 = (1 to 1500).map(i => (s"g${i % 3}", s"u-${(i * 7) % 400}")).toDF("g", "k")
+    val (coded1, dict1) = Dictionary.encode(b1, "k", "code")
+    // "yesterday's" sketch table, persisted as bytes on batch-1 codes
+    val stored = coded1.groupBy($"g").agg(B.bitmap_sketch($"code").as("sk")).collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]]("sk"))).toMap
+    val (coded2, _) = Dictionary.encodeIncremental(dict1, b2, "k", "code")
+    val today = coded2.groupBy($"g").agg(B.bitmap_sketch($"code").as("sk")).collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]]("sk"))).toMap
+    val direct = b1.unionByName(b2).groupBy($"g").agg(countDistinct($"k").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    direct.foreach { case (g, n) =>
+      val merged = graft.functions.Bitmap64.deserialize(stored(g))
+      merged.or(graft.functions.Bitmap64.deserialize(today(g)))
+      assert(merged.cardinality === n, s"group $g: stale codes corrupted the merge")
+    }
+  }
+
+  test("encodeIncremental: nulls dropped, deterministic across partitionings, dict schema required") {
+    import spark.implicits._
+    val b1 = Seq("a", "b").toDF("k")
+    val (_, dict1) = Dictionary.encode(b1, "k", "code")
+    val b2 = Seq(Some("c"), None, Some("d")).toDF("k")
+    val results = Seq(1, 5, 32).map { p =>
+      val (_, d) = Dictionary.encodeIncremental(dict1, b2.repartition(p), "k", "code")
+      d.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    }
+    assert(results.distinct.size === 1, "partitioning changed the extended dictionary")
+    assert(results.head === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    val e = intercept[IllegalArgumentException] {
+      Dictionary.encodeIncremental(dict1.withColumnRenamed("code", "id"), b2, "k", "code")
+    }
+    assert(e.getMessage.contains("encodeIncremental"))
+  }
 }
