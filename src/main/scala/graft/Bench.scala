@@ -63,11 +63,13 @@ object Bench {
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —
     * e1/e2/e8/e10 are their batch twins and time normally. Any member
-    * that appears in `headline` (today: e13) is (a) capped at 3 reps —
-    * its cost is fixed machinery, not jitter-sensitive operator time —
-    * and (b) reported under the separate `streaming_fixed_sec` total,
-    * so the comparable-operator `value` stops carrying ~29% harness
-    * noise. Listing ALL of them (not just e13) means a future headline
+    * that appears in `headline` (today: e13, e17) is (a) run ONCE —
+    * its cost is fixed trigger/drain machinery, and a median of fixed
+    * machinery is meaningless (r10: e13+e17 at 3 reps were 29 s = 40%
+    * of every bench run, measuring the same constant thrice) — and
+    * (b) reported under the separate `streaming_fixed_sec` total, so
+    * the comparable-operator `value` carries no harness noise. Listing
+    * ALL of them (not just today's members) means a future headline
     * addition is split and capped automatically. The set itself lives
     * in [[graft.streaming.Streams.realStreamingGateQueries]] — one
     * canonical copy shared with PlanAudit's exclusion. */
@@ -82,6 +84,47 @@ object Bench {
   val reps: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
   val maxReps: Int = math.max(reps, 9)
   val minSampleSecs: Double = 1.5
+
+  /** Relative-spread acceptance bar ((max-min)/median). The r10 driver
+    * artifact passed the steal rule (1.3%) yet carried 2–10×-inflated
+    * medians with per-query spreads to 6.4 that nothing acted on: the
+    * instrument computed its own uncertainty signal and ignored it.
+    * Now any batch query whose spread exceeds this bar keeps re-running
+    * (to maxReps) to out-vote the contaminated rep, and if the spread
+    * STILL exceeds it the query is stamped `valid: false` and the run
+    * `spread_ok: false` — a tail-reader can no longer mistake a noisy
+    * artifact for a regression. */
+  val spreadLimit: Double =
+    sys.env.getOrElse("SPARK_GRAFT_MAX_SPREAD", "1.0").toDouble
+
+  /** Relative spread (max-min)/median of a non-empty sample list — the
+    * measurement-uncertainty stat the acceptance bar reads. */
+  def relSpread(times: Seq[Double]): Double = {
+    val med = times.sorted.apply(times.size / 2)
+    if (med <= 0) 0.0 else (times.max - times.min) / med
+  }
+
+  /** The sampling loop, factored out so the escalation/flagging policy
+    * is unit-testable with synthetic timings (no Spark): batch queries
+    * run at least `nReps` reps, keep running while the accumulated
+    * samples are under `minSecs` (sub-second queries need more reps
+    * for the same relative jitter) OR the relative spread exceeds
+    * `maxSpread` (a contaminated rep must be out-voted, not trusted),
+    * hard-capped at `nMax`; streaming queries run ONCE (fixed
+    * machinery — see [[streamingHeadline]]). */
+  private[graft] def collectTimes(rep: () => Double, isStream: Boolean,
+      nReps: Int, nMax: Int, minSecs: Double, maxSpread: Double): Vector[Double] = {
+    val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var spent = 0.0
+    val target = if (isStream) 1 else nReps
+    val cap = if (isStream) 1 else nMax
+    while (times.size < cap &&
+           (times.size < target || (!isStream &&
+             (spent < minSecs || relSpread(times.toSeq) > maxSpread)))) {
+      val dt = rep(); times += dt; spent += dt
+    }
+    times.toVector
+  }
 
   def loadavg(): Double = try {
     new String(java.nio.file.Files.readAllBytes(
@@ -192,43 +235,47 @@ object Bench {
     val qs = headline
     // a query that throws reports the sentinel -1, not its time-to-failure
     val results = qs.map { name =>
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val isStream = streamingHeadline.contains(name)
       // per-query untimed warm-up: the first execution pays plan
       // compilation + codegen; timing it poisons median AND spread
       var failed =
         try { force(SparkEntry.queries(name)(spark, sfDir)); false }
         catch { case _: Throwable => true }
-      var spent = 0.0
-      val isStream = streamingHeadline.contains(name)
-      val nReps = if (isStream) math.min(reps, 3) else reps
-      val nMax = if (isStream) math.min(maxReps, 3) else maxReps
-      while (!failed && times.size < nMax &&
-             (times.size < nReps || (!isStream && spent < minSampleSecs))) {
-        val t0 = System.nanoTime()
-        try { force(SparkEntry.queries(name)(spark, sfDir))
-              val dt = (System.nanoTime() - t0) / 1e9
-              times += dt; spent += dt }
-        catch { case _: Throwable => failed = true }
-      }
+      val times =
+        if (failed) Vector.empty[Double]
+        else try {
+          collectTimes(() => {
+            val t0 = System.nanoTime()
+            force(SparkEntry.queries(name)(spark, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          }, isStream, reps, maxReps, minSampleSecs, spreadLimit)
+        } catch { case _: Throwable => failed = true; Vector.empty[Double] }
       val median =
         if (failed) -1.0 // any failed rep poisons the query
         else times.sorted.apply(times.size / 2)
       // relative spread (max-min)/median: the measurement uncertainty a
       // reader needs before calling a cross-round delta a regression
-      val spread =
-        if (failed || median <= 0) 0.0
-        else (times.max - times.min) / median
-      (name, median, spread)
+      val spread = if (failed || median <= 0) 0.0 else relSpread(times)
+      // valid = the median is trustworthy: the query ran AND its spread
+      // settled under the bar (streaming entries run once — fixed
+      // machinery has no spread to judge)
+      val valid = !failed && (isStream || spread <= spreadLimit)
+      (name, median, spread, valid)
     }
-    val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Locale.ROOT: f"" uses the default locale — a comma-decimal locale
     // would emit invalid JSON
-    val sjson = results.map { case (k, _, s) =>
+    val sjson = results.map { case (k, _, s, _) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val vjson = results.map { case (k, _, _, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errors = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // run-level verdict: every query's median is trustworthy — a
+    // tail-reader checks ONE flag before comparing numbers across runs
+    val spreadOk = results.forall(_._4)
     // two totals (r9): `value` = the comparable-operator subset —
     // real-streaming entries carry mostly fixed trigger/drain
     // machinery, so their cost is split into streaming_fixed_sec;
@@ -236,7 +283,7 @@ object Bench {
     // cross-round continuity: BENCH_r8's "value" compares to THIS
     // run's grand total minus the r9-added queries)
     val (streamRes, opRes) =
-      results.partition { case (k, _, _) => streamingHeadline.contains(k) }
+      results.partition { case (k, _, _, _) => streamingHeadline.contains(k) }
     val total = opRes.map(_._2).filter(_ >= 0).sum
     val streamingFixed = streamRes.map(_._2).filter(_ >= 0).sum
     val grandTotal = total + streamingFixed
@@ -247,7 +294,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     // "forcing" stamp: r5 switched count() -> noop write, which makes
     // medians comparable only within runs carrying the same stamp
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","streaming_fixed_sec":$streamingFixed,"grand_total_sec":$grandTotal,"queries":$qjson,"spread":$sjson,"errors":$errors,"reps":$reps,"forcing":"noop_write","loadavg":"$load","loadavg_start":"$startLoad","busy_start":$busyStart,"steal_pct_run":$runSteal,"calib_sec_start":${f3(calib0)},"calib_sec_end":${f3(calibrate())},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","streaming_fixed_sec":$streamingFixed,"grand_total_sec":$grandTotal,"queries":$qjson,"spread":$sjson,"valid":$vjson,"spread_ok":$spreadOk,"spread_limit":$spreadLimit,"errors":$errors,"reps":$reps,"forcing":"noop_write","loadavg":"$load","loadavg_start":"$startLoad","busy_start":$busyStart,"steal_pct_run":$runSteal,"calib_sec_start":${f3(calib0)},"calib_sec_end":${f3(calibrate())},"sf":"$sfDir"}"""
     println(json)
     // ALSO write the artifact to a file: BENCH_r09's per-query medians
     // were lost forever to a console-tail truncation — the artifact

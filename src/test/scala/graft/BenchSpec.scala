@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench instrument's sampling policy, pinned with SYNTHETIC
+  * timings (no Spark): the r10 driver artifact passed the steal rule
+  * yet carried 2–10×-inflated medians with per-query spreads to 6.4
+  * that nothing acted on — the policy must escalate reps on its own
+  * spread signal and the artifact must flag what never settles. */
+class BenchSpec extends AnyFunSuite {
+
+  /** Deterministic thunk replaying a scripted timing sequence; repeats
+    * the last value if called past the script's end. */
+  private def scripted(seq: Double*): () => Double = {
+    var i = -1
+    () => { i += 1; seq(math.min(i, seq.size - 1)) }
+  }
+
+  private def run(isStream: Boolean, seq: Double*): Vector[Double] =
+    Bench.collectTimes(scripted(seq: _*), isStream,
+      nReps = 5, nMax = 9, minSecs = 1.5, maxSpread = 1.0)
+
+  test("a stable multi-second query stops at the minimum rep count") {
+    val t = run(isStream = false, 2.0)
+    assert(t.size === 5)
+  }
+
+  test("sub-second queries keep sampling until ~minSecs accumulates (capped)") {
+    // 0.25 s/rep: 5 reps = 1.25 s < 1.5 s -> one more rep tips it over
+    assert(run(isStream = false, 0.25).size === 6)
+    // 0.1 s/rep can never reach 1.5 s in 9 reps -> the cap holds
+    assert(run(isStream = false, 0.1).size === 9)
+  }
+
+  test("a contaminated rep (spread > limit) escalates to maxReps to out-vote it") {
+    // one 10 s spike among 2 s reps: after 5 reps spread = 8/2 = 4 > 1,
+    // so sampling continues to the cap — the median out-votes the spike
+    val t = run(isStream = false, 2.0, 2.0, 10.0, 2.0, 2.0)
+    assert(t.size === 9)
+    assert(t.sorted.apply(t.size / 2) === 2.0, "median not recovered")
+    // the spike stays in the sample, so the spread STILL exceeds the
+    // bar — this is the case the artifact must stamp valid: false
+    assert(Bench.relSpread(t) > 1.0)
+  }
+
+  test("jitter that settles under the bar stops before the cap") {
+    // mild jitter: spread (2.4-2.0)/2.2 ~ 0.18 <= 1.0, spent > 1.5 at 5
+    val t = run(isStream = false, 2.0, 2.2, 2.4, 2.2, 2.0)
+    assert(t.size === 5)
+    assert(Bench.relSpread(t) <= 1.0)
+  }
+
+  test("streaming queries run exactly once regardless of jitter or duration") {
+    // fixed trigger/drain machinery: a median of constants is
+    // meaningless, and at r10 cost (e13+e17 = 29 s/run at 3 reps) the
+    // extra reps were 40% of bench wall time for zero information
+    assert(run(isStream = true, 12.0, 99.0).size === 1)
+    assert(run(isStream = true, 0.02).size === 1)
+  }
+
+  test("relSpread is (max-min)/median, zero-guarded") {
+    assert(Bench.relSpread(Vector(2.0, 2.0, 2.0)) === 0.0)
+    assert(Bench.relSpread(Vector(1.0, 2.0, 5.0)) === 2.0)
+    assert(Bench.relSpread(Vector(0.0)) === 0.0) // median 0 -> guarded
+  }
+}
