@@ -123,12 +123,15 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("vhist_sketch"),
       info(classOf[VhistSketchExpr], "vhist_sketch",
-        "vhist_sketch(value) - exact mergeable value-histogram sketch over an " +
-          "integral metric domain (quantile leg of the sketch algebra)"),
+        "vhist_sketch(value[, unit]) - exact mergeable value-histogram sketch " +
+          "over an integral metric domain (quantile leg of the sketch algebra); " +
+          "the 2-arg form pre-buckets floor(value/unit) INSIDE the expression " +
+          "and tags the unit in the sketch bytes so merges can never mix units"),
       {
         case Seq(c) => VhistSketchExpr(c)
+        case Seq(c, u) => VhistSketchUnitExpr(c, u)
         case args => throw new IllegalArgumentException(
-          s"vhist_sketch expects 1 argument, got ${args.length}")
+          s"vhist_sketch expects 1 or 2 arguments, got ${args.length}")
       }),
     (FunctionIdentifier("vhist_merge_quantile"),
       info(classOf[VhistMergeQuantileExpr], "vhist_merge_quantile",

@@ -52,6 +52,13 @@ object Vhist {
 
   private[functions] val Magic: Byte = 0x48 // 'H'
   private[functions] val Version: Byte = 1
+  /** V2 adds a unit tag after the version byte: sketches built with
+    * `vhist_sketch(value, unit)` carry their pre-bucket divisor IN the
+    * bytes, so MERGE can refuse a unit mismatch instead of silently
+    * count-adding ms buckets into seconds buckets. Unit-1 sketches
+    * still serialize as V1 — bytes unchanged for every existing sketch
+    * (canonical form stays a pure function of (multiset, unit)). */
+  private[functions] val Version2: Byte = 2
 
   type Hist = java.util.TreeMap[java.lang.Long, java.lang.Long]
 
@@ -73,10 +80,19 @@ object Vhist {
     a
   }
 
-  def serialize(h: Hist): Array[Byte] = {
-    val buf = ByteBuffer.allocate(1 + 1 + 4 + 16 * h.size())
+  def serialize(h: Hist): Array[Byte] = serializeTagged(h, 1L)
+
+  /** Canonical bytes for (multiset, unit): unit 1 → the original V1
+    * layout (every pre-existing sketch byte-stable), any other unit →
+    * V2 with the unit tagged after the version byte. `unit = 0` is the
+    * internal unset-partial sentinel (an empty merge buffer that has
+    * not yet seen a sketch) and never appears in a FINAL sketch. */
+  def serializeTagged(h: Hist, unit: Long): Array[Byte] = {
+    val v2 = unit != 1L
+    val buf = ByteBuffer.allocate(1 + 1 + (if (v2) 8 else 0) + 4 + 16 * h.size())
     buf.put(Magic)
-    buf.put(Version)
+    buf.put(if (v2) Version2 else Version)
+    if (v2) buf.putLong(unit)
     buf.putInt(h.size())
     val it = h.entrySet().iterator()
     while (it.hasNext) {
@@ -88,11 +104,22 @@ object Vhist {
   }
 
   def deserialize(bytes: Array[Byte]): Hist = {
+    val (unit, h) = deserializeTagged(bytes)
+    require(unit == 1L,
+      s"vhist: sketch carries unit $unit — merge it with vhist_merge_quantile " +
+        "(unit-aware) instead of reading it as a unit-1 histogram")
+    h
+  }
+
+  /** Returns (unit, histogram). V1 bytes imply unit 1. */
+  def deserializeTagged(bytes: Array[Byte]): (Long, Hist) = {
     val buf = ByteBuffer.wrap(bytes)
     require(buf.remaining() >= 6 && buf.get() == Magic,
       "vhist: not a graft value-histogram sketch (bad magic)")
     val v = buf.get()
-    require(v == Version, s"vhist: unsupported sketch version $v")
+    require(v == Version || v == Version2, s"vhist: unsupported sketch version $v")
+    val unit = if (v == Version2) buf.getLong() else 1L
+    require(unit >= 0L, s"vhist: bad sketch unit $unit")
     val n = buf.getInt()
     require(n >= 0 && n <= MaxEntries, s"vhist: bad sketch entry count $n")
     val h = newHist()
@@ -107,7 +134,34 @@ object Vhist {
       h.put(value, count)
       i += 1
     }
-    h
+    (unit, h)
+  }
+
+  /** Merge buffer carrying the unit the sketches agreed on: 0 = unset
+    * (nothing merged yet). Unit reconciliation is FAIL-LOUD — adding
+    * ms-bucket counts into seconds-bucket counts is silent corruption,
+    * the exact disagreement the tagged format exists to prevent. */
+  final class VBuf(var unit: Long, val h: Hist)
+
+  private[functions] def reconcileUnit(buf: VBuf, incoming: Long, fn: String): Unit =
+    if (incoming != 0L) {
+      if (buf.unit == 0L) buf.unit = incoming
+      else require(buf.unit == incoming,
+        s"$fn: merging sketches with different units (${buf.unit} vs $incoming) " +
+          "- re-sketch one side at the other's unit")
+    }
+
+  private[functions] def extractUnit(e: Expression, fn: String): Long = e match {
+    case f if f.foldable => f.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case null => throw new IllegalArgumentException(
+        s"$fn: unit must be a non-null integral literal")
+      case other => throw new IllegalArgumentException(
+        s"$fn: unit must be an integral literal, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$fn: unit must be a foldable integral literal, got $other")
   }
 
   /** Smallest value whose cumulative count ≥ ceil(q × N); null for an
@@ -160,6 +214,16 @@ object Vhist {
   def vhist_sketch(c: Column): Column =
     ColumnBridge.column(
       VhistSketchExpr(ColumnBridge.expression(c)).toAggregateExpression())
+
+  /** `vhist_sketch($"latency_us", 1000)` — pre-bucket floor(value/unit)
+    * PINNED inside the expression and TAGGED in the sketch bytes, so
+    * INIT and MERGE can never disagree on units: merging sketches with
+    * different units fails loudly, and the merged quantile comes back
+    * in ORIGINAL units (the bucket's lower edge, bucket × unit). */
+  def vhist_sketch(c: Column, unit: Long): Column =
+    ColumnBridge.column(
+      VhistSketchUnitExpr(ColumnBridge.expression(c),
+        Literal(unit, LongType)).toAggregateExpression())
 
   /** `sketches.groupBy(coarser).agg(vhist_merge_quantile($"sk", 0.99))`
     * — the exact q-quantile from merged sketches. */
@@ -216,14 +280,81 @@ case class VhistSketchExpr(
     copy(child = newChild)
 }
 
-/** MERGE: add sketch counts, eval the exact q-quantile. Null sketches
-  * (outer joins) ignored; empty merged histogram → null. */
-case class VhistMergeQuantileExpr(
+/** INIT with a PINNED pre-bucket unit: raw values → floor(value/unit)
+  * buckets → serialized histogram TAGGED with the unit (V2 bytes), so
+  * a downstream merge can verify every sketch bucketed the same way.
+  * `unit = 1` degrades to [[VhistSketchExpr]] exactly, bytes included. */
+case class VhistSketchUnitExpr(
     left: Expression,
     right: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Vhist.Hist]
+  with BinaryLike[Expression] {
+
+  private lazy val unit: Long = Vhist.extractUnit(right, prettyName)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "vhist_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = BitmapKey.checkIntegral(prettyName, left.dataType)
+    if (base != TypeCheckResult.TypeCheckSuccess) base
+    else if (!right.foldable || !(right.dataType == LongType ||
+        right.dataType == org.apache.spark.sql.types.IntegerType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable integral unit, got ${right.dataType.simpleString}")
+    else try {
+      if (unit >= 1L) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: unit must be >= 1, got $unit")
+    } catch { case e: IllegalArgumentException =>
+      TypeCheckResult.TypeCheckFailure(e.getMessage) }
+  }
+
+  override def createAggregationBuffer(): Vhist.Hist = Vhist.newHist()
+
+  override def update(buffer: Vhist.Hist, input: InternalRow): Vhist.Hist = {
+    val v = left.eval(input)
+    // floorDiv: the pre-bucket rule, identical for negative values to
+    // SQL floor(value / unit) — pinned HERE so no call site can drift
+    if (v != null) Vhist.add(buffer, Math.floorDiv(BitmapKey.toLong(v), unit), 1L)
+    buffer
+  }
+
+  override def merge(b: Vhist.Hist, other: Vhist.Hist): Vhist.Hist =
+    Vhist.merge(b, other)
+
+  override def eval(b: Vhist.Hist): Any = Vhist.serializeTagged(b, unit)
+
+  // partials stay inside ONE expression instance (one unit): tag them
+  // anyway so a serialized partial is indistinguishable from a final
+  override def serialize(b: Vhist.Hist): Array[Byte] = Vhist.serializeTagged(b, unit)
+  override def deserialize(bytes: Array[Byte]): Vhist.Hist =
+    Vhist.deserializeTagged(bytes)._2
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VhistSketchUnitExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VhistSketchUnitExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VhistSketchUnitExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MERGE: add sketch counts, eval the exact q-quantile. Null sketches
+  * (outer joins) ignored; empty merged histogram → null. UNIT-AWARE:
+  * sketches carrying different pre-bucket units fail loudly (count-
+  * adding ms buckets into seconds buckets is silent corruption), and
+  * the quantile returns in ORIGINAL units — the winning bucket's lower
+  * edge, bucket × unit (unit-1 sketches: unchanged semantics). */
+case class VhistMergeQuantileExpr(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Vhist.VBuf]
   with BinaryLike[Expression] {
 
   private lazy val q: Double = Vhist.extractQ(right, prettyName)
@@ -244,25 +375,39 @@ case class VhistMergeQuantileExpr(
       TypeCheckResult.TypeCheckFailure(e.getMessage) }
   }
 
-  override def createAggregationBuffer(): Vhist.Hist = Vhist.newHist()
+  override def createAggregationBuffer(): Vhist.VBuf =
+    new Vhist.VBuf(0L, Vhist.newHist())
 
-  override def update(buffer: Vhist.Hist, input: InternalRow): Vhist.Hist = {
+  override def update(buffer: Vhist.VBuf, input: InternalRow): Vhist.VBuf = {
     left.eval(input) match {
       case null => buffer
-      case bytes: Array[Byte] => Vhist.merge(buffer, Vhist.deserialize(bytes))
+      case bytes: Array[Byte] =>
+        val (u, h) = Vhist.deserializeTagged(bytes)
+        Vhist.reconcileUnit(buffer, u, prettyName)
+        Vhist.merge(buffer.h, h)
+        buffer
       case other => throw new IllegalArgumentException(
         s"$prettyName requires a binary sketch, got ${other.getClass.getSimpleName}")
     }
   }
 
-  override def merge(b: Vhist.Hist, other: Vhist.Hist): Vhist.Hist =
-    Vhist.merge(b, other)
+  override def merge(b: Vhist.VBuf, other: Vhist.VBuf): Vhist.VBuf = {
+    Vhist.reconcileUnit(b, other.unit, prettyName)
+    Vhist.merge(b.h, other.h)
+    b
+  }
 
-  override def eval(b: Vhist.Hist): Any = Vhist.quantile(b, q)
+  override def eval(b: Vhist.VBuf): Any = Vhist.quantile(b.h, q) match {
+    case null => null
+    case bucket: Long => bucket * math.max(1L, b.unit)
+  }
 
-  override def serialize(b: Vhist.Hist): Array[Byte] = Vhist.serialize(b)
-  override def deserialize(bytes: Array[Byte]): Vhist.Hist =
-    Vhist.deserialize(bytes)
+  override def serialize(b: Vhist.VBuf): Array[Byte] =
+    Vhist.serializeTagged(b.h, b.unit)
+  override def deserialize(bytes: Array[Byte]): Vhist.VBuf = {
+    val (u, h) = Vhist.deserializeTagged(bytes)
+    new Vhist.VBuf(u, h)
+  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): VhistMergeQuantileExpr =
     copy(mutableAggBufferOffset = newOffset)

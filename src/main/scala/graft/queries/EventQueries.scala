@@ -684,6 +684,67 @@ object EventQueries {
       |FROM events WHERE props IS NOT NULL AND user_id IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** AN41: the SKEW DISPATCHER's routing decisions, oracle-replayed —
+    * [[graft.operators.Skew.dispatchJoin]] measures the left side's key
+    * histogram and routes plain / hot-cold / salted; SkewSpec pins the
+    * three regimes against the plain join, but a spec can drift from
+    * the gate, so this query makes the ROUTE ITSELF an oracle-checked
+    * output: two legs over events — a collapsed-bucket key where one
+    * bucket owns ~80% of rows (must route `hotcold`: max/mean ≈ 2.4 at
+    * every SF, one hot key) and the raw user-id residue where the ten
+    * buckets are near-uniform (must route `plain`: max/mean ≈ 1) —
+    * each reporting per-key join parity (count + weighted sum through
+    * a derived dim) next to the literal route string the oracle pins.
+    * A routing-threshold regression now fails the GATE, not just the
+    * spec. Keys are data-determined (seed-42 testdata, read-only), so
+    * the decisions are stable at sf0.001/0.01/0.1 — measured margins
+    * ≥ 20% on the tightest leg. */
+  val an41SkewDispatch: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .filter($"user_id".isNotNull)
+      .select($"user_id", $"event_id", $"value")
+    def leg(keyed: org.apache.spark.sql.DataFrame, legName: String) = {
+      val dim = keyed.select($"k").distinct()
+        .withColumn("w", (pmod($"k", lit(97)) + 1).cast("long"))
+      val (joined, route) = graft.operators.Skew.dispatchJoin(
+        keyed, dim, "k", saltCarrier = "event_id",
+        skewRatio = 2, maxHotKeys = 3, salts = 8)
+      joined.groupBy($"k")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("w * CAST(floor(value) AS BIGINT)")).as("wv"))
+        .select(lit(legName).as("leg"), $"k", $"n_rows", $"wv",
+          lit(route).as("route"))
+    }
+    val skewed = leg(ev.select(
+      when(pmod($"user_id", lit(10)) < 8, 0L)
+        .otherwise(pmod($"user_id", lit(10))).as("k"),
+      $"event_id", $"value"), "skewed")
+    val uniform = leg(ev.select(pmod($"user_id", lit(10)).as("k"),
+      $"event_id", $"value"), "uniform")
+    skewed.unionByName(uniform).orderBy($"leg", $"k")
+  }
+
+  val an41SkewDispatchSql: String =
+    """WITH base AS (
+      |  SELECT user_id, value FROM events WHERE user_id IS NOT NULL),
+      |sk AS (
+      |  SELECT CASE WHEN user_id % 10 < 8 THEN 0 ELSE user_id % 10 END AS k,
+      |    value FROM base),
+      |un AS (SELECT user_id % 10 AS k, value FROM base)
+      |SELECT 'skewed' AS leg, k, count(*) AS n_rows,
+      |  CAST(sum((((k % 97) + 97) % 97 + 1) * CAST(floor(value) AS BIGINT))
+      |    AS BIGINT) AS wv,
+      |  'hotcold' AS route
+      |FROM sk GROUP BY k
+      |UNION ALL
+      |SELECT 'uniform' AS leg, k, count(*) AS n_rows,
+      |  CAST(sum((((k % 97) + 97) % 97 + 1) * CAST(floor(value) AS BIGINT))
+      |    AS BIGINT) AS wv,
+      |  'plain' AS route
+      |FROM un GROUP BY k
+      |ORDER BY 1, 2""".stripMargin
+
   /** AN34: cohort retention matrix — the canonical product-analytics
     * warehouse query: users are grouped into cohorts by FIRST-ACTIVE
     * day, and each (cohort, day-offset) cell counts how many of that
@@ -1668,6 +1729,7 @@ object EventQueries {
     "an38_hll_rollup" -> an38HllRollup,
     "an39_vhist_quantiles" -> an39VhistQuantiles,
     "an40_dict_append" -> an40DictAppend,
+    "an41_skew_dispatch" -> an41SkewDispatch,
     "an21_transitions" -> an21TransitionMatrix,
     "an22_type_overlap" -> an22TypeOverlap,
     "an23_robust_outliers" -> an23RobustOutliers,
@@ -1708,6 +1770,7 @@ object EventQueries {
     "an38_hll_rollup" -> an38HllRollupSql,
     "an39_vhist_quantiles" -> an39VhistQuantilesSql,
     "an40_dict_append" -> an40DictAppendSql,
+    "an41_skew_dispatch" -> an41SkewDispatchSql,
     "an21_transitions" -> an21TransitionMatrixSql,
     "an22_type_overlap" -> an22TypeOverlapSql,
     "an23_robust_outliers" -> an23RobustOutliersSql,

@@ -97,6 +97,49 @@ class ValueHistogramSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("magic")))
   }
 
+  test("unit-pinned sketch: pre-bucket inside the expression, quantile back in original units") {
+    import spark.implicits._
+    // latencies in microseconds, sketched at unit=1000 (ms buckets):
+    // the quantile must come back as the winning ms bucket's lower edge
+    val us = (1 to 1000).map(i => i.toLong * 1000L + 499L).toDF("lat_us")
+    val sk = us.agg(Vhist.vhist_sketch($"lat_us", 1000L).as("sk"))
+    val p50 = sk.agg(Vhist.vhist_merge_quantile($"sk", 0.5)).head().getLong(0)
+    // floor((500*1000+499)/1000) = 500 buckets -> x1000 back = 500000
+    assert(p50 === 500000L)
+    // the unit rides the bytes: V2-tagged, refuses the unit-1 reader
+    val bytes = sk.head().getAs[Array[Byte]](0)
+    val (u, _) = Vhist.deserializeTagged(bytes)
+    assert(u === 1000L)
+    val e = intercept[IllegalArgumentException] { Vhist.deserialize(bytes) }
+    assert(e.getMessage.contains("unit"))
+    // unit=1 through the 2-arg form is byte-identical to the 1-arg form
+    val a = us.agg(Vhist.vhist_sketch($"lat_us", 1L)).head().getAs[Array[Byte]](0)
+    val b = us.agg(Vhist.vhist_sketch($"lat_us")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("merging sketches with DIFFERENT units fails loudly, never silently count-adds") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toLong).toDF("v")
+    val ms = df.agg(Vhist.vhist_sketch($"v", 10L).as("sk"))
+    val s = df.agg(Vhist.vhist_sketch($"v", 100L).as("sk"))
+    val e = intercept[Exception] {
+      ms.unionByName(s).agg(Vhist.vhist_merge_quantile($"sk", 0.5)).head()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("different units")))
+    // same-unit sketches from different groups merge fine, SQL form too
+    graft.functions.GraftFunctions.register(spark)
+    df.withColumn("g", $"v" % 2).createOrReplaceTempView("vh_unit_t")
+    val merged = spark.sql(
+      """SELECT vhist_merge_quantile(sk, 0.5) AS p50 FROM (
+        |  SELECT g, vhist_sketch(v, 10) AS sk FROM vh_unit_t GROUP BY g)""".stripMargin)
+      .head().getLong(0)
+    // bucket floor(50/10)=5 is the median bucket -> 5*10 = 50
+    assert(merged === 50L)
+  }
+
   test("corrupt counts fail loudly at deserialize, never as an NPE in quantile") {
     // well-formed header, one entry with a NEGATIVE count: the cumulative
     // walk could never reach its target — deserialize must reject it
