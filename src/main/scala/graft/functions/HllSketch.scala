@@ -15,7 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[BitmapMergeCountExpr]]) — the approximate twin for key domains
   * the exact bitmap cannot bound: open string universes (URLs, user
   * agents), unbounded id spaces, anything where ~1.6% error buys a
-  * FIXED 4 KiB sketch per group regardless of cardinality.
+  * FIXED 4 KiB in-memory state per group regardless of cardinality
+  * (serialized sketches go SPARSE below m/8 occupancy — see
+  * [[Hll.serialize]] — so a fine grain's near-empty groups don't pay
+  * the full page in the sketch table).
   *
   * Flajolet–Fuss–Gandouet–Meunier (AofA 2007) with the standard
   * small-range linear-counting correction. 2^p byte registers
@@ -98,6 +101,73 @@ object Hll {
     a
   }
 
+  // ---- serialized form: sparse below m/8 occupancy ---------------------
+  // A fine grain (an38's day × type) holds thousands of near-empty
+  // groups; a fixed 4 KiB register page per group is mostly zeros. The
+  // CANONICAL serialized form is therefore chosen by a deterministic
+  // rule on the register SET (the Bitmap64 contract): fewer than M/8
+  // occupied registers → a sorted (idx, rank) list (3 B/entry + 6 B
+  // header, ≤ 1539 B, ~10× smaller near-empty); otherwise the raw M
+  // register bytes (the pre-r11 layout, byte-identical — dense sketches
+  // and old persisted columns are unchanged). In-memory stays a dense
+  // array — update/merge hot paths pay nothing.
+
+  /** Promotion boundary: occupied-register count below this serializes
+    * sparse. M/8 = 512: sparse max size 6 + 3·511 = 1539 B < M. */
+  val SparseMax: Int = M / 8
+  private[functions] val SparseMagic: Byte = 0x68 // 'h'
+  private[functions] val SparseVersion: Byte = 1
+
+  /** Canonical bytes for the register set (dense arrays ≥ M/8 occupancy
+    * keep the legacy raw-register layout, so the form is unambiguous:
+    * length == M ⇔ dense). */
+  def serialize(regs: Array[Byte]): Array[Byte] = {
+    require(regs.length == M, s"hll serialize: bad register width ${regs.length}")
+    var occupied = 0
+    var i = 0
+    while (i < M) { if (regs(i) != 0) occupied += 1; i += 1 }
+    if (occupied >= SparseMax) regs.clone()
+    else {
+      val buf = java.nio.ByteBuffer.allocate(6 + 3 * occupied)
+      buf.put(SparseMagic)
+      buf.put(SparseVersion)
+      buf.putInt(occupied)
+      i = 0
+      while (i < M) { // ascending idx = canonical entry order
+        if (regs(i) != 0) { buf.putChar(i.toChar); buf.put(regs(i)) }
+        i += 1
+      }
+      buf.array()
+    }
+  }
+
+  /** Either form → a dense register array (always a fresh copy). */
+  def toDense(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length == M) bytes.clone()
+    else {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      require(buf.remaining() >= 6 && buf.get() == SparseMagic,
+        s"hll: not a graft HLL sketch (${bytes.length} bytes, bad magic)")
+      val v = buf.get()
+      require(v == SparseVersion, s"hll: unsupported sparse sketch version $v")
+      val n = buf.getInt()
+      require(n >= 0 && n < SparseMax && buf.remaining() == 3 * n,
+        s"hll: bad sparse sketch entry count $n for ${bytes.length} bytes")
+      val regs = new Array[Byte](M)
+      var prev = -1
+      var i = 0
+      while (i < n) {
+        val idx = buf.getChar().toInt
+        val rank = buf.get()
+        require(idx > prev && idx < M, s"hll: sparse entries out of order at idx $idx")
+        require(rank >= 1 && rank <= 64 - P + 1, s"hll: bad register rank $rank")
+        regs(idx) = rank
+        prev = idx
+        i += 1
+      }
+      regs
+    }
+
   def estimate(regs: Array[Byte]): Long = {
     var invSum = 0.0
     var zeros = 0
@@ -169,10 +239,10 @@ case class HllSketchExpr(
   override def merge(b: Array[Byte], other: Array[Byte]): Array[Byte] =
     Hll.merge(b, other)
 
-  override def eval(b: Array[Byte]): Any = b.clone()
+  override def eval(b: Array[Byte]): Any = Hll.serialize(b)
 
-  override def serialize(b: Array[Byte]): Array[Byte] = b
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def serialize(b: Array[Byte]): Array[Byte] = Hll.serialize(b)
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = Hll.toDense(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchExpr =
     copy(mutableAggBufferOffset = newOffset)
@@ -202,7 +272,7 @@ case class HllMergeCountExpr(
   override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
     child.eval(input) match {
       case null => buffer
-      case bytes: Array[Byte] => Hll.merge(buffer, bytes)
+      case bytes: Array[Byte] => Hll.merge(buffer, Hll.toDense(bytes))
       case other => throw new IllegalArgumentException(
         s"hll_merge_count requires a binary sketch, got ${other.getClass.getSimpleName}")
     }
@@ -213,8 +283,8 @@ case class HllMergeCountExpr(
 
   override def eval(b: Array[Byte]): Any = Hll.estimate(b)
 
-  override def serialize(b: Array[Byte]): Array[Byte] = b
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def serialize(b: Array[Byte]): Array[Byte] = Hll.serialize(b)
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = Hll.toDense(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeCountExpr =
     copy(mutableAggBufferOffset = newOffset)
@@ -252,8 +322,8 @@ case class HllDistinctExpr(
 
   override def eval(b: Array[Byte]): Any = Hll.estimate(b)
 
-  override def serialize(b: Array[Byte]): Array[Byte] = b
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def serialize(b: Array[Byte]): Array[Byte] = Hll.serialize(b)
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = Hll.toDense(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllDistinctExpr =
     copy(mutableAggBufferOffset = newOffset)

@@ -65,13 +65,55 @@ class HllSketchSpec extends AnyFunSuite {
       e2.getMessage.contains("hll_merge_count"))
   }
 
-  test("merging a foreign-width blob fails loudly, not garbage-in") {
+  test("merging a foreign blob fails loudly, not garbage-in") {
     import spark.implicits._
     val e = intercept[Exception] {
       Seq(Array[Byte](1, 2, 3)).toDF("sk").agg(Hll.hll_merge_count($"sk")).head()
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("register width")))
+    assert(msgs(e).exists(m => m.contains("bad magic") || m.contains("register width")))
+  }
+
+  // ---- sparse serialized form (r11) ------------------------------------
+
+  test("serialization is canonical across the sparse/dense promotion boundary") {
+    // representation is a deterministic rule on the register SET:
+    // occupied < M/8 -> sorted (idx, rank) list, >= M/8 -> raw registers
+    def regsWith(occupied: Int): Array[Byte] = {
+      val r = new Array[Byte](Hll.M)
+      (0 until occupied).foreach(i => r(i * 7 % Hll.M) = ((i % 50) + 1).toByte)
+      r
+    }
+    val atBoundary = regsWith(Hll.SparseMax) // 512 occupied -> dense
+    val below = regsWith(Hll.SparseMax - 1)  // 511 occupied -> sparse
+    val denseBytes = Hll.serialize(atBoundary)
+    val sparseBytes = Hll.serialize(below)
+    assert(denseBytes.length === Hll.M, "boundary set must serialize dense")
+    assert(sparseBytes.length === 6 + 3 * (Hll.SparseMax - 1))
+    // both round-trip to the exact register set
+    assert(java.util.Arrays.equals(Hll.toDense(denseBytes), atBoundary))
+    assert(java.util.Arrays.equals(Hll.toDense(sparseBytes), below))
+    // re-serializing a round-tripped sketch is byte-stable
+    assert(java.util.Arrays.equals(Hll.serialize(Hll.toDense(sparseBytes)), sparseBytes))
+  }
+
+  test("sparse sketch bytes are identical across partitionings and merge orders") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => s"url-$i").toDF("k") // ~290 occupied: sparse
+    val runs = Seq(1, 7, 32).map { p =>
+      df.repartition(p).agg(Hll.hll_sketch($"k")).head().getAs[Array[Byte]](0)
+    }
+    assert(runs.head.length < Hll.M, "300 keys should serialize sparse (~10x smaller)")
+    assert(runs.forall(java.util.Arrays.equals(_, runs.head)),
+      "partitioning changed the sketch bytes")
+    // sparse and dense generations merge together: the near-empty grain
+    // rolls up with a dense one and the estimate matches the one-shot
+    val big = (1L to 20000L).map(i => s"url-$i").toDF("k")
+    val mixed = df.agg(Hll.hll_sketch($"k").as("sk"))
+      .unionByName(big.agg(Hll.hll_sketch($"k").as("sk")))
+    val rolled = mixed.agg(Hll.hll_merge_count($"sk")).head().getLong(0)
+    val oneShot = big.agg(Hll.hll_distinct($"k")).head().getLong(0)
+    assert(rolled === oneShot) // 1..300 is a subset of 1..20000
   }
 }
