@@ -33,12 +33,17 @@ import java.nio.ByteBuffer
   * intersection the engine needs).
   *
   * Serialization is CANONICAL: containers are written in ascending
-  * bucket order, each in the representation its cardinality dictates
-  * (≤ 4096 → array form, regardless of in-memory promotion history),
-  * so the bytes are a pure function of the SET — any merge order, any
+  * bucket order, each in the SMALLEST of its three encodings — RUN
+  * (sorted (start, length-1) pairs: consecutive ranges like timestamps
+  * or sequential ids cost 4 bytes per gap instead of the 8 KiB page),
+  * array, or bitmap — under a fixed tie preference (run, array,
+  * bitmap), regardless of in-memory promotion history. The bytes are
+  * therefore a pure function of the SET — any merge order, any
   * partitioning, same sketch bytes. That is what lets a sketch column
   * itself be grouped, compared, or stored without leaking the
-  * aggregation tree that built it.
+  * aggregation tree that built it. RUN is a wire format only: reads
+  * expand it to the array/bitmap kind, so the add/or/andCardinality
+  * hot paths stay two-kind.
   */
 final class Bitmap64 private (
     private val containers: java.util.TreeMap[java.lang.Long, Bitmap64.Container]) {
@@ -95,17 +100,15 @@ final class Bitmap64 private (
 
   def isEmpty: Boolean = containers.isEmpty
 
-  /** Canonical bytes: ascending bucket order, representation chosen by
-    * cardinality — a pure function of the set. */
+  /** Canonical bytes: ascending bucket order, each container in the
+    * smallest of its run / array / bitmap encodings under a fixed
+    * preference order ([[Bitmap64.Container.encodedBytes]]) — a pure
+    * function of the set. */
   def serialize(): Array[Byte] = {
     var size = HeaderBytes
     val it0 = containers.values().iterator()
     val keys = containers.entrySet().iterator()
-    while (it0.hasNext) {
-      val c = it0.next()
-      val card = c.cardinality
-      size += 8 + 1 + (if (card <= ArrayMax) 4 + 2 * card else 4 + 8 * BitmapWords)
-    }
+    while (it0.hasNext) size += 8 + Container.encodedBytes(it0.next())
     val buf = ByteBuffer.allocate(size)
     buf.put(Magic)
     buf.put(Version)
@@ -113,7 +116,7 @@ final class Bitmap64 private (
     while (keys.hasNext) {
       val e = keys.next()
       buf.putLong(e.getKey)
-      e.getValue.writeCanonical(buf)
+      Container.writeCanonical(e.getValue, buf)
     }
     buf.array()
   }
@@ -127,6 +130,17 @@ object Bitmap64 {
   private val HeaderBytes = 1 + 1 + 4
   private val KindArray: Byte = 0
   private val KindBitmap: Byte = 1
+  /** RUN container (r11): the full Roaring scheme's third kind — a
+    * sorted (start, length-1) char-pair list, SERIALIZED-ONLY (in
+    * memory runs expand to the array/bitmap kind add/or/andCard already
+    * handle). Dense-but-not-full ranges (timestamps, sequential ids
+    * with gaps) stop paying the 8 KiB page: a full bucket costs 8
+    * bytes, k runs cost 4 + 4k. The canonical rule stays a pure
+    * function of the set — a kind is chosen by STRICT serialized-size
+    * comparison (run < array < bitmap on ties), so any merge order or
+    * promotion history yields identical bytes. Pre-r11 bytes (kinds
+    * 0/1 only) still deserialize unchanged. */
+  private val KindRun: Byte = 2
 
   def deserialize(bytes: Array[Byte]): Bitmap64 = {
     val buf = ByteBuffer.wrap(bytes)
@@ -159,6 +173,48 @@ object Bitmap64 {
       var i = 0
       while (i < BitmapWords) { words(i) = buf.getLong(); i += 1 }
       new BitmapContainer(words, card)
+    case KindRun =>
+      // runs expand to the in-memory kind their cardinality dictates —
+      // RUN is a wire format only, the add/or/andCard hot paths never
+      // see a third kind
+      val r = buf.getInt()
+      require(r >= 0 && r <= 32768, s"Bitmap64: bad run count $r")
+      val starts = new Array[Int](r)
+      val lens = new Array[Int](r)
+      var total = 0
+      var prevEnd = -2
+      var i = 0
+      while (i < r) {
+        val st = buf.getChar().toInt
+        val len = buf.getChar().toInt + 1 // stored as length-1
+        // canonical form: ascending, non-adjacent (adjacent runs would
+        // be one run), in-range — reject anything else loudly
+        require(st > prevEnd + 1, s"Bitmap64: runs not canonical at start $st")
+        require(st + len <= 65536, s"Bitmap64: run past container end")
+        starts(i) = st; lens(i) = len
+        prevEnd = st + len - 1
+        total += len
+        i += 1
+      }
+      if (total <= ArrayMax) {
+        val vs = new Array[Char](total)
+        var k = 0; i = 0
+        while (i < r) {
+          var v = starts(i); val end = starts(i) + lens(i)
+          while (v < end) { vs(k) = v.toChar; k += 1; v += 1 }
+          i += 1
+        }
+        new ArrayContainer(vs, total)
+      } else {
+        val words = new Array[Long](BitmapWords)
+        i = 0
+        while (i < r) {
+          var v = starts(i); val end = starts(i) + lens(i)
+          while (v < end) { words(v >>> 6) |= (1L << v); v += 1 }
+          i += 1
+        }
+        new BitmapContainer(words, total)
+      }
     case k => throw new IllegalArgumentException(s"Bitmap64: bad container kind $k")
   }
 
@@ -189,12 +245,58 @@ object Bitmap64 {
     def cardinality: Int
     def contains(lo: Int): Boolean
     def copy(): Container
-    def writeCanonical(buf: ByteBuffer): Unit
+    /** Number of maximal consecutive-value runs in the set. */
+    def runCount: Int
     /** Visit every set low-16 value in ascending order. */
     def foreachValue(f: Int => Unit): Unit
   }
 
   private[functions] object Container {
+    /** Serialized payload size (kind byte included) under the canonical
+      * rule: the SMALLEST of run (1+4+4r), array (1+4+2n, n ≤ ArrayMax
+      * only), bitmap (1+4+8·words) encodings; run wins ties over array,
+      * array over bitmap — a fixed preference order, so the bytes are a
+      * pure function of the set. */
+    def encodedBytes(c: Container): Int = 1 + payload(c.cardinality, c.runCount)
+
+    private def payload(n: Int, r: Int): Int =
+      math.min(runBytes(r), math.min(arrayBytes(n), bitmapBytes))
+    private def runBytes(r: Int): Int = 4 + 4 * r
+    private def arrayBytes(n: Int): Int =
+      if (n <= ArrayMax) 4 + 2 * n else Int.MaxValue
+    private def bitmapBytes: Int = 4 + 8 * BitmapWords
+
+    /** Write the canonical encoding [[encodedBytes]] sized for. */
+    def writeCanonical(c: Container, buf: ByteBuffer): Unit = {
+      val n = c.cardinality
+      val r = c.runCount
+      if (runBytes(r) <= math.min(arrayBytes(n), bitmapBytes)) {
+        buf.put(KindRun)
+        buf.putInt(r)
+        // emit maximal runs as (start, length-1) char pairs, ascending
+        var start = -2
+        var prev = -2
+        c.foreachValue { v =>
+          if (v != prev + 1) {
+            if (start >= 0) { buf.putChar(start.toChar); buf.putChar((prev - start).toChar) }
+            start = v
+          }
+          prev = v
+        }
+        if (start >= 0) { buf.putChar(start.toChar); buf.putChar((prev - start).toChar) }
+      } else if (n <= ArrayMax) {
+        buf.put(KindArray)
+        buf.putInt(n)
+        c.foreachValue(v => buf.putChar(v.toChar))
+      } else {
+        buf.put(KindBitmap)
+        buf.putInt(n)
+        val words = c.asInstanceOf[BitmapContainer].words // n > ArrayMax ⇒ promoted
+        var i = 0
+        while (i < BitmapWords) { buf.putLong(words(i)); i += 1 }
+      }
+    }
+
     def andCard(x: Container, y: Container): Int = (x, y) match {
       case (a: ArrayContainer, b: ArrayContainer) =>
         // two-pointer walk over the sorted value arrays
@@ -299,12 +401,14 @@ object Bitmap64 {
     def copy(): Container =
       new ArrayContainer(java.util.Arrays.copyOf(values, n), n)
 
-    def writeCanonical(buf: ByteBuffer): Unit = {
-      buf.put(KindArray)
-      buf.putInt(n)
-      var i = 0
-      while (i < n) { buf.putChar(values(i)); i += 1 }
-    }
+    def runCount: Int =
+      if (n == 0) 0
+      else {
+        var r = 1
+        var i = 1
+        while (i < n) { if (values(i) != values(i - 1) + 1) r += 1; i += 1 }
+        r
+      }
 
     def foreachValue(f: Int => Unit): Unit = {
       var i = 0
@@ -345,19 +449,20 @@ object Bitmap64 {
 
     def copy(): Container = new BitmapContainer(words.clone(), card)
 
-    def writeCanonical(buf: ByteBuffer): Unit =
-      if (card <= ArrayMax) {
-        // canonical demotion: the bytes depend on the SET, not on
-        // whether this page was ever promoted in memory
-        buf.put(KindArray)
-        buf.putInt(card)
-        foreachValue(v => buf.putChar(v.toChar))
-      } else {
-        buf.put(KindBitmap)
-        buf.putInt(card)
-        var i = 0
-        while (i < BitmapWords) { buf.putLong(words(i)); i += 1 }
+    def runCount: Int = {
+      // a run starts at every 1-bit whose predecessor bit is 0; the
+      // carry threads the predecessor across word boundaries
+      var r = 0
+      var carry = 0L
+      var w = 0
+      while (w < BitmapWords) {
+        val x = words(w)
+        r += java.lang.Long.bitCount(x & ~((x << 1) | carry))
+        carry = x >>> 63
+        w += 1
       }
+      r
+    }
 
     def foreachValue(f: Int => Unit): Unit = {
       var w = 0

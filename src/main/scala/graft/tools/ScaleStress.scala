@@ -616,6 +616,28 @@ object ScaleStress {
       evN.unpersist(blocking = true)
     }
 
+    // b64size (r11): SERIALIZED sketch bytes per key regime — the RUN
+    // container's claim is byte size, not time: consecutive ranges
+    // (timestamps, sequential ids) and dense-but-gappy ranges stop
+    // paying the 8 KiB bitmap page. The r10 format's cost for the same
+    // sets is the closed-form per-container min(5 + 2n [n <= 4096],
+    // 8197) — printed next to the measured r11 bytes for the curve.
+    if (sect("b64size")) {
+      import org.apache.spark.sql.functions.length
+      def sketchBytes(label: String, keys: org.apache.spark.sql.DataFrame): Unit = {
+        val b = keys.agg(
+            graft.functions.BitmapDistinct.bitmap_sketch(col("k")).as("sk"))
+          .select(length(col("sk"))).head().getInt(0)
+        println(s"[scale] b64size $label -> $b bytes")
+      }
+      sketchBytes("run    1M consecutive ids        (r10: ~131 KiB)",
+        spark.range(1000000L).select(col("id").as("k")))
+      sketchBytes("gappy  1M range skip each 100th  (r10: ~131 KiB)",
+        spark.range(1000000L).filter(col("id") % 100 =!= 0).select(col("id").as("k")))
+      sketchBytes("sparse 100k ids 2MiB apart       (r10: identical)",
+        spark.range(100000L).select((col("id") * 2097152L + 8589934592L).as("k")))
+    }
+
     // b64card (r10): the ADVERSARIAL cardinality regime — every key
     // distinct and maximally sparse (one array container per key), a
     // single group. This is where the exact bitmap's per-key cost

@@ -108,6 +108,74 @@ class Bitmap64Spec extends AnyFunSuite {
     assert(e.getMessage.contains("magic"))
   }
 
+  // ---- RUN containers (r11: serialized-only third kind) ----------------
+
+  test("consecutive ranges serialize as runs: a full bucket costs bytes, not a page") {
+    // 65536 consecutive keys = one run: 6 header + 8 hi + 1 kind + 4 + 4
+    val full = bm(0L until 65536L)
+    val bytes = full.serialize()
+    assert(bytes.length === 6 + 8 + 1 + 4 + 4, s"full bucket took ${bytes.length} B")
+    val rt = Bitmap64.deserialize(bytes)
+    assert(rt.cardinality === 65536L)
+    assert(java.util.Arrays.equals(rt.serialize(), bytes), "round-trip not byte-stable")
+    // dense-but-gappy (every value except each 100th): 656 runs ≈ 2.6 KiB,
+    // where the r10 format paid the 8 KiB bitmap page
+    val gappy = bm((0L until 65536L).filter(_ % 100 != 0))
+    val gb = gappy.serialize()
+    assert(gb.length < 8 * 1024 / 2, s"gappy range took ${gb.length} B")
+    val grt = Bitmap64.deserialize(gb)
+    assert(grt.cardinality === gappy.cardinality)
+    // intersection semantics survive the run round-trip (expansion is
+    // exact, andCard walks the expanded kinds)
+    assert(Bitmap64.andCardinality(grt, bm(0L until 1000L)) ===
+      (0L until 1000L).count(_ % 100 != 0))
+  }
+
+  test("canonical rule is a pure function of the set across all three kinds") {
+    // same set through scattered inserts vs merged halves: identical
+    // bytes even when the winning encoding is RUN
+    val keys = (0L until 20000L) ++ (1000000L to 1000005L) ++ Seq(-5L, -4L, -3L)
+    val direct = bm(keys)
+    val a = bm(keys.zipWithIndex.collect { case (k, i) if i % 2 == 0 => k })
+    val b = bm(keys.zipWithIndex.collect { case (k, i) if i % 2 == 1 => k })
+    a.or(b)
+    assert(java.util.Arrays.equals(a.serialize(), direct.serialize()))
+    // sparse scattered keys still pick the array kind (runs would be
+    // 4 B/run vs 2 B/value): 100 isolated keys in one bucket ->
+    // 1 kind + 4 + 200 payload
+    val sparse = bm((0 until 100).map(i => i.toLong * 500L))
+    assert(sparse.serialize().length === 6 + 8 + 1 + 4 + 200)
+  }
+
+  test("hostile run bytes are rejected: overlapping, adjacent, or out-of-range runs") {
+    def runSketch(runs: (Int, Int)*): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(1 + 1 + 4 + 8 + 1 + 4 + 4 * runs.size)
+      buf.put(0x47.toByte).put(1.toByte).putInt(1)
+      buf.putLong(0L)
+      buf.put(2.toByte) // kind = run
+      buf.putInt(runs.size)
+      runs.foreach { case (st, lenM1) => buf.putChar(st.toChar).putChar(lenM1.toChar) }
+      buf.array()
+    }
+    // a sane run list round-trips
+    assert(Bitmap64.deserialize(runSketch((10, 4), (100, 0))).cardinality === 6L)
+    // overlapping runs
+    val e1 = intercept[IllegalArgumentException] {
+      Bitmap64.deserialize(runSketch((10, 10), (15, 2)))
+    }
+    assert(e1.getMessage.contains("not canonical"))
+    // adjacent runs (must be one run in canonical form)
+    val e2 = intercept[IllegalArgumentException] {
+      Bitmap64.deserialize(runSketch((10, 4), (15, 2)))
+    }
+    assert(e2.getMessage.contains("not canonical"))
+    // run past the container end: start 65535 with length 2
+    val e3 = intercept[IllegalArgumentException] {
+      Bitmap64.deserialize(runSketch((65535, 1)))
+    }
+    assert(e3.getMessage.contains("past container end"))
+  }
+
   test("a deserialized zero-size array container accepts adds (growth never multiplies 0)") {
     // hand-crafted bytes: one bucket holding an EMPTY array container —
     // unreachable via serialize() (containers always hold ≥ 1 value) but
