@@ -57,8 +57,9 @@ object Bench {
     "an38_hll_rollup", "an39_vhist_quantiles",
     // r11: the append-stable dictionary composition (stored batch-1
     // sketches merged with batch-2 sketches coded through the extended
-    // dictionary)
-    "an40_dict_append")
+    // dictionary) and the tiered daily->weekly stored sketch roll-up
+    // (the sketch->sketch merge leg across all three families)
+    "an40_dict_append", "an42_tiered_rollup")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —

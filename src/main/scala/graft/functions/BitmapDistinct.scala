@@ -210,6 +210,59 @@ case class BitmapMergeCountExpr(
     copy(child = newChild)
 }
 
+/** Sketch → SKETCH re-aggregation — the leg that lets a warehouse
+  * MAINTAIN coarser stored sketch tables from finer ones: daily
+  * sketches roll into STORED monthly sketches (this aggregate), and
+  * ad-hoc queries then merge-count over months without ever touching
+  * days again — each level of the roll-up hierarchy is built from the
+  * one below, the fact table scanned exactly once ever. eval returns
+  * the OR-merged bitmap's canonical bytes, so a stored roll-up is
+  * byte-identical to a sketch built directly from the facts (spec-
+  * pinned) — intermediate tiers leak nothing about the tree shape. */
+case class BitmapMergeSketchExpr(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Bitmap64]
+  with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bitmap_merge_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    BitmapKey.checkBinary(prettyName, child.dataType)
+
+  override def createAggregationBuffer(): Bitmap64 = new Bitmap64()
+
+  override def update(buffer: Bitmap64, input: InternalRow): Bitmap64 = {
+    child.eval(input) match {
+      case null => buffer
+      case bytes: Array[Byte] =>
+        buffer.or(Bitmap64.deserialize(bytes)); buffer
+      case other => throw new IllegalArgumentException(
+        s"bitmap_merge_sketch requires a binary sketch, got ${other.getClass.getSimpleName}")
+    }
+  }
+
+  override def merge(b: Bitmap64, other: Bitmap64): Bitmap64 = {
+    b.or(other); b
+  }
+
+  override def eval(b: Bitmap64): Any = b.serialize()
+
+  override def serialize(b: Bitmap64): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): Bitmap64 =
+    Bitmap64.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapMergeSketchExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapMergeSketchExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapMergeSketchExpr =
+    copy(child = newChild)
+}
+
 /** Scalar INTERSECTION count over two serialized sketches — the third
   * leg of the sketch algebra next to INIT ([[BitmapSketchExpr]]) and
   * MERGE/union ([[BitmapMergeCountExpr]]): `bitmap_and_count(a, b)` =
@@ -282,4 +335,11 @@ object BitmapDistinct {
   def bitmap_and_count(a: Column, b: Column): Column =
     ColumnBridge.column(
       BitmapAndCountExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `daily.groupBy(month).agg(bitmap_merge_sketch($"sk"))` — roll
+    * fine sketches into a STORED coarser sketch table (bytes identical
+    * to sketching the facts directly). */
+  def bitmap_merge_sketch(c: Column): Column =
+    ColumnBridge.column(
+      BitmapMergeSketchExpr(ColumnBridge.expression(c)).toAggregateExpression())
 }

@@ -93,6 +93,33 @@ object GraftFunctions {
         case args => throw new IllegalArgumentException(
           s"bitmap_and_count expects 2 arguments, got ${args.length}")
       }),
+    (FunctionIdentifier("bitmap_merge_sketch"),
+      info(classOf[BitmapMergeSketchExpr], "bitmap_merge_sketch",
+        "bitmap_merge_sketch(sketch) - OR-merge fine sketches into a STORED " +
+          "coarser sketch (bytes identical to sketching the facts directly)"),
+      {
+        case Seq(c) => BitmapMergeSketchExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"bitmap_merge_sketch expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("hll_merge_sketch"),
+      info(classOf[HllMergeSketchExpr], "hll_merge_sketch",
+        "hll_merge_sketch(sketch) - max-merge fine HLL sketches into a STORED " +
+          "coarser sketch (bytes identical to sketching the keys directly)"),
+      {
+        case Seq(c) => HllMergeSketchExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"hll_merge_sketch expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("vhist_merge_sketch"),
+      info(classOf[VhistMergeSketchExpr], "vhist_merge_sketch",
+        "vhist_merge_sketch(sketch) - count-add fine value histograms into a " +
+          "STORED coarser sketch (unit-checked; bytes identical to direct)"),
+      {
+        case Seq(c) => VhistMergeSketchExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"vhist_merge_sketch expects 1 argument, got ${args.length}")
+      }),
     (FunctionIdentifier("hll_distinct"),
       info(classOf[HllDistinctExpr], "hll_distinct",
         "hll_distinct(key) - HyperLogLog distinct-count estimate (~1.6% error, " +

@@ -209,6 +209,13 @@ object Hll {
   def hll_distinct(c: Column): Column =
     ColumnBridge.column(
       HllDistinctExpr(ColumnBridge.expression(c)).toAggregateExpression())
+
+  /** `daily.groupBy(month).agg(hll_merge_sketch($"sk"))` — roll fine
+    * sketches into a STORED coarser sketch table (max-merge; bytes
+    * identical to sketching the keys directly). */
+  def hll_merge_sketch(c: Column): Column =
+    ColumnBridge.column(
+      HllMergeSketchExpr(ColumnBridge.expression(c)).toAggregateExpression())
 }
 
 /** INIT: build the register array from raw keys; eval returns the
@@ -291,6 +298,52 @@ case class HllMergeCountExpr(
   override def withNewInputAggBufferOffset(newOffset: Int): HllMergeCountExpr =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): HllMergeCountExpr =
+    copy(child = newChild)
+}
+
+/** Sketch → SKETCH re-aggregation (the bitmap_merge_sketch twin):
+  * max-merge fine sketches into a STORED coarser sketch — daily HLLs
+  * roll into monthly HLLs, byte-identical to sketching the keys
+  * directly (register-wise max is associative/idempotent), so a tiered
+  * roll-up hierarchy never rescans facts and never compounds error. */
+case class HllMergeSketchExpr(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_merge_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    BitmapKey.checkBinary(prettyName, child.dataType)
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](Hll.M)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    child.eval(input) match {
+      case null => buffer
+      case bytes: Array[Byte] => Hll.merge(buffer, Hll.toDense(bytes))
+      case other => throw new IllegalArgumentException(
+        s"hll_merge_sketch requires a binary sketch, got ${other.getClass.getSimpleName}")
+    }
+  }
+
+  override def merge(b: Array[Byte], other: Array[Byte]): Array[Byte] =
+    Hll.merge(b, other)
+
+  override def eval(b: Array[Byte]): Any = Hll.serialize(b)
+
+  override def serialize(b: Array[Byte]): Array[Byte] = Hll.serialize(b)
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = Hll.toDense(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeSketchExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeSketchExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllMergeSketchExpr =
     copy(child = newChild)
 }
 

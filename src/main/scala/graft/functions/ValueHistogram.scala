@@ -238,6 +238,13 @@ object Vhist {
     ColumnBridge.column(
       VhistQuantileExpr(ColumnBridge.expression(c),
         Literal(q, DoubleType)).toAggregateExpression())
+
+  /** `daily.groupBy(month).agg(vhist_merge_sketch($"sk"))` — roll fine
+    * histograms into a STORED coarser sketch table (count addition;
+    * bytes identical to sketching the values directly; unit-checked). */
+  def vhist_merge_sketch(c: Column): Column =
+    ColumnBridge.column(
+      VhistMergeSketchExpr(ColumnBridge.expression(c)).toAggregateExpression())
 }
 
 /** INIT: raw integral values → serialized exact histogram. */
@@ -416,6 +423,68 @@ case class VhistMergeQuantileExpr(
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VhistMergeQuantileExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Sketch → SKETCH re-aggregation (the bitmap/hll merge_sketch twin):
+  * count-ADD fine histograms into a STORED coarser histogram — daily
+  * value sketches roll into monthly ones, byte-identical to sketching
+  * the values directly (count addition is associative/commutative),
+  * with the same unit reconciliation as the quantile merge: mixing
+  * units fails loudly and the merged sketch carries the agreed unit. */
+case class VhistMergeSketchExpr(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Vhist.VBuf]
+  with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "vhist_merge_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    BitmapKey.checkBinary(prettyName, child.dataType)
+
+  override def createAggregationBuffer(): Vhist.VBuf =
+    new Vhist.VBuf(0L, Vhist.newHist())
+
+  override def update(buffer: Vhist.VBuf, input: InternalRow): Vhist.VBuf = {
+    child.eval(input) match {
+      case null => buffer
+      case bytes: Array[Byte] =>
+        val (u, h) = Vhist.deserializeTagged(bytes)
+        Vhist.reconcileUnit(buffer, u, prettyName)
+        Vhist.merge(buffer.h, h)
+        buffer
+      case other => throw new IllegalArgumentException(
+        s"$prettyName requires a binary sketch, got ${other.getClass.getSimpleName}")
+    }
+  }
+
+  override def merge(b: Vhist.VBuf, other: Vhist.VBuf): Vhist.VBuf = {
+    Vhist.reconcileUnit(b, other.unit, prettyName)
+    Vhist.merge(b.h, other.h)
+    b
+  }
+
+  // an empty merge (no sketches seen) emits the canonical empty unit-1
+  // sketch, which merges as an identity anywhere downstream
+  override def eval(b: Vhist.VBuf): Any =
+    Vhist.serializeTagged(b.h, math.max(1L, b.unit))
+
+  override def serialize(b: Vhist.VBuf): Array[Byte] =
+    Vhist.serializeTagged(b.h, b.unit)
+  override def deserialize(bytes: Array[Byte]): Vhist.VBuf = {
+    val (u, h) = Vhist.deserializeTagged(bytes)
+    new Vhist.VBuf(u, h)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VhistMergeSketchExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VhistMergeSketchExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VhistMergeSketchExpr =
+    copy(child = newChild)
 }
 
 /** One-shot: raw values → exact q-quantile (INIT + quantile fused). */

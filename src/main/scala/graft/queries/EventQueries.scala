@@ -745,6 +745,78 @@ object EventQueries {
       |FROM un GROUP BY k
       |ORDER BY 1, 2""".stripMargin
 
+  /** AN42: the TIERED stored roll-up — the sketch→sketch MERGE leg
+    * (`bitmap_merge_sketch` / `hll_merge_sketch` / `vhist_merge_sketch`)
+    * exercised as a warehouse would: daily sketches over three key
+    * domains (exact bitmap on user ids, HLL on the unbounded props
+    * domain, exact value histogram on cents) roll into a STORED weekly
+    * sketch tier, and the final answers come from THAT tier — the fact
+    * table is scanned once, each hierarchy level built only from the
+    * level below. Because all three merges are associative and
+    * canonical, the stored weekly sketches are byte-identical to
+    * sketching the facts directly (spec-pinned), so the oracle can pin
+    * the tiered answers to first-principles SQL: exact weekly distinct
+    * users, exact distinct props next to the HLL `est_ok` bound
+    * (n8/n9 recall-gate pattern, deterministic hash ⇒ no flake), and
+    * the exact P95 via an39's discrete-lower rank rule. */
+  val an42TieredRollup: Q = (s, dir) => {
+    import s.implicits._
+    val B = graft.functions.BitmapDistinct
+    val H = graft.functions.Hll
+    val V = graft.functions.Vhist
+    val base = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"user_id".isNotNull &&
+        $"props".isNotNull && $"value".isNotNull)
+      .select($"ts", $"user_id", $"props", floor($"value" * 100).as("cents"))
+    val daily = base
+      .groupBy(to_date($"ts").as("day"))
+      .agg(B.bitmap_sketch($"user_id").as("bsk"),
+        H.hll_sketch($"props").as("hsk"),
+        V.vhist_sketch($"cents").as("vsk"))
+    val weekly = daily // the STORED coarser tier, built from days only
+      .groupBy(date_trunc("week", $"day").cast("date").as("week"))
+      .agg(B.bitmap_merge_sketch($"bsk").as("bsk"),
+        H.hll_merge_sketch($"hsk").as("hsk"),
+        V.vhist_merge_sketch($"vsk").as("vsk"))
+    val fromWeekly = weekly.groupBy($"week")
+      .agg(B.bitmap_merge_count($"bsk").as("n_users"),
+        H.hll_merge_count($"hsk").as("props_est"),
+        V.vhist_merge_quantile($"vsk", 0.95).as("p95_cents"))
+    val exact = base
+      .groupBy(date_trunc("week", $"ts").cast("date").as("week"))
+      .agg(countDistinct($"props").as("n_props"))
+    exact.join(fromWeekly, "week")
+      .select($"week", $"n_users", $"n_props",
+        ($"props_est" >= $"n_props" * 0.95 &&
+          $"props_est" <= $"n_props" * 1.05).as("est_ok"),
+        $"p95_cents")
+      .orderBy($"week")
+  }
+
+  val an42TieredRollupSql: String =
+    """WITH base AS (
+      |  SELECT date_trunc('week', ts)::DATE AS week, user_id, props,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND props IS NOT NULL AND value IS NOT NULL),
+      |agg AS (
+      |  SELECT week, count(DISTINCT user_id) AS n_users,
+      |    count(DISTINCT props) AS n_props
+      |  FROM base GROUP BY 1),
+      |r AS (
+      |  SELECT week, cents,
+      |    row_number() OVER (PARTITION BY week ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY week) AS n
+      |  FROM base),
+      |q AS (
+      |  SELECT week,
+      |    min(CASE WHEN rn = CAST(ceil(CAST(0.95 AS DECIMAL(8,6)) * n) AS BIGINT)
+      |             THEN cents END) AS p95_cents
+      |  FROM r GROUP BY 1)
+      |SELECT agg.week, agg.n_users, agg.n_props, TRUE AS est_ok, q.p95_cents
+      |FROM agg JOIN q USING (week) ORDER BY 1""".stripMargin
+
   /** AN34: cohort retention matrix — the canonical product-analytics
     * warehouse query: users are grouped into cohorts by FIRST-ACTIVE
     * day, and each (cohort, day-offset) cell counts how many of that
@@ -1730,6 +1802,7 @@ object EventQueries {
     "an39_vhist_quantiles" -> an39VhistQuantiles,
     "an40_dict_append" -> an40DictAppend,
     "an41_skew_dispatch" -> an41SkewDispatch,
+    "an42_tiered_rollup" -> an42TieredRollup,
     "an21_transitions" -> an21TransitionMatrix,
     "an22_type_overlap" -> an22TypeOverlap,
     "an23_robust_outliers" -> an23RobustOutliers,
@@ -1771,6 +1844,7 @@ object EventQueries {
     "an39_vhist_quantiles" -> an39VhistQuantilesSql,
     "an40_dict_append" -> an40DictAppendSql,
     "an41_skew_dispatch" -> an41SkewDispatchSql,
+    "an42_tiered_rollup" -> an42TieredRollupSql,
     "an21_transitions" -> an21TransitionMatrixSql,
     "an22_type_overlap" -> an22TypeOverlapSql,
     "an23_robust_outliers" -> an23RobustOutliersSql,

@@ -199,4 +199,51 @@ class GraftFunctionsSpec extends AnyFunSuite {
         |WHERE x.g = 'a' AND y.g = 'b'""".stripMargin).head().getLong(0)
     assert(viaSql === 2L)
   }
+
+  test("merge_sketch tier: stored coarser sketches are byte-identical to direct (all 3 families)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val B = graft.functions.BitmapDistinct
+    val H = graft.functions.Hll
+    val V = graft.functions.Vhist
+    // 28 "days" in 4 "weeks" of facts over three key domains
+    val facts = (1 to 8000).map { i =>
+      (i % 28, (i * 13 % 2000).toLong, s"p${i % 311}", (i % 500).toLong)
+    }.toDF("day", "uid", "props", "cents")
+    val daily = facts.groupBy($"day")
+      .agg(B.bitmap_sketch($"uid").as("bsk"), H.hll_sketch($"props").as("hsk"),
+        V.vhist_sketch($"cents").as("vsk"))
+    val weekly = daily.groupBy(($"day" / 7).cast("int").as("week"))
+      .agg(B.bitmap_merge_sketch($"bsk").as("bsk"),
+        H.hll_merge_sketch($"hsk").as("hsk"),
+        V.vhist_merge_sketch($"vsk").as("vsk"))
+    val direct = facts.groupBy(($"day" / 7).cast("int").as("week"))
+      .agg(B.bitmap_sketch($"uid").as("bsk"), H.hll_sketch($"props").as("hsk"),
+        V.vhist_sketch($"cents").as("vsk"))
+    def byWeek(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) ->
+        (r.getAs[Array[Byte]]("bsk"), r.getAs[Array[Byte]]("hsk"),
+          r.getAs[Array[Byte]]("vsk"))).toMap
+    val w = byWeek(weekly); val d = byWeek(direct)
+    assert(w.keySet === d.keySet)
+    w.keySet.foreach { k =>
+      assert(java.util.Arrays.equals(w(k)._1, d(k)._1), s"bitmap bytes differ, week $k")
+      assert(java.util.Arrays.equals(w(k)._2, d(k)._2), s"hll bytes differ, week $k")
+      assert(java.util.Arrays.equals(w(k)._3, d(k)._3), s"vhist bytes differ, week $k")
+    }
+    // the SQL forms resolve and the tier answers match first principles
+    graft.functions.GraftFunctions.register(spark)
+    daily.createOrReplaceTempView("tier_daily")
+    val total = spark.sql(
+      """SELECT bitmap_merge_count(bsk) AS nu, vhist_merge_quantile(vsk, 0.5) AS p50
+        |FROM (SELECT bitmap_merge_sketch(bsk) AS bsk, hll_merge_sketch(hsk) AS hsk,
+        |             vhist_merge_sketch(vsk) AS vsk
+        |      FROM tier_daily)""".stripMargin).head()
+    assert(total.getLong(0) === facts.select(countDistinct($"uid")).head().getLong(0))
+    // unit-tagged vhist sketches keep their unit through the tier
+    val unitDaily = facts.groupBy($"day").agg(V.vhist_sketch($"cents", 10L).as("vsk"))
+    val rolled = unitDaily.agg(V.vhist_merge_sketch($"vsk").as("vsk"))
+      .agg(V.vhist_merge_quantile($"vsk", 0.5)).head().getLong(0)
+    assert(rolled % 10L === 0L) // bucket lower edge in original units
+  }
 }
