@@ -57,9 +57,11 @@ object Bench {
     "an38_hll_rollup", "an39_vhist_quantiles",
     // r11: the append-stable dictionary composition (stored batch-1
     // sketches merged with batch-2 sketches coded through the extended
-    // dictionary) and the tiered daily->weekly stored sketch roll-up
-    // (the sketch->sketch merge leg across all three families)
-    "an40_dict_append", "an42_tiered_rollup")
+    // dictionary), the tiered daily->weekly stored sketch roll-up
+    // (the sketch->sketch merge leg across all three families), and
+    // the KMV bottom-k sample leg (deterministic uniform sample +
+    // distinct estimate from the sketch table)
+    "an40_dict_append", "an42_tiered_rollup", "an43_kmv_sample")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —

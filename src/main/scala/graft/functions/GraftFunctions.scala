@@ -176,6 +176,50 @@ object GraftFunctions {
         case Seq(c, q) => VhistQuantileExpr(c, q)
         case args => throw new IllegalArgumentException(
           s"vhist_quantile expects 2 arguments, got ${args.length}")
+      }),
+    (FunctionIdentifier("kmv_sketch"),
+      info(classOf[KmvSketchExpr], "kmv_sketch",
+        "kmv_sketch(key, k) - mergeable bottom-k uniform-sample sketch of the " +
+          "distinct STRING keys (md5-prefix hash; sample leg of the sketch algebra)"),
+      {
+        case Seq(c, k) => KmvSketchExpr(c, k)
+        case args => throw new IllegalArgumentException(
+          s"kmv_sketch expects 2 arguments, got ${args.length}")
+      }),
+    (FunctionIdentifier("kmv_merge_sketch"),
+      info(classOf[KmvMergeSketchExpr], "kmv_merge_sketch",
+        "kmv_merge_sketch(sketch) - bottom-k union of fine sketches into a STORED " +
+          "coarser sketch (k-checked; bytes identical to sketching the keys directly)"),
+      {
+        case Seq(c) => KmvMergeSketchExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"kmv_merge_sketch expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("kmv_merge_estimate"),
+      info(classOf[KmvMergeEstimateExpr], "kmv_merge_estimate",
+        "kmv_merge_estimate(sketch) - distinct-count estimate from merged kmv " +
+          "sketches (EXACT below k; integer-exact (k-1)*2^60/h_k at k)"),
+      {
+        case Seq(c) => KmvMergeEstimateExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"kmv_merge_estimate expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("kmv_keys"),
+      info(classOf[KmvKeysExpr], "kmv_keys",
+        "kmv_keys(sketch) - the sampled keys (ascending hash order) as " +
+          "array<string>, for posexplode into sample rows"),
+      {
+        case Seq(c) => KmvKeysExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"kmv_keys expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("kmv_estimate"),
+      info(classOf[KmvEstimateExpr], "kmv_estimate",
+        "kmv_estimate(sketch) - the kmv distinct estimate as a per-row scalar"),
+      {
+        case Seq(c) => KmvEstimateExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"kmv_estimate expects 1 argument, got ${args.length}")
       }))
 
   /** Register on an already-running session. */

@@ -817,6 +817,89 @@ object EventQueries {
       |SELECT agg.week, agg.n_users, agg.n_props, TRUE AS est_ok, q.p95_cents
       |FROM agg JOIN q USING (week) ORDER BY 1""".stripMargin
 
+  /** AN43: the SAMPLE leg of the sketch algebra — KMV bottom-k
+    * sketches ([[graft.functions.Kmv]]) as a warehouse would use them:
+    * per-day sketches over two key domains (props at k=16, user ids at
+    * k=32) roll into per-type merged sketches, and each merged sketch
+    * answers BOTH "show me k example keys" (a deterministic uniform
+    * sample — the k smallest md5-prefix hashes) and "how many distinct
+    * keys, roughly" (exact below k, the integer-exact (k-1)·2^60/h_k
+    * rule at k) — one fact scan, every coarser sample a sketch merge,
+    * no per-group sort or LIMIT window over the facts. Unlike HLL, the
+    * whole surface is oracle-EXACT: the hash is
+    * `('0x' || substr(md5(key), 1, 15))::BIGINT`, so DuckDB replays
+    * sample membership, order, and estimate bit-for-bit. The two legs
+    * pin both estimate regimes: props (~100 distinct ≥ k) exercises
+    * the k-th-hash formula; users at sf0.001 (15 < 32) the exact-count
+    * path. */
+  val an43KmvSample: Q = (s, dir) => {
+    import s.implicits._
+    val K = graft.functions.Kmv
+    val base = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"user_id".isNotNull && $"props".isNotNull)
+    def leg(name: String, key: org.apache.spark.sql.Column, k: Int) = {
+      val daily = base
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(K.kmv_sketch(key, k).as("sk"))
+      daily.groupBy($"event_type")
+        .agg(K.kmv_merge_sketch($"sk").as("sk"))
+        .select(lit(name).as("leg"), $"event_type",
+          K.kmv_estimate($"sk").as("est_keys"),
+          posexplode(K.kmv_keys($"sk")).as(Seq("pos", "sample_key")))
+        .select($"leg", $"event_type", $"est_keys",
+          ($"pos" + 1).cast("long").as("sample_rank"), $"sample_key")
+    }
+    leg("props", $"props", 16)
+      .unionByName(leg("users", $"user_id".cast("string"), 32))
+      .orderBy($"leg", $"event_type", $"sample_rank")
+  }
+
+  val an43KmvSampleSql: String =
+    """WITH base AS (
+      |  SELECT event_type, props, CAST(user_id AS VARCHAR) AS ukey
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND props IS NOT NULL),
+      |pd AS (
+      |  SELECT DISTINCT event_type, props AS k,
+      |    ('0x' || substr(md5(props), 1, 15))::BIGINT AS h
+      |  FROM base),
+      |ud AS (
+      |  SELECT DISTINCT event_type, ukey AS k,
+      |    ('0x' || substr(md5(ukey), 1, 15))::BIGINT AS h
+      |  FROM base),
+      |pr AS (
+      |  SELECT event_type, k, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h, k) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM pd),
+      |ur AS (
+      |  SELECT event_type, k, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h, k) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM ud),
+      |pe AS (
+      |  SELECT event_type,
+      |    CAST(CASE WHEN max(nd) < 16 THEN max(nd)
+      |      ELSE (15::HUGEINT * 1152921504606846976::HUGEINT)
+      |           // greatest(max(CASE WHEN rn = 16 THEN h END), 1) END
+      |      AS BIGINT) AS est_keys
+      |  FROM pr GROUP BY 1),
+      |ue AS (
+      |  SELECT event_type,
+      |    CAST(CASE WHEN max(nd) < 32 THEN max(nd)
+      |      ELSE (31::HUGEINT * 1152921504606846976::HUGEINT)
+      |           // greatest(max(CASE WHEN rn = 32 THEN h END), 1) END
+      |      AS BIGINT) AS est_keys
+      |  FROM ur GROUP BY 1)
+      |SELECT 'props' AS leg, pr.event_type, pe.est_keys,
+      |  pr.rn AS sample_rank, pr.k AS sample_key
+      |FROM pr JOIN pe USING (event_type) WHERE pr.rn <= 16
+      |UNION ALL
+      |SELECT 'users' AS leg, ur.event_type, ue.est_keys,
+      |  ur.rn AS sample_rank, ur.k AS sample_key
+      |FROM ur JOIN ue USING (event_type) WHERE ur.rn <= 32
+      |ORDER BY 1, 2, 4""".stripMargin
+
   /** AN34: cohort retention matrix — the canonical product-analytics
     * warehouse query: users are grouped into cohorts by FIRST-ACTIVE
     * day, and each (cohort, day-offset) cell counts how many of that
@@ -1803,6 +1886,7 @@ object EventQueries {
     "an40_dict_append" -> an40DictAppend,
     "an41_skew_dispatch" -> an41SkewDispatch,
     "an42_tiered_rollup" -> an42TieredRollup,
+    "an43_kmv_sample" -> an43KmvSample,
     "an21_transitions" -> an21TransitionMatrix,
     "an22_type_overlap" -> an22TypeOverlap,
     "an23_robust_outliers" -> an23RobustOutliers,
@@ -1845,6 +1929,7 @@ object EventQueries {
     "an40_dict_append" -> an40DictAppendSql,
     "an41_skew_dispatch" -> an41SkewDispatchSql,
     "an42_tiered_rollup" -> an42TieredRollupSql,
+    "an43_kmv_sample" -> an43KmvSampleSql,
     "an21_transitions" -> an21TransitionMatrixSql,
     "an22_type_overlap" -> an22TypeOverlapSql,
     "an23_robust_outliers" -> an23RobustOutliersSql,

@@ -706,6 +706,45 @@ object ScaleStress {
       evN.unpersist(blocking = true)
     }
 
+    // kmv (r11): the SAMPLE leg's scale claim — a per-group uniform
+    // sample via KMV sketches (bounded per-group state, no sort) vs
+    // the plan a warehouse writes without it: distinct → row_number
+    // window over (hash, key) per group → rn <= k, which SORTS every
+    // group's full distinct key set. Also the sketch-table bytes per k
+    // (12 B + key bytes per kept entry — sketch size is k-bounded, not
+    // cardinality-bounded).
+    if (sect("kmv")) {
+      Seq(1000000L, 4000000L).foreach { n =>
+        val keyed = spark.range(n)
+          .select(pmod(col("id"), lit(64)).as("g"),
+            concat(lit("key-"), col("id")).as("k"))
+          .cache()
+        keyed.count()
+        time(s"kmv sketch  k=64  n=$n") {
+          keyed.groupBy(col("g"))
+            .agg(graft.functions.Kmv.kmv_sketch(col("k"), 64).as("sk"))
+            .select(col("g"), graft.functions.Kmv.kmv_estimate(col("sk")).as("est"))
+            .filter(col("est") > 0)
+        }
+        time(s"kmv window  k=64  n=$n") {
+          import org.apache.spark.sql.expressions.Window
+          keyed.select(col("g"), col("k")).distinct()
+            .withColumn("h", graft.functions.Md5Prefix.md5_prefix(col("k"), 15))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("g")).orderBy(col("h"), col("k"))))
+            .filter(col("rn") <= 64)
+        }
+        keyed.unpersist(blocking = true)
+      }
+      Seq(16, 64, 256, 1024).foreach { k =>
+        val b = spark.range(1000000L)
+          .select(concat(lit("key-"), col("id")).as("k"))
+          .agg(graft.functions.Kmv.kmv_sketch(col("k"), k).as("sk"))
+          .select(length(col("sk"))).head().getInt(0)
+        println(s"[scale] kmvsize k=$k over 1M distinct keys -> $b bytes")
+      }
+    }
+
     spark.stop()
   }
 }

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** KMV contract: the sample IS the bottom-k of the md5-prefix hash
+  * order (brute-force-equal), sketch bytes are canonical (a pure
+  * function of (key set, k) across partitionings and roll-up trees),
+  * the estimate follows the pinned exact-below-k / (k-1)·2^60/h_k
+  * rule, k reconciliation and hostile bytes fail loudly, and the SQL
+  * registration reaches the same expressions. */
+class KmvSketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def bruteBottomK(keys: Seq[String], k: Int): Seq[String] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    keys.distinct
+      .map(s => (Md5Prefix.prefix(UTF8String.fromString(s), Kmv.HexDigits), s))
+      .sortBy { case (h, s) => (h, s) } // string sort ok: test keys are ASCII
+      .take(k)
+      .map(_._2)
+  }
+
+  test("sample equals brute-force bottom-k; bytes canonical across partitionings") {
+    import spark.implicits._
+    val keys = (1 to 500).map(i => s"key-${i % 173}")
+    val df = keys.toDF("k")
+    val expected = bruteBottomK(keys, 16)
+    val skBytes = Seq(1, 7, 32).map { p =>
+      df.repartition(p).agg(Kmv.kmv_sketch($"k", 16).as("sk")).head().getAs[Array[Byte]](0)
+    }
+    // canonical serialization: any partitioning → identical bytes
+    assert(skBytes.map(_.toSeq).distinct.size === 1)
+    val sample = df.agg(Kmv.kmv_sketch($"k", 16).as("sk"))
+      .select(explode(Kmv.kmv_keys($"sk"))).as[String].collect().toSeq
+    assert(sample === expected)
+  }
+
+  test("INIT -> MERGE roll-up bytes identical to sketching the keys directly") {
+    import spark.implicits._
+    val df = (1 to 4000).map(i => (i % 13, s"u${i % 997}")).toDF("g", "k")
+    val direct = df.agg(Kmv.kmv_sketch($"k", 32).as("sk")).head().getAs[Array[Byte]](0)
+    val tiered = df.groupBy($"g").agg(Kmv.kmv_sketch($"k", 32).as("sk"))
+      .agg(Kmv.kmv_merge_sketch($"sk").as("sk")).head().getAs[Array[Byte]](0)
+    // bottom-k of a union of bottom-k's = bottom-k of the union
+    assert(tiered.toSeq === direct.toSeq)
+    // and a second tier (pairs of groups) still lands on the same bytes
+    val twoTier = df.groupBy($"g").agg(Kmv.kmv_sketch($"k", 32).as("sk"))
+      .groupBy(pmod($"g", lit(3))).agg(Kmv.kmv_merge_sketch($"sk").as("sk"))
+      .agg(Kmv.kmv_merge_sketch($"sk").as("sk")).head().getAs[Array[Byte]](0)
+    assert(twoTier.toSeq === direct.toSeq)
+  }
+
+  test("estimate: exact below k; pinned integer formula at k; sane accuracy") {
+    import spark.implicits._
+    // below k → exact distinct count
+    val small = (1 to 40).map(i => s"s${i % 7}").toDF("k")
+    assert(small.agg(Kmv.kmv_sketch($"k", 32).as("sk"))
+      .select(Kmv.kmv_estimate($"sk")).head().getLong(0) === 7L)
+    // at k → (k-1)*2^60 / h_k, replayed here with BigInteger
+    val keys = (1 to 10000).map(i => s"user-$i")
+    val df = keys.toDF("k")
+    val est = df.agg(Kmv.kmv_sketch($"k", 64).as("sk"))
+      .select(Kmv.kmv_estimate($"sk")).head().getLong(0)
+    import org.apache.spark.unsafe.types.UTF8String
+    val h64 = keys
+      .map(s => Md5Prefix.prefix(UTF8String.fromString(s), Kmv.HexDigits))
+      .sorted.apply(63)
+    val expected = java.math.BigInteger.valueOf(63L)
+      .multiply(java.math.BigInteger.valueOf(Kmv.HashSpace))
+      .divide(java.math.BigInteger.valueOf(h64)).longValueExact()
+    assert(est === expected)
+    // KMV sd ≈ 1/sqrt(k-2) ≈ 12.7% at k=64; deterministic hash, no flake
+    assert(math.abs(est.toDouble / 10000 - 1.0) < 0.4, s"estimate $est at n=10000")
+    // merge-estimate path agrees with the scalar
+    val viaMerge = df.withColumn("g", pmod(crc32($"k"), lit(5)))
+      .groupBy($"g").agg(Kmv.kmv_sketch($"k", 64).as("sk"))
+      .agg(Kmv.kmv_merge_estimate($"sk")).head().getLong(0)
+    assert(viaMerge === expected)
+  }
+
+  test("null keys ignored; empty input -> empty sample, estimate 0") {
+    import spark.implicits._
+    val df = Seq(Some("a"), None, Some("b"), Some("a")).toDF("k")
+    val r = df.agg(Kmv.kmv_sketch($"k", 8).as("sk"))
+      .select(Kmv.kmv_estimate($"sk"), size(Kmv.kmv_keys($"sk"))).head()
+    assert(r.getLong(0) === 2L && r.getInt(1) === 2)
+    val empty = df.filter($"k" === "zzz").agg(Kmv.kmv_sketch($"k", 8).as("sk"))
+      .select(Kmv.kmv_estimate($"sk"), size(Kmv.kmv_keys($"sk"))).head()
+    assert(empty.getLong(0) === 0L && empty.getInt(1) === 0)
+  }
+
+  test("k mismatch, foreign bytes, and non-canonical bytes fail loudly") {
+    import spark.implicits._
+    val a = Seq("a", "b").toDF("k").agg(Kmv.kmv_sketch($"k", 8).as("sk"))
+    val b = Seq("c").toDF("k").agg(Kmv.kmv_sketch($"k", 16).as("sk"))
+    val e1 = intercept[Exception] {
+      a.union(b).agg(Kmv.kmv_merge_estimate($"sk")).head()
+    }
+    assert(e1.getMessage.contains("different k") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("different k"))
+    val e2 = intercept[Exception] {
+      Seq(Array[Byte](1, 2, 3)).toDF("sk").agg(Kmv.kmv_merge_estimate($"sk")).head()
+    }
+    assert(e2.getMessage.contains("kmv") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("kmv"))
+    // entries out of canonical order: craft two-entry bytes reversed
+    val good = Seq("x", "y").toDF("k").agg(Kmv.kmv_sketch($"k", 4).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val st = Kmv.deserialize(good)
+    assert(st.set.size() === 2)
+    val es = st.set.toArray(new Array[Kmv.Entry](2))
+    val buf = java.nio.ByteBuffer.allocate(good.length)
+    buf.put(Kmv.Magic).put(Kmv.Version).putInt(4).putInt(2)
+    Seq(es(1), es(0)).foreach { e =>
+      buf.putLong(e.hash); buf.putInt(e.key.length); buf.put(e.key)
+    }
+    val e3 = intercept[IllegalArgumentException] { Kmv.deserialize(buf.array()) }
+    assert(e3.getMessage.contains("canonical"))
+  }
+
+  test("analysis-time checks: non-string key, non-literal k, k out of range") {
+    import spark.implicits._
+    val e1 = intercept[Exception] {
+      Seq(1L).toDF("k").agg(Kmv.kmv_sketch($"k", 8)).queryExecution.analyzed
+    }
+    assert(e1.getMessage.contains("STRING") || e1.getMessage.contains("kmv_sketch"))
+    val e2 = intercept[Exception] {
+      Seq("a").toDF("k").agg(Kmv.kmv_sketch($"k", 0)).queryExecution.analyzed
+    }
+    assert(e2.getMessage.contains("k must be") || e2.getMessage.contains("kmv_sketch"))
+  }
+
+  test("SQL registration: kmv_sketch/kmv_merge_estimate/kmv_keys from plain SQL") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    (1 to 100).map(i => s"d${i % 23}").toDF("k").createOrReplaceTempView("kmv_in")
+    val r = spark.sql(
+      """SELECT kmv_estimate(sk) AS est, size(kmv_keys(sk)) AS n
+        |FROM (SELECT kmv_sketch(k, 64) AS sk FROM kmv_in)""".stripMargin).head()
+    assert(r.getLong(0) === 23L && r.getInt(1) === 23)
+    val merged = spark.sql(
+      """SELECT kmv_merge_estimate(sk) AS est FROM (
+        |  SELECT kmv_sketch(k, 64) AS sk FROM kmv_in GROUP BY substr(k, 2, 1))""".stripMargin)
+      .head().getLong(0)
+    assert(merged === 23L)
+  }
+}
