@@ -61,7 +61,10 @@ object Bench {
     // (the sketch->sketch merge leg across all three families), and
     // the KMV bottom-k sample leg (deterministic uniform sample +
     // distinct estimate from the sketch table)
-    "an40_dict_append", "an42_tiered_rollup", "an43_kmv_sample")
+    "an40_dict_append", "an42_tiered_rollup", "an43_kmv_sample",
+    // the CMS frequency leg as sketch-table bytes (per-source INIT ->
+    // corpus MERGE -> cms_est off the bytes, oracle-exact)
+    "an44_cms_rollup")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —

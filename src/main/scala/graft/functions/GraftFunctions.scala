@@ -213,6 +213,33 @@ object GraftFunctions {
         case args => throw new IllegalArgumentException(
           s"kmv_keys expects 1 argument, got ${args.length}")
       }),
+    (FunctionIdentifier("cms_sketch"),
+      info(classOf[CmsSketchExpr], "cms_sketch",
+        "cms_sketch(key) - mergeable count-min frequency sketch (d=4, w=2048) " +
+          "over STRING keys (frequency leg of the sketch algebra; estimate >= true)"),
+      {
+        case Seq(c) => CmsSketchExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"cms_sketch expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("cms_merge_sketch"),
+      info(classOf[CmsMergeSketchExpr], "cms_merge_sketch",
+        "cms_merge_sketch(sketch) - cell-add fine CMS sketches into a STORED " +
+          "coarser sketch (bytes identical to sketching the facts directly)"),
+      {
+        case Seq(c) => CmsMergeSketchExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"cms_merge_sketch expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("cms_est"),
+      info(classOf[CmsEstExpr], "cms_est",
+        "cms_est(sketch, key) - count-min frequency estimate (>= true count) " +
+          "for a key, per row"),
+      {
+        case Seq(sk, k) => CmsEstExpr(sk, k)
+        case args => throw new IllegalArgumentException(
+          s"cms_est expects 2 arguments, got ${args.length}")
+      }),
     (FunctionIdentifier("kmv_estimate"),
       info(classOf[KmvEstimateExpr], "kmv_estimate",
         "kmv_estimate(sketch) - the kmv distinct estimate as a per-row scalar"),

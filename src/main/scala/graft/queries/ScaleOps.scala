@@ -246,6 +246,56 @@ object ScaleOps {
       |SELECT w, n, est, est >= n AS lower_bounded
       |FROM est ORDER BY n DESC, w""".stripMargin
 
+  /** AN44: the FREQUENCY leg of the sketch algebra as a sketch-TABLE
+    * citizen — [[graft.functions.Cms]] count-min sketches with the
+    * INIT → MERGE → estimate discipline, completing the five-legged
+    * family (exact distinct / HLL / quantiles / KMV sample / CMS
+    * frequency): per-source sketches of the word stream (one corpus
+    * scan) cell-ADD into one STORED corpus sketch, and the top-20
+    * exact heavy hitters are then estimated OFF THE SKETCH BYTES via
+    * the `cms_est` scalar — same d=4 / w=2048 / md5-probe arithmetic
+    * as the an14 relation form, so the oracle rebuilds the cells and
+    * replays the min bit-for-bit (est is matched EXACTLY, not
+    * bound-checked; `lower_bounded` is computed, and the CMS
+    * guarantee makes it TRUE on every row). The merge being cell
+    * addition means the sketch bytes are a pure function of the word
+    * multiset — any source split or roll-up tree lands on the same
+    * estimates. */
+  val an44CmsRollup: Q = (s, dir) => {
+    import s.implicits._
+    val C = graft.functions.Cms
+    val words = Tables.load(s, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+    val perSource = words.groupBy($"source").agg(C.cms_sketch($"w").as("sk"))
+    val merged = perSource.agg(C.cms_merge_sketch($"sk").as("sk"))
+    val top = words.groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w".asc).limit(20)
+    top.crossJoin(broadcast(merged))
+      .withColumn("est", C.cms_est($"sk", $"w"))
+      .select($"w", $"n", $"est", ($"est" >= $"n").as("lower_bounded"))
+      .orderBy($"n".desc, $"w".asc)
+  }
+
+  val an44CmsRollupSql: String =
+    """WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT w, count(*) AS n FROM words WHERE w <> '' GROUP BY w),
+      |cells AS (
+      |  SELECT t.j,
+      |    ('0x' || substr(md5('cms:' || t.j::VARCHAR || ':' || w), 1, 8))::BIGINT % 2048 AS pos,
+      |    CAST(sum(n) AS BIGINT) AS cell
+      |  FROM wc, range(4) t(j) GROUP BY 1, 2),
+      |top AS (SELECT w, n FROM wc ORDER BY n DESC, w LIMIT 20),
+      |est AS (
+      |  SELECT top.w, top.n, min(cells.cell) AS est
+      |  FROM top, range(4) t(j)
+      |  JOIN cells ON cells.j = t.j AND cells.pos =
+      |    ('0x' || substr(md5('cms:' || t.j::VARCHAR || ':' || top.w), 1, 8))::BIGINT % 2048
+      |  GROUP BY 1, 2)
+      |SELECT w, n, est, est >= n AS lower_bounded
+      |FROM est ORDER BY n DESC, w""".stripMargin
+
   /** J7: range join — every order joined to the overlapping price
     * bands containing its point, via bucket decomposition instead of
     * the BroadcastNestedLoopJoin Spark would pick for the naive
@@ -346,6 +396,7 @@ object ScaleOps {
     "u10_evolve_upsert" -> u10EvolveUpsert,
     "s12_zorder_layout" -> s12ZorderLayout,
     "an14_cms_topk"     -> an14CmsTopk,
+    "an44_cms_rollup"   -> an44CmsRollup,
     "j7_range_join"     -> j7RangeJoin,
     "j12_interval_join" -> j12IntervalJoin,
   )
@@ -357,6 +408,7 @@ object ScaleOps {
     "u10_evolve_upsert" -> u10EvolveUpsertSql,
     "s12_zorder_layout" -> s12ZorderLayoutSql,
     "an14_cms_topk"     -> an14CmsTopkSql,
+    "an44_cms_rollup"   -> an44CmsRollupSql,
     "j7_range_join"     -> j7RangeJoinSql,
     "j12_interval_join" -> j12IntervalJoinSql,
   )

@@ -81,7 +81,8 @@ object PlanAudit {
     "t33_bm25" -> "one-row (N, sum dl) stats aggregate",
     "n18_rrf_fusion" -> "inherits t33's one-row stats aggregate; fusion joins two top-50 lists",
     "an37_dict_distinct" -> "Dictionary.encode = globalRowNumber over the DISTINCT key set: offsets window sees |partitions| one-row partials",
-    "an40_dict_append" -> "two globalRowNumber offsets windows (batch-1 dict + incremental NEW-key rank, both dictionary-cardinality) + one-row max-code and moved-count scalars")
+    "an40_dict_append" -> "two globalRowNumber offsets windows (batch-1 dict + incremental NEW-key rank, both dictionary-cardinality) + one-row max-code and moved-count scalars",
+    "an44_cms_rollup" -> "one-row corpus-sketch merge (|sources| fixed-size 64 KiB sketches funnel to one row)")
 
   /** BroadcastNestedLoopJoin sites where the broadcast side is bounded
     * by construction (one-row scalars, fixed query fan-outs, k
@@ -117,7 +118,8 @@ object PlanAudit {
     "n19_knn_classify" -> "n1's bounded 20-query fan-out; label join is equi broadcast of top-k",
     "n20_hard_negatives" -> "same bounded 20-query fan-out (n1 scoring + anti-filter + rank cuts)",
     "an32_skew_report" -> "TWO one-row crossJoins: scalar aggregate + one-row p99 pick",
-    "an40_dict_append" -> "TWO one-row broadcast crossJoins: encodeIncremental's max-code base + the codes_frozen moved-count scalar")
+    "an40_dict_append" -> "TWO one-row broadcast crossJoins: encodeIncremental's max-code base + the codes_frozen moved-count scalar",
+    "an44_cms_rollup" -> "one-row broadcast corpus-sketch crossJoin against the exact top-20 keys")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
