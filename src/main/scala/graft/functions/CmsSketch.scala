@@ -74,9 +74,21 @@ object Cms {
 
   def newCells(): Array[Long] = new Array[Long](Cells)
 
-  def update(cells: Array[Long], key: UTF8String): Unit = {
-    var j = 0
-    while (j < D) { cells(j * W + position(j, key)) += 1L; j += 1 }
+  def update(cells: Array[Long], key: UTF8String): Unit = updateWeighted(cells, key, 1L)
+
+  /** Weighted add — lets a sketch build from an already-AGGREGATED
+    * (key, count) relation without re-expanding rows (the an14
+    * relation form's input shape). Negative weights are refused: a
+    * negative cell would silently break the min-estimate's one-sided
+    * (≥ true) guarantee. */
+  def updateWeighted(cells: Array[Long], key: UTF8String, weight: Long): Unit = {
+    require(weight >= 0L,
+      s"cms: negative weight $weight for key '$key' — cells must stay non-negative " +
+        "or the min-estimate's lower-bound guarantee silently breaks")
+    if (weight != 0L) {
+      var j = 0
+      while (j < D) { cells(j * W + position(j, key)) += weight; j += 1 }
+    }
   }
 
   def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
@@ -181,6 +193,15 @@ object Cms {
     ColumnBridge.column(
       CmsSketchExpr(ColumnBridge.expression(c)).toAggregateExpression())
 
+  /** `wc.groupBy(grain).agg(cms_sketch($"word", $"n"))` — weighted
+    * INIT: build the sketch from an already-aggregated (key, count)
+    * relation; byte-identical to sketching the raw rows (cell
+    * addition), so pre-counted pipelines skip the re-expansion. */
+  def cms_sketch(c: Column, weight: Column): Column =
+    ColumnBridge.column(
+      CmsSketchWeightedExpr(ColumnBridge.expression(c),
+        ColumnBridge.expression(weight)).toAggregateExpression())
+
   /** `daily.groupBy(month).agg(cms_merge_sketch($"sk"))` — cell-add
     * fine sketches into a STORED coarser sketch (bytes identical to
     * sketching the facts directly). */
@@ -232,6 +253,55 @@ case class CmsSketchExpr(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): CmsSketchExpr =
     copy(child = newChild)
+}
+
+/** Weighted INIT: (key, count) rows → serialized sketch, cell-adding
+  * `weight` per probe row — byte-identical to [[CmsSketchExpr]] over
+  * the expanded multiset. Null key or null weight skips the row;
+  * negative weights fail loudly (the lower-bound guarantee). */
+case class CmsSketchWeightedExpr(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = Cms.checkKey(prettyName, left.dataType)
+    if (base != TypeCheckResult.TypeCheckSuccess) base
+    else BitmapKey.checkIntegral(s"$prettyName (weight)", right.dataType)
+  }
+
+  override def createAggregationBuffer(): Array[Long] = Cms.newCells()
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val k = left.eval(input)
+    val w = right.eval(input)
+    if (k != null && w != null)
+      Cms.updateWeighted(buffer, k.asInstanceOf[UTF8String], BitmapKey.toLong(w))
+    buffer
+  }
+
+  override def merge(b: Array[Long], other: Array[Long]): Array[Long] =
+    Cms.merge(b, other)
+
+  override def eval(b: Array[Long]): Any = Cms.serialize(b)
+
+  override def serialize(b: Array[Long]): Array[Byte] = Cms.serialize(b)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = Cms.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketchWeightedExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketchWeightedExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsSketchWeightedExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Sketch → SKETCH re-aggregation: cell-wise addition of fine sketches

@@ -215,12 +215,15 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("cms_sketch"),
       info(classOf[CmsSketchExpr], "cms_sketch",
-        "cms_sketch(key) - mergeable count-min frequency sketch (d=4, w=2048) " +
-          "over STRING keys (frequency leg of the sketch algebra; estimate >= true)"),
+        "cms_sketch(key[, weight]) - mergeable count-min frequency sketch " +
+          "(d=4, w=2048) over STRING keys (frequency leg of the sketch algebra; " +
+          "estimate >= true); the 2-arg form cell-adds a non-negative weight, so " +
+          "sketches build from already-aggregated (key, count) relations"),
       {
         case Seq(c) => CmsSketchExpr(c)
+        case Seq(c, w) => CmsSketchWeightedExpr(c, w)
         case args => throw new IllegalArgumentException(
-          s"cms_sketch expects 1 argument, got ${args.length}")
+          s"cms_sketch expects 1 or 2 arguments, got ${args.length}")
       }),
     (FunctionIdentifier("cms_merge_sketch"),
       info(classOf[CmsMergeSketchExpr], "cms_merge_sketch",

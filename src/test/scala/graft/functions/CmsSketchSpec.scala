@@ -75,6 +75,32 @@ class CmsSketchSpec extends AnyFunSuite {
     assert(Cms.deserialize(dense).sum === 3000L * 4)
   }
 
+  test("weighted INIT over (key, count) rows is byte-identical to raw rows") {
+    import spark.implicits._
+    val raw = (1 to 2000).map(i => s"k${i % 97}").toDF("w")
+    val fromRaw = raw.agg(Cms.cms_sketch($"w").as("sk")).head().getAs[Array[Byte]](0)
+    val fromCounts = raw.groupBy($"w").agg(count(lit(1)).as("n"))
+      .agg(Cms.cms_sketch($"w", $"n").as("sk")).head().getAs[Array[Byte]](0)
+    assert(fromCounts.toSeq === fromRaw.toSeq)
+    // zero weights are no-ops; null weights skip the row
+    val withZeros = raw.groupBy($"w").agg(count(lit(1)).as("n"))
+      .union(Seq(("ghost", 0L)).toDF("w", "n"))
+      .agg(Cms.cms_sketch($"w", $"n").as("sk")).head().getAs[Array[Byte]](0)
+    assert(withZeros.toSeq === fromRaw.toSeq)
+    // negative weights fail loudly (the lower-bound guarantee)
+    val e = intercept[Exception] {
+      Seq(("k", -1L)).toDF("w", "n").agg(Cms.cms_sketch($"w", $"n")).head()
+    }
+    assert(e.getMessage.contains("negative weight") ||
+      e.getCause != null && e.getCause.getMessage.contains("negative weight"))
+    // SQL 2-arg form reaches the same expression
+    GraftFunctions.register(spark)
+    raw.groupBy($"w").agg(count(lit(1)).as("n")).createOrReplaceTempView("cms_wc")
+    val sqlBytes = spark.sql("SELECT cms_sketch(w, n) AS sk FROM cms_wc")
+      .head().getAs[Array[Byte]](0)
+    assert(sqlBytes.toSeq === fromRaw.toSeq)
+  }
+
   test("null keys ignored; hostile bytes fail loudly") {
     import spark.implicits._
     val r = Seq(Some("a"), None, Some("a")).toDF("w")
