@@ -1373,6 +1373,80 @@ object EventQueries {
       |WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** E21: STREAMING SKETCH-TABLE PARITY — the lambda-architecture
+    * equivalence, gate-pinned: the stream
+    * ([[graft.streaming.Streams.dailySketchStream]]) flushes each
+    * day's serialized bitmap SKETCH when the watermark passes the day,
+    * and this query compares those bytes against the sketch tier a
+    * batch backfill builds with `bitmap_sketch` over the same facts.
+    * Because Bitmap64 serialization is canonical (a pure function of
+    * the key set — micro-batch arrival order, state round-trips, and
+    * partitioning all invisible), `bytes_equal` must be TRUE on every
+    * day — a warehouse can build sketch tables live and backfill them
+    * from batch with no format seam. `distinct_users` is read off the
+    * STREAMED bytes (self-AND cardinality, no re-scan) and
+    * oracle-matched to batch COUNT(DISTINCT); the e19 harness (file
+    * replay, day-granularity epoch shift, far-future sentinels,
+    * memory sink) drives the stream. */
+  val e21StreamSketchParity: Q = (s, dir) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val B = graft.functions.BitmapDistinct
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull &&
+        $"user_id" >= 0L) // negative ids are the e-family's sentinel space
+      .select($"user_id", $"ts", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e21").toString
+    val off = Streams.stageWithEpochShift(ev, "ts", tmp,
+      granularitySeconds = 86400L)
+    val offDays = off / dayUs
+    val stream = Streams.shiftTs(
+      s.readStream.schema(ev.schema).parquet(tmp), "ts", off).as[Streams.Event]
+    val q = Streams.dailySketchStream(stream)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("e21_sketches").start()
+    def sentinel(sec: Long): Unit =
+      Seq((-1L, new java.sql.Timestamp(sec * 1000L), 0.0))
+        .toDF("user_id", "ts", "value")
+        .write.mode("append").parquet(tmp)
+    try {
+      q.processAllAvailable()
+      sentinel(4102444800L) // 2100-01-01 advances the watermark
+      q.processAllAvailable()
+      sentinel(4102444860L) // second batch fires the timeouts
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
+    }
+    val streamed = s.table("e21_sketches")
+      .select(($"day" - offDays).as("day"), $"sketch")
+    // the batch backfill tier: same floorDiv day key (exact pmod form)
+    val batch = ev
+      .withColumn("us", expr("unix_micros(ts)"))
+      .groupBy((($"us" - pmod($"us", lit(dayUs))) / lit(dayUs))
+        .cast("long").as("day"))
+      .agg(B.bitmap_sketch($"user_id").as("bsk"))
+    streamed.join(batch, "day")
+      .select(
+        expr("date_add(DATE '1970-01-01', CAST(day AS INT))").as("day"),
+        B.bitmap_and_count($"sketch", $"sketch").as("distinct_users"),
+        ($"sketch" === $"bsk").as("bytes_equal"))
+      .filter($"distinct_users" > 0)
+      .orderBy($"day")
+  }
+
+  val e21StreamSketchParitySql: String =
+    """SELECT date_trunc('day', ts)::DATE AS day,
+      |  count(DISTINCT user_id) AS distinct_users,
+      |  TRUE AS bytes_equal
+      |FROM events
+      |WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+      |  AND user_id >= 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** SK3: HOT/COLD SPLIT join ([[graft.operators.Skew.hotColdJoin]])
     * — the third skew weapon next to sk1's salted agg and sk2's
     * replicated salted join: a synthetic 70%-hot key (user_id % 10 < 7
@@ -1893,6 +1967,7 @@ object EventQueries {
     "sk2_salted_join" -> sk2SaltedJoin,
     "sk3_hotcold_join" -> sk3HotColdJoin,
     "e19_stream_daily_distinct" -> e19StreamDailyDistinct,
+    "e21_stream_sketch_parity" -> e21StreamSketchParity,
     "e20_stream_semi_join" -> e20StreamSemiJoin,
     "e7_stream_static" -> e7StreamStatic,
     "e14_stream_merge_sink" -> e14StreamMergeSink,
@@ -1936,6 +2011,7 @@ object EventQueries {
     "sk2_salted_join" -> sk2SaltedJoinSql,
     "sk3_hotcold_join" -> sk3HotColdJoinSql,
     "e19_stream_daily_distinct" -> e19StreamDailyDistinctSql,
+    "e21_stream_sketch_parity" -> e21StreamSketchParitySql,
     "e20_stream_semi_join" -> e20StreamSemiJoinSql,
     "e14_stream_merge_sink" -> e14StreamMergeSinkSql,
     "u9_time_travel" -> u9TimeTravelSql,

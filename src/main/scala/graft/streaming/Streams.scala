@@ -32,7 +32,8 @@ object Streams {
     "e11_stream_tumbling", "e12_stream_dedup", "e13_stream_outer_join",
     "e14_stream_merge_sink", "e15_checkpoint_resume",
     "e16_stream_full_outer_join", "e17_stream_sliding",
-    "e19_stream_daily_distinct", "e20_stream_semi_join")
+    "e19_stream_daily_distinct", "e20_stream_semi_join",
+    "e21_stream_sketch_parity")
 
   /** Exactly-once incremental article ingest: JSONL landing dir →
     * stream with the explicit article schema. */
@@ -285,6 +286,50 @@ object Streams {
             }
             state.update(bits.serialize())
             // flush when the watermark passes the day's end (ms)
+            state.setTimeoutTimestamp((day + 1L) * 86400000L)
+            Iterator.empty
+          }
+      }
+  }
+
+  case class DaySketch(day: Long, sketch: Array[Byte])
+
+  /** Streaming SKETCH-TABLE producer — the lambda-architecture
+    * equivalence leg: instead of flushing a day's COUNT
+    * ([[dailyDistinctStream]]), flush the day's serialized
+    * [[graft.functions.Bitmap64]] SKETCH itself when the watermark
+    * passes the day. Because the bitmap's serialization is canonical
+    * (bytes are a pure function of the key SET — container order and
+    * representation never depend on insert or merge order), the rows
+    * this stream appends are BYTE-IDENTICAL to the sketch tier a batch
+    * backfill writes with `bitmap_sketch` over the same facts — so a
+    * warehouse can build its sketch tables from the live stream and
+    * backfill/repair them from batch without a format seam, and every
+    * downstream merge/AND (an33/an35/an42) reads both interchangeably.
+    * Gate e21 pins the byte equality through the oracle every round.
+    * Same state/timeout discipline as e19: state bounded by the
+    * watermark horizon, negative ids are watermark sentinels (advance
+    * time, set no bits), day keys pre-epoch-safe via floorDiv. */
+  def dailySketchStream(events: Dataset[Event],
+      watermarkDelay: String = "30 minutes"): Dataset[DaySketch] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => Math.floorDiv(tsMicros(e.ts), dayMicros))
+      .flatMapGroupsWithState[Array[Byte], DaySketch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (day, it, state: GroupState[Array[Byte]]) =>
+          if (state.hasTimedOut) {
+            val bytes = state.get
+            state.remove()
+            Iterator.single(DaySketch(day, bytes))
+          } else {
+            val bits = state.getOption.map(graft.functions.Bitmap64.deserialize)
+              .getOrElse(new graft.functions.Bitmap64())
+            it.foreach { e =>
+              if (e.user_id >= 0L) bits.add(e.user_id)
+            }
+            state.update(bits.serialize())
             state.setTimeoutTimestamp((day + 1L) * 86400000L)
             Iterator.empty
           }

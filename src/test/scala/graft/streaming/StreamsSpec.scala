@@ -559,6 +559,46 @@ class StreamsSpec extends AnyFunSuite {
     assert(got === Map(10L -> 3L, 11L -> 1L)) // users {1,2,4}, {3}
   }
 
+  test("daily sketch stream: flushed bytes identical to the batch-built sketch (r11)") {
+    // lambda-architecture equivalence: cross-micro-batch arrival order
+    // and state serialize/deserialize round-trips must be invisible in
+    // the flushed bytes — canonical Bitmap64 serialization makes the
+    // streamed sketch tier byte-identical to a batch backfill's
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day = 86400000L
+    def ts(d: Long, h: Long) = new Timestamp(d * day + h * 3600000L)
+    val src = MemoryStream[Streams.Event]
+    val q = Streams.dailySketchStream(src.toDS(), "30 minutes").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("daily_sk").start()
+    val big = 1L << 33
+    // same key set split across batches in shuffled order, with dups
+    src.addData(
+      Streams.Event(7L, ts(10, 1), 0.0),
+      Streams.Event(big + 3L, ts(10, 2), 0.0),
+      Streams.Event(7L, ts(10, 3), 0.0))
+    q.processAllAvailable()
+    src.addData(
+      Streams.Event(2L, ts(10, 4), 0.0),
+      Streams.Event(big + 3L, ts(10, 5), 0.0))
+    q.processAllAvailable()
+    src.addData(Streams.Event(-1L, ts(1000, 0), 0.0))
+    q.processAllAvailable()
+    src.addData(Streams.Event(-1L, ts(1000, 1), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("daily_sk")
+      .filter($"day" === 10L).head().getAs[Array[Byte]]("sketch")
+    val batch = Seq(7L, big + 3L, 7L, 2L, big + 3L).toDF("user_id")
+      .agg(graft.functions.BitmapDistinct.bitmap_sketch($"user_id"))
+      .head().getAs[Array[Byte]](0)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(graft.functions.Bitmap64.deserialize(streamed).cardinality === 3L)
+  }
+
   test("daily distinct stream: sparse 64-bit user ids are legal state keys (r10 Bitmap64)") {
     // the r9 state capped ids at the dense int domain and FAILED on a
     // snowflake-scale id; the compressed-bitmap state must count them
