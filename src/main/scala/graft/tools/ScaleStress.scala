@@ -745,6 +745,41 @@ object ScaleStress {
       }
     }
 
+    // cms (r11): the FREQUENCY leg's scale claim — per-group count-min
+    // sketch INIT (fixed 64 KiB state, map-side partials) vs the exact
+    // per-(group, key) count a warehouse pays without it: the exact
+    // form shuffles every (group, key) pair; the sketch shuffles
+    // |groups| fixed-size byte blobs. Also the serialized bytes per
+    // occupancy regime (dense page vs sparse list).
+    if (sect("cms")) {
+      Seq(1000000L, 4000000L).foreach { n =>
+        val keyed = spark.range(n)
+          .select(pmod(col("id"), lit(64)).as("g"),
+            concat(lit("w"), pmod(col("id"), lit(50000))).as("k"))
+          .cache()
+        keyed.count()
+        time(s"cms sketch  n=$n") {
+          keyed.groupBy(col("g"))
+            .agg(graft.functions.Cms.cms_sketch(col("k")).as("sk"))
+            .select(col("g"), length(col("sk")).as("b"))
+            .filter(col("b") > 0)
+        }
+        time(s"cms exact   n=$n") {
+          keyed.groupBy(col("g"), col("k"))
+            .agg(count(lit(1)).as("c"))
+            .filter(col("c") > 0)
+        }
+        keyed.unpersist(blocking = true)
+      }
+      Seq(100L, 2000L, 50000L).foreach { distinct =>
+        val b = spark.range(100000L)
+          .select(concat(lit("w"), pmod(col("id"), lit(distinct))).as("k"))
+          .agg(graft.functions.Cms.cms_sketch(col("k")).as("sk"))
+          .select(length(col("sk"))).head().getInt(0)
+        println(s"[scale] cmssize $distinct distinct keys -> $b bytes")
+      }
+    }
+
     spark.stop()
   }
 }
