@@ -124,4 +124,89 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("KMV sketches: bottom-k, canonical bytes, and the estimate rule on arbitrary keys") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{Kmv, Md5Prefix}
+    // arbitrary strings incl. unicode, empties, and heavy dups — the
+    // regimes where a string-order/byte-order mismatch would bite
+    val keys = samples(Gen.listOfN(600, Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(24)),
+      Gen.alphaNumStr.map(_.take(8)), // narrow space -> many dups
+      Gen.const(""), Gen.const("café ☕"), Gen.const("中文键"))))
+    val df = keys.zipWithIndex.map(_.swap).toDF("id", "k")
+    val k = 24
+    // JVM reference: bottom-k by (60-bit md5 prefix, key BYTES unsigned)
+    def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    val ranked = keys.distinct
+      .map { s =>
+        val u = UTF8String.fromString(s)
+        (Md5Prefix.prefix(u, Kmv.HexDigits), u.getBytes, s)
+      }
+      .sortWith { case ((h1, b1, _), (h2, b2, _)) =>
+        h1 < h2 || (h1 == h2 && cmpBytes(b1, b2) < 0) }
+    val wantSample = ranked.take(k).map(_._3)
+    val nd = ranked.size.toLong
+    val wantEst =
+      if (nd < k) nd
+      else java.math.BigInteger.valueOf(k - 1L)
+        .multiply(java.math.BigInteger.valueOf(Kmv.HashSpace))
+        .divide(java.math.BigInteger.valueOf(math.max(ranked(k - 1)._1, 1L)))
+        .longValueExact()
+    // direct, two-tier rolled, and repartitioned forms: identical bytes
+    val direct = df.agg(Kmv.kmv_sketch($"k", k).as("sk")).head().getAs[Array[Byte]](0)
+    val rolled = df.groupBy(pmod($"id", lit(7))).agg(Kmv.kmv_sketch($"k", k).as("sk"))
+      .agg(Kmv.kmv_merge_sketch($"sk").as("sk")).head().getAs[Array[Byte]](0)
+    val repart = df.repartition(13).agg(Kmv.kmv_sketch($"k", k).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(rolled.toSeq === direct.toSeq)
+    assert(repart.toSeq === direct.toSeq)
+    val st = Kmv.deserialize(direct)
+    val gotSample = {
+      val it = st.set.iterator()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += UTF8String.fromBytes(it.next().key).toString
+      b.result()
+    }
+    assert(gotSample === wantSample)
+    assert(Kmv.estimate(st) === wantEst)
+  }
+
+  test("CMS sketches: partition-invariant bytes, lower bound, raw == weighted on arbitrary keys") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Cms
+    val keys = samples(Gen.listOfN(800, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.const(""), Gen.const("naïve ☕"), Gen.const("重复"))))
+    val df = keys.zipWithIndex.map(_.swap).toDF("id", "k")
+    val direct = df.agg(Cms.cms_sketch($"k").as("sk")).head().getAs[Array[Byte]](0)
+    val repart = df.repartition(17).agg(Cms.cms_sketch($"k").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(repart.toSeq === direct.toSeq)
+    // weighted INIT from the aggregated counts: identical bytes
+    val weighted = df.groupBy($"k").agg(count(lit(1)).as("n"))
+      .agg(Cms.cms_sketch($"k", $"n").as("sk")).head().getAs[Array[Byte]](0)
+    assert(weighted.toSeq === direct.toSeq)
+    // two-tier roll-up: identical bytes
+    val rolled = df.groupBy(pmod($"id", lit(5))).agg(Cms.cms_sketch($"k").as("sk"))
+      .agg(Cms.cms_merge_sketch($"sk").as("sk")).head().getAs[Array[Byte]](0)
+    assert(rolled.toSeq === direct.toSeq)
+    // every key's estimate bounds its true count from above
+    val exact = keys.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val cells = Cms.deserialize(direct)
+    exact.foreach { case (s, n) =>
+      val est = Cms.estimate(cells, org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(est >= n, s"lower bound violated for '$s': est $est < $n")
+    }
+  }
 }
