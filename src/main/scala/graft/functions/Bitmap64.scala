@@ -105,18 +105,34 @@ final class Bitmap64 private (
     * preference order ([[Bitmap64.Container.encodedBytes]]) — a pure
     * function of the set. */
   def serialize(): Array[Byte] = {
+    // (cardinality, runCount) are O(container) scans — compute each
+    // ONCE in the sizing pass and reuse them in the write pass, rather
+    // than re-deriving the same pair per container (serialize runs per
+    // merge partial / per group / per micro-batch state round-trip)
+    val m = containers.size()
+    val ns = new Array[Int](m)
+    val rs = new Array[Int](m)
     var size = HeaderBytes
+    var i = 0
     val it0 = containers.values().iterator()
-    val keys = containers.entrySet().iterator()
-    while (it0.hasNext) size += 8 + Container.encodedBytes(it0.next())
+    while (it0.hasNext) {
+      val c = it0.next()
+      ns(i) = c.cardinality
+      rs(i) = c.runCount
+      size += 8 + Container.encodedBytes(ns(i), rs(i))
+      i += 1
+    }
     val buf = ByteBuffer.allocate(size)
     buf.put(Magic)
     buf.put(Version)
-    buf.putInt(containers.size())
+    buf.putInt(m)
+    i = 0
+    val keys = containers.entrySet().iterator()
     while (keys.hasNext) {
       val e = keys.next()
       buf.putLong(e.getKey)
-      Container.writeCanonical(e.getValue, buf)
+      Container.writeCanonical(e.getValue, buf, ns(i), rs(i))
+      i += 1
     }
     buf.array()
   }
@@ -257,7 +273,7 @@ object Bitmap64 {
       * only), bitmap (1+4+8·words) encodings; run wins ties over array,
       * array over bitmap — a fixed preference order, so the bytes are a
       * pure function of the set. */
-    def encodedBytes(c: Container): Int = 1 + payload(c.cardinality, c.runCount)
+    def encodedBytes(n: Int, r: Int): Int = 1 + payload(n, r)
 
     private def payload(n: Int, r: Int): Int =
       math.min(runBytes(r), math.min(arrayBytes(n), bitmapBytes))
@@ -266,10 +282,10 @@ object Bitmap64 {
       if (n <= ArrayMax) 4 + 2 * n else Int.MaxValue
     private def bitmapBytes: Int = 4 + 8 * BitmapWords
 
-    /** Write the canonical encoding [[encodedBytes]] sized for. */
-    def writeCanonical(c: Container, buf: ByteBuffer): Unit = {
-      val n = c.cardinality
-      val r = c.runCount
+    /** Write the canonical encoding [[encodedBytes]] sized for; `n`/`r`
+      * are the container's (cardinality, runCount), already computed by
+      * the caller's sizing pass. */
+    def writeCanonical(c: Container, buf: ByteBuffer, n: Int, r: Int): Unit = {
       if (runBytes(r) <= math.min(arrayBytes(n), bitmapBytes)) {
         buf.put(KindRun)
         buf.putInt(r)

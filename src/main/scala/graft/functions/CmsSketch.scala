@@ -58,13 +58,21 @@ object Cms {
   private val mdTL: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
+  // the d=4 probe prefixes, precomputed: position() runs d times per
+  // input ROW (the per-word hot path of an44), and interpolating
+  // "cms:$j:" there would allocate a String + byte[] per call for one
+  // of four constants — the same per-value-allocation trap Md5Prefix
+  // exists to avoid
+  private val prefixBytes: Array[Array[Byte]] =
+    Array.tabulate(D)(j => s"cms:$j:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Probe position of `key` in row j: first 8 md5 hex digits of
     * "cms:j:key" as a long, mod w — byte-identical to
     * [[graft.operators.Sketches.cmsPosition]] and the oracle SQL. */
   def position(j: Int, key: UTF8String): Int = {
     val md = mdTL.get()
     md.reset()
-    md.update(s"cms:$j:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(prefixBytes(j))
     val digest = md.digest(key.getBytes)
     var v = 0L
     var i = 0

@@ -206,7 +206,11 @@ object Kmv {
   private[functions] def extractK(e: Expression, fn: String): Int = e match {
     case f if f.foldable => f.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      // no silent truncation: a Long k outside the Int range must fail
+      // the [1, MaxK] validation with its REAL value, not a wrapped one
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case l: Long => throw new IllegalArgumentException(
+        s"$fn: k must be in [1, $MaxK], got $l")
       case null => throw new IllegalArgumentException(
         s"$fn: k must be a non-null integral literal")
       case other => throw new IllegalArgumentException(

@@ -122,6 +122,12 @@ object Vhist {
     require(unit >= 0L, s"vhist: bad sketch unit $unit")
     val n = buf.getInt()
     require(n >= 0 && n <= MaxEntries, s"vhist: bad sketch entry count $n")
+    // unit 0 is the unset-PARTIAL sentinel and only ever serializes
+    // EMPTY; hostile unit-0 bytes carrying entries would slip past
+    // reconcileUnit's `incoming != 0` guard and count-add raw buckets
+    // into any tier — the exact silent mixing the tag exists to stop
+    require(unit >= 1L || n == 0,
+      s"vhist: unit-0 sketch carrying $n entries is not a graft sketch")
     val h = newHist()
     var i = 0
     while (i < n) {

@@ -729,9 +729,12 @@ object EventQueries {
     """WITH base AS (
       |  SELECT user_id, value FROM events WHERE user_id IS NOT NULL),
       |sk AS (
-      |  SELECT CASE WHEN user_id % 10 < 8 THEN 0 ELSE user_id % 10 END AS k,
+      |  -- pmod form: DuckDB % truncates toward zero on negatives,
+      |  -- Spark pmod floors — identical on this data, pinned anyway
+      |  SELECT CASE WHEN ((user_id % 10) + 10) % 10 < 8 THEN 0
+      |              ELSE ((user_id % 10) + 10) % 10 END AS k,
       |    value FROM base),
-      |un AS (SELECT user_id % 10 AS k, value FROM base)
+      |un AS (SELECT ((user_id % 10) + 10) % 10 AS k, value FROM base)
       |SELECT 'skewed' AS leg, k, count(*) AS n_rows,
       |  CAST(sum((((k % 97) + 97) % 97 + 1) * CAST(floor(value) AS BIGINT))
       |    AS BIGINT) AS wv,

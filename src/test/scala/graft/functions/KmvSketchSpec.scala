@@ -131,6 +131,14 @@ class KmvSketchSpec extends AnyFunSuite {
       Seq("a").toDF("k").agg(Kmv.kmv_sketch($"k", 0)).queryExecution.analyzed
     }
     assert(e2.getMessage.contains("k must be") || e2.getMessage.contains("kmv_sketch"))
+    // a LongType k past Int range must fail with its REAL value, not
+    // silently truncate (2^32+16 would otherwise become k=16)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.LongType
+    val e3 = intercept[IllegalArgumentException] {
+      Kmv.extractK(Literal((1L << 32) + 16L, LongType), "kmv_sketch")
+    }
+    assert(e3.getMessage.contains("4294967312"))
   }
 
   test("SQL registration: kmv_sketch/kmv_merge_estimate/kmv_keys from plain SQL") {

@@ -156,4 +156,21 @@ class ValueHistogramSpec extends AnyFunSuite {
     val z = intercept[IllegalArgumentException] { Vhist.deserialize(sketch(0L)) }
     assert(z.getMessage.contains("non-positive count"))
   }
+
+  test("hostile unit-0 V2 bytes carrying entries are rejected (the reconcile bypass)") {
+    // unit 0 is the unset-PARTIAL sentinel reconcileUnit deliberately
+    // skips; a unit-0 sketch WITH entries would count-add raw buckets
+    // into any tier without tripping the unit check — deserializeTagged
+    // must refuse it. Empty unit-0 partials stay legal.
+    def v2(unit: Long, entries: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(1 + 1 + 8 + 4 + 16 * entries)
+      buf.put(Vhist.Magic).put(Vhist.Version2).putLong(unit).putInt(entries)
+      (1 to entries).foreach(i => buf.putLong(i.toLong).putLong(1L))
+      buf.array()
+    }
+    assert(Vhist.deserializeTagged(v2(0L, 0))._2.isEmpty) // legal empty partial
+    assert(Vhist.deserializeTagged(v2(1000L, 2))._1 === 1000L) // legal tagged sketch
+    val e = intercept[IllegalArgumentException] { Vhist.deserializeTagged(v2(0L, 2)) }
+    assert(e.getMessage.contains("unit-0"))
+  }
 }
