@@ -722,19 +722,35 @@ object EventQueries {
       $"event_id", $"value"), "skewed")
     val uniform = leg(ev.select(pmod($"user_id", lit(10)).as("k"),
       $"event_id", $"value"), "uniform")
-    skewed.unionByName(uniform).orderBy($"leg", $"k")
+    // the third regime (r11): MORE hot keys than the maxHotKeys=3
+    // IN-list carries — event_id is a SEQUENTIAL surrogate, so the
+    // residue classes are exact fractions at every SF: residues 0..43
+    // collapse onto four 22% keys (hot: 22% ≥ 2 × the 10% mean, and
+    // FOUR of them > 3) and 44..49 stay six 2% cold keys → must route
+    // `salted`, the only weapon whose cost is independent of how many
+    // keys are hot. Deterministic 1.1× threshold margin by arithmetic,
+    // not by data luck (n ≡ 0 mod 50 in the generated testdata).
+    val spread = leg(ev.select(
+      when(pmod($"event_id", lit(50)) < 44, pmod(pmod($"event_id", lit(50)), lit(4)))
+        .otherwise(pmod($"event_id", lit(50)) + 100).as("k"),
+      $"event_id", $"value"), "spread")
+    skewed.unionByName(uniform).unionByName(spread).orderBy($"leg", $"k")
   }
 
   val an41SkewDispatchSql: String =
     """WITH base AS (
-      |  SELECT user_id, value FROM events WHERE user_id IS NOT NULL),
+      |  SELECT event_id, user_id, value FROM events WHERE user_id IS NOT NULL),
       |sk AS (
       |  -- pmod form: DuckDB % truncates toward zero on negatives,
       |  -- Spark pmod floors — identical on this data, pinned anyway
       |  SELECT CASE WHEN ((user_id % 10) + 10) % 10 < 8 THEN 0
       |              ELSE ((user_id % 10) + 10) % 10 END AS k,
       |    value FROM base),
-      |un AS (SELECT ((user_id % 10) + 10) % 10 AS k, value FROM base)
+      |un AS (SELECT ((user_id % 10) + 10) % 10 AS k, value FROM base),
+      |sp AS (
+      |  SELECT CASE WHEN event_id % 50 < 44 THEN (event_id % 50) % 4
+      |              ELSE 100 + (event_id % 50) END AS k,
+      |    value FROM base)
       |SELECT 'skewed' AS leg, k, count(*) AS n_rows,
       |  CAST(sum((((k % 97) + 97) % 97 + 1) * CAST(floor(value) AS BIGINT))
       |    AS BIGINT) AS wv,
@@ -746,6 +762,12 @@ object EventQueries {
       |    AS BIGINT) AS wv,
       |  'plain' AS route
       |FROM un GROUP BY k
+      |UNION ALL
+      |SELECT 'spread' AS leg, k, count(*) AS n_rows,
+      |  CAST(sum((((k % 97) + 97) % 97 + 1) * CAST(floor(value) AS BIGINT))
+      |    AS BIGINT) AS wv,
+      |  'salted' AS route
+      |FROM sp GROUP BY k
       |ORDER BY 1, 2""".stripMargin
 
   /** AN42: the TIERED stored roll-up — the sketch→sketch MERGE leg
