@@ -15,7 +15,10 @@ OUT="$(mktemp -d /tmp/graft-preflight.XXXXXX)"
 echo "[preflight] Verify on $SF -> $OUT"
 sbt -batch "runMain graft.Verify $SF $OUT"
 echo "[preflight] DuckDB oracle compare"
-python3 scripts/check_oracle.py "$SF" "$OUT" | tail -3
-python3 scripts/check_oracle.py "$SF" "$OUT" | tail -1 | grep -q " 0 fail" \
+# run the oracle compare ONCE: the displayed output and the GREEN/RED
+# decision must come from the same run (the hostile_gate.sh fix, r11)
+ORACLE_OUT="$(python3 scripts/check_oracle.py "$SF" "$OUT")"
+echo "$ORACLE_OUT" | tail -3
+echo "$ORACLE_OUT" | tail -1 | grep -q " 0 fail" \
   && echo "[preflight] GREEN" \
   || { echo "[preflight] RED — fix before building"; exit 1; }
