@@ -64,7 +64,12 @@ object Bench {
     "an40_dict_append", "an42_tiered_rollup", "an43_kmv_sample",
     // the CMS frequency leg as sketch-table bytes (per-source INIT ->
     // corpus MERGE -> cms_est off the bytes, oracle-exact)
-    "an44_cms_rollup")
+    "an44_cms_rollup",
+    // r11 second wave: the relative-error DDSketch quantile leg over an
+    // unbounded continuous domain (value-cubed, 14 decades), the exact
+    // bitmap set-difference (churn) leg, and the KMV cross-set
+    // Jaccard/intersection estimator — all answered off sketch tables
+    "an45_dds_quantiles", "an46_bitmap_churn", "an47_kmv_jaccard")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —

@@ -234,6 +234,16 @@ object Bitmap64 {
     case k => throw new IllegalArgumentException(s"Bitmap64: bad container kind $k")
   }
 
+  /** Exact |A \ B| without materializing the difference: the identity
+    * |A| − |A ∩ B| — set difference costs exactly one intersection
+    * walk plus a container-cardinality sum, and inherits
+    * [[andCardinality]]'s non-materializing co-resident-bucket walk.
+    * (A dedicated subtraction kernel would save nothing: every bucket
+    * the intersection walk visits is exactly a bucket a subtraction
+    * would visit.) */
+  def andNotCardinality(a: Bitmap64, b: Bitmap64): Long =
+    a.cardinality - andCardinality(a, b)
+
   /** Exact |A ∩ B| without materializing the intersection: walk the
     * shorter container map, intersect only co-resident buckets. */
   def andCardinality(a: Bitmap64, b: Bitmap64): Long = {

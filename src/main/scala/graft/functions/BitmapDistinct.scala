@@ -312,6 +312,54 @@ object BitmapAndCountExpr {
     Bitmap64.andCardinality(Bitmap64.deserialize(l), Bitmap64.deserialize(r))
 }
 
+/** Scalar SET-DIFFERENCE count over two serialized sketches — the leg
+  * that completes the exact audience algebra: union is MERGE
+  * ([[BitmapMergeCountExpr]]), intersection is
+  * [[BitmapAndCountExpr]], and `bitmap_andnot_count(a, b)` = |A \ B|
+  * exactly — new-user / churned-user questions (today's audience MINUS
+  * yesterday's, a segment minus a suppression list) answered from the
+  * sketch table with per-row bit arithmetic, the fact table never
+  * rescanned. Implemented as the identity |A| − |A ∩ B|
+  * ([[Bitmap64.andNotCardinality]]) — exact, non-materializing, and no
+  * new container kernel to keep canonical. Null if either side is
+  * null (outer-join friendly). */
+case class BitmapAndNotCountExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_andnot_count requires two BINARY sketches, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_andnot_count"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    BitmapAndNotCountExpr.andNotCount(
+      l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+
+  // real codegen (not CodegenFallback): the generated code calls the
+  // same static helper eval uses, so interpreted and compiled paths
+  // cannot diverge
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.BitmapAndNotCountExpr.andNotCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapAndNotCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object BitmapAndNotCountExpr {
+  /** Shared by eval and generated code. */
+  def andNotCount(l: Array[Byte], r: Array[Byte]): Long =
+    Bitmap64.andNotCardinality(Bitmap64.deserialize(l), Bitmap64.deserialize(r))
+}
+
 object BitmapDistinct {
   /** Column-API entry point: `df.agg(bitmap_distinct($"user_id"))`. */
   def bitmap_distinct(c: Column): Column =
@@ -335,6 +383,12 @@ object BitmapDistinct {
   def bitmap_and_count(a: Column, b: Column): Column =
     ColumnBridge.column(
       BitmapAndCountExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `bitmap_andnot_count($"sk_a", $"sk_b")` — exact |A \ B| of two
+    * sketches, per row (new/churned audiences from the sketch table). */
+  def bitmap_andnot_count(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      BitmapAndNotCountExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** `daily.groupBy(month).agg(bitmap_merge_sketch($"sk"))` — roll
     * fine sketches into a STORED coarser sketch table (bytes identical

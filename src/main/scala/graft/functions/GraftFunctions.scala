@@ -93,6 +93,16 @@ object GraftFunctions {
         case args => throw new IllegalArgumentException(
           s"bitmap_and_count expects 2 arguments, got ${args.length}")
       }),
+    (FunctionIdentifier("bitmap_andnot_count"),
+      info(classOf[BitmapAndNotCountExpr], "bitmap_andnot_count",
+        "bitmap_andnot_count(sk1, sk2) - exact set-difference cardinality " +
+          "|A \\ B| of two bitmap_sketch values (new/churned audiences from " +
+          "the sketch table)"),
+      {
+        case Seq(a, b) => BitmapAndNotCountExpr(a, b)
+        case args => throw new IllegalArgumentException(
+          s"bitmap_andnot_count expects 2 arguments, got ${args.length}")
+      }),
     (FunctionIdentifier("bitmap_merge_sketch"),
       info(classOf[BitmapMergeSketchExpr], "bitmap_merge_sketch",
         "bitmap_merge_sketch(sketch) - OR-merge fine sketches into a STORED " +
@@ -250,6 +260,61 @@ object GraftFunctions {
         case Seq(c) => KmvEstimateExpr(c)
         case args => throw new IllegalArgumentException(
           s"kmv_estimate expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("kmv_jaccard_bp"),
+      info(classOf[KmvJaccardBpExpr], "kmv_jaccard_bp",
+        "kmv_jaccard_bp(sk1, sk2) - Jaccard similarity of two same-k kmv " +
+          "sketches' key sets in integer basis points, per row"),
+      {
+        case Seq(a, b) => KmvJaccardBpExpr(a, b)
+        case args => throw new IllegalArgumentException(
+          s"kmv_jaccard_bp expects 2 arguments, got ${args.length}")
+      }),
+    (FunctionIdentifier("kmv_intersect_estimate"),
+      info(classOf[KmvIntersectEstimateExpr], "kmv_intersect_estimate",
+        "kmv_intersect_estimate(sk1, sk2) - intersection-cardinality estimate " +
+          "of two same-k kmv sketches (exact while the union sample is exact)"),
+      {
+        case Seq(a, b) => KmvIntersectEstimateExpr(a, b)
+        case args => throw new IllegalArgumentException(
+          s"kmv_intersect_estimate expects 2 arguments, got ${args.length}")
+      }),
+    (FunctionIdentifier("dds_sketch"),
+      info(classOf[DdsSketchExpr], "dds_sketch",
+        "dds_sketch(value, alpha) - mergeable relative-error quantile sketch " +
+          "(DDSketch log buckets) over DOUBLE values; any quantile from the " +
+          "merged sketch is within alpha of the truth"),
+      {
+        case Seq(c, a) => DdsSketchExpr(c, a)
+        case args => throw new IllegalArgumentException(
+          s"dds_sketch expects 2 arguments, got ${args.length}")
+      }),
+    (FunctionIdentifier("dds_merge_quantile"),
+      info(classOf[DdsMergeQuantileExpr], "dds_merge_quantile",
+        "dds_merge_quantile(sketch, q) - q-quantile estimate (within the " +
+          "sketches' alpha) from count-added dds_sketch values"),
+      {
+        case Seq(c, q) => DdsMergeQuantileExpr(c, q)
+        case args => throw new IllegalArgumentException(
+          s"dds_merge_quantile expects 2 arguments, got ${args.length}")
+      }),
+    (FunctionIdentifier("dds_merge_sketch"),
+      info(classOf[DdsMergeSketchExpr], "dds_merge_sketch",
+        "dds_merge_sketch(sketch) - count-add fine DDSketches into a STORED " +
+          "coarser sketch (bytes identical to sketching the values directly)"),
+      {
+        case Seq(c) => DdsMergeSketchExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"dds_merge_sketch expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("dds_quantile"),
+      info(classOf[DdsQuantileExpr], "dds_quantile",
+        "dds_quantile(value, alpha, q) - one-shot relative-error q-quantile " +
+          "estimate over DOUBLE values"),
+      {
+        case Seq(c, a, q) => DdsQuantileExpr(c, a, q)
+        case args => throw new IllegalArgumentException(
+          s"dds_quantile expects 3 arguments, got ${args.length}")
       }))
 
   /** Register on an already-running session. */

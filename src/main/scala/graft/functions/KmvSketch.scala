@@ -203,6 +203,53 @@ object Kmv {
   /** Estimate straight off sketch bytes (per-row scalar form). */
   def estimateFromBytes(bytes: Array[Byte]): Long = estimate(deserialize(bytes))
 
+  /** SET-OPERATION kernel (Beyer et al., SIGMOD 2007 §4): from two
+    * same-k sketches, the bottom-k union sample L, the number `m` of
+    * L's entries present in BOTH input samples, kL = |L|, and the
+    * pinned union estimate off L. Every step is sample membership +
+    * integer arithmetic over the fixed md5-prefix hash, so the DuckDB
+    * oracle replays m, kL, and the estimates bit-for-bit — the sketch
+    * algebra's cross-SET leg (the bitmap intersects exactly but needs
+    * the key domain; HLL can only union). Mixed k fails loudly
+    * ([[reconcileK]]'s contract: a bottom-j of a bottom-k loses the
+    * estimator). */
+  private[functions] def setOps(a: State, b: State, fn: String): (Long, Long, Long) = {
+    require(a.k == b.k,
+      s"$fn: sketches with different k (${a.k} vs ${b.k}) - re-sketch one " +
+        "side at the other's k")
+    val l = new State(a.k)
+    l.mergeFrom(a, fn)
+    l.mergeFrom(b, fn)
+    var m = 0L
+    val it = l.set.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (a.set.contains(e) && b.set.contains(e)) m += 1L
+    }
+    (m, l.set.size().toLong, estimate(l))
+  }
+
+  /** Jaccard similarity in integer BASIS POINTS (the house float-free
+    * rule): m · 10000 / kL with floor division; 0 when both sketches
+    * are empty. */
+  def jaccardBp(aBytes: Array[Byte], bBytes: Array[Byte]): Long = {
+    val (m, kL, _) = setOps(deserialize(aBytes), deserialize(bBytes), "kmv_jaccard_bp")
+    if (kL == 0L) 0L else m * 10000L / kL
+  }
+
+  /** Intersection-cardinality estimate: m · U / kL with exact integer
+    * arithmetic (U = the union estimate off the bottom-k union sample);
+    * 0 when both sketches are empty. Exact whenever the union sample is
+    * exact (|A ∪ B| < k). */
+  def intersectEstimate(aBytes: Array[Byte], bBytes: Array[Byte]): Long = {
+    val (m, kL, u) = setOps(deserialize(aBytes), deserialize(bBytes), "kmv_intersect_estimate")
+    if (kL == 0L) 0L
+    else java.math.BigInteger.valueOf(m)
+      .multiply(java.math.BigInteger.valueOf(u))
+      .divide(java.math.BigInteger.valueOf(kL))
+      .longValueExact()
+  }
+
   private[functions] def extractK(e: Expression, fn: String): Int = e match {
     case f if f.foldable => f.eval() match {
       case i: Int => i
@@ -251,6 +298,76 @@ object Kmv {
   /** `kmv_estimate($"sk")` — the estimate as a per-row scalar. */
   def kmv_estimate(c: Column): Column =
     ColumnBridge.column(KmvEstimateExpr(ColumnBridge.expression(c)))
+
+  /** `kmv_jaccard_bp($"sk_a", $"sk_b")` — Jaccard similarity of the two
+    * key sets in integer basis points, per row (segment-similarity
+    * matrices from the sketch table). */
+  def kmv_jaccard_bp(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      KmvJaccardBpExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `kmv_intersect_estimate($"sk_a", $"sk_b")` — |A ∩ B| estimate
+    * (exact while the union sample is exact), per row. */
+  def kmv_intersect_estimate(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      KmvIntersectEstimateExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Scalar: Jaccard similarity (integer basis points) of two same-k
+  * sketches' key sets — the cross-SET question (how similar are two
+  * segments' key universes?) answered per row off the sketch table,
+  * where HLL can only union and the exact bitmap needs the key domain.
+  * Null if either side is null (outer-join friendly); real codegen via
+  * the shared static helper. */
+case class KmvJaccardBpExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_jaccard_bp requires two BINARY sketches, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kmv_jaccard_bp"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Kmv.jaccardBp(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Kmv.jaccardBp($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvJaccardBpExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Scalar: intersection-cardinality estimate of two same-k sketches
+  * (m · U / kL, exact integer arithmetic — exact whenever the union
+  * sample is exact). Null if either side is null. */
+case class KmvIntersectEstimateExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_intersect_estimate requires two BINARY sketches, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kmv_intersect_estimate"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Kmv.intersectEstimate(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Kmv.intersectEstimate($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvIntersectEstimateExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** INIT: raw string keys → serialized bottom-k sketch. */

@@ -491,6 +491,123 @@ object EventQueries {
       |LEFT JOIN r ON r.day = d.day
       |ORDER BY d.day""".stripMargin
 
+  /** AN46: day-over-day audience CHURN from the sketch table —
+    * [[graft.functions.BitmapAndNotCountExpr]], the SET-DIFFERENCE leg
+    * that completes the exact audience algebra (union = the an33
+    * MERGE, intersection = the an35 AND): per-day user bitmaps
+    * self-join on consecutive days and `n_new` (active tomorrow, not
+    * today) / `n_churned` (active today, not tomorrow) are per-row bit
+    * arithmetic off the |days|-sized sketch relation — the fact table
+    * is scanned once when the sketch table is built, and every
+    * new/churned/retained question for any day pair reuses it. The
+    * oracle computes both differences from first principles
+    * (|B|−|A∩B| via the distinct-activity self-join), so equality
+    * proves the ANDNOT identity end-to-end. */
+  val an46BitmapChurn: Q = (s, dir) => {
+    import s.implicits._
+    val B = graft.functions.BitmapDistinct
+    val sk = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"user_id".isNotNull)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(B.bitmap_sketch($"user_id").as("sk"))
+    val nxt = sk.select(date_sub($"day", 1).as("day"), $"sk".as("sk_next"))
+    sk.join(nxt, "day")
+      .select($"day",
+        B.bitmap_andnot_count($"sk_next", $"sk").as("n_new"),
+        B.bitmap_andnot_count($"sk", $"sk_next").as("n_churned"))
+      .orderBy($"day")
+  }
+
+  val an46BitmapChurnSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT date_trunc('day', ts)::DATE AS day, user_id
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |d AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY day),
+      |r AS (SELECT a1.day, CAST(count(*) AS BIGINT) AS n_retained
+      |      FROM a a1 JOIN a a2
+      |        ON a2.user_id = a1.user_id AND a2.day = a1.day + 1
+      |      GROUP BY a1.day)
+      |SELECT d.day,
+      |  d2.n - CAST(coalesce(r.n_retained, 0) AS BIGINT) AS n_new,
+      |  d.n - CAST(coalesce(r.n_retained, 0) AS BIGINT) AS n_churned
+      |FROM d JOIN d d2 ON d2.day = d.day + 1
+      |LEFT JOIN r ON r.day = d.day
+      |ORDER BY d.day""".stripMargin
+
+  /** AN47: cross-SET estimates from the KMV sketch table — the
+    * [[graft.functions.KmvJaccardBpExpr]] /
+    * [[graft.functions.KmvIntersectEstimateExpr]] leg (Beyer et al.,
+    * SIGMOD 2007): the pairwise Jaccard/intersection matrix over
+    * per-type `props` vocabularies, computed entirely from the
+    * |types|-row sketch relation — the segment-similarity question HLL
+    * cannot answer (it only unions) and the exact bitmap needs a
+    * dictionary for. The estimator is pure sample membership + integer
+    * arithmetic over the engine's md5-prefix hash, so the oracle
+    * replays the bottom-k union walk, the both-samples membership
+    * count m, and both pinned outputs (m·10000/kL basis points,
+    * m·U/kL intersection) BIT-FOR-BIT — a full hash match, not a
+    * bound check. The pair join is an inequality self-join of the
+    * |types|-row sketch table (bounded by key cardinality, never
+    * data-sized). */
+  val an47KmvJaccard: Q = (s, dir) => {
+    import s.implicits._
+    val K = graft.functions.Kmv
+    val sk = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"props".isNotNull)
+      .groupBy($"event_type")
+      .agg(K.kmv_sketch($"props", 64).as("sk"))
+    val a = sk.select($"event_type".as("type_a"), $"sk".as("sk_a"))
+    val b = sk.select($"event_type".as("type_b"), $"sk".as("sk_b"))
+    a.join(b, $"type_a" < $"type_b")
+      .select($"type_a", $"type_b",
+        K.kmv_jaccard_bp($"sk_a", $"sk_b").as("jaccard_bp"),
+        K.kmv_intersect_estimate($"sk_a", $"sk_b").as("est_inter"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val an47KmvJaccardSql: String =
+    """WITH keys AS (
+      |  SELECT DISTINCT event_type, props AS k
+      |  FROM events WHERE ts IS NOT NULL AND props IS NOT NULL),
+      |h AS (
+      |  SELECT event_type, k,
+      |    ('0x' || substr(md5(k), 1, 15))::BIGINT AS h
+      |  FROM keys),
+      |s AS (
+      |  SELECT event_type, k, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h, k) AS rn
+      |  FROM h),
+      |sk AS (SELECT * FROM s WHERE rn <= 64),
+      |pairs AS (
+      |  SELECT DISTINCT a.event_type AS ta, b.event_type AS tb
+      |  FROM keys a JOIN keys b ON a.event_type < b.event_type),
+      |u0 AS (
+      |  SELECT p.ta, p.tb, x.k, x.h
+      |  FROM pairs p JOIN sk x ON x.event_type IN (p.ta, p.tb)
+      |  GROUP BY 1, 2, 3, 4),
+      |l AS (
+      |  SELECT ta, tb, k, h,
+      |    row_number() OVER (PARTITION BY ta, tb ORDER BY h, k) AS rn
+      |  FROM u0),
+      |mm AS (
+      |  SELECT l.ta, l.tb, count(*) AS kl,
+      |    count(*) FILTER (WHERE
+      |      EXISTS (SELECT 1 FROM sk x WHERE x.event_type = l.ta AND x.k = l.k)
+      |      AND EXISTS (SELECT 1 FROM sk y WHERE y.event_type = l.tb AND y.k = l.k)
+      |    ) AS m,
+      |    max(CASE WHEN l.rn = 64 THEN l.h END) AS hk
+      |  FROM l WHERE l.rn <= 64 GROUP BY 1, 2),
+      |est AS (
+      |  SELECT ta, tb, kl, m,
+      |    CASE WHEN kl < 64 THEN kl
+      |      ELSE CAST((63::HUGEINT * 1152921504606846976::HUGEINT)
+      |           // greatest(hk, 1) AS BIGINT) END AS u_est
+      |  FROM mm)
+      |SELECT ta AS type_a, tb AS type_b,
+      |  m * 10000 // kl AS jaccard_bp,
+      |  CAST((m::HUGEINT * u_est::HUGEINT) // kl::HUGEINT AS BIGINT) AS est_inter
+      |FROM est ORDER BY 1, 2""".stripMargin
+
   /** AN36: the sketch roll-up over a SPARSE 64-bit key domain — the r9
     * algebra's one real capability cliff, closed. User ids are lifted
     * into snowflake-id territory (`uid * 2^21 + 2^33` — every key
@@ -924,6 +1041,81 @@ object EventQueries {
       |  ur.rn AS sample_rank, ur.k AS sample_key
       |FROM ur JOIN ue USING (event_type) WHERE ur.rn <= 32
       |ORDER BY 1, 2, 4""".stripMargin
+
+  /** AN45: RELATIVE-error mergeable quantiles over an UNBOUNDED
+    * continuous domain — [[graft.functions.DdsSketchExpr]] /
+    * [[graft.functions.DdsMergeQuantileExpr]], the approximate twin of
+    * the exact an39 leg exactly as the HLL (an38) twins the exact
+    * bitmap: where [[graft.functions.Vhist]] needs an integral domain
+    * and a single ABSOLUTE pre-bucket unit, the DDSketch's log-spaced
+    * buckets give a RELATIVE guarantee (every quantile within alpha =
+    * 1% multiplicatively) over values spanning arbitrary orders of
+    * magnitude at ~75k buckets worst-case. The probe metric is value³
+    * (one/two IEEE multiplies, replayed identically by the oracle),
+    * stretching the 0.01..490 domain across 14 decades. Estimates
+    * can't hash-match an exact engine, so the gate uses the an38
+    * est_ok pattern with EXACT anchors: the exact P50/P95/P99 (the
+    * house discrete-lower rank rule, computed via the exact vhist leg
+    * on floor(metric·1e6) — micros-resolution, no corpus-wide window)
+    * are oracle-replayed in rank SQL, and each `*_ok` flag pins the
+    * DDSketch estimate within the alpha envelope (plus micro-flooring
+    * and StrictMath-ulp slack). Deterministic bucketing (StrictMath
+    * only) ⇒ the flags cannot flake. */
+  val an45DdsQuantiles: Q = (s, dir) => {
+    import s.implicits._
+    val D = graft.functions.Dds
+    val V = graft.functions.Vhist
+    val alpha = 0.01
+    val base = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"value".isNotNull)
+      .select($"event_type", $"ts",
+        ($"value" * $"value" * $"value").as("metric"))
+    val est = base
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(D.dds_sketch($"metric", alpha).as("sk"))
+      .groupBy($"event_type")
+      .agg(D.dds_merge_quantile($"sk", 0.5).as("p50_est"),
+        D.dds_merge_quantile($"sk", 0.95).as("p95_est"),
+        D.dds_merge_quantile($"sk", 0.99).as("p99_est"))
+    val exact = base
+      .select($"event_type", floor($"metric" * lit(1000000.0)).as("micros"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        V.vhist_quantile($"micros", 0.5).as("p50_micros"),
+        V.vhist_quantile($"micros", 0.95).as("p95_micros"),
+        V.vhist_quantile($"micros", 0.99).as("p99_micros"))
+    // |est - x| <= alpha·x and micros = floor(x·1e6) ∈ (x·1e6 - 1, x·1e6]
+    // ⇒ |est·1e6 - micros| <= alpha·(micros + 1) + 1, plus ulp headroom
+    def ok(e: org.apache.spark.sql.Column, m: org.apache.spark.sql.Column) =
+      abs(e * lit(1000000.0) - m) <= lit(alpha * 1.000001) * (abs(m) + lit(1.0)) + lit(1.0)
+    exact.join(est, "event_type")
+      .select($"event_type", $"n_rows",
+        $"p50_micros", $"p95_micros", $"p99_micros",
+        ok($"p50_est", $"p50_micros").as("p50_ok"),
+        ok($"p95_est", $"p95_micros").as("p95_ok"),
+        ok($"p99_est", $"p99_micros").as("p99_ok"))
+      .orderBy($"event_type")
+  }
+
+  val an45DdsQuantilesSql: String =
+    """WITH v AS (
+      |  SELECT event_type,
+      |    CAST(floor(value * value * value * 1000000.0) AS BIGINT) AS micros
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, micros,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY micros) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v)
+      |SELECT event_type, max(n) AS n_rows,
+      |  min(CASE WHEN rn = CAST(ceil(CAST(0.50 AS DECIMAL(8,6)) * n) AS BIGINT)
+      |           THEN micros END) AS p50_micros,
+      |  min(CASE WHEN rn = CAST(ceil(CAST(0.95 AS DECIMAL(8,6)) * n) AS BIGINT)
+      |           THEN micros END) AS p95_micros,
+      |  min(CASE WHEN rn = CAST(ceil(CAST(0.99 AS DECIMAL(8,6)) * n) AS BIGINT)
+      |           THEN micros END) AS p99_micros,
+      |  TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** AN34: cohort retention matrix — the canonical product-analytics
     * warehouse query: users are grouped into cohorts by FIRST-ACTIVE
@@ -1986,6 +2178,9 @@ object EventQueries {
     "an41_skew_dispatch" -> an41SkewDispatch,
     "an42_tiered_rollup" -> an42TieredRollup,
     "an43_kmv_sample" -> an43KmvSample,
+    "an45_dds_quantiles" -> an45DdsQuantiles,
+    "an46_bitmap_churn" -> an46BitmapChurn,
+    "an47_kmv_jaccard" -> an47KmvJaccard,
     "an21_transitions" -> an21TransitionMatrix,
     "an22_type_overlap" -> an22TypeOverlap,
     "an23_robust_outliers" -> an23RobustOutliers,
@@ -2030,6 +2225,9 @@ object EventQueries {
     "an41_skew_dispatch" -> an41SkewDispatchSql,
     "an42_tiered_rollup" -> an42TieredRollupSql,
     "an43_kmv_sample" -> an43KmvSampleSql,
+    "an45_dds_quantiles" -> an45DdsQuantilesSql,
+    "an46_bitmap_churn" -> an46BitmapChurnSql,
+    "an47_kmv_jaccard" -> an47KmvJaccardSql,
     "an21_transitions" -> an21TransitionMatrixSql,
     "an22_type_overlap" -> an22TypeOverlapSql,
     "an23_robust_outliers" -> an23RobustOutliersSql,

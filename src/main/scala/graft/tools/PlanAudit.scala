@@ -119,7 +119,8 @@ object PlanAudit {
     "n20_hard_negatives" -> "same bounded 20-query fan-out (n1 scoring + anti-filter + rank cuts)",
     "an32_skew_report" -> "TWO one-row crossJoins: scalar aggregate + one-row p99 pick",
     "an40_dict_append" -> "TWO one-row broadcast crossJoins: encodeIncremental's max-code base + the codes_frozen moved-count scalar",
-    "an44_cms_rollup" -> "one-row broadcast corpus-sketch crossJoin against the exact top-20 keys")
+    "an44_cms_rollup" -> "one-row broadcast corpus-sketch crossJoin against the exact top-20 keys",
+    "an47_kmv_jaccard" -> "inequality self-join of the |event-types|-row sketch relation (key-cardinality, never data-sized)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -92,6 +92,47 @@ class Bitmap64Spec extends AnyFunSuite {
     assert(Bitmap64.andCardinality(bm(Seq(0L)), bm(Seq(1L << 20))) === 0L)
   }
 
+  test("andNotCardinality is exact, asymmetric, and agrees with reference Sets") {
+    val rnd = new scala.util.Random(7)
+    val xs = Set.fill(4000)(rnd.nextLong() % 100000L) // cross-container dups
+    val ys = Set.fill(4000)(rnd.nextLong() % 100000L)
+    val a = bm(xs.toSeq)
+    val b = bm(ys.toSeq)
+    assert(Bitmap64.andNotCardinality(a, b) === (xs -- ys).size.toLong)
+    assert(Bitmap64.andNotCardinality(b, a) === (ys -- xs).size.toLong)
+    // identical sets -> 0; disjoint -> |A|; empty sides
+    assert(Bitmap64.andNotCardinality(a, a) === 0L)
+    val far = bm(Seq(1L << 50, -7L))
+    assert(Bitmap64.andNotCardinality(a, far) === xs.size.toLong)
+    assert(Bitmap64.andNotCardinality(new Bitmap64(), a) === 0L)
+    assert(Bitmap64.andNotCardinality(a, new Bitmap64()) === xs.size.toLong)
+  }
+
+  test("bitmap_andnot_count: Column + SQL forms agree with EXCEPT semantics") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val B = BitmapDistinct
+    GraftFunctions.register(spark)
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L), ("b", 3L), ("b", 4L), ("b", 5L))
+      .toDF("g", "k")
+    val sk = df.groupBy($"g").agg(B.bitmap_sketch($"k").as("sk"))
+    val row = sk.filter($"g" === "a").crossJoin(
+        sk.filter($"g" === "b").select($"sk".as("sk_b")))
+      .select(B.bitmap_andnot_count($"sk", $"sk_b").as("a_minus_b"),
+        B.bitmap_andnot_count($"sk_b", $"sk").as("b_minus_a"))
+      .head()
+    assert(row.getLong(0) === 1L) // {1}
+    assert(row.getLong(1) === 2L) // {4, 5}
+    df.createOrReplaceTempView("bm_andnot_in")
+    val viaSql = spark.sql(
+      """SELECT bitmap_andnot_count(
+        |  (SELECT bitmap_sketch(k) FROM bm_andnot_in WHERE g = 'b'),
+        |  (SELECT bitmap_sketch(k) FROM bm_andnot_in WHERE g = 'a')) AS d""".stripMargin)
+      .head().getLong(0)
+    assert(viaSql === 2L)
+  }
+
   test("empty and single-key round trips") {
     val e = new Bitmap64()
     assert(e.cardinality === 0L && e.isEmpty)

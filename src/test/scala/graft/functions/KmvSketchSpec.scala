@@ -81,6 +81,56 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(viaMerge === expected)
   }
 
+  test("set ops: jaccard_bp/intersect exact below k, estimator sane at k, mixed k fails") {
+    import spark.implicits._
+    // EXACT regime: both vocabularies (40, 40, overlap 20) fit k=64 —
+    // the union sample is exact, so both outputs are exact
+    val aKeys = (1 to 40).map(i => s"w$i")
+    val bKeys = (21 to 60).map(i => s"w$i")
+    def sk(keys: Seq[String], k: Int): Array[Byte] = {
+      val s = new Kmv.State(k)
+      keys.foreach(x => s.addKey(org.apache.spark.unsafe.types.UTF8String.fromString(x)))
+      Kmv.serialize(s)
+    }
+    assert(Kmv.intersectEstimate(sk(aKeys, 64), sk(bKeys, 64)) === 20L)
+    assert(Kmv.jaccardBp(sk(aKeys, 64), sk(bKeys, 64)) === 20L * 10000L / 60L)
+    // symmetric; self-jaccard = 10000; disjoint = 0
+    assert(Kmv.jaccardBp(sk(bKeys, 64), sk(aKeys, 64)) ===
+      Kmv.jaccardBp(sk(aKeys, 64), sk(bKeys, 64)))
+    assert(Kmv.jaccardBp(sk(aKeys, 64), sk(aKeys, 64)) === 10000L)
+    assert(Kmv.jaccardBp(sk(aKeys, 64), sk((100 to 140).map(i => s"z$i"), 64)) === 0L)
+    // ESTIMATE regime: 2000 vs 2000 keys, true overlap 1000 (J = 1/3),
+    // k=256 — deterministic estimator, bounded sanity envelope
+    val bigA = (1 to 2000).map(i => s"doc$i")
+    val bigB = (1001 to 3000).map(i => s"doc$i")
+    val jbp = Kmv.jaccardBp(sk(bigA, 256), sk(bigB, 256))
+    assert(jbp > 2000L && jbp < 4800L, s"jaccard_bp=$jbp for true 3333")
+    val inter = Kmv.intersectEstimate(sk(bigA, 256), sk(bigB, 256))
+    assert(inter > 600L && inter < 1500L, s"inter=$inter for true 1000")
+    // mixed k fails loudly (the estimator contract)
+    val e = intercept[IllegalArgumentException] {
+      Kmv.jaccardBp(sk(aKeys, 64), sk(bKeys, 32))
+    }
+    assert(e.getMessage.contains("different k"))
+    // Column + SQL forms reach the same kernel
+    GraftFunctions.register(spark)
+    val df = (aKeys.map(("a", _)) ++ bKeys.map(("b", _))).toDF("g", "k")
+    val skDf = df.groupBy($"g").agg(Kmv.kmv_sketch($"k", 64).as("sk"))
+    val row = skDf.filter($"g" === "a").crossJoin(
+        skDf.filter($"g" === "b").select($"sk".as("sk_b")))
+      .select(Kmv.kmv_jaccard_bp($"sk", $"sk_b").as("j"),
+        Kmv.kmv_intersect_estimate($"sk", $"sk_b").as("i"))
+      .head()
+    assert(row.getLong(0) === 20L * 10000L / 60L && row.getLong(1) === 20L)
+    df.createOrReplaceTempView("kmv_setops_in")
+    val viaSql = spark.sql(
+      """SELECT kmv_jaccard_bp(
+        |  (SELECT kmv_sketch(k, 64) FROM kmv_setops_in WHERE g = 'a'),
+        |  (SELECT kmv_sketch(k, 64) FROM kmv_setops_in WHERE g = 'b'))""".stripMargin)
+      .head().getLong(0)
+    assert(viaSql === 20L * 10000L / 60L)
+  }
+
   test("null keys ignored; empty input -> empty sample, estimate 0") {
     import spark.implicits._
     val df = Seq(Some("a"), None, Some("b"), Some("a")).toDF("k")
