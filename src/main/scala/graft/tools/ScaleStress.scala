@@ -780,6 +780,53 @@ object ScaleStress {
       }
     }
 
+    // dds (r11): the UNBOUNDED-domain quantile leg's scale claim —
+    // per-group DDSketch INIT (bounded log-bucket state, map-side
+    // partials) + one merged quantile, vs approx_percentile (Spark's
+    // own sketch) and the exact vhist on micros (whose state grows
+    // with DISTINCT values — here ~one per row, the regime vhist's
+    // fail-fast ceiling exists for). Values span 9 decades with ~n
+    // distinct points. Also serialized bytes per (alpha, dynamic
+    // range): the log-bucket count is range- and alpha-bounded, never
+    // row- or distinct-bounded.
+    if (sect("dds")) {
+      Seq(1000000L, 4000000L).foreach { n =>
+        val vals = spark.range(n)
+          .select(pmod(col("id"), lit(64)).as("g"),
+            (pow(lit(10.0), pmod(col("id"), lit(9000)).cast("double") / lit(1000.0))
+              * (lit(1.0) + pmod(col("id"), lit(997)).cast("double") / lit(997.0))).as("v"))
+          .cache()
+        vals.count()
+        time(s"dds sketch+p99 a=0.01 n=$n") {
+          vals.groupBy(col("g"))
+            .agg(graft.functions.Dds.dds_sketch(col("v"), 0.01).as("sk"))
+            .agg(graft.functions.Dds.dds_merge_quantile(col("sk"), 0.99).as("p99"))
+            .filter(col("p99") > 0.0)
+        }
+        time(s"dds approx_percentile n=$n") {
+          vals.groupBy(col("g"))
+            .agg(expr("approx_percentile(v, 0.99)").as("p99g"))
+            .agg(max(col("p99g")).as("p99"))
+            .filter(col("p99") > 0.0)
+        }
+        time(s"dds exact vhist micros n=$n") {
+          vals.select(floor(col("v") * lit(1000000.0)).as("m"))
+            .agg(graft.functions.Vhist.vhist_quantile(col("m"), 0.99).as("p99"))
+            .filter(col("p99") > 0L)
+        }
+        vals.unpersist(blocking = true)
+      }
+      for (alpha <- Seq(0.01, 0.001); decades <- Seq(3, 9, 14)) {
+        val b = spark.range(1000000L)
+          .select((pow(lit(10.0),
+              pmod(col("id"), lit(decades * 1000)).cast("double") / lit(1000.0) - lit(4.0))
+            * (lit(1.0) + pmod(col("id"), lit(997)).cast("double") / lit(997.0))).as("v"))
+          .agg(graft.functions.Dds.dds_sketch(col("v"), alpha).as("sk"))
+          .select(length(col("sk"))).head().getInt(0)
+        println(s"[scale] ddssize alpha=$alpha decades=$decades over 1M rows -> $b bytes")
+      }
+    }
+
     spark.stop()
   }
 }
