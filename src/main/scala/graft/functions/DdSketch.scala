@@ -274,6 +274,13 @@ object Dds {
     }
   }
 
+  /** Scalar read of a STORED sketch: q-quantile estimate straight off
+    * the bytes, per row (the cms_est/kmv_estimate pattern — no
+    * re-aggregation to read a sketch table). Null for the canonical
+    * empty sketch. Shared by eval and generated code. */
+  def quantileFromBytes(bytes: Array[Byte], q: Double): Any =
+    quantile(deserialize(bytes), q)
+
   private[functions] def extractAlpha(e: Expression, fn: String): Double = e match {
     case f if f.foldable => f.eval() match {
       case d: Double => d
@@ -338,6 +345,48 @@ object Dds {
     ColumnBridge.column(
       DdsQuantileExpr(ColumnBridge.expression(c),
         Literal(alpha, DoubleType), Literal(q, DoubleType)).toAggregateExpression())
+
+  /** `dds_quantile_of($"sk", 0.99)` — the q-quantile estimate as a
+    * per-row SCALAR off stored sketch bytes (reading a sketch table
+    * without re-aggregation). */
+  def dds_quantile_of(c: Column, q: Double): Column =
+    ColumnBridge.column(
+      DdsQuantileOfExpr(ColumnBridge.expression(c), Literal(q, DoubleType)))
+}
+
+/** Scalar: sketch bytes → q-quantile estimate, per row (null for the
+  * canonical empty sketch). Real codegen via the shared static helper
+  * — interpreted and compiled paths cannot diverge. */
+case class DdsQuantileOfExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dds_quantile_of"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = BitmapKey.checkBinary(prettyName, left.dataType)
+    if (base != TypeCheckResult.TypeCheckSuccess) base
+    else Dds.checkQLiteral(right, prettyName)
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Dds.quantileFromBytes(l.asInstanceOf[Array[Byte]],
+      r.asInstanceOf[Double])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (sk, q) =>
+      s"""Object ${ev.value}_r = graft.functions.Dds.quantileFromBytes($sk, $q);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) ${ev.value}_r).doubleValue(); }
+         |""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DdsQuantileOfExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** INIT: raw DOUBLE values → serialized DDSketch at the pinned alpha. */

@@ -315,6 +315,15 @@ object GraftFunctions {
         case Seq(c, a, q) => DdsQuantileExpr(c, a, q)
         case args => throw new IllegalArgumentException(
           s"dds_quantile expects 3 arguments, got ${args.length}")
+      }),
+    (FunctionIdentifier("dds_quantile_of"),
+      info(classOf[DdsQuantileOfExpr], "dds_quantile_of",
+        "dds_quantile_of(sketch, q) - q-quantile estimate as a per-row scalar " +
+          "off stored DDSketch bytes (read a sketch table without re-aggregation)"),
+      {
+        case Seq(c, q) => DdsQuantileOfExpr(c, q)
+        case args => throw new IllegalArgumentException(
+          s"dds_quantile_of expects 2 arguments, got ${args.length}")
       }))
 
   /** Register on an already-running session. */

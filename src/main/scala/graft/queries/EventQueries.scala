@@ -1664,6 +1664,96 @@ object EventQueries {
       |  AND user_id >= 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** E22: STREAMING DDSKETCH-TIER PARITY — e21's lambda-architecture
+    * equivalence extended to the relative-error quantile leg
+    * ([[graft.streaming.Streams.dailyValueSketchStream]]): the stream
+    * flushes each day's serialized [[graft.functions.Dds]] sketch over
+    * event VALUES when the watermark passes the day, and the gate
+    * compares those bytes to the tier a batch backfill builds with
+    * `dds_sketch(value, 0.01)` over the same facts — `bytes_equal`
+    * oracle-pinned TRUE on every day (canonical bucket serialization
+    * makes micro-batch arrival order and state round-trips invisible).
+    * The streamed bytes are also READ per row with the
+    * `dds_quantile_of` scalar and `p99_ok` pins the estimate inside
+    * the an45 alpha envelope against the EXACT per-day P99 (vhist
+    * micros, rank rule replayed in the oracle) — parity AND
+    * correctness off one streamed sketch table. e19/e21 harness:
+    * file replay, day-granularity epoch shift, far-future sentinels,
+    * memory sink. */
+  val e22StreamDdsParity: Q = (s, dir) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val D = graft.functions.Dds
+    val V = graft.functions.Vhist
+    val alpha = 0.01
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull &&
+        $"user_id" >= 0L) // negative ids are the e-family's sentinel space
+      .select($"user_id", $"ts", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e22").toString
+    val off = Streams.stageWithEpochShift(ev, "ts", tmp,
+      granularitySeconds = 86400L)
+    val offDays = off / dayUs
+    val stream = Streams.shiftTs(
+      s.readStream.schema(ev.schema).parquet(tmp), "ts", off).as[Streams.Event]
+    val q = Streams.dailyValueSketchStream(stream, alpha)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("e22_sketches").start()
+    def sentinel(sec: Long): Unit =
+      Seq((-1L, new java.sql.Timestamp(sec * 1000L), 0.0))
+        .toDF("user_id", "ts", "value")
+        .write.mode("append").parquet(tmp)
+    try {
+      q.processAllAvailable()
+      sentinel(4102444800L) // 2100-01-01 advances the watermark
+      q.processAllAvailable()
+      sentinel(4102444860L) // second batch fires the timeouts
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
+    }
+    val streamed = s.table("e22_sketches")
+      .select(($"day" - offDays).as("day"), $"sketch")
+    // the batch backfill tier + the exact anchors, one scan
+    val batch = ev
+      .withColumn("us", expr("unix_micros(ts)"))
+      .groupBy((($"us" - pmod($"us", lit(dayUs))) / lit(dayUs))
+        .cast("long").as("day"))
+      .agg(D.dds_sketch($"value", alpha).as("bsk"),
+        count(lit(1)).as("n_rows"),
+        V.vhist_quantile(floor($"value" * lit(1000000.0)), 0.99).as("p99_micros"))
+    streamed.join(batch, "day")
+      .select(
+        expr("date_add(DATE '1970-01-01', CAST(day AS INT))").as("day"),
+        $"n_rows", $"p99_micros",
+        (abs(D.dds_quantile_of($"sketch", 0.99) * lit(1000000.0) - $"p99_micros")
+          <= lit(alpha * 1.000001) * (abs($"p99_micros") + lit(1.0)) + lit(1.0))
+          .as("p99_ok"),
+        ($"sketch" === $"bsk").as("bytes_equal"))
+      .orderBy($"day")
+  }
+
+  val e22StreamDdsParitySql: String =
+    """WITH v AS (
+      |  SELECT date_trunc('day', ts)::DATE AS day,
+      |    CAST(floor(value * 1000000.0) AS BIGINT) AS micros
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+      |    AND user_id >= 0),
+      |r AS (
+      |  SELECT day, micros,
+      |    row_number() OVER (PARTITION BY day ORDER BY micros) AS rn,
+      |    count(*) OVER (PARTITION BY day) AS n
+      |  FROM v)
+      |SELECT day, max(n) AS n_rows,
+      |  min(CASE WHEN rn = CAST(ceil(CAST(0.99 AS DECIMAL(8,6)) * n) AS BIGINT)
+      |           THEN micros END) AS p99_micros,
+      |  TRUE AS p99_ok, TRUE AS bytes_equal
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** SK3: HOT/COLD SPLIT join ([[graft.operators.Skew.hotColdJoin]])
     * — the third skew weapon next to sk1's salted agg and sk2's
     * replicated salted join: a synthetic 70%-hot key (user_id % 10 < 7
@@ -2188,6 +2278,7 @@ object EventQueries {
     "sk3_hotcold_join" -> sk3HotColdJoin,
     "e19_stream_daily_distinct" -> e19StreamDailyDistinct,
     "e21_stream_sketch_parity" -> e21StreamSketchParity,
+    "e22_stream_dds_parity" -> e22StreamDdsParity,
     "e20_stream_semi_join" -> e20StreamSemiJoin,
     "e7_stream_static" -> e7StreamStatic,
     "e14_stream_merge_sink" -> e14StreamMergeSink,
@@ -2235,6 +2326,7 @@ object EventQueries {
     "sk3_hotcold_join" -> sk3HotColdJoinSql,
     "e19_stream_daily_distinct" -> e19StreamDailyDistinctSql,
     "e21_stream_sketch_parity" -> e21StreamSketchParitySql,
+    "e22_stream_dds_parity" -> e22StreamDdsParitySql,
     "e20_stream_semi_join" -> e20StreamSemiJoinSql,
     "e14_stream_merge_sink" -> e14StreamMergeSinkSql,
     "u9_time_travel" -> u9TimeTravelSql,

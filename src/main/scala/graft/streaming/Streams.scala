@@ -33,7 +33,7 @@ object Streams {
     "e14_stream_merge_sink", "e15_checkpoint_resume",
     "e16_stream_full_outer_join", "e17_stream_sliding",
     "e19_stream_daily_distinct", "e20_stream_semi_join",
-    "e21_stream_sketch_parity")
+    "e21_stream_sketch_parity", "e22_stream_dds_parity")
 
   /** Exactly-once incremental article ingest: JSONL landing dir →
     * stream with the explicit article schema. */
@@ -330,6 +330,50 @@ object Streams {
               if (e.user_id >= 0L) bits.add(e.user_id)
             }
             state.update(bits.serialize())
+            state.setTimeoutTimestamp((day + 1L) * 86400000L)
+            Iterator.empty
+          }
+      }
+  }
+
+  case class DayValueSketch(day: Long, sketch: Array[Byte])
+
+  /** Streaming DDSketch-tier producer — extends the e21
+    * lambda-architecture equivalence to the relative-error QUANTILE
+    * leg: per-day [[graft.functions.Dds]] state over event VALUES,
+    * flushed as the day's serialized sketch when the watermark passes
+    * the day. The DDSketch's canonical serialization (bucket set +
+    * alpha, never arrival order or state round-trips) makes the
+    * flushed rows BYTE-IDENTICAL to the tier a batch backfill writes
+    * with `dds_sketch(value, alpha)` over the same facts — live P99
+    * dashboards and batch-repaired sketch tables share one format.
+    * Gate e22 pins the byte equality AND the alpha envelope of the
+    * streamed quantiles through the oracle. Same state/timeout
+    * discipline as e19/e21: state bounded by the watermark horizon
+    * (one bounded log-bucket histogram per open day), negative
+    * user_ids are watermark sentinels (advance time, add no values),
+    * day keys pre-epoch-safe via floorDiv. */
+  def dailyValueSketchStream(events: Dataset[Event], alpha: Double = 0.01,
+      watermarkDelay: String = "30 minutes"): Dataset[DayValueSketch] = {
+    import events.sparkSession.implicits._
+    val alphaBits = java.lang.Double.doubleToLongBits(alpha)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => Math.floorDiv(tsMicros(e.ts), dayMicros))
+      .flatMapGroupsWithState[Array[Byte], DayValueSketch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (day, it, state: GroupState[Array[Byte]]) =>
+          if (state.hasTimedOut) {
+            val bytes = state.get
+            state.remove()
+            Iterator.single(DayValueSketch(day, bytes))
+          } else {
+            val sk = state.getOption.map(graft.functions.Dds.deserialize)
+              .getOrElse(new graft.functions.Dds.DState(alphaBits))
+            it.foreach { e =>
+              if (e.user_id >= 0L) graft.functions.Dds.add(sk, e.value)
+            }
+            state.update(graft.functions.Dds.serialize(sk))
             state.setTimeoutTimestamp((day + 1L) * 86400000L)
             Iterator.empty
           }

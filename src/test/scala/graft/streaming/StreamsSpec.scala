@@ -599,6 +599,52 @@ class StreamsSpec extends AnyFunSuite {
     assert(graft.functions.Bitmap64.deserialize(streamed).cardinality === 3L)
   }
 
+  test("daily value-sketch stream: flushed DDSketch bytes identical to the batch-built tier (r11)") {
+    // e21's lambda-architecture equivalence for the quantile leg:
+    // values arriving across micro-batches in shuffled order, with
+    // state serialize/deserialize round-trips between them, must
+    // flush the SAME canonical bytes a batch dds_sketch builds —
+    // and the sentinel rows (negative user_id) add no values
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day = 86400000L
+    def ts(d: Long, h: Long) = new Timestamp(d * day + h * 3600000L)
+    val src = MemoryStream[Streams.Event]
+    val q = Streams.dailyValueSketchStream(src.toDS(), 0.01, "30 minutes").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("daily_vsk").start()
+    // 9 decades, a zero, a negative, and a duplicate — split shuffled
+    src.addData(
+      Streams.Event(1L, ts(10, 1), 12345.678),
+      Streams.Event(2L, ts(10, 2), 0.0001),
+      Streams.Event(3L, ts(10, 3), -42.5))
+    q.processAllAvailable()
+    src.addData(
+      Streams.Event(4L, ts(10, 4), 0.0),
+      Streams.Event(5L, ts(10, 5), 12345.678),
+      Streams.Event(6L, ts(10, 6), 9.9e8))
+    q.processAllAvailable()
+    src.addData(Streams.Event(-1L, ts(1000, 0), 0.0))
+    q.processAllAvailable()
+    src.addData(Streams.Event(-1L, ts(1000, 1), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("daily_vsk")
+      .filter($"day" === 10L).head().getAs[Array[Byte]]("sketch")
+    val batch = Seq(12345.678, 0.0001, -42.5, 0.0, 12345.678, 9.9e8).toDF("v")
+      .agg(graft.functions.Dds.dds_sketch($"v", 0.01))
+      .head().getAs[Array[Byte]](0)
+    assert(streamed.toSeq === batch.toSeq)
+    // the streamed bytes answer quantiles via the per-row scalar
+    val p50 = Seq(Tuple1(streamed)).toDF("sk")
+      .select(graft.functions.Dds.dds_quantile_of($"sk", 0.5))
+      .head().getDouble(0)
+    // rank ceil(0.5*6)=3 of [-42.5, 0, 0.0001, 12345.678, 12345.678, 9.9e8]
+    assert(math.abs(p50 - 0.0001) <= 0.01 * 0.0001 * 1.000001)
+  }
+
   test("daily distinct stream: sparse 64-bit user ids are legal state keys (r10 Bitmap64)") {
     // the r9 state capped ids at the dense int domain and FAILED on a
     // snowflake-scale id; the compressed-bitmap state must count them
