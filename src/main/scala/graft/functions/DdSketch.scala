@@ -65,11 +65,13 @@ object Dds {
   val MinAlpha: Double = 0.0005
   val MaxAlpha: Double = 0.5
 
-  /** Fail-fast bucket ceiling across both stores — ~24 MiB of buffer,
-    * far above any legal alpha's worst case (alpha 0.0005 over the
-    * full double range is ~1.5M two-store buckets), loud for corrupt
-    * bytes. */
-  val MaxBuckets: Int = 1 << 21
+  /** Fail-fast bucket ceiling across both stores, strictly above any
+    * legal alpha's worst case: alpha 0.0005 spans ~1.45M buckets PER
+    * store over the full double range (ln gamma ≈ 0.001, magnitudes
+    * from 4.9e-324 to 1.8e308), so the mirrored two-store worst case
+    * is ~2.9M — legal data can NEVER trip this, only corrupt bytes
+    * can. */
+  val MaxBuckets: Int = 1 << 22
 
   private[functions] val Magic: Byte = 0x44 // 'D'
   private[functions] val Version: Byte = 1
@@ -203,7 +205,11 @@ object Dds {
     require(zero >= 0L, s"dds: negative zero-count $zero")
     val nNeg = buf.getInt()
     val nPos = buf.getInt()
-    require(nNeg >= 0 && nPos >= 0 && nNeg + nPos <= MaxBuckets,
+    // overflow-safe: nNeg + nPos as a plain int sum wraps negative for
+    // hostile 2^30-sized counts and would slip past a <= MaxBuckets
+    // check into the entry loops
+    require(nNeg >= 0 && nNeg <= MaxBuckets && nPos >= 0 &&
+      nPos <= MaxBuckets - nNeg,
       s"dds: bad bucket counts ($nNeg, $nPos)")
     // alpha-0 is the unset-partial sentinel and only ever serializes
     // EMPTY (the vhist unit-0 rule): hostile sentinel bytes carrying
@@ -356,9 +362,16 @@ object Dds {
 
 /** Scalar: sketch bytes → q-quantile estimate, per row (null for the
   * canonical empty sketch). Real codegen via the shared static helper
-  * — interpreted and compiled paths cannot diverge. */
+  * — interpreted and compiled paths cannot diverge. `q` is extracted
+  * at ANALYSIS (like every other Dds/Vhist expression), never
+  * evaluated per row — a SQL `0.99` parses as DECIMAL(2,2), and
+  * evaluating the child would hand that Decimal to the double
+  * parameter (ClassCastException in eval, Janino mismatch in
+  * codegen). */
 case class DdsQuantileOfExpr(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private lazy val q: Double = Vhist.extractQ(right, prettyName)
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -371,18 +384,22 @@ case class DdsQuantileOfExpr(left: Expression, right: Expression)
   }
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    Dds.quantileFromBytes(l.asInstanceOf[Array[Byte]],
-      r.asInstanceOf[Double])
+    Dds.quantileFromBytes(l.asInstanceOf[Array[Byte]], q)
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    nullSafeCodeGen(ctx, ev, (sk, q) =>
-      s"""Object ${ev.value}_r = graft.functions.Dds.quantileFromBytes($sk, $q);
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    // embed the analysis-time q exactly (raw bits — Double.toString
+    // round-trips, but bits are unambiguous), ignore the child's code
+    val qBits = java.lang.Double.doubleToLongBits(q)
+    nullSafeCodeGen(ctx, ev, (sk, _) =>
+      s"""Object ${ev.value}_r = graft.functions.Dds.quantileFromBytes(
+         |  $sk, java.lang.Double.longBitsToDouble(${qBits}L));
          |if (${ev.value}_r == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = ((Double) ${ev.value}_r).doubleValue(); }
          |""".stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DdsQuantileOfExpr =

@@ -214,6 +214,13 @@ object Kmv {
     * ([[reconcileK]]'s contract: a bottom-j of a bottom-k loses the
     * estimator). */
   private[functions] def setOps(a: State, b: State, fn: String): (Long, Long, Long) = {
+    // k=0 is the empty-unset sentinel (kmv_merge_sketch over all-NULL
+    // input serializes it, deserialize accepts it): treat it as the
+    // empty SET identity the rest of the algebra honors — m=0 and the
+    // union is the other side — rather than failing the k equality
+    if (a.k == 0 && b.k == 0) return (0L, 0L, 0L)
+    if (a.k == 0) return (0L, b.set.size().toLong, estimate(b))
+    if (b.k == 0) return (0L, a.set.size().toLong, estimate(a))
     require(a.k == b.k,
       s"$fn: sketches with different k (${a.k} vs ${b.k}) - re-sketch one " +
         "side at the other's k")

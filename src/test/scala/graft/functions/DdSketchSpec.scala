@@ -98,6 +98,18 @@ class DdSketchSpec extends AnyFunSuite {
     assert(within(p50, 500.0, 0.01), s"got $p50")
     val one = spark.sql("SELECT dds_quantile(v, 0.01, 0.99) FROM dds_in").head().getDouble(0)
     assert(within(one, 990.0, 0.01), s"got $one")
+    // the per-row scalar from SQL: q parses as DECIMAL(2,2) — extracted
+    // at analysis, never evaluated per row (the ClassCastException trap)
+    val ofSql = spark.sql(
+      """SELECT dds_quantile_of(sk, 0.99) FROM (
+        |  SELECT dds_sketch(v, 0.01) AS sk FROM dds_in)""".stripMargin)
+      .head().getDouble(0)
+    assert(within(ofSql, 990.0, 0.01), s"got $ofSql")
+    // Column form agrees bit-for-bit
+    val ofCol = spark.table("dds_in").agg(Dds.dds_sketch($"v", 0.01).as("sk"))
+      .select(Dds.dds_quantile_of($"sk", 0.99)).head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(ofCol) ===
+      java.lang.Double.doubleToLongBits(ofSql))
   }
 
   test("analysis-time failures: bad alpha, bad q, mistyped inputs") {
@@ -179,5 +191,15 @@ class DdSketchSpec extends AnyFunSuite {
       Dds.deserialize(sketch(java.lang.Double.doubleToLongBits(0.75), 0L, Nil))
     }
     assert(badAlpha.getMessage.contains("bad sketch alpha"))
+    // overflow-hostile counts: nNeg + nPos wraps negative as a plain
+    // int sum — must die on the loud bucket-count check, not in the
+    // entry loops (BufferUnderflow/OOM)
+    val overflow = intercept[IllegalArgumentException] {
+      val buf = java.nio.ByteBuffer.allocate(26)
+      buf.put(Dds.Magic).put(Dds.Version)
+      buf.putLong(okBits).putLong(0L).putInt(1 << 30).putInt(1 << 30)
+      Dds.deserialize(buf.array())
+    }
+    assert(overflow.getMessage.contains("bad bucket counts"))
   }
 }

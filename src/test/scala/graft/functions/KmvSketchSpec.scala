@@ -112,6 +112,12 @@ class KmvSketchSpec extends AnyFunSuite {
       Kmv.jaccardBp(sk(aKeys, 64), sk(bKeys, 32))
     }
     assert(e.getMessage.contains("different k"))
+    // the k=0 empty-unset sentinel (kmv_merge_sketch over all-NULL
+    // rows) is the empty-SET identity, not a k mismatch
+    val empty = Kmv.serialize(new Kmv.State(0))
+    assert(Kmv.jaccardBp(empty, sk(aKeys, 64)) === 0L)
+    assert(Kmv.intersectEstimate(sk(aKeys, 64), empty) === 0L)
+    assert(Kmv.jaccardBp(empty, empty) === 0L)
     // Column + SQL forms reach the same kernel
     GraftFunctions.register(spark)
     val df = (aKeys.map(("a", _)) ++ bKeys.map(("b", _))).toDF("g", "k")
