@@ -182,6 +182,42 @@ class PropertySpec extends AnyFunSuite {
     assert(Kmv.estimate(st) === wantEst)
   }
 
+  test("DDSketch: alpha envelope, canonical bytes, and rolled == direct on arbitrary doubles") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Dds
+    // arbitrary finite doubles across the full sign/magnitude spectrum,
+    // heavy dups, exact zeros — the regimes where a bucket-boundary or
+    // sign-store bug would bite
+    val vs = samples(Gen.listOfN(700, Gen.oneOf(
+      Gen.chooseNum(-1e12, 1e12),
+      Gen.chooseNum(-1.0, 1.0).map(_ / 1e9), // subnormal-adjacent tiny values
+      Gen.oneOf(0.0, 0.0, 1.0, -1.0, 1e-300, -1e250))))
+    val df = vs.zipWithIndex.map(_.swap).toDF("id", "v")
+    val alpha = 0.02
+    // direct, two-tier rolled, and repartitioned forms: identical bytes
+    val direct = df.agg(Dds.dds_sketch($"v", alpha).as("sk")).head().getAs[Array[Byte]](0)
+    val rolled = df.groupBy(pmod($"id", lit(7))).agg(Dds.dds_sketch($"v", alpha).as("sk"))
+      .agg(Dds.dds_merge_sketch($"sk").as("sk")).head().getAs[Array[Byte]](0)
+    val repart = df.repartition(13).agg(Dds.dds_sketch($"v", alpha).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(rolled.toSeq === direct.toSeq)
+    assert(repart.toSeq === direct.toSeq)
+    // every quantile of the deserialized sketch lands within alpha of
+    // the discrete-lower-rule exact value (sign-exact at zero)
+    val st = Dds.deserialize(direct)
+    val sorted = vs.sorted
+    for (q <- Seq(0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 1.0)) {
+      val tgt = math.max(1L, java.math.BigDecimal.valueOf(q)
+        .multiply(java.math.BigDecimal.valueOf(sorted.size.toLong))
+        .setScale(0, java.math.RoundingMode.CEILING).longValueExact())
+      val exact = sorted((tgt - 1).toInt)
+      val est = Dds.quantile(st, q).asInstanceOf[Double]
+      if (exact == 0.0) assert(est === 0.0, s"q=$q")
+      else assert(math.abs(est - exact) <= alpha * math.abs(exact) * 1.000001,
+        s"q=$q est=$est exact=$exact")
+    }
+  }
+
   test("CMS sketches: partition-invariant bytes, lower bound, raw == weighted on arbitrary keys") {
     import org.apache.spark.sql.functions._
     import graft.functions.Cms
