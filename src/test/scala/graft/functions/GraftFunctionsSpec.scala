@@ -44,6 +44,17 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(expr.isInstanceOf[Md5PrefixExpr])
   }
 
+  test("every declared function registers, with no duplicate names shadowing") {
+    GraftFunctions.register(spark)
+    val reg = spark.sessionState.functionRegistry
+    GraftFunctions.functions.foreach { case (id, _, _) =>
+      assert(reg.functionExists(id), s"not registered: ${id.funcName}")
+    }
+    val names = GraftFunctions.functions.map(_._1.funcName)
+    assert(names.distinct.size === names.size,
+      s"duplicate registrations: ${names.diff(names.distinct).mkString(", ")}")
+  }
+
   test("md5_prefix rejects a non-literal digit count in SQL") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
