@@ -1060,7 +1060,10 @@ object EventQueries {
     * are oracle-replayed in rank SQL, and each `*_ok` flag pins the
     * DDSketch estimate within the alpha envelope (plus micro-flooring
     * and StrictMath-ulp slack). Deterministic bucketing (StrictMath
-    * only) ⇒ the flags cannot flake. */
+    * only) ⇒ the flags cannot flake. The estimate side rides the FULL
+    * sketch lifecycle: INIT per (day, type) → `dds_merge_sketch` into
+    * a stored per-type tier → `dds_quantile_of` per-row scalar reads
+    * — the composition a warehouse actually materializes. */
   val an45DdsQuantiles: Q = (s, dir) => {
     import s.implicits._
     val D = graft.functions.Dds
@@ -1070,13 +1073,18 @@ object EventQueries {
       .filter($"ts".isNotNull && $"value".isNotNull)
       .select($"event_type", $"ts",
         ($"value" * $"value" * $"value").as("metric"))
+    // fine grain -> STORED coarser sketch (dds_merge_sketch, the
+    // stored-tier leg) -> per-row scalar reads (dds_quantile_of): the
+    // whole INIT -> MERGE-to-stored -> read surface rides one gate row
     val est = base
       .groupBy($"event_type", to_date($"ts").as("day"))
       .agg(D.dds_sketch($"metric", alpha).as("sk"))
       .groupBy($"event_type")
-      .agg(D.dds_merge_quantile($"sk", 0.5).as("p50_est"),
-        D.dds_merge_quantile($"sk", 0.95).as("p95_est"),
-        D.dds_merge_quantile($"sk", 0.99).as("p99_est"))
+      .agg(D.dds_merge_sketch($"sk").as("msk"))
+      .select($"event_type",
+        D.dds_quantile_of($"msk", 0.5).as("p50_est"),
+        D.dds_quantile_of($"msk", 0.95).as("p95_est"),
+        D.dds_quantile_of($"msk", 0.99).as("p99_est"))
     val exact = base
       .select($"event_type", floor($"metric" * lit(1000000.0)).as("micros"))
       .groupBy($"event_type")
