@@ -112,6 +112,30 @@ class DdSketchSpec extends AnyFunSuite {
       java.lang.Double.doubleToLongBits(ofSql))
   }
 
+  test("dds_quantile_of generated code COMPILES (no silent Janino fallback)") {
+    import spark.implicits._
+    // CODEGEN_ONLY turns a Janino failure into a hard error instead of
+    // the silent interpreted fallback that would mask a broken doGenCode
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val sk = (1 to 100).map(_.toDouble).toDF("v")
+        .agg(Dds.dds_sketch($"v", 0.01).as("sk"))
+      val got = sk.select(Dds.dds_quantile_of($"sk", 0.5)).head().getDouble(0)
+      assert(within(got, 50.0, 0.01), s"got $got")
+      // null sketch propagates null through the generated path too
+      val row = sk.select(Dds.dds_quantile_of(lit(null).cast("binary"), 0.5))
+        .head()
+      assert(row.isNullAt(0))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("analysis-time failures: bad alpha, bad q, mistyped inputs") {
     import spark.implicits._
     val df = Seq(1.0).toDF("v")
