@@ -105,11 +105,28 @@ object Dds {
     StrictMath.ceil(StrictMath.log(v) / lnGamma).toInt
 
   /** Bucket i's midpoint-in-log-space estimate `2·gamma^i/(gamma+1)` —
-    * within alpha of every value in `(gamma^(i-1), gamma^i]`. */
+    * within alpha of every value in `(gamma^(i-1), gamma^i]`. Top-range
+    * bucket indexes (reachable only through hostile bytes — `index` of
+    * any finite double stays in range) overflow `pow` to Infinity;
+    * that would escape as a silent ±Infinity "quantile" despite the
+    * documented fail-loud non-finite contract, so reject it here. */
   def estimate(i: Int, alpha: Double): Double = {
     val g = gamma(alpha)
-    2.0 * StrictMath.pow(g, i) / (g + 1.0)
+    val r = 2.0 * StrictMath.pow(g, i) / (g + 1.0)
+    require(!java.lang.Double.isInfinite(r),
+      s"dds: estimate overflows double at bucket $i - not a graft sketch")
+    r
   }
+
+  /** Checked count addition: a hostile-but-structurally-valid sketch
+    * carrying near-Long.MAX counts must fail loudly at the add, not
+    * wrap silently and corrupt the rank walk. */
+  private[functions] def addCount(a: Long, b: Long): Long =
+    try Math.addExact(a, b)
+    catch { case _: ArithmeticException =>
+      throw new IllegalArgumentException(
+        "dds: bucket-count overflow - not a graft sketch")
+    }
 
   private def bump(s: Store, idx: Int, n: Long, total: => Int): Unit = {
     val prev = s.get(idx)
@@ -118,7 +135,7 @@ object Dds {
         s"dds: more than $MaxBuckets buckets — not a graft sketch, or a " +
           "corrupt alpha")
       s.put(idx, n)
-    } else s.put(idx, prev + n)
+    } else s.put(idx, addCount(prev, n))
   }
 
   /** Add one raw value. NaN/infinite fail loudly. */
@@ -148,7 +165,7 @@ object Dds {
 
   def merge(a: DState, b: DState, fn: String): DState = {
     reconcileAlpha(a, b.alphaBits, fn)
-    a.zero += b.zero
+    a.zero = addCount(a.zero, b.zero)
     var it = b.pos.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -221,6 +238,7 @@ object Dds {
     var prev = Long.MinValue
     var i = 0
     while (i < nNeg) {
+      require(buf.remaining() >= 12, "dds: truncated sketch entry")
       val idx = buf.getInt(); val cnt = buf.getLong()
       require(idx > prev, s"dds: buckets not canonical at index $idx")
       require(cnt > 0L, s"dds: non-positive count $cnt for bucket $idx")
@@ -231,6 +249,7 @@ object Dds {
     prev = Long.MinValue
     i = 0
     while (i < nPos) {
+      require(buf.remaining() >= 12, "dds: truncated sketch entry")
       val idx = buf.getInt(); val cnt = buf.getLong()
       require(idx > prev, s"dds: buckets not canonical at index $idx")
       require(cnt > 0L, s"dds: non-positive count $cnt for bucket $idx")
@@ -238,6 +257,9 @@ object Dds {
       prev = idx
       i += 1
     }
+    // trailing junk would silently ride along inside "canonical" bytes,
+    // breaking the pure-function-of-the-set contract (the kmv rule)
+    require(buf.remaining() == 0, "dds: trailing bytes after sketch buckets")
     b
   }
 
@@ -250,9 +272,9 @@ object Dds {
   def quantile(b: DState, q: Double): Any = {
     var total = b.zero
     var it = b.pos.values().iterator()
-    while (it.hasNext) total += it.next()
+    while (it.hasNext) total = addCount(total, it.next())
     it = b.neg.values().iterator()
-    while (it.hasNext) total += it.next()
+    while (it.hasNext) total = addCount(total, it.next())
     if (total == 0L) null
     else {
       val target = java.math.BigDecimal.valueOf(q)

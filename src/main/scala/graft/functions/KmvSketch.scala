@@ -181,10 +181,18 @@ object Kmv {
     if (s.k == 0 || n < s.k) n.toLong
     else {
       val hk = math.max(s.set.last().hash, 1L)
-      java.math.BigInteger.valueOf(s.k - 1L)
+      // real sketches can't overflow (k distinct hashes ⇒ h_k ≥ k-1 ⇒
+      // estimate ≤ 2^60), but hostile bytes may repeat a tiny hash
+      // under k distinct KEYS — fail as the house format error, not a
+      // raw ArithmeticException escaping longValueExact
+      try java.math.BigInteger.valueOf(s.k - 1L)
         .multiply(java.math.BigInteger.valueOf(HashSpace))
         .divide(java.math.BigInteger.valueOf(hk))
         .longValueExact()
+      catch { case _: ArithmeticException =>
+        throw new IllegalArgumentException(
+          "kmv: estimate overflow - not a graft sketch")
+      }
     }
   }
 

@@ -225,5 +225,50 @@ class DdSketchSpec extends AnyFunSuite {
       Dds.deserialize(buf.array())
     }
     assert(overflow.getMessage.contains("bad bucket counts"))
+    // truncated entry: header promises 2 buckets, bytes carry 1 — must
+    // die on the loud require, not a raw BufferUnderflowException
+    val full = sketch(okBits, 0L, Seq(3 -> 5L, 7 -> 2L))
+    val truncated = intercept[IllegalArgumentException] {
+      Dds.deserialize(java.util.Arrays.copyOf(full, full.length - 12))
+    }
+    assert(truncated.getMessage.contains("truncated"))
+    // trailing junk after the promised buckets: canonical bytes are a
+    // pure function of the sketch — extra bytes are corruption
+    val trailing = intercept[IllegalArgumentException] {
+      Dds.deserialize(java.util.Arrays.copyOf(full, full.length + 3))
+    }
+    assert(trailing.getMessage.contains("trailing"))
+  }
+
+  test("hostile counts and bucket indexes fail loudly instead of wrapping or returning Infinity") {
+    def sketch(entries: Seq[(Int, Long)]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(26 + 12 * entries.size)
+      buf.put(Dds.Magic).put(Dds.Version)
+      buf.putLong(java.lang.Double.doubleToLongBits(0.01)).putLong(0L)
+      buf.putInt(0).putInt(entries.size)
+      entries.foreach { case (i, c) => buf.putInt(i).putLong(c) }
+      buf.array()
+    }
+    // near-MAX counts in two structurally-valid sketches: the merged
+    // bucket count would wrap Long — must throw, not corrupt the walk
+    val big = sketch(Seq(3 -> (Long.MaxValue - 10L)))
+    val wrap = intercept[IllegalArgumentException] {
+      Dds.merge(Dds.deserialize(big), Dds.deserialize(big), "spec")
+    }
+    assert(wrap.getMessage.contains("overflow"))
+    // same wrap through the total-count walk of quantile: two buckets
+    // summing past Long.MAX
+    val two = sketch(Seq(3 -> (Long.MaxValue - 10L), 7 -> 100L))
+    val wrapTotal = intercept[IllegalArgumentException] {
+      Dds.quantile(Dds.deserialize(two), 0.5)
+    }
+    assert(wrapTotal.getMessage.contains("overflow"))
+    // a top-range bucket index (unreachable from any finite double —
+    // only hostile bytes can carry it) overflows gamma^i to Infinity:
+    // the quantile must fail loudly, never return ±Infinity
+    val inf = intercept[IllegalArgumentException] {
+      Dds.quantile(Dds.deserialize(sketch(Seq(100000 -> 5L))), 0.99)
+    }
+    assert(inf.getMessage.contains("estimate overflows"))
   }
 }

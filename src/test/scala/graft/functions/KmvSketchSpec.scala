@@ -177,6 +177,21 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("canonical"))
   }
 
+  test("hostile tiny k-th hash: estimate overflow fails as the house format error") {
+    // k distinct KEYS sharing one tiny hash pass deserialize (canonical
+    // order is on (hash, key) pairs), but (k-1)*2^60/h_k then exceeds
+    // Long — must be the loud kmv IllegalArgumentException, not a raw
+    // ArithmeticException escaping longValueExact
+    val k = 10
+    val keys = (0 until k).map(i => s"key-$i".getBytes("UTF-8"))
+    val buf = java.nio.ByteBuffer.allocate(10 + keys.map(12 + _.length).sum)
+    buf.put(Kmv.Magic).put(Kmv.Version).putInt(k).putInt(k)
+    keys.foreach { kb => buf.putLong(1L); buf.putInt(kb.length); buf.put(kb) }
+    val st = Kmv.deserialize(buf.array()) // structurally valid
+    val e = intercept[IllegalArgumentException] { Kmv.estimate(st) }
+    assert(e.getMessage.contains("estimate overflow"))
+  }
+
   test("analysis-time checks: non-string key, non-literal k, k out of range") {
     import spark.implicits._
     val e1 = intercept[Exception] {
