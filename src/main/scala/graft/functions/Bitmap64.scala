@@ -104,7 +104,25 @@ final class Bitmap64 private (
     * smallest of its run / array / bitmap encodings under a fixed
     * preference order ([[Bitmap64.Container.encodedBytes]]) — a pure
     * function of the set. */
-  def serialize(): Array[Byte] = {
+  def serialize(): Array[Byte] = writeBytes(tagged = false, null)
+
+  /** CODED canonical bytes (V2): the same container payload, prefixed
+    * with the DICTIONARY-IDENTITY tag — the vhist-unit / dds-alpha
+    * discipline applied to the one seam that lacked it: a bitmap over
+    * [[graft.operators.Dictionary]] codes carries WHICH dictionary
+    * lineage produced its bits, so merges of sketches coded by
+    * independent (or rebuilt) dictionaries fail loudly instead of
+    * silently aliasing two key mappings. `id = null` is the
+    * unset-partial sentinel (an empty merge buffer that has never seen
+    * a coded row) and only ever serializes EMPTY. Bytes stay a pure
+    * function of (set, id). */
+  private[functions] def serializeTagged(id: java.lang.Long): Array[Byte] =
+    writeBytes(tagged = true, id)
+
+  private def writeBytes(tagged: Boolean, id: java.lang.Long): Array[Byte] = {
+    require(tagged || (id eq null), "Bitmap64: internal - id on untagged bytes")
+    require(!tagged || (id ne null) || containers.isEmpty,
+      "bitmap_coded: internal - unset dict_id on a non-empty sketch")
     // (cardinality, runCount) are O(container) scans — compute each
     // ONCE in the sizing pass and reuse them in the write pass, rather
     // than re-deriving the same pair per container (serialize runs per
@@ -112,7 +130,8 @@ final class Bitmap64 private (
     val m = containers.size()
     val ns = new Array[Int](m)
     val rs = new Array[Int](m)
-    var size = HeaderBytes
+    var size =
+      if (tagged) 1 + 1 + 1 + (if (id ne null) 8 else 0) + 4 else HeaderBytes
     var i = 0
     val it0 = containers.values().iterator()
     while (it0.hasNext) {
@@ -124,7 +143,11 @@ final class Bitmap64 private (
     }
     val buf = ByteBuffer.allocate(size)
     buf.put(Magic)
-    buf.put(Version)
+    if (tagged) {
+      buf.put(VersionTagged)
+      buf.put(if (id ne null) 1.toByte else 0.toByte)
+      if (id ne null) buf.putLong(id.longValue())
+    } else buf.put(Version)
     buf.putInt(m)
     i = 0
     val keys = containers.entrySet().iterator()
@@ -157,34 +180,89 @@ object Bitmap64 {
     * promotion history yields identical bytes. Pre-r11 bytes (kinds
     * 0/1 only) still deserialize unchanged. */
   private val KindRun: Byte = 2
+  /** V2 CODED wire format (r12): `magic, 2, hasId(0|1)[, id:long],
+    * count, containers…` — the dictionary-identity tag rides IN the
+    * bytes ([[Bitmap64.serializeTagged]]). Plain V1 readers reject V2
+    * loudly ("unsupported version") and the coded reader rejects V1
+    * ("untagged bytes"), so a coded tier and a plain tier can never be
+    * silently mixed. */
+  private[functions] val VersionTagged: Byte = 2
 
   def deserialize(bytes: Array[Byte]): Bitmap64 = {
     val buf = ByteBuffer.wrap(bytes)
     require(buf.remaining() >= HeaderBytes && buf.get() == Magic,
       "Bitmap64: not a graft sketch (bad magic)")
     val v = buf.get()
-    require(v == Version, s"Bitmap64: unsupported sketch version $v")
+    require(v == Version,
+      if (v == VersionTagged)
+        "Bitmap64: dictionary-CODED sketch bytes in a plain bitmap read - " +
+          "use the bitmap_*_coded family so the dict_id tag is reconciled"
+      else s"Bitmap64: unsupported sketch version $v")
+    new Bitmap64(readContainers(buf))
+  }
+
+  /** Read V2 CODED bytes → (dict id | null when unset-empty, bitmap).
+    * Rejects plain V1 bytes loudly: an untagged sketch merged into a
+    * coded tier is exactly the unidentified-key-mapping corruption the
+    * tag exists to stop. */
+  private[functions] def deserializeTagged(bytes: Array[Byte]): (java.lang.Long, Bitmap64) = {
+    val buf = ByteBuffer.wrap(bytes)
+    require(buf.remaining() >= 7 && buf.get() == Magic,
+      "bitmap_coded: not a graft sketch (bad magic)")
+    val v = buf.get()
+    require(v == VersionTagged,
+      if (v == Version)
+        "bitmap_coded: plain bitmap_sketch bytes in a coded merge - build " +
+          "the tier with bitmap_sketch_coded so the dict_id travels with the bits"
+      else s"bitmap_coded: unsupported sketch version $v")
+    val hasId = buf.get()
+    require(hasId == 0 || hasId == 1, s"bitmap_coded: bad id flag $hasId")
+    val id: java.lang.Long =
+      if (hasId == 1) {
+        require(buf.remaining() >= 12, "bitmap_coded: truncated sketch header")
+        java.lang.Long.valueOf(buf.getLong())
+      } else null
+    val bm = new Bitmap64(readContainers(buf))
+    // id-less bytes are the unset-partial sentinel and only ever
+    // serialize EMPTY — hostile id-less bytes carrying containers would
+    // slip past id reconciliation into any coded tier
+    require((id ne null) || bm.isEmpty,
+      "bitmap_coded: untagged sketch carrying containers is not a graft sketch")
+    (id, bm)
+  }
+
+  /** Shared container-block reader: `count, (bucket, container)…` with
+    * per-entry truncation guards and trailing-bytes rejection (the
+    * kmv/dds canonical-bytes discipline). */
+  private def readContainers(buf: ByteBuffer): java.util.TreeMap[java.lang.Long, Container] = {
+    require(buf.remaining() >= 4, "Bitmap64: truncated sketch header")
     val n = buf.getInt()
+    require(n >= 0, s"Bitmap64: bad container count $n")
     val m = new java.util.TreeMap[java.lang.Long, Container]()
     var i = 0
     while (i < n) {
+      require(buf.remaining() >= 9, "Bitmap64: truncated sketch entry")
       val hi = buf.getLong()
       m.put(hi, readContainer(buf))
       i += 1
     }
-    new Bitmap64(m)
+    require(buf.remaining() == 0, "Bitmap64: trailing bytes after containers")
+    m
   }
 
   private def readContainer(buf: ByteBuffer): Container = buf.get() match {
     case KindArray =>
       val n = buf.getInt()
       require(n >= 0 && n <= ArrayMax, s"Bitmap64: bad array container size $n")
+      require(buf.remaining() >= 2 * n, "Bitmap64: truncated array container")
       val vs = new Array[Char](n)
       var i = 0
       while (i < n) { vs(i) = buf.getChar(); i += 1 }
       new ArrayContainer(vs, n)
     case KindBitmap =>
       val card = buf.getInt()
+      require(buf.remaining() >= 8 * BitmapWords,
+        "Bitmap64: truncated bitmap container")
       val words = new Array[Long](BitmapWords)
       var i = 0
       while (i < BitmapWords) { words(i) = buf.getLong(); i += 1 }
@@ -195,6 +273,7 @@ object Bitmap64 {
       // see a third kind
       val r = buf.getInt()
       require(r >= 0 && r <= 32768, s"Bitmap64: bad run count $r")
+      require(buf.remaining() >= 4 * r, "Bitmap64: truncated run container")
       val starts = new Array[Int](r)
       val lens = new Array[Int](r)
       var total = 0

@@ -112,6 +112,43 @@ object GraftFunctions {
         case args => throw new IllegalArgumentException(
           s"bitmap_merge_sketch expects 1 argument, got ${args.length}")
       }),
+    (FunctionIdentifier("bitmap_sketch_coded"),
+      info(classOf[CodedBitmapSketchExpr], "bitmap_sketch_coded",
+        "bitmap_sketch_coded(code, dict_id) - exact distinct sketch over " +
+          "dictionary codes whose bytes CARRY the dictionary lineage id, so " +
+          "merges across rebuilt/independent dictionaries fail loudly"),
+      {
+        case Seq(c, id) => CodedBitmapSketchExpr(c, id)
+        case args => throw new IllegalArgumentException(
+          s"bitmap_sketch_coded expects 2 arguments, got ${args.length}")
+      }),
+    (FunctionIdentifier("bitmap_merge_count_coded"),
+      info(classOf[CodedBitmapMergeCountExpr], "bitmap_merge_count_coded",
+        "bitmap_merge_count_coded(sketch) - exact distinct count from " +
+          "OR-merged coded sketches; dictionary lineages reconciled fail-loud"),
+      {
+        case Seq(c) => CodedBitmapMergeCountExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"bitmap_merge_count_coded expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("bitmap_merge_sketch_coded"),
+      info(classOf[CodedBitmapMergeSketchExpr], "bitmap_merge_sketch_coded",
+        "bitmap_merge_sketch_coded(sketch) - OR-merge fine coded sketches " +
+          "into a STORED coarser coded sketch (lineage tag preserved)"),
+      {
+        case Seq(c) => CodedBitmapMergeSketchExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"bitmap_merge_sketch_coded expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("bitmap_and_count_coded"),
+      info(classOf[CodedBitmapAndCountExpr], "bitmap_and_count_coded",
+        "bitmap_and_count_coded(sk1, sk2) - exact intersection cardinality " +
+          "of two coded sketches, lineage-checked per row"),
+      {
+        case Seq(a, b) => CodedBitmapAndCountExpr(a, b)
+        case args => throw new IllegalArgumentException(
+          s"bitmap_and_count_coded expects 2 arguments, got ${args.length}")
+      }),
     (FunctionIdentifier("hll_merge_sketch"),
       info(classOf[HllMergeSketchExpr], "hll_merge_sketch",
         "hll_merge_sketch(sketch) - max-merge fine HLL sketches into a STORED " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dictionary encoding: dense integer codes for an arbitrary-typed key
@@ -17,32 +17,65 @@ import org.apache.spark.sql.functions._
   * the same codes regardless of partitioning. Dense codes are the
   * best case for the bitmap's containers: |keys| bits, zero waste.
   *
+  * IDENTITY (r12): every dictionary carries a [[IdCol]] column — a
+  * 64-bit order-independent content hash (`bit_xor(xxhash64(key))`) of
+  * its FIRST generation's key set, preserved across
+  * [[encodeIncremental]] extensions. Coded facts inherit the column
+  * through the code join, and the coded sketch family
+  * ([[graft.functions.CodedBitmap]]) embeds it in the sketch bytes so
+  * merges of sketches coded by different lineages fail loudly — the
+  * vhist-unit / dds-alpha params-in-bytes rule applied to codes. The
+  * id is a corruption GUARD (deterministic, 2^-64 collision floor),
+  * not an identity proof: two independent builds over the SAME key set
+  * share both the id and the codes (rank is deterministic), which is
+  * exactly when merging is safe. The one divergence it cannot see is
+  * SIBLING extensions of one lineage (same first generation, different
+  * appended keys) — fork a dictionary and the tag cannot save you;
+  * keep one stored lineage per key universe.
+  *
   * Scale shape: one distinct (key-hash shuffle sized to the DICTIONARY
   * cardinality, not the fact table), one rank over the distinct set,
-  * one equi-join of codes back onto facts — broadcast when the
-  * dictionary is small (Catalyst/AQE decides from stats), shuffled
-  * hash otherwise. The dictionary is reusable: encode once per key
-  * universe, sketch any number of grains.
+  * one 1-row broadcast identity scalar, one equi-join of codes back
+  * onto facts — broadcast when the dictionary is small (Catalyst/AQE
+  * decides from stats), shuffled hash otherwise. The dictionary is
+  * reusable: encode once per key universe, sketch any number of
+  * grains.
   */
 object Dictionary {
 
-  /** Returns (facts with `codeCol` attached, the dictionary itself as
-    * (key, code)). Null keys get no row in the dictionary and are
-    * DROPPED from the coded facts (inner join) — matching
-    * `count(distinct)`'s null rule downstream.
+  /** The identity column every dictionary (and coded fact set)
+    * carries: the lineage's first-generation key-set content hash. */
+  val IdCol = "dict_id"
+
+  /** Order-independent deterministic content hash of a key set as a
+    * 1-row aggregate: xor is commutative/associative, xxhash64 is a
+    * fixed pure function, so any partitioning yields the same id.
+    * Empty set → 0 (the empty lineage). */
+  private def keySetId(keys: DataFrame, keyCol: String, as: String): DataFrame =
+    keys.agg(coalesce(
+      expr(s"bit_xor(xxhash64(`$keyCol`))"), lit(0L)).as(as))
+
+  /** Returns (facts with `codeCol` and [[IdCol]] attached, the
+    * dictionary itself as (key, code, dict_id)). Null keys get no row
+    * in the dictionary and are DROPPED from the coded facts (inner
+    * join) — matching `count(distinct)`'s null rule downstream.
     *
     * APPEND HAZARD: codes are RANK-assigned over THIS key set — calling
     * `encode` again after new keys arrive renumbers every key that
     * sorts after the earliest new one, silently misaligning any STORED
-    * sketch/code table built on the old codes (no require fires; bitmap
-    * bits just stop meaning the same keys). Within one build the codes
-    * are stable and dense; across batches, extend the dictionary with
-    * [[encodeIncremental]], which freezes existing codes. */
+    * plain-sketch/code table built on the old codes. Within one build
+    * the codes are stable and dense; across batches, extend the
+    * dictionary with [[encodeIncremental]], which freezes existing
+    * codes — and sketch through
+    * [[graft.functions.CodedBitmap.bitmap_sketch_coded]], which makes
+    * the rebuild-vs-extend mistake FAIL LOUDLY instead of mis-counting
+    * (a rebuilt dictionary hashes a different key set → different
+    * [[IdCol]] → the coded merge throws). */
   def encode(df: DataFrame, keyCol: String, codeCol: String): (DataFrame, DataFrame) = {
-    val dict = Ranking.globalRowNumber(
-        df.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct(),
-        Seq(col(keyCol)), "__rn")
+    val keys = df.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
+    val dict = Ranking.globalRowNumber(keys, Seq(col(keyCol)), "__rn")
       .select(col(keyCol), (col("__rn") - 1L).as(codeCol))
+      .crossJoin(broadcast(keySetId(keys, keyCol, IdCol)))
     (df.join(dict, keyCol), dict)
   }
 
@@ -55,6 +88,20 @@ object Dictionary {
     * yesterday's sketch table and today's batch-2 sketches merge
     * exactly — the composition the engine's own incremental patterns
     * (u6 CDC upsert, u8 incremental agg, d7 incremental dedup) invite.
+    * The [[IdCol]] lineage id is PRESERVED (an extension is the same
+    * lineage; an empty starting dictionary degrades to [[encode]]'s
+    * id, so the degenerate case is bit-identical to a fresh encode).
+    *
+    * MALFORMED-DICT GUARD (fail-loud, lazily planned): a dictionary
+    * carrying duplicate KEYS would silently fan out the fact join, and
+    * duplicate CODES would silently alias two keys in every downstream
+    * bitmap; mixed [[IdCol]] values mean two lineages were unioned.
+    * All three corrupt every downstream sketch with no error, so the
+    * extended dictionary's code column raises on first evaluation when
+    * the 1-row audit scalar (count − countDistinct per column, a
+    * dictionary-cardinality aggregate broadcast like the max-code
+    * base) finds any of them. No action runs at construction — the
+    * plan stays lazy end-to-end.
     *
     * Codes stay DENSE (`[0, |old| + |new|)`) but the ordering guarantee
     * weakens by design: within the appended block codes follow key
@@ -67,26 +114,55 @@ object Dictionary {
     * Scale shape: one distinct over the BATCH (batch-cardinality
     * shuffle), one left-anti join against the dictionary (key shuffle
     * sized by dictionary + batch distinct, or broadcast when the
-    * smaller side's stats allow), one global rank over only the NEW
-    * keys, one broadcast 1-row max for the code offset, one equi-join
-    * of the extended dictionary back onto facts. No action runs at
-    * construction — the plan is lazy end-to-end. */
+    * smaller side's stats allow), one dictionary-cardinality audit
+    * aggregate (broadcast 1-row: max code + dup counters + lineage id),
+    * one global rank over only the NEW keys, one equi-join of the
+    * extended dictionary back onto facts. */
   def encodeIncremental(dict: DataFrame, df: DataFrame, keyCol: String,
       codeCol: String): (DataFrame, DataFrame) = {
     require(dict.columns.contains(keyCol) && dict.columns.contains(codeCol),
       s"encodeIncremental: dictionary must carry ($keyCol, $codeCol), " +
         s"got [${dict.columns.mkString(", ")}]")
-    val frozen = dict.select(col(keyCol), col(codeCol).cast("long").as(codeCol))
+    require(dict.columns.contains(IdCol),
+      s"encodeIncremental: dictionary carries no $IdCol identity column - " +
+        "build it with Dictionary.encode (pre-identity dictionaries must be " +
+        "re-encoded once)")
+    val frozen = dict.select(col(keyCol),
+      col(codeCol).cast("long").as(codeCol), col(IdCol).cast("long").as(IdCol))
     val newKeys = df.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
       .join(frozen.select(col(keyCol)), Seq(keyCol), "left_anti")
-    // next free code as a broadcast 1-row scalar: max + 1 over the
-    // dictionary, 0 when it is empty — lazy, never a driver action here
-    val base = frozen.agg(
-      coalesce(max(col(codeCol)) + lit(1L), lit(0L)).as("__base"))
+    // 1-row audit over the FROZEN dict, broadcast like an40's
+    // moved-count scalar: next free code, malformed-dict counters, and
+    // the lineage id — lazy, never a driver action here
+    val audit = frozen.agg(
+      coalesce(max(col(codeCol)) + lit(1L), lit(0L)).as("__base"),
+      (count(lit(1)) - countDistinct(col(keyCol))).as("__kdup"),
+      (count(lit(1)) - countDistinct(col(codeCol))).as("__cdup"),
+      countDistinct(col(IdCol)).as("__nids"),
+      max(col(IdCol)).as("__did"))
+    // malformed dictionaries raise on the first evaluated code — the
+    // guard rides the code column so ANY use of the extended dictionary
+    // or the coded facts trips it, with zero extra actions
+    def guarded(code: Column): Column =
+      when(col("__kdup") > 0L, raise_error(lit(
+        "encodeIncremental: malformed dictionary - duplicate keys would fan " +
+          "out the fact join")).cast("long"))
+        .when(col("__cdup") > 0L, raise_error(lit(
+          "encodeIncremental: malformed dictionary - duplicate codes alias " +
+            "two keys in every downstream bitmap")).cast("long"))
+        .when(col("__nids") > 1L, raise_error(lit(
+          s"encodeIncremental: malformed dictionary - mixed $IdCol values " +
+            "(two lineages unioned)")).cast("long"))
+        .otherwise(code)
+    val frozenGuarded = frozen.crossJoin(broadcast(audit))
+      .select(col(keyCol), guarded(col(codeCol)).as(codeCol), col(IdCol))
     val appended = Ranking.globalRowNumber(newKeys, Seq(col(keyCol)), "__rn")
-      .crossJoin(broadcast(base))
-      .select(col(keyCol), (col("__base") + col("__rn") - 1L).as(codeCol))
-    val extended = frozen.unionByName(appended)
+      .crossJoin(broadcast(audit))
+      .crossJoin(broadcast(keySetId(newKeys, keyCol, "__nid")))
+      .select(col(keyCol),
+        guarded(col("__base") + col("__rn") - 1L).as(codeCol),
+        coalesce(col("__did"), col("__nid")).as(IdCol))
+    val extended = frozenGuarded.unionByName(appended)
     (df.join(extended, keyCol), extended)
   }
 }

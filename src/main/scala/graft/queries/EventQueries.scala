@@ -801,6 +801,54 @@ object EventQueries {
       |FROM events WHERE props IS NOT NULL AND user_id IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** AN48: DICTIONARY-IDENTITY tags in coded sketch bytes — the
+    * params-in-bytes discipline (vhist unit, dds alpha, kmv k) closing
+    * its last seam: an40 proved codes stay FROZEN across an
+    * [[graft.operators.Dictionary.encodeIncremental]] extension, but a
+    * plain `bitmap_sketch` over codes carries no record of WHICH
+    * dictionary produced its bits — merging sketches coded by a
+    * REBUILT or independent dictionary mis-counts silently. Here the
+    * full coded lifecycle runs tagged: batch-1 facts coded by
+    * generation 1 and sketched with `bitmap_sketch_coded(code,
+    * dict_id)` (the lineage id Dictionary.encode attaches, embedded in
+    * the V2 sketch bytes), batch-2 coded through the EXTENDED
+    * dictionary (same lineage id by construction), the two generations
+    * OR-merged into one STORED coded sketch per type
+    * (`bitmap_merge_sketch_coded` — id reconciled FAIL-LOUD at every
+    * merge), and the answer read off the stored tier with the
+    * lineage-checked scalar `bitmap_and_count_coded(sk, sk)`. The
+    * oracle pins the merged exact distinct to COUNT(DISTINCT props)
+    * over the union — true only if the extension preserved both the
+    * codes AND the id (a rebuilt dictionary throws; CodedBitmapSpec
+    * pins that loud failure, which a gate query cannot express). */
+  val an48CodedDictMerge: Q = (s, dir) => {
+    import s.implicits._
+    val CB = graft.functions.CodedBitmap
+    val D = graft.operators.Dictionary
+    val ev = Tables.load(s, dir, "events")
+      .filter($"user_id".isNotNull)
+      .select($"event_type", $"props", $"user_id")
+    val b1 = ev.filter(pmod($"user_id", lit(2)) === 0).select($"event_type", $"props")
+    val b2 = ev.filter(pmod($"user_id", lit(2)) === 1).select($"event_type", $"props")
+    val (coded1, dict1) = D.encode(b1, "props", "code")
+    val stored = coded1.groupBy($"event_type")
+      .agg(CB.bitmap_sketch_coded($"code", col(D.IdCol)).as("sk"))
+    val (coded2, _) = D.encodeIncremental(dict1, b2, "props", "code")
+    val today = coded2.groupBy($"event_type")
+      .agg(CB.bitmap_sketch_coded($"code", col(D.IdCol)).as("sk"))
+    stored.unionByName(today)
+      .groupBy($"event_type")
+      .agg(CB.bitmap_merge_sketch_coded($"sk").as("tier"))
+      .select($"event_type",
+        CB.bitmap_and_count_coded($"tier", $"tier").as("n_props"))
+      .orderBy($"event_type")
+  }
+
+  val an48CodedDictMergeSql: String =
+    """SELECT event_type, count(DISTINCT props) AS n_props
+      |FROM events WHERE props IS NOT NULL AND user_id IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** AN41: the SKEW DISPATCHER's routing decisions, oracle-replayed —
     * [[graft.operators.Skew.dispatchJoin]] measures the left side's key
     * histogram and routes plain / hot-cold / salted; SkewSpec pins the
@@ -2273,6 +2321,7 @@ object EventQueries {
     "an38_hll_rollup" -> an38HllRollup,
     "an39_vhist_quantiles" -> an39VhistQuantiles,
     "an40_dict_append" -> an40DictAppend,
+    "an48_coded_dict_merge" -> an48CodedDictMerge,
     "an41_skew_dispatch" -> an41SkewDispatch,
     "an42_tiered_rollup" -> an42TieredRollup,
     "an43_kmv_sample" -> an43KmvSample,
@@ -2321,6 +2370,7 @@ object EventQueries {
     "an38_hll_rollup" -> an38HllRollupSql,
     "an39_vhist_quantiles" -> an39VhistQuantilesSql,
     "an40_dict_append" -> an40DictAppendSql,
+    "an48_coded_dict_merge" -> an48CodedDictMergeSql,
     "an41_skew_dispatch" -> an41SkewDispatchSql,
     "an42_tiered_rollup" -> an42TieredRollupSql,
     "an43_kmv_sample" -> an43KmvSampleSql,

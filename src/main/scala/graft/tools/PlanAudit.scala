@@ -80,8 +80,9 @@ object PlanAudit {
     "t23_curriculum" -> "two-phase curriculum order: offsets window over |partitions| partials",
     "t33_bm25" -> "one-row (N, sum dl) stats aggregate",
     "n18_rrf_fusion" -> "inherits t33's one-row stats aggregate; fusion joins two top-50 lists",
-    "an37_dict_distinct" -> "Dictionary.encode = globalRowNumber over the DISTINCT key set: offsets window sees |partitions| one-row partials",
-    "an40_dict_append" -> "two globalRowNumber offsets windows (batch-1 dict + incremental NEW-key rank, both dictionary-cardinality) + one-row max-code and moved-count scalars",
+    "an37_dict_distinct" -> "Dictionary.encode = globalRowNumber over the DISTINCT key set: offsets window sees |partitions| one-row partials; + the one-row dict_id identity scalar",
+    "an40_dict_append" -> "two globalRowNumber offsets windows (batch-1 dict + incremental NEW-key rank, both dictionary-cardinality) + one-row identity/audit/max-code/moved-count scalars",
+    "an48_coded_dict_merge" -> "inherits an40's offsets windows and one-row identity/audit scalars (same two-generation encode path, coded sketch tier)",
     "an44_cms_rollup" -> "one-row corpus-sketch merge (|sources| fixed-size 64 KiB sketches funnel to one row)")
 
   /** BroadcastNestedLoopJoin sites where the broadcast side is bounded
@@ -118,7 +119,9 @@ object PlanAudit {
     "n19_knn_classify" -> "n1's bounded 20-query fan-out; label join is equi broadcast of top-k",
     "n20_hard_negatives" -> "same bounded 20-query fan-out (n1 scoring + anti-filter + rank cuts)",
     "an32_skew_report" -> "TWO one-row crossJoins: scalar aggregate + one-row p99 pick",
-    "an40_dict_append" -> "TWO one-row broadcast crossJoins: encodeIncremental's max-code base + the codes_frozen moved-count scalar",
+    "an37_dict_distinct" -> "one-row broadcast dict_id identity scalar (Dictionary.encode attaches the lineage id)",
+    "an40_dict_append" -> "one-row broadcast crossJoins only: encode's dict_id identity, encodeIncremental's audit (max-code + dup counters + lineage), the appended-block id, and the codes_frozen moved-count scalar",
+    "an48_coded_dict_merge" -> "inherits an40's one-row identity/audit broadcast crossJoins (same two-generation encode path)",
     "an44_cms_rollup" -> "one-row broadcast corpus-sketch crossJoin against the exact top-20 keys",
     "an47_kmv_jaccard" -> "inequality self-join of the |event-types|-row sketch relation (key-cardinality, never data-sized)")
 

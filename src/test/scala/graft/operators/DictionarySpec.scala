@@ -124,4 +124,65 @@ class DictionarySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("encodeIncremental"))
   }
+
+  // ---- identity (dict_id lineage tag) ----------------------------------
+
+  test("dict_id: deterministic content hash, preserved across extension, changed by rebuild") {
+    import spark.implicits._
+    val b1 = Seq("m", "c", "x").toDF("k")
+    val b2 = Seq("a", "z").toDF("k")
+    def idOf(d: org.apache.spark.sql.DataFrame): Long =
+      d.select(col(Dictionary.IdCol)).distinct().collect().map(_.getLong(0)).toSeq match {
+        case Seq(one) => one
+        case other => fail(s"expected one dict_id, got $other")
+      }
+    // deterministic across partitionings and rebuilds over the SAME set
+    val ids = Seq(1, 5, 32).map(p => idOf(Dictionary.encode(b1.repartition(p), "k", "code")._2))
+    assert(ids.distinct.size === 1)
+    // extension preserves the lineage id (gen-1's key-set hash)
+    val (_, dict1) = Dictionary.encode(b1, "k", "code")
+    val (coded2, dict2) = Dictionary.encodeIncremental(dict1, b2, "k", "code")
+    assert(idOf(dict2) === ids.head, "extension changed the lineage id")
+    // coded facts carry the id too (what bitmap_sketch_coded reads)
+    assert(coded2.columns.contains(Dictionary.IdCol))
+    // a REBUILD over the extended key set is a different lineage
+    val (_, rebuilt) = Dictionary.encode(b1.unionByName(b2), "k", "code")
+    assert(idOf(rebuilt) !== ids.head, "rebuild kept the old id")
+    // empty-dictionary degenerate case: incremental from empty equals encode
+    val (_, dict3) = Dictionary.encodeIncremental(dict1.filter(lit(false)), b1, "k", "code")
+    assert(idOf(dict3) === ids.head, "empty-dict extension diverged from encode's id")
+    // identity-less (pre-r12) dictionaries are rejected at construction
+    val e = intercept[IllegalArgumentException] {
+      Dictionary.encodeIncremental(dict1.drop(Dictionary.IdCol), b2, "k", "code")
+    }
+    assert(e.getMessage.contains("dict_id"))
+  }
+
+  test("malformed dictionaries fail loudly on first use: duplicate keys, duplicate codes, mixed lineages") {
+    import spark.implicits._
+    val batch = Seq("q").toDF("k")
+    def expectRaise(dict: org.apache.spark.sql.DataFrame, needle: String): Unit = {
+      val (coded, _) = Dictionary.encodeIncremental(dict, batch, "k", "code")
+      val e = intercept[Exception] { coded.collect() }
+      val m = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
+      assert(m.contains(needle), s"expected '$needle' in: $m")
+    }
+    // duplicate KEYS fan out the fact join silently without the guard
+    expectRaise(
+      Seq(("a", 0L, 7L), ("a", 1L, 7L)).toDF("k", "code", Dictionary.IdCol),
+      "duplicate keys")
+    // duplicate CODES alias two keys in every downstream bitmap
+    expectRaise(
+      Seq(("a", 0L, 7L), ("b", 0L, 7L)).toDF("k", "code", Dictionary.IdCol),
+      "duplicate codes")
+    // mixed dict_id = two lineages unioned into one "dictionary"
+    expectRaise(
+      Seq(("a", 0L, 7L), ("b", 1L, 8L)).toDF("k", "code", Dictionary.IdCol),
+      "mixed dict_id")
+    // a WELL-FORMED hand-built dictionary passes the same path
+    val ok = Seq(("a", 0L, 7L), ("b", 1L, 7L)).toDF("k", "code", Dictionary.IdCol)
+    val (coded, dict) = Dictionary.encodeIncremental(ok, batch, "k", "code")
+    assert(coded.count() === 1L && dict.count() === 3L)
+  }
 }
