@@ -1810,6 +1810,167 @@ object EventQueries {
       |  TRUE AS p99_ok, TRUE AS bytes_equal
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** E23: STREAMING HLL-TIER PARITY — the generic per-day tier
+    * producer ([[graft.streaming.Streams.dailyHllSketchStream]], the
+    * r12 (init, add, serialize) parameterization that replaced the
+    * e21/e22 copy-paste twins) flushing the UNBOUNDED-domain distinct
+    * leg: per-day HLL registers over user ids, `bytes_equal`
+    * oracle-pinned TRUE against a batch `hll_sketch(user_id)` backfill
+    * (register-wise max is order-independent and the serialized form —
+    * sparse below m/8 occupancy — is canonical, so micro-batch arrival
+    * and state round-trips are invisible). The streamed bytes are also
+    * READ (hll_merge_count over each day's single flushed row) and
+    * `est_ok` pins the ±5% envelope (≈3σ at p=12; deterministic hash ⇒
+    * no flake) against the exact per-day count the oracle replays.
+    * e19/e21 harness: file replay, day-granularity epoch shift,
+    * far-future sentinels, memory sink. */
+  val e23StreamHllParity: Q = (s, dir) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val H = graft.functions.Hll
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull &&
+        $"user_id" >= 0L) // negative ids are the e-family's sentinel space
+      .select($"user_id", $"ts", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e23").toString
+    val off = Streams.stageWithEpochShift(ev, "ts", tmp,
+      granularitySeconds = 86400L)
+    val offDays = off / dayUs
+    val stream = Streams.shiftTs(
+      s.readStream.schema(ev.schema).parquet(tmp), "ts", off).as[Streams.Event]
+    val q = Streams.dailyHllSketchStream(stream)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("e23_sketches").start()
+    def sentinel(sec: Long): Unit =
+      Seq((-1L, new java.sql.Timestamp(sec * 1000L), 0.0))
+        .toDF("user_id", "ts", "value")
+        .write.mode("append").parquet(tmp)
+    try {
+      q.processAllAvailable()
+      sentinel(4102444800L) // 2100-01-01 advances the watermark
+      q.processAllAvailable()
+      sentinel(4102444860L) // second batch fires the timeouts
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
+    }
+    val streamed = s.table("e23_sketches")
+      .select(($"day" - offDays).as("day"), $"sketch")
+    val batch = ev
+      .withColumn("us", expr("unix_micros(ts)"))
+      .groupBy((($"us" - pmod($"us", lit(dayUs))) / lit(dayUs))
+        .cast("long").as("day"))
+      .agg(H.hll_sketch($"user_id").as("bsk"),
+        countDistinct($"user_id").as("n_exact"))
+    streamed.join(batch, "day")
+      .groupBy($"day", $"n_exact", ($"sketch" === $"bsk").as("bytes_equal"))
+      .agg(H.hll_merge_count($"sketch").as("est")) // read the STREAMED bytes
+      .select(
+        expr("date_add(DATE '1970-01-01', CAST(day AS INT))").as("day"),
+        $"n_exact",
+        ($"est" >= $"n_exact" * 0.95 && $"est" <= $"n_exact" * 1.05).as("est_ok"),
+        $"bytes_equal")
+      .filter($"n_exact" > 0)
+      .orderBy($"day")
+  }
+
+  val e23StreamHllParitySql: String =
+    """SELECT date_trunc('day', ts)::DATE AS day,
+      |  count(DISTINCT user_id) AS n_exact,
+      |  TRUE AS est_ok, TRUE AS bytes_equal
+      |FROM events
+      |WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+      |  AND user_id >= 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** E24: STREAMING VHIST-TIER PARITY — the fourth leg through the
+    * generic producer ([[graft.streaming.Streams.dailyVhistSketchStream]]):
+    * per-day EXACT value histograms over value-cents
+    * (floor(value × 100), the an39 pre-bucket rule pinned identically
+    * in the streaming add, the batch INIT, and the oracle),
+    * `bytes_equal` oracle-pinned TRUE against a batch
+    * `vhist_sketch(floor(value*100))` backfill (count addition is
+    * order-independent, serialization canonical), and the streamed
+    * bytes READ back as exact P50/P95 per day via vhist_merge_quantile
+    * over each day's single flushed row — the oracle replays both
+    * quantiles exactly with the house discrete-lower rank SQL. Exact
+    * quantiles off a LIVE stream with batch-repairable state: the
+    * strongest form of the lambda equivalence (hash-equal answers, not
+    * just bounds). */
+  val e24StreamVhistParity: Q = (s, dir) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val V = graft.functions.Vhist
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull &&
+        $"user_id" >= 0L) // negative ids are the e-family's sentinel space
+      .select($"user_id", $"ts", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e24").toString
+    val off = Streams.stageWithEpochShift(ev, "ts", tmp,
+      granularitySeconds = 86400L)
+    val offDays = off / dayUs
+    val stream = Streams.shiftTs(
+      s.readStream.schema(ev.schema).parquet(tmp), "ts", off).as[Streams.Event]
+    val q = Streams.dailyVhistSketchStream(stream)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("e24_sketches").start()
+    def sentinel(sec: Long): Unit =
+      Seq((-1L, new java.sql.Timestamp(sec * 1000L), 0.0))
+        .toDF("user_id", "ts", "value")
+        .write.mode("append").parquet(tmp)
+    try {
+      q.processAllAvailable()
+      sentinel(4102444800L) // 2100-01-01 advances the watermark
+      q.processAllAvailable()
+      sentinel(4102444860L) // second batch fires the timeouts
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
+    }
+    val streamed = s.table("e24_sketches")
+      .select(($"day" - offDays).as("day"), $"sketch")
+    val batch = ev
+      .withColumn("us", expr("unix_micros(ts)"))
+      .groupBy((($"us" - pmod($"us", lit(dayUs))) / lit(dayUs))
+        .cast("long").as("day"))
+      .agg(V.vhist_sketch(floor($"value" * 100)).as("bsk"),
+        count(lit(1)).as("n_rows"))
+    streamed.join(batch, "day")
+      .groupBy($"day", $"n_rows", ($"sketch" === $"bsk").as("bytes_equal"))
+      .agg(V.vhist_merge_quantile($"sketch", 0.5).as("p50_cents"),
+        V.vhist_merge_quantile($"sketch", 0.95).as("p95_cents"))
+      .select(
+        expr("date_add(DATE '1970-01-01', CAST(day AS INT))").as("day"),
+        $"n_rows", $"p50_cents", $"p95_cents", $"bytes_equal")
+      .orderBy($"day")
+  }
+
+  val e24StreamVhistParitySql: String =
+    """WITH v AS (
+      |  SELECT date_trunc('day', ts)::DATE AS day,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+      |    AND user_id >= 0),
+      |r AS (
+      |  SELECT day, cents,
+      |    row_number() OVER (PARTITION BY day ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY day) AS n
+      |  FROM v)
+      |SELECT day, max(n) AS n_rows,
+      |  min(CASE WHEN rn = CAST(ceil(CAST(0.50 AS DECIMAL(8,6)) * n) AS BIGINT)
+      |           THEN cents END) AS p50_cents,
+      |  min(CASE WHEN rn = CAST(ceil(CAST(0.95 AS DECIMAL(8,6)) * n) AS BIGINT)
+      |           THEN cents END) AS p95_cents,
+      |  TRUE AS bytes_equal
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** SK3: HOT/COLD SPLIT join ([[graft.operators.Skew.hotColdJoin]])
     * — the third skew weapon next to sk1's salted agg and sk2's
     * replicated salted join: a synthetic 70%-hot key (user_id % 10 < 7
@@ -2336,6 +2497,8 @@ object EventQueries {
     "e19_stream_daily_distinct" -> e19StreamDailyDistinct,
     "e21_stream_sketch_parity" -> e21StreamSketchParity,
     "e22_stream_dds_parity" -> e22StreamDdsParity,
+    "e23_stream_hll_parity" -> e23StreamHllParity,
+    "e24_stream_vhist_parity" -> e24StreamVhistParity,
     "e20_stream_semi_join" -> e20StreamSemiJoin,
     "e7_stream_static" -> e7StreamStatic,
     "e14_stream_merge_sink" -> e14StreamMergeSink,
@@ -2385,6 +2548,8 @@ object EventQueries {
     "e19_stream_daily_distinct" -> e19StreamDailyDistinctSql,
     "e21_stream_sketch_parity" -> e21StreamSketchParitySql,
     "e22_stream_dds_parity" -> e22StreamDdsParitySql,
+    "e23_stream_hll_parity" -> e23StreamHllParitySql,
+    "e24_stream_vhist_parity" -> e24StreamVhistParitySql,
     "e20_stream_semi_join" -> e20StreamSemiJoinSql,
     "e14_stream_merge_sink" -> e14StreamMergeSinkSql,
     "u9_time_travel" -> u9TimeTravelSql,

@@ -33,7 +33,8 @@ object Streams {
     "e14_stream_merge_sink", "e15_checkpoint_resume",
     "e16_stream_full_outer_join", "e17_stream_sliding",
     "e19_stream_daily_distinct", "e20_stream_semi_join",
-    "e21_stream_sketch_parity", "e22_stream_dds_parity")
+    "e21_stream_sketch_parity", "e22_stream_dds_parity",
+    "e23_stream_hll_parity", "e24_stream_vhist_parity")
 
   /** Exactly-once incremental article ingest: JSONL landing dir →
     * stream with the explicit article schema. */
@@ -294,24 +295,34 @@ object Streams {
 
   case class DaySketch(day: Long, sketch: Array[Byte])
 
-  /** Streaming SKETCH-TABLE producer — the lambda-architecture
-    * equivalence leg: instead of flushing a day's COUNT
-    * ([[dailyDistinctStream]]), flush the day's serialized
-    * [[graft.functions.Bitmap64]] SKETCH itself when the watermark
-    * passes the day. Because the bitmap's serialization is canonical
-    * (bytes are a pure function of the key SET — container order and
-    * representation never depend on insert or merge order), the rows
-    * this stream appends are BYTE-IDENTICAL to the sketch tier a batch
-    * backfill writes with `bitmap_sketch` over the same facts — so a
-    * warehouse can build its sketch tables from the live stream and
-    * backfill/repair them from batch without a format seam, and every
-    * downstream merge/AND (an33/an35/an42) reads both interchangeably.
-    * Gate e21 pins the byte equality through the oracle every round.
-    * Same state/timeout discipline as e19: state bounded by the
-    * watermark horizon, negative ids are watermark sentinels (advance
-    * time, set no bits), day keys pre-epoch-safe via floorDiv. */
-  def dailySketchStream(events: Dataset[Event],
-      watermarkDelay: String = "30 minutes"): Dataset[DaySketch] = {
+  /** THE generic streaming SKETCH-TABLE producer — one per-day flush
+    * state machine shared by every sketch leg of the algebra (r12;
+    * replaces the copy-paste bitmap/DDSketch twins): per-day sketch
+    * state parameterized by (init, add, serialize, deserialize),
+    * flushed as the day's serialized sketch when the watermark passes
+    * the day's end (EventTimeTimeout), state dropped after the flush —
+    * bounded by the watermark horizon on an unbounded stream.
+    *
+    * Because every leg's serialization is CANONICAL (bytes a pure
+    * function of the summarized set/multiset + params — never arrival
+    * order, state round-trips, or partitioning), the rows any
+    * instantiation appends are BYTE-IDENTICAL to the sketch tier a
+    * batch backfill writes with the corresponding INIT aggregate over
+    * the same facts — the lambda-architecture equivalence the
+    * e21/e22/e23/e24 gates pin through the oracle. State stays in the
+    * leg's own wire format, so a streaming checkpoint and a persisted
+    * sketch column share one validation path (hostile-byte rejection
+    * included).
+    *
+    * Shared e-family conventions: negative user_ids are watermark
+    * SENTINELS (advance event time, contribute nothing — their day
+    * flushes the leg's empty sketch; gates filter it), day keys are
+    * pre-epoch-safe via floorDiv, and the timeout timestamp (day end)
+    * is strictly ahead of the watermark for any row that reaches the
+    * function. */
+  private def dailyTierStream[S](events: Dataset[Event], watermarkDelay: String,
+      init: () => S, add: (S, Event) => Unit,
+      ser: S => Array[Byte], deser: Array[Byte] => S): Dataset[DaySketch] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermarkDelay)
@@ -324,60 +335,63 @@ object Streams {
             state.remove()
             Iterator.single(DaySketch(day, bytes))
           } else {
-            val bits = state.getOption.map(graft.functions.Bitmap64.deserialize)
-              .getOrElse(new graft.functions.Bitmap64())
+            val sk = state.getOption.map(deser).getOrElse(init())
             it.foreach { e =>
-              if (e.user_id >= 0L) bits.add(e.user_id)
+              if (e.user_id >= 0L) add(sk, e)
             }
-            state.update(bits.serialize())
+            state.update(ser(sk))
             state.setTimeoutTimestamp((day + 1L) * 86400000L)
             Iterator.empty
           }
       }
   }
 
-  case class DayValueSketch(day: Long, sketch: Array[Byte])
+  /** Exact-distinct tier: per-day [[graft.functions.Bitmap64]] over
+    * user ids — bytes ≡ batch `bitmap_sketch(user_id)` (gate e21). */
+  def dailySketchStream(events: Dataset[Event],
+      watermarkDelay: String = "30 minutes"): Dataset[DaySketch] =
+    dailyTierStream[graft.functions.Bitmap64](events, watermarkDelay,
+      () => new graft.functions.Bitmap64(),
+      (s, e) => s.add(e.user_id),
+      _.serialize(),
+      graft.functions.Bitmap64.deserialize)
 
-  /** Streaming DDSketch-tier producer — extends the e21
-    * lambda-architecture equivalence to the relative-error QUANTILE
-    * leg: per-day [[graft.functions.Dds]] state over event VALUES,
-    * flushed as the day's serialized sketch when the watermark passes
-    * the day. The DDSketch's canonical serialization (bucket set +
-    * alpha, never arrival order or state round-trips) makes the
-    * flushed rows BYTE-IDENTICAL to the tier a batch backfill writes
-    * with `dds_sketch(value, alpha)` over the same facts — live P99
-    * dashboards and batch-repaired sketch tables share one format.
-    * Gate e22 pins the byte equality AND the alpha envelope of the
-    * streamed quantiles through the oracle. Same state/timeout
-    * discipline as e19/e21: state bounded by the watermark horizon
-    * (one bounded log-bucket histogram per open day), negative
-    * user_ids are watermark sentinels (advance time, add no values),
-    * day keys pre-epoch-safe via floorDiv. */
+  /** Unbounded-domain distinct tier: per-day [[graft.functions.Hll]]
+    * registers over user ids (fixed 4 KiB state per open day,
+    * sparse-serialized when near-empty) — bytes ≡ batch
+    * `hll_sketch(user_id)` (gate e23). */
+  def dailyHllSketchStream(events: Dataset[Event],
+      watermarkDelay: String = "30 minutes"): Dataset[DaySketch] =
+    dailyTierStream[Array[Byte]](events, watermarkDelay,
+      () => new Array[Byte](graft.functions.Hll.M),
+      (regs, e) => graft.functions.Hll.update(regs, e.user_id),
+      graft.functions.Hll.serialize,
+      graft.functions.Hll.toDense)
+
+  /** Exact-quantile tier: per-day [[graft.functions.Vhist]] histogram
+    * over value CENTS (floor(value × 100) — SQL FLOOR semantics, the
+    * an39 pre-bucket rule) — bytes ≡ batch
+    * `vhist_sketch(floor(value * 100))` (gate e24). */
+  def dailyVhistSketchStream(events: Dataset[Event],
+      watermarkDelay: String = "30 minutes"): Dataset[DaySketch] =
+    dailyTierStream[graft.functions.Vhist.Hist](events, watermarkDelay,
+      () => graft.functions.Vhist.newHist(),
+      (h, e) => graft.functions.Vhist.add(h,
+        math.floor(e.value * 100.0).toLong, 1L),
+      graft.functions.Vhist.serialize,
+      graft.functions.Vhist.deserialize)
+
+  /** Relative-error quantile tier: per-day [[graft.functions.Dds]]
+    * over event values at the pinned alpha — bytes ≡ batch
+    * `dds_sketch(value, alpha)` (gate e22). */
   def dailyValueSketchStream(events: Dataset[Event], alpha: Double = 0.01,
-      watermarkDelay: String = "30 minutes"): Dataset[DayValueSketch] = {
-    import events.sparkSession.implicits._
+      watermarkDelay: String = "30 minutes"): Dataset[DaySketch] = {
     val alphaBits = java.lang.Double.doubleToLongBits(alpha)
-    events
-      .withWatermark("ts", watermarkDelay)
-      .groupByKey(e => Math.floorDiv(tsMicros(e.ts), dayMicros))
-      .flatMapGroupsWithState[Array[Byte], DayValueSketch](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (day, it, state: GroupState[Array[Byte]]) =>
-          if (state.hasTimedOut) {
-            val bytes = state.get
-            state.remove()
-            Iterator.single(DayValueSketch(day, bytes))
-          } else {
-            val sk = state.getOption.map(graft.functions.Dds.deserialize)
-              .getOrElse(new graft.functions.Dds.DState(alphaBits))
-            it.foreach { e =>
-              if (e.user_id >= 0L) graft.functions.Dds.add(sk, e.value)
-            }
-            state.update(graft.functions.Dds.serialize(sk))
-            state.setTimeoutTimestamp((day + 1L) * 86400000L)
-            Iterator.empty
-          }
-      }
+    dailyTierStream[graft.functions.Dds.DState](events, watermarkDelay,
+      () => new graft.functions.Dds.DState(alphaBits),
+      (s, e) => graft.functions.Dds.add(s, e.value),
+      graft.functions.Dds.serialize,
+      graft.functions.Dds.deserialize)
   }
 
   /** Production sessionizer: watermark + EventTimeTimeout, so the final

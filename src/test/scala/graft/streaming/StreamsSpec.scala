@@ -645,6 +645,74 @@ class StreamsSpec extends AnyFunSuite {
     assert(math.abs(p50 - 0.0001) <= 0.01 * 0.0001 * 1.000001)
   }
 
+  test("daily HLL and vhist tier streams: flushed bytes identical to batch-built tiers (r12 generic producer)") {
+    // the generic (init, add, serialize) producer's two NEW legs must
+    // honor the same lambda equivalence as the bitmap/DDSketch legs:
+    // shuffled cross-batch arrival + state round-trips flush the SAME
+    // canonical bytes the batch INIT aggregate builds
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day = 86400000L
+    def ts(d: Long, h: Long) = new Timestamp(d * day + h * 3600000L)
+    val big = 1L << 33
+    // HLL leg: ids across batches with dups and a sparse 64-bit key
+    val srcH = MemoryStream[Streams.Event]
+    val qH = Streams.dailyHllSketchStream(srcH.toDS(), "30 minutes").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("daily_hll").start()
+    srcH.addData(Streams.Event(7L, ts(10, 1), 0.0),
+      Streams.Event(big + 3L, ts(10, 2), 0.0))
+    qH.processAllAvailable()
+    srcH.addData(Streams.Event(7L, ts(10, 3), 0.0),
+      Streams.Event(2L, ts(10, 4), 0.0))
+    qH.processAllAvailable()
+    srcH.addData(Streams.Event(-1L, ts(1000, 0), 0.0))
+    qH.processAllAvailable()
+    srcH.addData(Streams.Event(-1L, ts(1000, 1), 0.0))
+    qH.processAllAvailable()
+    qH.stop()
+    val streamedH = spark.table("daily_hll")
+      .filter($"day" === 10L).head().getAs[Array[Byte]]("sketch")
+    val batchH = Seq(7L, big + 3L, 7L, 2L).toDF("user_id")
+      .agg(graft.functions.Hll.hll_sketch($"user_id"))
+      .head().getAs[Array[Byte]](0)
+    assert(streamedH.toSeq === batchH.toSeq)
+    // 3 distinct keys: linear counting is exact at this range
+    val estH = Seq(Tuple1(streamedH)).toDF("sk")
+      .agg(graft.functions.Hll.hll_merge_count($"sk")).head().getLong(0)
+    assert(estH === 3L)
+    // vhist leg: cents pre-bucketing pinned in the streaming add
+    val srcV = MemoryStream[Streams.Event]
+    val qV = Streams.dailyVhistSketchStream(srcV.toDS(), "30 minutes").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("daily_vhist").start()
+    srcV.addData(Streams.Event(1L, ts(10, 1), 12.345),
+      Streams.Event(2L, ts(10, 2), -0.011)) // floor(-1.1) = -2 cents
+    qV.processAllAvailable()
+    srcV.addData(Streams.Event(3L, ts(10, 3), 12.345),
+      Streams.Event(4L, ts(10, 4), 700.0))
+    qV.processAllAvailable()
+    srcV.addData(Streams.Event(-1L, ts(1000, 0), 0.0))
+    qV.processAllAvailable()
+    srcV.addData(Streams.Event(-1L, ts(1000, 1), 0.0))
+    qV.processAllAvailable()
+    qV.stop()
+    val streamedV = spark.table("daily_vhist")
+      .filter($"day" === 10L).head().getAs[Array[Byte]]("sketch")
+    val batchV = Seq(12.345, -0.011, 12.345, 700.0).toDF("v")
+      .agg(graft.functions.Vhist.vhist_sketch(floor($"v" * 100)))
+      .head().getAs[Array[Byte]](0)
+    assert(streamedV.toSeq === batchV.toSeq)
+    // exact P50 off the streamed bytes: rank ceil(0.5*4)=2 of
+    // [-2, 1234, 1234, 70000] cents = 1234
+    val p50 = Seq(Tuple1(streamedV)).toDF("sk")
+      .agg(graft.functions.Vhist.vhist_merge_quantile($"sk", 0.5))
+      .head().getLong(0)
+    assert(p50 === 1234L)
+  }
+
   test("daily distinct stream: sparse 64-bit user ids are legal state keys (r10 Bitmap64)") {
     // the r9 state capped ids at the dense int domain and FAILED on a
     // snowflake-scale id; the compressed-bitmap state must count them
