@@ -187,6 +187,28 @@ object Cms {
   def estFromBytes(bytes: Array[Byte], key: UTF8String): Long =
     estimate(deserialize(bytes), key)
 
+  /** Multi-key probe: ONE deserialize, k probes — the fact-sized read
+    * pattern's fix (r11 verdict #4): `cms_est` pays an O(sketch) decode
+    * per probed ROW (a dense page is 8,192 longs), so probing k keys
+    * against one sketch row cost k decodes; here it costs one. Null
+    * key elements yield null estimates (outer-join friendly). Shared
+    * by eval and generated code. */
+  def estAllFromBytes(bytes: Array[Byte],
+      keys: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val cells = deserialize(bytes)
+    val n = keys.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (keys.isNullAt(i)) null
+        else estimate(cells, keys.getUTF8String(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private[functions] def checkKey(fn: String, dt: DataType): TypeCheckResult =
     if (dt == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
@@ -222,6 +244,13 @@ object Cms {
   def cms_est(sk: Column, key: Column): Column =
     ColumnBridge.column(
       CmsEstExpr(ColumnBridge.expression(sk), ColumnBridge.expression(key)))
+
+  /** `cms_est_all($"sk", $"words")` — estimates for a whole
+    * array<string> of keys in ONE sketch decode (the fact-sized probe
+    * pattern: k probes per row cost one O(sketch) deserialize, not k). */
+  def cms_est_all(sk: Column, keys: Column): Column =
+    ColumnBridge.column(
+      CmsEstAllExpr(ColumnBridge.expression(sk), ColumnBridge.expression(keys)))
 }
 
 /** INIT: raw string keys → serialized count-min sketch. */
@@ -380,5 +409,37 @@ case class CmsEstExpr(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CmsEstExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Scalar: (sketch bytes, array<string> keys) → array of count-min
+  * estimates with ONE decode — [[CmsEstExpr]]'s multi-key form for the
+  * fact-sized probe pattern. Null if either input is null; null key
+  * ELEMENTS yield null estimates. Real codegen via the shared static
+  * helper. */
+case class CmsEstAllExpr(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = right.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _)
+        if left.dataType == BinaryType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"cms_est_all requires (BINARY sketch, ARRAY<STRING> keys), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "cms_est_all"
+
+  override protected def nullSafeEval(sk: Any, keys: Any): Any =
+    Cms.estAllFromBytes(sk.asInstanceOf[Array[Byte]],
+      keys.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sk, keys) =>
+      s"${ev.value} = graft.functions.Cms.estAllFromBytes($sk, $keys);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstAllExpr =
     copy(left = newLeft, right = newRight)
 }

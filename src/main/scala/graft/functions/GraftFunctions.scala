@@ -353,6 +353,24 @@ object GraftFunctions {
         case args => throw new IllegalArgumentException(
           s"dds_quantile expects 3 arguments, got ${args.length}")
       }),
+    (FunctionIdentifier("cms_est_all"),
+      info(classOf[CmsEstAllExpr], "cms_est_all",
+        "cms_est_all(sketch, keys) - count-min estimates for an " +
+          "ARRAY<STRING> of keys with ONE sketch decode, per row"),
+      {
+        case Seq(sk, keys) => CmsEstAllExpr(sk, keys)
+        case args => throw new IllegalArgumentException(
+          s"cms_est_all expects 2 arguments, got ${args.length}")
+      }),
+    (FunctionIdentifier("dds_quantiles"),
+      info(classOf[DdsQuantilesExpr], "dds_quantiles",
+        "dds_quantiles(sketch, array(q1, q2, ...)) - multiple quantile " +
+          "estimates off stored DDSketch bytes with ONE decode, per row"),
+      {
+        case Seq(c, qs) => DdsQuantilesExpr(c, qs)
+        case args => throw new IllegalArgumentException(
+          s"dds_quantiles expects 2 arguments, got ${args.length}")
+      }),
     (FunctionIdentifier("dds_quantile_of"),
       info(classOf[DdsQuantileOfExpr], "dds_quantile_of",
         "dds_quantile_of(sketch, q) - q-quantile estimate as a per-row scalar " +

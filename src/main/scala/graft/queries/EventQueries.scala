@@ -1132,7 +1132,10 @@ object EventQueries {
       .select($"event_type",
         D.dds_quantile_of($"msk", 0.5).as("p50_est"),
         D.dds_quantile_of($"msk", 0.95).as("p95_est"),
-        D.dds_quantile_of($"msk", 0.99).as("p99_est"))
+        D.dds_quantile_of($"msk", 0.99).as("p99_est"),
+        // r12 multi-probe read: one decode, three rank walks — pinned
+        // element-for-element to the single-q scalars off the SAME bytes
+        D.dds_quantiles($"msk", Seq(0.5, 0.95, 0.99)).as("multi_est"))
     val exact = base
       .select($"event_type", floor($"metric" * lit(1000000.0)).as("micros"))
       .groupBy($"event_type")
@@ -1149,7 +1152,9 @@ object EventQueries {
         $"p50_micros", $"p95_micros", $"p99_micros",
         ok($"p50_est", $"p50_micros").as("p50_ok"),
         ok($"p95_est", $"p95_micros").as("p95_ok"),
-        ok($"p99_est", $"p99_micros").as("p99_ok"))
+        ok($"p99_est", $"p99_micros").as("p99_ok"),
+        ($"multi_est" === array($"p50_est", $"p95_est", $"p99_est"))
+          .as("multi_ok"))
       .orderBy($"event_type")
   }
 
@@ -1170,7 +1175,7 @@ object EventQueries {
       |           THEN micros END) AS p95_micros,
       |  min(CASE WHEN rn = CAST(ceil(CAST(0.99 AS DECIMAL(8,6)) * n) AS BIGINT)
       |           THEN micros END) AS p99_micros,
-      |  TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+      |  TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok, TRUE AS multi_ok
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** AN34: cohort retention matrix — the canonical product-analytics

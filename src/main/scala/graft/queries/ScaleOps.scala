@@ -296,6 +296,44 @@ object ScaleOps {
       |SELECT w, n, est, est >= n AS lower_bounded
       |FROM est ORDER BY n DESC, w""".stripMargin
 
+  /** AN49: MULTI-KEY sketch probe — the fact-sized read pattern's fix
+    * (r11 verdict #4), gate-pinned: `cms_est` pays an O(sketch) decode
+    * per probed row (a dense page is 8,192 longs), so the natural
+    * 100 TB pattern — one stored sketch probed by MANY candidate keys —
+    * cost a decode per key. `cms_est_all(sk, array<string>)` decodes
+    * ONCE and probes k times; here the an44 corpus sketch is probed by
+    * the exact top-20 heavy hitters as a single canonical (ascending)
+    * key array, the (key, est) pairs zip-exploded back to rows, and
+    * the oracle replays every estimate EXACTLY with the an14/an44
+    * md5-probe SQL — same answers as 20 single-key reads, one decode.
+    * The ScaleStress multi-probe curve records the measured flatness
+    * in k (SCALING.md). */
+  val an49CmsProbeMulti: Q = (s, dir) => {
+    import s.implicits._
+    val C = graft.functions.Cms
+    val words = Tables.load(s, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+    val perSource = words.groupBy($"source").agg(C.cms_sketch($"w").as("sk"))
+    val merged = perSource.agg(C.cms_merge_sketch($"sk").as("sk"))
+    val top = words.groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w".asc).limit(20)
+    // the probe set as ONE canonical ascending array (bounded top-k)
+    val keys = top.agg(array_sort(collect_list($"w")).as("ws"))
+    keys.crossJoin(broadcast(merged))
+      .select($"ws", C.cms_est_all($"sk", $"ws").as("ests")) // ONE decode
+      .select(explode(arrays_zip($"ws", $"ests")).as("z"))
+      .select($"z.ws".as("w"), $"z.ests".as("est"))
+      .join(broadcast(top), "w")
+      .select($"w", $"n", $"est", ($"est" >= $"n").as("lower_bounded"))
+      .orderBy($"n".desc, $"w".asc)
+  }
+
+  /** Same answers as an44's per-key scalar reads — the oracle replays
+    * the cell arithmetic exactly; only the Spark-side decode count
+    * differs (1 vs 20). */
+  val an49CmsProbeMultiSql: String = an44CmsRollupSql
+
   /** J7: range join — every order joined to the overlapping price
     * bands containing its point, via bucket decomposition instead of
     * the BroadcastNestedLoopJoin Spark would pick for the naive
@@ -397,6 +435,7 @@ object ScaleOps {
     "s12_zorder_layout" -> s12ZorderLayout,
     "an14_cms_topk"     -> an14CmsTopk,
     "an44_cms_rollup"   -> an44CmsRollup,
+    "an49_cms_probe_multi" -> an49CmsProbeMulti,
     "j7_range_join"     -> j7RangeJoin,
     "j12_interval_join" -> j12IntervalJoin,
   )
@@ -409,6 +448,7 @@ object ScaleOps {
     "s12_zorder_layout" -> s12ZorderLayoutSql,
     "an14_cms_topk"     -> an14CmsTopkSql,
     "an44_cms_rollup"   -> an44CmsRollupSql,
+    "an49_cms_probe_multi" -> an49CmsProbeMultiSql,
     "j7_range_join"     -> j7RangeJoinSql,
     "j12_interval_join" -> j12IntervalJoinSql,
   )

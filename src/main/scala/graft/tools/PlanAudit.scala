@@ -83,7 +83,8 @@ object PlanAudit {
     "an37_dict_distinct" -> "Dictionary.encode = globalRowNumber over the DISTINCT key set: offsets window sees |partitions| one-row partials; + the one-row dict_id identity scalar",
     "an40_dict_append" -> "two globalRowNumber offsets windows (batch-1 dict + incremental NEW-key rank, both dictionary-cardinality) + one-row identity/audit/max-code/moved-count scalars",
     "an48_coded_dict_merge" -> "inherits an40's offsets windows and one-row identity/audit scalars (same two-generation encode path, coded sketch tier)",
-    "an44_cms_rollup" -> "one-row corpus-sketch merge (|sources| fixed-size 64 KiB sketches funnel to one row)")
+    "an44_cms_rollup" -> "one-row corpus-sketch merge (|sources| fixed-size 64 KiB sketches funnel to one row)",
+    "an49_cms_probe_multi" -> "an44's one-row corpus-sketch merge + the one-row top-20 key-array collect (both bounded by construction)")
 
   /** BroadcastNestedLoopJoin sites where the broadcast side is bounded
     * by construction (one-row scalars, fixed query fan-outs, k
@@ -123,7 +124,8 @@ object PlanAudit {
     "an40_dict_append" -> "one-row broadcast crossJoins only: encode's dict_id identity, encodeIncremental's audit (max-code + dup counters + lineage), the appended-block id, and the codes_frozen moved-count scalar",
     "an48_coded_dict_merge" -> "inherits an40's one-row identity/audit broadcast crossJoins (same two-generation encode path)",
     "an44_cms_rollup" -> "one-row broadcast corpus-sketch crossJoin against the exact top-20 keys",
-    "an47_kmv_jaccard" -> "inequality self-join of the |event-types|-row sketch relation (key-cardinality, never data-sized)")
+    "an47_kmv_jaccard" -> "inequality self-join of the |event-types|-row sketch relation (key-cardinality, never data-sized)",
+    "an49_cms_probe_multi" -> "one-row broadcast crossJoins: the corpus sketch against the one-row top-20 key array, then the bounded top-20 join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -780,6 +780,42 @@ object ScaleStress {
       }
     }
 
+    // probe (r12): the fact-sized sketch-READ pattern — one DENSE
+    // corpus CMS sketch (8,192-long page) probed by a fact relation.
+    // The single-key scalar pays one O(sketch) decode per (row × key),
+    // so k keys per row cost k decodes; cms_est_all decodes ONCE per
+    // row for all k. The curve must be ~flat in k for the multi form
+    // and ~linear for the per-key form — the measured crossover that
+    // justifies the array-input probes (r11 verdict #4).
+    if (sect("probe")) {
+      val skDf = spark.range(1000000L)
+        .select(concat(lit("w"), pmod(col("id"), lit(50000))).as("k"))
+        .agg(graft.functions.Cms.cms_sketch(col("k")).as("sk"))
+      val facts = spark.range(200000L)
+        .select(pmod(col("id"), lit(99991L)).as("fk")).cache()
+      facts.count()
+      Seq(1, 4, 16).foreach { k =>
+        val keyCols = (0 until k).map(j =>
+          concat(lit("w"), pmod(col("fk") + lit(j.toLong), lit(50000L))))
+        // force ALL k estimates through the count: a filter on a single
+        // output column would let column pruning drop the other k-1
+        // probes (and their decodes) from the plan entirely
+        time(s"probe cms_est x$k   n=200k") {
+          facts.crossJoin(broadcast(skDf))
+            .select(keyCols.map(c =>
+              graft.functions.Cms.cms_est(col("sk"), c)).reduce(_ + _).as("s"))
+            .filter(col("s") >= 0L)
+        }
+        time(s"probe cms_est_all k=$k n=200k") {
+          facts.crossJoin(broadcast(skDf))
+            .select(graft.functions.Cms.cms_est_all(col("sk"),
+              array(keyCols: _*)).as("es"))
+            .filter(expr("aggregate(es, 0L, (a, x) -> a + x)") >= 0L)
+        }
+      }
+      facts.unpersist(blocking = true)
+    }
+
     // dds (r11): the UNBOUNDED-domain quantile leg's scale claim —
     // per-group DDSketch INIT (bounded log-bucket state, map-side
     // partials) + one merged quantile, vs approx_percentile (Spark's

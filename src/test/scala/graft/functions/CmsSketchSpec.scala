@@ -135,4 +135,36 @@ class CmsSketchSpec extends AnyFunSuite {
     val exact = spark.sql("SELECT count(*) FROM cms_in WHERE w = 't0'").head().getLong(0)
     assert(exact === 7L && est >= exact)
   }
+
+  test("cms_est_all: one decode, k probes — element-for-element equal to cms_est (r12)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val keys = (0 until 12).map(i => s"t$i")
+    val sk = (1 to 500).map(i => s"t${i % 17}").toDF("w")
+      .agg(Cms.cms_sketch($"w").as("sk"))
+    // multi-probe vs k single probes off the same bytes, plus a null
+    // element (null estimate) and an absent key (collision floor >= 0)
+    val row = sk.select(
+      Cms.cms_est_all($"sk",
+        array(keys.map(lit(_)) :+ lit(null).cast("string") :+ lit("absent-key"): _*))
+        .as("multi"),
+      array(keys.map(k => Cms.cms_est($"sk", lit(k))): _*).as("single")).head()
+    val multi = row.getSeq[Any](0)
+    val single = row.getSeq[Long](1)
+    assert(multi.take(12) === single)
+    assert(multi(12) == null, "null key element must yield a null estimate")
+    assert(multi(13).asInstanceOf[Long] >= 0L)
+    // SQL registration
+    GraftFunctions.register(spark)
+    sk.createOrReplaceTempView("cms_sk_multi")
+    val viaSql = spark.sql(
+      "SELECT cms_est_all(sk, array('t0', 't1')) FROM cms_sk_multi")
+      .head().getSeq[Long](0)
+    assert(viaSql === single.take(2))
+    // analysis-time type check: non-array keys are rejected
+    val e = intercept[Exception] {
+      sk.select(Cms.cms_est_all($"sk", lit("t0"))).head()
+    }
+    assert(e.getMessage.contains("ARRAY"))
+  }
 }

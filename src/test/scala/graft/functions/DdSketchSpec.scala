@@ -136,6 +136,49 @@ class DdSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("dds_quantiles: one decode, k rank walks — element-for-element equal to dds_quantile_of (r12)") {
+    import spark.implicits._
+    val qs = Seq(0.0, 0.5, 0.95, 0.99, 1.0)
+    val sk = ((1 to 400).map(_.toDouble) ++ Seq(-7.5, 0.0)).toDF("v")
+      .agg(Dds.dds_sketch($"v", 0.01).as("sk"))
+    // run under CODEGEN_ONLY so a broken doGenCode (the referenced
+    // double[] constant) is a hard error, not a silent fallback
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val row = sk.select(
+        Dds.dds_quantiles($"sk", qs).as("multi"),
+        org.apache.spark.sql.functions.array(
+          qs.map(q => Dds.dds_quantile_of($"sk", q)): _*).as("single")).head()
+      assert(row.getSeq[Double](0) === row.getSeq[Double](1))
+      // empty sketch: null per element
+      val empty = Seq.empty[Double].toDF("v")
+        .agg(Dds.dds_sketch($"v", 0.01).as("sk"))
+        .select(Dds.dds_quantiles($"sk", Seq(0.5, 0.9))).head().getSeq[Any](0)
+      assert(empty === Seq(null, null))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    // SQL registration + analysis-time q range check
+    GraftFunctions.register(spark)
+    sk.createOrReplaceTempView("dds_sk_multi")
+    val viaSql = spark.sql(
+      "SELECT dds_quantiles(sk, array(0.5, 0.99)) FROM dds_sk_multi")
+      .head().getSeq[Double](0)
+    val direct = sk.select(Dds.dds_quantile_of($"sk", 0.5),
+      Dds.dds_quantile_of($"sk", 0.99)).head()
+    assert(viaSql === Seq(direct.getDouble(0), direct.getDouble(1)))
+    val e = intercept[Exception] {
+      spark.sql("SELECT dds_quantiles(sk, array(0.5, 1.5)) FROM dds_sk_multi")
+        .queryExecution.analyzed
+    }
+    assert(e.getMessage.contains("[0, 1]") || e.getMessage.contains("quantile"))
+  }
+
   test("analysis-time failures: bad alpha, bad q, mistyped inputs") {
     import spark.implicits._
     val df = Seq(1.0).toDF("v")
