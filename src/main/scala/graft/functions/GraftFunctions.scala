@@ -316,6 +316,24 @@ object GraftFunctions {
         case args => throw new IllegalArgumentException(
           s"kmv_intersect_estimate expects 2 arguments, got ${args.length}")
       }),
+    (FunctionIdentifier("kmv_union_estimate"),
+      info(classOf[KmvUnionEstimateExpr], "kmv_union_estimate",
+        "kmv_union_estimate(array<sketch>) - j-way union-cardinality " +
+          "estimate off same-k kmv sketches, per row"),
+      {
+        case Seq(c) => KmvUnionEstimateExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"kmv_union_estimate expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("kmv_intersect_all_estimate"),
+      info(classOf[KmvIntersectAllEstimateExpr], "kmv_intersect_all_estimate",
+        "kmv_intersect_all_estimate(array<sketch>) - j-way " +
+          "intersection-cardinality estimate off same-k kmv sketches, per row"),
+      {
+        case Seq(c) => KmvIntersectAllEstimateExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"kmv_intersect_all_estimate expects 1 argument, got ${args.length}")
+      }),
     (FunctionIdentifier("dds_sketch"),
       info(classOf[DdsSketchExpr], "dds_sketch",
         "dds_sketch(value, alpha) - mergeable relative-error quantile sketch " +

@@ -265,6 +265,74 @@ object Kmv {
       .longValueExact()
   }
 
+  /** K-WAY generalization of [[setOps]] (Beyer SIGMOD 2007 §4 holds
+    * for any number of sets): from j ≥ 1 same-k sketches, the bottom-k
+    * union sample L over ALL of them, `m` = entries of L present in
+    * EVERY input sample, kL = |L|, and the pinned union estimate off
+    * L. k=0 empty-unset members contribute nothing to the union and
+    * ANNIHILATE the intersection (the empty-SET identity the binary
+    * form honors); mixed k fails loudly. Everything stays sample
+    * membership + integer arithmetic over the md5-prefix hash, so the
+    * oracle replays all three numbers bit-for-bit. */
+  private[functions] def setOpsAll(states: Array[State], fn: String): (Long, Long, Long) = {
+    require(states.nonEmpty, s"$fn: at least one sketch required")
+    val live = states.filter(_.k != 0)
+    if (live.isEmpty) return (0L, 0L, 0L)
+    val l = new State(0)
+    var i = 0
+    while (i < live.length) { l.mergeFrom(live(i), fn); i += 1 }
+    var m = 0L
+    if (live.length == states.length) { // an empty-SET member ⇒ m = 0
+      val it = l.set.iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        var all = true
+        var j = 0
+        while (all && j < live.length) { all = live(j).set.contains(e); j += 1 }
+        if (all) m += 1L
+      }
+    }
+    (m, l.set.size().toLong, estimate(l))
+  }
+
+  private def statesFromArray(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      fn: String): Array[State] = {
+    val n = a.numElements()
+    require(n > 0, s"$fn: empty sketch array")
+    val out = new Array[State](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null // null element → null result (outer-join friendly)
+      out(i) = deserialize(a.getBinary(i))
+      i += 1
+    }
+    out
+  }
+
+  /** |A₁ ∪ … ∪ Aⱼ| estimate off an array of same-k sketches — shared
+    * by eval and generated code; null on a null element. */
+  def unionEstimateAll(a: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
+    val states = statesFromArray(a, "kmv_union_estimate")
+    if (states == null) null
+    else setOpsAll(states, "kmv_union_estimate")._3
+  }
+
+  /** |A₁ ∩ … ∩ Aⱼ| estimate (m · U / kL) off an array of same-k
+    * sketches — exact whenever the union sample is exact; null on a
+    * null element. */
+  def intersectEstimateAll(a: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
+    val states = statesFromArray(a, "kmv_intersect_all_estimate")
+    if (states == null) null
+    else {
+      val (m, kL, u) = setOpsAll(states, "kmv_intersect_all_estimate")
+      if (kL == 0L) 0L
+      else java.math.BigInteger.valueOf(m)
+        .multiply(java.math.BigInteger.valueOf(u))
+        .divide(java.math.BigInteger.valueOf(kL))
+        .longValueExact()
+    }
+  }
+
   private[functions] def extractK(e: Expression, fn: String): Int = e match {
     case f if f.foldable => f.eval() match {
       case i: Int => i
@@ -326,6 +394,64 @@ object Kmv {
   def kmv_intersect_estimate(a: Column, b: Column): Column =
     ColumnBridge.column(
       KmvIntersectEstimateExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `kmv_union_estimate($"sks")` — |A₁ ∪ … ∪ Aⱼ| estimate off an
+    * array<binary> of same-k sketches (j-way reach off the sketch
+    * table), per row. */
+  def kmv_union_estimate(c: Column): Column =
+    ColumnBridge.column(KmvUnionEstimateExpr(ColumnBridge.expression(c)))
+
+  /** `kmv_intersect_all_estimate($"sks")` — |A₁ ∩ … ∩ Aⱼ| estimate
+    * off an array<binary> of same-k sketches (j-way overlap), per
+    * row. */
+  def kmv_intersect_all_estimate(c: Column): Column =
+    ColumnBridge.column(KmvIntersectAllEstimateExpr(ColumnBridge.expression(c)))
+}
+
+/** Shared shell for the j-way array-input scalars: array<binary> in,
+  * nullable BIGINT out, real codegen via a static helper (the
+  * DdsQuantileOf Object-result pattern — null propagates through the
+  * generated path too). */
+private[functions] sealed trait KmvArrayScalar extends UnaryExpression {
+  /** Fully-qualified static helper the generated code calls. */
+  def helper: String
+  def evalHelper(a: org.apache.spark.sql.catalyst.util.ArrayData): Any
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(BinaryType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an ARRAY<BINARY> of kmv sketches, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any =
+    evalHelper(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""Object ${ev.value}_r = $helper($a);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) ${ev.value}_r).longValue(); }
+         |""".stripMargin)
+}
+
+case class KmvUnionEstimateExpr(child: Expression) extends KmvArrayScalar {
+  override def prettyName: String = "kmv_union_estimate"
+  override def helper: String = "graft.functions.Kmv.unionEstimateAll"
+  override def evalHelper(a: org.apache.spark.sql.catalyst.util.ArrayData): Any =
+    Kmv.unionEstimateAll(a)
+  override protected def withNewChildInternal(newChild: Expression): KmvUnionEstimateExpr =
+    copy(child = newChild)
+}
+
+case class KmvIntersectAllEstimateExpr(child: Expression) extends KmvArrayScalar {
+  override def prettyName: String = "kmv_intersect_all_estimate"
+  override def helper: String = "graft.functions.Kmv.intersectEstimateAll"
+  override def evalHelper(a: org.apache.spark.sql.catalyst.util.ArrayData): Any =
+    Kmv.intersectEstimateAll(a)
+  override protected def withNewChildInternal(newChild: Expression): KmvIntersectAllEstimateExpr =
+    copy(child = newChild)
 }
 
 /** Scalar: Jaccard similarity (integer basis points) of two same-k

@@ -608,6 +608,72 @@ object EventQueries {
       |  CAST((m::HUGEINT * u_est::HUGEINT) // kl::HUGEINT AS BIGINT) AS est_inter
       |FROM est ORDER BY 1, 2""".stripMargin
 
+  /** AN50: K-WAY set operations off the KMV sketch table — an47's
+    * pairwise Beyer estimators generalized to ALL segments at once
+    * (r11 verdict optional item 7b): `kmv_union_estimate` /
+    * `kmv_intersect_all_estimate` take an ARRAY of same-k sketches
+    * and answer j-way reach ("distinct props across every event
+    * type") and j-way overlap ("props common to every type") from the
+    * |types|-row sketch relation — one row of sketch bytes in, two
+    * integers out, the facts never rescanned. The estimators stay
+    * sample membership + integer arithmetic over the md5-prefix hash
+    * (the j-way union sample L is the bottom-k of the union of
+    * bottom-k's; m counts L entries present in EVERY per-type
+    * sample), so the oracle replays both estimates BIT-FOR-BIT — the
+    * k-way question HLL answers only for unions and the bitmap only
+    * with a shared dictionary. */
+  val an50KmvKway: Q = (s, dir) => {
+    import s.implicits._
+    val K = graft.functions.Kmv
+    val sk = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"props".isNotNull)
+      .groupBy($"event_type")
+      .agg(K.kmv_sketch($"props", 64).as("sk"))
+    // ONE canonical row: the |types| sketches as a type-sorted array
+    sk.agg(sort_array(collect_list(struct($"event_type", $"sk"))).as("arr"))
+      .select(
+        size($"arr").cast("long").as("n_types"),
+        K.kmv_union_estimate(expr("transform(arr, x -> x.sk)")).as("est_union"),
+        K.kmv_intersect_all_estimate(expr("transform(arr, x -> x.sk)"))
+          .as("est_inter"))
+  }
+
+  val an50KmvKwaySql: String =
+    """WITH keys AS (
+      |  SELECT DISTINCT event_type, props AS k
+      |  FROM events WHERE ts IS NOT NULL AND props IS NOT NULL),
+      |h AS (
+      |  SELECT event_type, k,
+      |    ('0x' || substr(md5(k), 1, 15))::BIGINT AS h
+      |  FROM keys),
+      |s AS (
+      |  SELECT event_type, k, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h, k) AS rn
+      |  FROM h),
+      |sk AS (SELECT * FROM s WHERE rn <= 64),
+      |nt AS (SELECT count(DISTINCT event_type) AS n_types FROM keys),
+      |u0 AS (SELECT k, h FROM sk GROUP BY 1, 2),
+      |l AS (
+      |  SELECT k, h, row_number() OVER (ORDER BY h, k) AS rn
+      |  FROM u0),
+      |mm AS (
+      |  SELECT count(*) AS kl,
+      |    count(*) FILTER (WHERE
+      |      (SELECT count(DISTINCT x.event_type) FROM sk x WHERE x.k = l.k)
+      |        = (SELECT n_types FROM nt)) AS m,
+      |    max(CASE WHEN rn = 64 THEN h END) AS hk
+      |  FROM l WHERE rn <= 64),
+      |est AS (
+      |  SELECT kl, m,
+      |    CASE WHEN kl < 64 THEN kl
+      |      ELSE CAST((63::HUGEINT * 1152921504606846976::HUGEINT)
+      |           // greatest(hk, 1) AS BIGINT) END AS u_est
+      |  FROM mm)
+      |SELECT CAST((SELECT n_types FROM nt) AS BIGINT) AS n_types,
+      |  u_est AS est_union,
+      |  CAST((m::HUGEINT * u_est::HUGEINT) // kl::HUGEINT AS BIGINT) AS est_inter
+      |FROM est""".stripMargin
+
   /** AN36: the sketch roll-up over a SPARSE 64-bit key domain — the r9
     * algebra's one real capability cliff, closed. User ids are lifted
     * into snowflake-id territory (`uid * 2^21 + 2^33` — every key
@@ -2494,6 +2560,7 @@ object EventQueries {
     "an45_dds_quantiles" -> an45DdsQuantiles,
     "an46_bitmap_churn" -> an46BitmapChurn,
     "an47_kmv_jaccard" -> an47KmvJaccard,
+    "an50_kmv_kway" -> an50KmvKway,
     "an21_transitions" -> an21TransitionMatrix,
     "an22_type_overlap" -> an22TypeOverlap,
     "an23_robust_outliers" -> an23RobustOutliers,
@@ -2545,6 +2612,7 @@ object EventQueries {
     "an45_dds_quantiles" -> an45DdsQuantilesSql,
     "an46_bitmap_churn" -> an46BitmapChurnSql,
     "an47_kmv_jaccard" -> an47KmvJaccardSql,
+    "an50_kmv_kway" -> an50KmvKwaySql,
     "an21_transitions" -> an21TransitionMatrixSql,
     "an22_type_overlap" -> an22TypeOverlapSql,
     "an23_robust_outliers" -> an23RobustOutliersSql,

@@ -84,7 +84,8 @@ object PlanAudit {
     "an40_dict_append" -> "two globalRowNumber offsets windows (batch-1 dict + incremental NEW-key rank, both dictionary-cardinality) + one-row identity/audit/max-code/moved-count scalars",
     "an48_coded_dict_merge" -> "inherits an40's offsets windows and one-row identity/audit scalars (same two-generation encode path, coded sketch tier)",
     "an44_cms_rollup" -> "one-row corpus-sketch merge (|sources| fixed-size 64 KiB sketches funnel to one row)",
-    "an49_cms_probe_multi" -> "an44's one-row corpus-sketch merge + the one-row top-20 key-array collect (both bounded by construction)")
+    "an49_cms_probe_multi" -> "an44's one-row corpus-sketch merge + the one-row top-20 key-array collect (both bounded by construction)",
+    "an50_kmv_kway" -> "one-row |types| sketch-array collect (key-cardinality, fixed-k sketches — never data-sized)")
 
   /** BroadcastNestedLoopJoin sites where the broadcast side is bounded
     * by construction (one-row scalars, fixed query fan-outs, k

@@ -177,6 +177,68 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("canonical"))
   }
 
+  test("k-way set ops: exact below k, j=2 agrees with the binary forms, empty annihilates intersection (r12)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // three overlapping small sets (all < k=32 ⇒ union sample exact ⇒
+    // union AND intersection estimates are EXACT)
+    val rows = (1 to 40).map(i => ("a", s"k$i")) ++
+      (11 to 50).map(i => ("b", s"k$i")) ++
+      (21 to 60).map(i => ("c", s"k$i"))
+    val sk = rows.toDF("g", "k").groupBy($"g")
+      .agg(Kmv.kmv_sketch($"k", 128).as("sk"))
+    val arr3 = sk.agg(sort_array(collect_list(struct($"g", $"sk"))).as("a"))
+      .select(
+        Kmv.kmv_union_estimate(expr("transform(a, x -> x.sk)")).as("u"),
+        Kmv.kmv_intersect_all_estimate(expr("transform(a, x -> x.sk)")).as("i"))
+      .head()
+    assert(arr3.getLong(0) === 60L) // |k1..k60|
+    assert(arr3.getLong(1) === 20L) // |k21..k40|
+    // j=2 equals the binary estimator exactly
+    GraftFunctions.register(spark)
+    val two = sk.filter($"g" =!= "c")
+      .agg(sort_array(collect_list(struct($"g", $"sk"))).as("a"))
+      .select(
+        Kmv.kmv_intersect_all_estimate(expr("transform(a, x -> x.sk)")).as("i2"),
+        expr("kmv_intersect_estimate(a[0].sk, a[1].sk)").as("ib"))
+    val r2 = two.head()
+    assert(r2.getLong(0) === r2.getLong(1))
+    // an empty-unset (k=0) member: union unaffected, intersection 0
+    val empty = Seq.empty[(String, String)].toDF("g", "k")
+      .agg(Kmv.kmv_merge_sketch(lit(null).cast("binary")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val aBytes = sk.filter($"g" === "a").head().getAs[Array[Byte]]("sk")
+    val withEmpty = Seq((aBytes, empty)).toDF("sa", "se")
+      .select(
+        Kmv.kmv_union_estimate(array($"sa", $"se")).as("u"),
+        Kmv.kmv_intersect_all_estimate(array($"sa", $"se")).as("i"))
+      .head()
+    assert(withEmpty.getLong(0) === 40L && withEmpty.getLong(1) === 0L)
+    // null ELEMENT propagates null (outer-join friendly)
+    val withNull = Seq(Tuple1(aBytes)).toDF("sa")
+      .select(Kmv.kmv_union_estimate(
+        array($"sa", lit(null).cast("binary"))).as("u")).head()
+    assert(withNull.isNullAt(0))
+    // mixed k fails loudly
+    val sk8 = rows.toDF("g", "k").filter($"g" === "b").groupBy($"g")
+      .agg(Kmv.kmv_sketch($"k", 8).as("sk")).head().getAs[Array[Byte]]("sk")
+    val e = intercept[Exception] {
+      Seq((aBytes, sk8)).toDF("sa", "sb")
+        .select(Kmv.kmv_union_estimate(array($"sa", $"sb"))).head()
+    }
+    val m = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(m.contains("different k"))
+    // SQL registration round-trip
+    sk.createOrReplaceTempView("kmv_kway_sk")
+    val viaSql = spark.sql(
+      """SELECT kmv_union_estimate(transform(a, x -> x.sk)),
+        |  kmv_intersect_all_estimate(transform(a, x -> x.sk))
+        |FROM (SELECT sort_array(collect_list(struct(g, sk))) AS a
+        |      FROM kmv_kway_sk)""".stripMargin).head()
+    assert(viaSql.getLong(0) === 60L && viaSql.getLong(1) === 20L)
+  }
+
   test("hostile tiny k-th hash: estimate overflow fails as the house format error") {
     // k distinct KEYS sharing one tiny hash pass deserialize (canonical
     // order is on (hash, key) pairs), but (k-1)*2^60/h_k then exceeds
