@@ -69,7 +69,12 @@ object Bench {
     // unbounded continuous domain (value-cubed, 14 decades), the exact
     // bitmap set-difference (churn) leg, and the KMV cross-set
     // Jaccard/intersection estimator — all answered off sketch tables
-    "an45_dds_quantiles", "an46_bitmap_churn", "an47_kmv_jaccard")
+    "an45_dds_quantiles", "an46_bitmap_churn", "an47_kmv_jaccard",
+    // r12: the dictionary-identity coded-sketch lifecycle (two
+    // generations -> stored coded tier -> lineage-checked read), the
+    // multi-key CMS probe (one decode for the top-20 key array), and
+    // the KMV k-way union/overlap off the sketch-array row
+    "an48_coded_dict_merge", "an49_cms_probe_multi", "an50_kmv_kway")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —
