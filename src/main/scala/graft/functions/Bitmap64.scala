@@ -207,7 +207,10 @@ object Bitmap64 {
     * tag exists to stop. */
   private[functions] def deserializeTagged(bytes: Array[Byte]): (java.lang.Long, Bitmap64) = {
     val buf = ByteBuffer.wrap(bytes)
-    require(buf.remaining() >= 7 && buf.get() == Magic,
+    // check magic + version BEFORE any length floor: a plain V1 EMPTY
+    // sketch is exactly 6 bytes, and it must hit the purpose-built
+    // plain-bytes-in-a-coded-merge message, not a bogus "bad magic"
+    require(buf.remaining() >= 2 && buf.get() == Magic,
       "bitmap_coded: not a graft sketch (bad magic)")
     val v = buf.get()
     require(v == VersionTagged,
@@ -215,6 +218,7 @@ object Bitmap64 {
         "bitmap_coded: plain bitmap_sketch bytes in a coded merge - build " +
           "the tier with bitmap_sketch_coded so the dict_id travels with the bits"
       else s"bitmap_coded: unsupported sketch version $v")
+    require(buf.remaining() >= 1, "bitmap_coded: truncated sketch header")
     val hasId = buf.get()
     require(hasId == 0 || hasId == 1, s"bitmap_coded: bad id flag $hasId")
     val id: java.lang.Long =
@@ -252,22 +256,44 @@ object Bitmap64 {
 
   private def readContainer(buf: ByteBuffer): Container = buf.get() match {
     case KindArray =>
+      require(buf.remaining() >= 4, "Bitmap64: truncated array container")
       val n = buf.getInt()
       require(n >= 0 && n <= ArrayMax, s"Bitmap64: bad array container size $n")
       require(buf.remaining() >= 2 * n, "Bitmap64: truncated array container")
       val vs = new Array[Char](n)
       var i = 0
-      while (i < n) { vs(i) = buf.getChar(); i += 1 }
+      var prev = -1
+      while (i < n) {
+        vs(i) = buf.getChar()
+        // canonical form is strictly ascending; an unsorted hostile
+        // array would silently break andCard's two-pointer walk and
+        // the binarySearch contains/add paths
+        require(vs(i).toInt > prev, s"Bitmap64: array container not canonical")
+        prev = vs(i).toInt
+        i += 1
+      }
       new ArrayContainer(vs, n)
     case KindBitmap =>
+      require(buf.remaining() >= 4, "Bitmap64: truncated bitmap container")
       val card = buf.getInt()
       require(buf.remaining() >= 8 * BitmapWords,
         "Bitmap64: truncated bitmap container")
       val words = new Array[Long](BitmapWords)
       var i = 0
-      while (i < BitmapWords) { words(i) = buf.getLong(); i += 1 }
-      new BitmapContainer(words, card)
+      var n = 0
+      while (i < BitmapWords) {
+        words(i) = buf.getLong()
+        n += java.lang.Long.bitCount(words(i))
+        i += 1
+      }
+      // the stored cardinality must MATCH the bits: `cardinality` reads
+      // it directly (a lying card = silent miscount) and re-serialize
+      // sizes encodings from it (a low card = BufferOverflow mid-write)
+      require(card == n,
+        s"Bitmap64: bitmap container cardinality $card does not match its $n set bits")
+      new BitmapContainer(words, n)
     case KindRun =>
+      require(buf.remaining() >= 4, "Bitmap64: truncated run container")
       // runs expand to the in-memory kind their cardinality dictates —
       // RUN is a wire format only, the add/or/andCard hot paths never
       // see a third kind

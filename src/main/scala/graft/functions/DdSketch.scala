@@ -105,17 +105,32 @@ object Dds {
     StrictMath.ceil(StrictMath.log(v) / lnGamma).toInt
 
   /** Bucket i's midpoint-in-log-space estimate `2·gamma^i/(gamma+1)` —
-    * within alpha of every value in `(gamma^(i-1), gamma^i]`. Top-range
-    * bucket indexes (reachable only through hostile bytes — `index` of
-    * any finite double stays in range) overflow `pow` to Infinity;
-    * that would escape as a silent ±Infinity "quantile" despite the
-    * documented fail-loud non-finite contract, so reject it here. */
+    * within alpha of every value in `(gamma^(i-1), gamma^i]`. The
+    * sub-1 factor `2/(gamma+1)` is applied FIRST so a merely-large
+    * bucket never overflows through the `2·gamma^i` intermediate
+    * (review-caught r12: the naive order threw on sketches the engine
+    * itself built from values ≥ ~9e307). Two residual regimes at the
+    * very top of the double range:
+    *  - buckets up to `index(Double.MaxValue)` are reachable from
+    *    LEGAL inputs, but the top bucket's true midpoint
+    *    (≈ v·(1+alpha)) can itself exceed Double.MaxValue — the
+    *    estimate SATURATES at Double.MaxValue there (relative error
+    *    ≤ gamma−1 ≈ 2·alpha for that single bucket instead of alpha;
+    *    finite, deterministic, order-preserving);
+    *  - indexes PAST the last finite-double bucket are reachable only
+    *    through hostile bytes and stay FAIL-LOUD rather than escaping
+    *    as a ±Infinity "quantile". */
   def estimate(i: Int, alpha: Double): Double = {
     val g = gamma(alpha)
-    val r = 2.0 * StrictMath.pow(g, i) / (g + 1.0)
-    require(!java.lang.Double.isInfinite(r),
-      s"dds: estimate overflows double at bucket $i - not a graft sketch")
-    r
+    val direct = 2.0 / (g + 1.0) * StrictMath.pow(g, i)
+    if (!java.lang.Double.isInfinite(direct)) direct
+    else {
+      val iMax = StrictMath.ceil(
+        StrictMath.log(Double.MaxValue) / StrictMath.log(g)).toInt
+      require(i <= iMax,
+        s"dds: estimate overflows double at bucket $i - not a graft sketch")
+      Double.MaxValue
+    }
   }
 
   /** Checked count addition: a hostile-but-structurally-valid sketch

@@ -1662,34 +1662,35 @@ object EventQueries {
       |FROM events e JOIN dim d ON e.event_type = d.event_type
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
-  /** E19: STREAMING exact distinct users per day —
-    * [[graft.streaming.Streams.dailyDistinctStream]], the an33 bitmap
-    * sketch as flatMapGroupsWithState state: per-day bitmaps OR-update
-    * each micro-batch and flush once the watermark passes the day
-    * (state bounded by the watermark horizon, never the stream
-    * length; no count-distinct Expand anywhere). The e4 harness: file
-    * replay, epoch shift at DAY granularity (a day multiple, so day
-    * indexes translate exactly), two far-future sentinels to flush
-    * every real day, memory sink. Rows with null ts/user/value are
-    * excluded on both engines (the `Dataset[Event]` encoder contract —
-    * primitive fields reject nulls by design). Oracle = batch
-    * count(DISTINCT) per day: equality proves streaming ≡ batch. */
-  val e19StreamDailyDistinct: Q = (s, dir) => {
+  /** THE shared daily-tier streaming-gate harness (r12, review-driven —
+    * e19/e21/e22/e23/e24 carried five hand-copied 30-line twins of
+    * this, the same hazard the generic
+    * [[graft.streaming.Streams.dailyTierStream]] removed one layer
+    * down): stage the batch as a file-replay source with the
+    * DAY-granularity epoch shift (a day multiple, so day indexes
+    * translate exactly), run `producer`'s stream into a memory sink,
+    * advance the watermark with two far-future sentinel rows (the
+    * first moves event time past 2100-01-01, the second batch fires
+    * the day timeouts), stop + clean up, and return (the sink table,
+    * the day offset to subtract on the way out). A harness change —
+    * sentinel timestamps, drain ordering, cleanup — now lives in
+    * exactly one place. */
+  private def runDailyStreamGate(s: SparkSession,
+      ev: org.apache.spark.sql.DataFrame, prefix: String, queryName: String)(
+      producer: org.apache.spark.sql.Dataset[graft.streaming.Streams.Event] =>
+        org.apache.spark.sql.Dataset[_])
+      : (org.apache.spark.sql.DataFrame, Long) = {
     import s.implicits._
     import graft.streaming.Streams
-    val ev = Tables.load(s, dir, "events")
-      .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull)
-      .select($"user_id", $"ts", $"value")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-e19").toString
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
     val off = Streams.stageWithEpochShift(ev, "ts", tmp,
       granularitySeconds = 86400L)
-    val offDays = off / (86400L * 1000000L)
     val stream = Streams.shiftTs(
       s.readStream.schema(ev.schema).parquet(tmp), "ts", off).as[Streams.Event]
-    val q = Streams.dailyDistinctStream(stream)
+    val q = producer(stream)
       .writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .format("memory").queryName("e19_daily").start()
+      .format("memory").queryName(queryName).start()
     def sentinel(sec: Long): Unit =
       Seq((-1L, new java.sql.Timestamp(sec * 1000L), 0.0))
         .toDF("user_id", "ts", "value")
@@ -1704,7 +1705,27 @@ object EventQueries {
       q.stop()
       graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
     }
-    s.table("e19_daily").filter($"distinct_users" > 0)
+    (s.table(queryName), off / (86400L * 1000000L))
+  }
+
+  /** E19: STREAMING exact distinct users per day —
+    * [[graft.streaming.Streams.dailyDistinctStream]], the an33 bitmap
+    * sketch as flatMapGroupsWithState state: per-day bitmaps OR-update
+    * each micro-batch and flush once the watermark passes the day
+    * (state bounded by the watermark horizon, never the stream
+    * length; no count-distinct Expand anywhere). Rows with null
+    * ts/user/value are excluded on both engines (the `Dataset[Event]`
+    * encoder contract — primitive fields reject nulls by design).
+    * Oracle = batch count(DISTINCT) per day: equality proves
+    * streaming ≡ batch. */
+  val e19StreamDailyDistinct: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull)
+      .select($"user_id", $"ts", $"value")
+    val (streamed, offDays) = runDailyStreamGate(s, ev, "graft-e19", "e19_daily")(
+      graft.streaming.Streams.dailyDistinctStream(_))
+    streamed.filter($"distinct_users" > 0)
       .select(expr(s"date_add(DATE '1970-01-01', CAST(day - $offDays AS INT))")
         .as("day"), $"distinct_users")
       .orderBy($"day")
@@ -1734,39 +1755,15 @@ object EventQueries {
     * memory sink) drives the stream. */
   val e21StreamSketchParity: Q = (s, dir) => {
     import s.implicits._
-    import graft.streaming.Streams
     val B = graft.functions.BitmapDistinct
     val dayUs = 86400L * 1000000L
     val ev = Tables.load(s, dir, "events")
       .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull &&
         $"user_id" >= 0L) // negative ids are the e-family's sentinel space
       .select($"user_id", $"ts", $"value")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-e21").toString
-    val off = Streams.stageWithEpochShift(ev, "ts", tmp,
-      granularitySeconds = 86400L)
-    val offDays = off / dayUs
-    val stream = Streams.shiftTs(
-      s.readStream.schema(ev.schema).parquet(tmp), "ts", off).as[Streams.Event]
-    val q = Streams.dailySketchStream(stream)
-      .writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .format("memory").queryName("e21_sketches").start()
-    def sentinel(sec: Long): Unit =
-      Seq((-1L, new java.sql.Timestamp(sec * 1000L), 0.0))
-        .toDF("user_id", "ts", "value")
-        .write.mode("append").parquet(tmp)
-    try {
-      q.processAllAvailable()
-      sentinel(4102444800L) // 2100-01-01 advances the watermark
-      q.processAllAvailable()
-      sentinel(4102444860L) // second batch fires the timeouts
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
-    }
-    val streamed = s.table("e21_sketches")
-      .select(($"day" - offDays).as("day"), $"sketch")
+    val (table, offDays) = runDailyStreamGate(s, ev, "graft-e21", "e21_sketches")(
+      graft.streaming.Streams.dailySketchStream(_))
+    val streamed = table.select(($"day" - offDays).as("day"), $"sketch")
     // the batch backfill tier: same floorDiv day key (exact pmod form)
     val batch = ev
       .withColumn("us", expr("unix_micros(ts)"))
@@ -1809,7 +1806,6 @@ object EventQueries {
     * memory sink. */
   val e22StreamDdsParity: Q = (s, dir) => {
     import s.implicits._
-    import graft.streaming.Streams
     val D = graft.functions.Dds
     val V = graft.functions.Vhist
     val alpha = 0.01
@@ -1818,32 +1814,9 @@ object EventQueries {
       .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull &&
         $"user_id" >= 0L) // negative ids are the e-family's sentinel space
       .select($"user_id", $"ts", $"value")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-e22").toString
-    val off = Streams.stageWithEpochShift(ev, "ts", tmp,
-      granularitySeconds = 86400L)
-    val offDays = off / dayUs
-    val stream = Streams.shiftTs(
-      s.readStream.schema(ev.schema).parquet(tmp), "ts", off).as[Streams.Event]
-    val q = Streams.dailyValueSketchStream(stream, alpha)
-      .writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .format("memory").queryName("e22_sketches").start()
-    def sentinel(sec: Long): Unit =
-      Seq((-1L, new java.sql.Timestamp(sec * 1000L), 0.0))
-        .toDF("user_id", "ts", "value")
-        .write.mode("append").parquet(tmp)
-    try {
-      q.processAllAvailable()
-      sentinel(4102444800L) // 2100-01-01 advances the watermark
-      q.processAllAvailable()
-      sentinel(4102444860L) // second batch fires the timeouts
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
-    }
-    val streamed = s.table("e22_sketches")
-      .select(($"day" - offDays).as("day"), $"sketch")
+    val (table, offDays) = runDailyStreamGate(s, ev, "graft-e22", "e22_sketches")(
+      graft.streaming.Streams.dailyValueSketchStream(_, alpha))
+    val streamed = table.select(($"day" - offDays).as("day"), $"sketch")
     // the batch backfill tier + the exact anchors, one scan
     val batch = ev
       .withColumn("us", expr("unix_micros(ts)"))
@@ -1897,39 +1870,15 @@ object EventQueries {
     * far-future sentinels, memory sink. */
   val e23StreamHllParity: Q = (s, dir) => {
     import s.implicits._
-    import graft.streaming.Streams
     val H = graft.functions.Hll
     val dayUs = 86400L * 1000000L
     val ev = Tables.load(s, dir, "events")
       .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull &&
         $"user_id" >= 0L) // negative ids are the e-family's sentinel space
       .select($"user_id", $"ts", $"value")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-e23").toString
-    val off = Streams.stageWithEpochShift(ev, "ts", tmp,
-      granularitySeconds = 86400L)
-    val offDays = off / dayUs
-    val stream = Streams.shiftTs(
-      s.readStream.schema(ev.schema).parquet(tmp), "ts", off).as[Streams.Event]
-    val q = Streams.dailyHllSketchStream(stream)
-      .writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .format("memory").queryName("e23_sketches").start()
-    def sentinel(sec: Long): Unit =
-      Seq((-1L, new java.sql.Timestamp(sec * 1000L), 0.0))
-        .toDF("user_id", "ts", "value")
-        .write.mode("append").parquet(tmp)
-    try {
-      q.processAllAvailable()
-      sentinel(4102444800L) // 2100-01-01 advances the watermark
-      q.processAllAvailable()
-      sentinel(4102444860L) // second batch fires the timeouts
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
-    }
-    val streamed = s.table("e23_sketches")
-      .select(($"day" - offDays).as("day"), $"sketch")
+    val (table, offDays) = runDailyStreamGate(s, ev, "graft-e23", "e23_sketches")(
+      graft.streaming.Streams.dailyHllSketchStream(_))
+    val streamed = table.select(($"day" - offDays).as("day"), $"sketch")
     val batch = ev
       .withColumn("us", expr("unix_micros(ts)"))
       .groupBy((($"us" - pmod($"us", lit(dayUs))) / lit(dayUs))
@@ -1973,39 +1922,15 @@ object EventQueries {
     * just bounds). */
   val e24StreamVhistParity: Q = (s, dir) => {
     import s.implicits._
-    import graft.streaming.Streams
     val V = graft.functions.Vhist
     val dayUs = 86400L * 1000000L
     val ev = Tables.load(s, dir, "events")
       .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull &&
         $"user_id" >= 0L) // negative ids are the e-family's sentinel space
       .select($"user_id", $"ts", $"value")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-e24").toString
-    val off = Streams.stageWithEpochShift(ev, "ts", tmp,
-      granularitySeconds = 86400L)
-    val offDays = off / dayUs
-    val stream = Streams.shiftTs(
-      s.readStream.schema(ev.schema).parquet(tmp), "ts", off).as[Streams.Event]
-    val q = Streams.dailyVhistSketchStream(stream)
-      .writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .format("memory").queryName("e24_sketches").start()
-    def sentinel(sec: Long): Unit =
-      Seq((-1L, new java.sql.Timestamp(sec * 1000L), 0.0))
-        .toDF("user_id", "ts", "value")
-        .write.mode("append").parquet(tmp)
-    try {
-      q.processAllAvailable()
-      sentinel(4102444800L) // 2100-01-01 advances the watermark
-      q.processAllAvailable()
-      sentinel(4102444860L) // second batch fires the timeouts
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      graft.etl.Writers.deleteRecursively(new java.io.File(tmp))
-    }
-    val streamed = s.table("e24_sketches")
-      .select(($"day" - offDays).as("day"), $"sketch")
+    val (table, offDays) = runDailyStreamGate(s, ev, "graft-e24", "e24_sketches")(
+      graft.streaming.Streams.dailyVhistSketchStream(_))
+    val streamed = table.select(($"day" - offDays).as("day"), $"sketch")
     val batch = ev
       .withColumn("us", expr("unix_micros(ts)"))
       .groupBy((($"us" - pmod($"us", lit(dayUs))) / lit(dayUs))

@@ -149,6 +149,49 @@ class Bitmap64Spec extends AnyFunSuite {
     assert(e.getMessage.contains("magic"))
   }
 
+  test("hostile container payloads fail loudly: lying cardinality, unsorted array, truncation, trailing (r12)") {
+    // KindBitmap with card != popcount: `cardinality` reads the stored
+    // count directly (silent miscount) and re-serialize sizes encodings
+    // from it (BufferOverflow mid-write) — must die at deserialize
+    def denseBytes(card: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(6 + 8 + 1 + 4 + 8 * 1024)
+      buf.put(0x47.toByte).put(1.toByte).putInt(1) // magic, v1, 1 container
+      buf.putLong(0L).put(1.toByte).putInt(card)   // bucket 0, KindBitmap
+      var i = 0
+      while (i < 1024) { buf.putLong(-1L); i += 1 } // all 65536 bits set
+      buf.array()
+    }
+    assert(Bitmap64.deserialize(denseBytes(65536)).cardinality === 65536L)
+    val lie = intercept[IllegalArgumentException] {
+      Bitmap64.deserialize(denseBytes(3))
+    }
+    assert(lie.getMessage.contains("does not match"))
+    // unsorted array container: andCard's two-pointer walk and the
+    // binarySearch paths silently misbehave on it
+    val unsorted = {
+      val buf = java.nio.ByteBuffer.allocate(6 + 8 + 1 + 4 + 4)
+      buf.put(0x47.toByte).put(1.toByte).putInt(1)
+      buf.putLong(0L).put(0.toByte).putInt(2)
+      buf.putChar(9.toChar).putChar(3.toChar)
+      buf.array()
+    }
+    val order = intercept[IllegalArgumentException] {
+      Bitmap64.deserialize(unsorted)
+    }
+    assert(order.getMessage.contains("canonical"))
+    // truncation mid-container and trailing junk: the house loud
+    // format errors, never a raw BufferUnderflowException
+    val good = bm(Seq(5L, 900000L)).serialize()
+    val trunc = intercept[IllegalArgumentException] {
+      Bitmap64.deserialize(java.util.Arrays.copyOf(good, good.length - 1))
+    }
+    assert(trunc.getMessage.contains("truncated"))
+    val trail = intercept[IllegalArgumentException] {
+      Bitmap64.deserialize(java.util.Arrays.copyOf(good, good.length + 2))
+    }
+    assert(trail.getMessage.contains("trailing"))
+  }
+
   // ---- RUN containers (r11: serialized-only third kind) ----------------
 
   test("consecutive ranges serialize as runs: a full bucket costs bytes, not a page") {

@@ -148,6 +148,15 @@ class CodedBitmapSpec extends AnyFunSuite {
     val empty = new Bitmap64().serializeTagged(null)
     val (nid, nbm) = Bitmap64.deserializeTagged(empty)
     assert((nid eq null) && nbm.isEmpty)
+    // a plain V1 EMPTY sketch is exactly 6 bytes — it must hit the
+    // purpose-built plain-bytes-in-a-coded-merge message, not a bogus
+    // "bad magic" from a length floor (review-caught r12)
+    val plainEmpty = new Bitmap64().serialize()
+    assert(plainEmpty.length === 6)
+    val e4 = intercept[IllegalArgumentException] {
+      Bitmap64.deserializeTagged(plainEmpty)
+    }
+    assert(e4.getMessage.contains("plain bitmap_sketch bytes"))
   }
 
   test("SQL registration: the coded family works from plain SQL") {

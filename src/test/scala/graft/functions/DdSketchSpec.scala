@@ -313,5 +313,16 @@ class DdSketchSpec extends AnyFunSuite {
       Dds.quantile(Dds.deserialize(sketch(Seq(100000 -> 5L))), 0.99)
     }
     assert(inf.getMessage.contains("estimate overflows"))
+    // but LEGAL near-MaxValue inputs must NOT trip it (review-caught:
+    // the naive 2·gamma^i intermediate overflowed before the /(g+1)
+    // brought the estimate back into range) — the sub-1 factor applies
+    // first, so every finite input round-trips to a finite estimate
+    val huge = new Dds.DState(java.lang.Double.doubleToLongBits(0.01))
+    Dds.add(huge, Double.MaxValue)
+    Dds.add(huge, -Double.MaxValue)
+    val hi = Dds.quantile(huge, 1.0).asInstanceOf[Double]
+    val lo = Dds.quantile(huge, 0.0).asInstanceOf[Double]
+    assert(!hi.isInfinite && hi > 1e307, s"got $hi")
+    assert(!lo.isInfinite && lo < -1e307, s"got $lo")
   }
 }
