@@ -780,6 +780,40 @@ object ScaleStress {
       }
     }
 
+    // b64run (r12, verdict optional 7a): is an in-memory RUN container
+    // kind justified? RUN is wire-only — deserialize expands each run
+    // value-by-value into the array/bitmap kinds (a full bucket = 64k
+    // iterations + an 8 KiB page), so an or-heavy merge over
+    // run-friendly CONSECUTIVE ranges pays expansion per partial. The
+    // scattered control (every key its own container slot) isolates
+    // that cost: if consecutive ≈ scattered, the two-kind hot path is
+    // already fine and a third kind buys nothing worth its complexity.
+    if (sect("b64run")) {
+      val B = graft.functions.BitmapDistinct
+      Seq(64L, 512L).foreach { groups =>
+        val n = 4000000L
+        val block = n / groups
+        val facts = spark.range(n).select(
+          (col("id") / lit(block)).cast("long").as("g"), col("id").as("k"))
+          .cache()
+        facts.count()
+        time(s"b64run consec  groups=$groups n=4M") {
+          facts.groupBy(col("g"))
+            .agg(B.bitmap_sketch(col("k")).as("sk"))
+            .agg(B.bitmap_merge_count(col("sk")).as("c"))
+            .filter(col("c") > 0)
+        }
+        time(s"b64run scatter groups=$groups n=4M") {
+          facts.select(col("g"), (col("k") * 2097152L).as("k2"))
+            .groupBy(col("g"))
+            .agg(B.bitmap_sketch(col("k2")).as("sk"))
+            .agg(B.bitmap_merge_count(col("sk")).as("c"))
+            .filter(col("c") > 0)
+        }
+        facts.unpersist(blocking = true)
+      }
+    }
+
     // probe (r12): the fact-sized sketch-READ pattern — one DENSE
     // corpus CMS sketch (8,192-long page) probed by a fact relation.
     // The single-key scalar pays one O(sketch) decode per (row × key),
