@@ -100,6 +100,23 @@ final class Bitmap64 private (
 
   def isEmpty: Boolean = containers.isEmpty
 
+  /** Largest set key in UNSIGNED key order (the bucket order the
+    * serialization already walks), or null when the set is empty — the
+    * coded-tier audit's "max set bit" probe. Dictionary codes are
+    * dense non-negative longs, where unsigned max = max. Walks
+    * descending buckets and skips legally-deserialized empty
+    * containers. */
+  def maxKeyOrNull: java.lang.Long = {
+    val it = containers.descendingMap().entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.cardinality > 0)
+        return java.lang.Long.valueOf(
+          (e.getKey.longValue() << 16) | e.getValue.maxValue.toLong)
+    }
+    null
+  }
+
   /** Canonical bytes: ascending bucket order, each container in the
     * smallest of its run / array / bitmap encodings under a fixed
     * preference order ([[Bitmap64.Container.encodedBytes]]) — a pure
@@ -190,15 +207,16 @@ object Bitmap64 {
 
   def deserialize(bytes: Array[Byte]): Bitmap64 = {
     val buf = ByteBuffer.wrap(bytes)
-    require(buf.remaining() >= HeaderBytes && buf.get() == Magic,
-      "Bitmap64: not a graft sketch (bad magic)")
+    // length floor reported as truncation, not a bogus magic mismatch
+    require(buf.remaining() >= HeaderBytes, "Bitmap64: truncated sketch header")
+    require(buf.get() == Magic, "Bitmap64: not a graft sketch (bad magic)")
     val v = buf.get()
     require(v == Version,
       if (v == VersionTagged)
         "Bitmap64: dictionary-CODED sketch bytes in a plain bitmap read - " +
           "use the bitmap_*_coded family so the dict_id tag is reconciled"
       else s"Bitmap64: unsupported sketch version $v")
-    new Bitmap64(readContainers(buf))
+    new Bitmap64(readContainers(buf, "Bitmap64"))
   }
 
   /** Read V2 CODED bytes → (dict id | null when unset-empty, bitmap).
@@ -207,11 +225,13 @@ object Bitmap64 {
     * tag exists to stop. */
   private[functions] def deserializeTagged(bytes: Array[Byte]): (java.lang.Long, Bitmap64) = {
     val buf = ByteBuffer.wrap(bytes)
-    // check magic + version BEFORE any length floor: a plain V1 EMPTY
-    // sketch is exactly 6 bytes, and it must hit the purpose-built
+    // length floor FIRST and named as truncation (an input shorter than
+    // the 2-byte magic+version is truncated, not a magic mismatch); then
+    // magic + version BEFORE any further floor: a plain V1 EMPTY sketch
+    // is exactly 6 bytes, and it must hit the purpose-built
     // plain-bytes-in-a-coded-merge message, not a bogus "bad magic"
-    require(buf.remaining() >= 2 && buf.get() == Magic,
-      "bitmap_coded: not a graft sketch (bad magic)")
+    require(buf.remaining() >= 2, "bitmap_coded: truncated sketch header")
+    require(buf.get() == Magic, "bitmap_coded: not a graft sketch (bad magic)")
     val v = buf.get()
     require(v == VersionTagged,
       if (v == Version)
@@ -226,7 +246,7 @@ object Bitmap64 {
         require(buf.remaining() >= 12, "bitmap_coded: truncated sketch header")
         java.lang.Long.valueOf(buf.getLong())
       } else null
-    val bm = new Bitmap64(readContainers(buf))
+    val bm = new Bitmap64(readContainers(buf, "bitmap_coded"))
     // id-less bytes are the unset-partial sentinel and only ever
     // serialize EMPTY — hostile id-less bytes carrying containers would
     // slip past id reconciliation into any coded tier
@@ -237,29 +257,31 @@ object Bitmap64 {
 
   /** Shared container-block reader: `count, (bucket, container)…` with
     * per-entry truncation guards and trailing-bytes rejection (the
-    * kmv/dds canonical-bytes discipline). */
-  private def readContainers(buf: ByteBuffer): java.util.TreeMap[java.lang.Long, Container] = {
-    require(buf.remaining() >= 4, "Bitmap64: truncated sketch header")
+    * kmv/dds canonical-bytes discipline). `fn` prefixes every error so
+    * a truncated CODED sketch surfaces a coded-path-branded message,
+    * not a plain-bitmap one (review-caught r12). */
+  private def readContainers(buf: ByteBuffer, fn: String): java.util.TreeMap[java.lang.Long, Container] = {
+    require(buf.remaining() >= 4, s"$fn: truncated sketch header")
     val n = buf.getInt()
-    require(n >= 0, s"Bitmap64: bad container count $n")
+    require(n >= 0, s"$fn: bad container count $n")
     val m = new java.util.TreeMap[java.lang.Long, Container]()
     var i = 0
     while (i < n) {
-      require(buf.remaining() >= 9, "Bitmap64: truncated sketch entry")
+      require(buf.remaining() >= 9, s"$fn: truncated sketch entry")
       val hi = buf.getLong()
-      m.put(hi, readContainer(buf))
+      m.put(hi, readContainer(buf, fn))
       i += 1
     }
-    require(buf.remaining() == 0, "Bitmap64: trailing bytes after containers")
+    require(buf.remaining() == 0, s"$fn: trailing bytes after containers")
     m
   }
 
-  private def readContainer(buf: ByteBuffer): Container = buf.get() match {
+  private def readContainer(buf: ByteBuffer, fn: String): Container = buf.get() match {
     case KindArray =>
-      require(buf.remaining() >= 4, "Bitmap64: truncated array container")
+      require(buf.remaining() >= 4, s"$fn: truncated array container")
       val n = buf.getInt()
-      require(n >= 0 && n <= ArrayMax, s"Bitmap64: bad array container size $n")
-      require(buf.remaining() >= 2 * n, "Bitmap64: truncated array container")
+      require(n >= 0 && n <= ArrayMax, s"$fn: bad array container size $n")
+      require(buf.remaining() >= 2 * n, s"$fn: truncated array container")
       val vs = new Array[Char](n)
       var i = 0
       var prev = -1
@@ -268,16 +290,16 @@ object Bitmap64 {
         // canonical form is strictly ascending; an unsorted hostile
         // array would silently break andCard's two-pointer walk and
         // the binarySearch contains/add paths
-        require(vs(i).toInt > prev, s"Bitmap64: array container not canonical")
+        require(vs(i).toInt > prev, s"$fn: array container not canonical")
         prev = vs(i).toInt
         i += 1
       }
       new ArrayContainer(vs, n)
     case KindBitmap =>
-      require(buf.remaining() >= 4, "Bitmap64: truncated bitmap container")
+      require(buf.remaining() >= 4, s"$fn: truncated bitmap container")
       val card = buf.getInt()
       require(buf.remaining() >= 8 * BitmapWords,
-        "Bitmap64: truncated bitmap container")
+        s"$fn: truncated bitmap container")
       val words = new Array[Long](BitmapWords)
       var i = 0
       var n = 0
@@ -290,16 +312,16 @@ object Bitmap64 {
       // it directly (a lying card = silent miscount) and re-serialize
       // sizes encodings from it (a low card = BufferOverflow mid-write)
       require(card == n,
-        s"Bitmap64: bitmap container cardinality $card does not match its $n set bits")
+        s"$fn: bitmap container cardinality $card does not match its $n set bits")
       new BitmapContainer(words, n)
     case KindRun =>
-      require(buf.remaining() >= 4, "Bitmap64: truncated run container")
+      require(buf.remaining() >= 4, s"$fn: truncated run container")
       // runs expand to the in-memory kind their cardinality dictates —
       // RUN is a wire format only, the add/or/andCard hot paths never
       // see a third kind
       val r = buf.getInt()
-      require(r >= 0 && r <= 32768, s"Bitmap64: bad run count $r")
-      require(buf.remaining() >= 4 * r, "Bitmap64: truncated run container")
+      require(r >= 0 && r <= 32768, s"$fn: bad run count $r")
+      require(buf.remaining() >= 4 * r, s"$fn: truncated run container")
       val starts = new Array[Int](r)
       val lens = new Array[Int](r)
       var total = 0
@@ -310,8 +332,8 @@ object Bitmap64 {
         val len = buf.getChar().toInt + 1 // stored as length-1
         // canonical form: ascending, non-adjacent (adjacent runs would
         // be one run), in-range — reject anything else loudly
-        require(st > prevEnd + 1, s"Bitmap64: runs not canonical at start $st")
-        require(st + len <= 65536, s"Bitmap64: run past container end")
+        require(st > prevEnd + 1, s"$fn: runs not canonical at start $st")
+        require(st + len <= 65536, s"$fn: run past container end")
         starts(i) = st; lens(i) = len
         prevEnd = st + len - 1
         total += len
@@ -336,7 +358,7 @@ object Bitmap64 {
         }
         new BitmapContainer(words, total)
       }
-    case k => throw new IllegalArgumentException(s"Bitmap64: bad container kind $k")
+    case k => throw new IllegalArgumentException(s"$fn: bad container kind $k")
   }
 
   /** Exact |A \ B| without materializing the difference: the identity
@@ -380,6 +402,9 @@ object Bitmap64 {
     def runCount: Int
     /** Visit every set low-16 value in ascending order. */
     def foreachValue(f: Int => Unit): Unit
+    /** Largest set low-16 value; undefined when empty (callers guard
+      * on cardinality). */
+    def maxValue: Int
   }
 
   private[functions] object Container {
@@ -545,6 +570,8 @@ object Bitmap64 {
       var i = 0
       while (i < n) { f(values(i).toInt); i += 1 }
     }
+
+    def maxValue: Int = values(n - 1).toInt
   }
 
   private[functions] final class BitmapContainer(
@@ -606,6 +633,16 @@ object Bitmap64 {
         }
         w += 1
       }
+    }
+
+    def maxValue: Int = {
+      var w = BitmapWords - 1
+      while (w >= 0) {
+        if (words(w) != 0L)
+          return (w << 6) | (63 - java.lang.Long.numberOfLeadingZeros(words(w)))
+        w -= 1
+      }
+      -1 // unreachable for non-empty containers
     }
   }
 }

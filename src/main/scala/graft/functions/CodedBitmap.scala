@@ -86,6 +86,32 @@ object CodedBitmap {
     Bitmap64.andCardinality(bmL, bmR)
   }
 
+  /** Exact |A \ B| of two CODED sketches with id reconciliation (r13,
+    * verdict #6 — the day-over-day churn question for string-keyed
+    * domains): same lineage contract as [[andCount]]. Shared by eval
+    * and generated code. */
+  def andNotCount(l: Array[Byte], r: Array[Byte]): Long = {
+    val (idL, bmL) = Bitmap64.deserializeTagged(l)
+    val (idR, bmR) = Bitmap64.deserializeTagged(r)
+    require((idL eq null) || (idR eq null) || idL.longValue() == idR.longValue(),
+      s"bitmap_andnot_count_coded: sketches coded by different dictionaries " +
+        s"(dict_id $idL vs $idR) - their codes do not share a key mapping")
+    Bitmap64.andNotCardinality(bmL, bmR)
+  }
+
+  /** Largest set code of a CODED sketch (boxed; null when empty) — the
+    * [[graft.operators.Dictionary.auditCodedTier]] probe: a stored
+    * coded tier is in range iff max set code < |dictionary|. Shared by
+    * eval and generated code. */
+  def maxCode(bytes: Array[Byte]): Any =
+    Bitmap64.deserializeTagged(bytes)._2.maxKeyOrNull
+
+  /** The dictionary-lineage id embedded in CODED sketch bytes (boxed;
+    * null for the unset-empty sentinel) — lets SQL/DataFrame audits
+    * read the tag without a merge. Shared by eval and generated
+    * code. */
+  def dictId(bytes: Array[Byte]): Any = Bitmap64.deserializeTagged(bytes)._1
+
   // ---- Column API ----------------------------------------------------
 
   /** `coded.groupBy(grain).agg(bitmap_sketch_coded($"code", $"dict_id"))`
@@ -116,6 +142,23 @@ object CodedBitmap {
   def bitmap_and_count_coded(a: Column, b: Column): Column =
     ColumnBridge.column(
       CodedBitmapAndCountExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `bitmap_andnot_count_coded($"sk_a", $"sk_b")` — exact |A \ B| of
+    * two coded sketches, per row, lineage-checked (new/churned string
+    * keys from the coded sketch table). */
+  def bitmap_andnot_count_coded(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CodedBitmapAndNotCountExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `bitmap_max_code_coded($"sk")` — largest set code in the coded
+    * sketch (null when empty): the auditCodedTier range probe. */
+  def bitmap_max_code_coded(c: Column): Column =
+    ColumnBridge.column(CodedBitmapMaxCodeExpr(ColumnBridge.expression(c)))
+
+  /** `bitmap_dict_id_coded($"sk")` — the lineage id embedded in the
+    * coded sketch bytes (null for the unset-empty sentinel). */
+  def bitmap_dict_id_coded(c: Column): Column =
+    ColumnBridge.column(CodedBitmapDictIdExpr(ColumnBridge.expression(c)))
 }
 
 /** INIT: (code, dict_id) rows → serialized CODED sketch. Null codes
@@ -322,4 +365,83 @@ case class CodedBitmapAndCountExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CodedBitmapAndCountExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Scalar exact |A \ B| over two CODED sketches, lineage-checked per
+  * row — [[CodedBitmapAndCountExpr]]'s set-difference twin (the an46
+  * churn question for string-keyed domains). Null if either side is
+  * null. Real codegen via the shared static helper. */
+case class CodedBitmapAndNotCountExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_andnot_count_coded requires two BINARY coded sketches, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_andnot_count_coded"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    CodedBitmap.andNotCount(
+      l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CodedBitmap.andNotCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CodedBitmapAndNotCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Shared shell for the per-sketch CODED readers (max code / lineage
+  * id): binary in, nullable BIGINT out, real codegen via a static
+  * helper returning a boxed-or-null Object (the KmvArrayScalar
+  * pattern — null propagates through the generated path too). */
+private[functions] sealed trait CodedBitmapReader
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  /** Fully-qualified static helper the generated code calls. */
+  def helper: String
+  def evalHelper(bytes: Array[Byte]): Any
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY coded sketch, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any =
+    evalHelper(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""Object ${ev.value}_r = $helper($a);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) ${ev.value}_r).longValue(); }
+         |""".stripMargin)
+}
+
+case class CodedBitmapMaxCodeExpr(child: Expression) extends CodedBitmapReader {
+  override def prettyName: String = "bitmap_max_code_coded"
+  override def helper: String = "graft.functions.CodedBitmap.maxCode"
+  override def evalHelper(bytes: Array[Byte]): Any = CodedBitmap.maxCode(bytes)
+  override protected def withNewChildInternal(newChild: Expression): CodedBitmapMaxCodeExpr =
+    copy(child = newChild)
+}
+
+case class CodedBitmapDictIdExpr(child: Expression) extends CodedBitmapReader {
+  override def prettyName: String = "bitmap_dict_id_coded"
+  override def helper: String = "graft.functions.CodedBitmap.dictId"
+  override def evalHelper(bytes: Array[Byte]): Any = CodedBitmap.dictId(bytes)
+  override protected def withNewChildInternal(newChild: Expression): CodedBitmapDictIdExpr =
+    copy(child = newChild)
 }

@@ -116,22 +116,36 @@ object Dds {
     *    (≈ v·(1+alpha)) can itself exceed Double.MaxValue — the
     *    estimate SATURATES at Double.MaxValue there (relative error
     *    ≤ gamma−1 ≈ 2·alpha for that single bucket instead of alpha;
-    *    finite, deterministic, order-preserving);
+    *    finite, deterministic, order-preserving). NOTE the explicit
+    *    tie: two DISTINCT saturating top buckets both estimate
+    *    Double.MaxValue, so quantiles are NON-STRICTLY monotone in
+    *    that extreme corner (q1 < q2 can return equal estimates);
     *  - indexes PAST the last finite-double bucket are reachable only
     *    through hostile bytes and stay FAIL-LOUD rather than escaping
-    *    as a ±Infinity "quantile". */
+    *    as a ±Infinity "quantile".
+    * The overflow cutoff `iMax` depends only on gamma, so it is
+    * memoized per alpha instead of re-running log/ceil on every
+    * saturating call (review-caught r12). */
   def estimate(i: Int, alpha: Double): Double = {
     val g = gamma(alpha)
     val direct = 2.0 / (g + 1.0) * StrictMath.pow(g, i)
     if (!java.lang.Double.isInfinite(direct)) direct
     else {
-      val iMax = StrictMath.ceil(
-        StrictMath.log(Double.MaxValue) / StrictMath.log(g)).toInt
+      val iMax = iMaxCache.computeIfAbsent(
+        java.lang.Double.doubleToLongBits(alpha),
+        _ => StrictMath.ceil(
+          StrictMath.log(Double.MaxValue) / StrictMath.log(g)).toInt)
       require(i <= iMax,
         s"dds: estimate overflows double at bucket $i - not a graft sketch")
       Double.MaxValue
     }
   }
+
+  /** alphaBits → index(Double.MaxValue): one entry per distinct alpha a
+    * process ever sketches with (a handful), looked up only on the
+    * saturating-overflow path. */
+  private val iMaxCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
 
   /** Checked count addition: a hostile-but-structurally-valid sketch
     * carrying near-Long.MAX counts must fail loudly at the add, not

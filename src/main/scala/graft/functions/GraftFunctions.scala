@@ -149,6 +149,34 @@ object GraftFunctions {
         case args => throw new IllegalArgumentException(
           s"bitmap_and_count_coded expects 2 arguments, got ${args.length}")
       }),
+    (FunctionIdentifier("bitmap_andnot_count_coded"),
+      info(classOf[CodedBitmapAndNotCountExpr], "bitmap_andnot_count_coded",
+        "bitmap_andnot_count_coded(sk1, sk2) - exact set-difference " +
+          "cardinality |A \\ B| of two coded sketches, lineage-checked per " +
+          "row (new/churned string keys from the coded sketch table)"),
+      {
+        case Seq(a, b) => CodedBitmapAndNotCountExpr(a, b)
+        case args => throw new IllegalArgumentException(
+          s"bitmap_andnot_count_coded expects 2 arguments, got ${args.length}")
+      }),
+    (FunctionIdentifier("bitmap_max_code_coded"),
+      info(classOf[CodedBitmapMaxCodeExpr], "bitmap_max_code_coded",
+        "bitmap_max_code_coded(sketch) - largest set code in a coded sketch " +
+          "(null when empty); the dictionary-audit range probe"),
+      {
+        case Seq(c) => CodedBitmapMaxCodeExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"bitmap_max_code_coded expects 1 argument, got ${args.length}")
+      }),
+    (FunctionIdentifier("bitmap_dict_id_coded"),
+      info(classOf[CodedBitmapDictIdExpr], "bitmap_dict_id_coded",
+        "bitmap_dict_id_coded(sketch) - the dictionary-lineage id embedded " +
+          "in coded sketch bytes (null for the unset-empty sentinel)"),
+      {
+        case Seq(c) => CodedBitmapDictIdExpr(c)
+        case args => throw new IllegalArgumentException(
+          s"bitmap_dict_id_coded expects 1 argument, got ${args.length}")
+      }),
     (FunctionIdentifier("hll_merge_sketch"),
       info(classOf[HllMergeSketchExpr], "hll_merge_sketch",
         "hll_merge_sketch(sketch) - max-merge fine HLL sketches into a STORED " +

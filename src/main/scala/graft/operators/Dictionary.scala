@@ -73,9 +73,16 @@ object Dictionary {
     * [[IdCol]] → the coded merge throws). */
   def encode(df: DataFrame, keyCol: String, codeCol: String): (DataFrame, DataFrame) = {
     val keys = df.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
+    // PERSISTED (r13): a dictionary is a build-once-reuse-everywhere
+    // artifact by contract — callers join it onto facts, feed it to
+    // encodeIncremental, AND audit it, each reference re-running the
+    // distinct + two-phase rank without memoization. The cache entry is
+    // dictionary-sized (key universe, never facts) and lazy: no action
+    // here, storage populated on first evaluation.
     val dict = Ranking.globalRowNumber(keys, Seq(col(keyCol)), "__rn")
       .select(col(keyCol), (col("__rn") - 1L).as(codeCol))
       .crossJoin(broadcast(keySetId(keys, keyCol, IdCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (df.join(dict, keyCol), dict)
   }
 
@@ -133,16 +140,29 @@ object Dictionary {
       .join(frozen.select(col(keyCol)), Seq(keyCol), "left_anti")
     // 1-row audit over the FROZEN dict, broadcast like an40's
     // moved-count scalar: next free code, malformed-dict counters, and
-    // the lineage id — lazy, never a driver action here
+    // the lineage id — lazy, never a driver action here. PERSISTED
+    // (r13, verdict #4): the guard rides every code/id evaluation, so
+    // without memoization a REUSED extended dictionary re-ran this
+    // dictionary-sized aggregate (count + 3 countDistinct = an Expand
+    // ×4 over dict rows) on every downstream action — measured as
+    // an40's 0.78 → 1.56 s doubling. persist() keeps construction
+    // action-free (storage is populated on the FIRST evaluation, the
+    // fail-loud semantics unchanged) and later actions read the 1-row
+    // cached result. The cache entry is one row and lives for the
+    // session — the price of a per-action dictionary re-audit was
+    // dictionary-sized, this is constant.
     val audit = frozen.agg(
       coalesce(max(col(codeCol)) + lit(1L), lit(0L)).as("__base"),
       (count(lit(1)) - countDistinct(col(keyCol))).as("__kdup"),
       (count(lit(1)) - countDistinct(col(codeCol))).as("__cdup"),
       countDistinct(col(IdCol)).as("__nids"),
       max(col(IdCol)).as("__did"))
-    // malformed dictionaries raise on the first evaluated code — the
-    // guard rides the code column so ANY use of the extended dictionary
-    // or the coded facts trips it, with zero extra actions
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // malformed dictionaries raise on the first evaluated code OR
+    // dict_id — the guard rides BOTH columns, so any use that evaluates
+    // either (coded facts, identity-only reads) trips it with zero
+    // extra actions; only a use that prunes both (e.g. a bare key scan
+    // or count) passes un-audited
     def guarded(code: Column): Column =
       when(col("__kdup") > 0L, raise_error(lit(
         "encodeIncremental: malformed dictionary - duplicate keys would fan " +
@@ -155,14 +175,79 @@ object Dictionary {
             "(two lineages unioned)")).cast("long"))
         .otherwise(code)
     val frozenGuarded = frozen.crossJoin(broadcast(audit))
-      .select(col(keyCol), guarded(col(codeCol)).as(codeCol), col(IdCol))
+      .select(col(keyCol), guarded(col(codeCol)).as(codeCol),
+        guarded(col(IdCol)).as(IdCol))
+    // the new-keys identity hash is batch-distinct-sized and referenced
+    // per action like the audit — same memoization, same rationale
+    val newId = keySetId(newKeys, keyCol, "__nid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val appended = Ranking.globalRowNumber(newKeys, Seq(col(keyCol)), "__rn")
       .crossJoin(broadcast(audit))
-      .crossJoin(broadcast(keySetId(newKeys, keyCol, "__nid")))
+      .crossJoin(broadcast(newId))
       .select(col(keyCol),
         guarded(col("__base") + col("__rn") - 1L).as(codeCol),
-        coalesce(col("__did"), col("__nid")).as(IdCol))
+        guarded(coalesce(col("__did"), col("__nid"))).as(IdCol))
+    // same build-once contract as [[encode]]'s dict: the extended
+    // dictionary is joined onto facts, audited, and diffed against its
+    // parent by callers — memoize it whole (guard semantics unchanged:
+    // a malformed dict throws during the first materialization and the
+    // failed entry is never cached)
     val extended = frozenGuarded.unionByName(appended)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (df.join(extended, keyCol), extended)
+  }
+
+  /** DICT_AUDIT (r13): one-pass, dictionary-sized validation of a
+    * STORED coded-sketch table against the dictionary claimed to have
+    * coded it — the operational check for the documented SIBLING-FORK
+    * blind spot ([[graft.functions.CodedBitmap]] scaladoc: two sketches
+    * coded by sibling extensions of one lineage share a dict_id yet
+    * alias high codes, and nothing at merge time can see it). The
+    * audit reads per-sketch (max set code, embedded lineage id) — each
+    * a per-row scalar off the sketch BYTES
+    * ([[graft.functions.CodedBitmap.bitmap_max_code_coded]] /
+    * [[graft.functions.CodedBitmap.bitmap_dict_id_coded]]), no merge,
+    * no fact scan — and checks
+    *  (1) `codes_in_range`: max set code < |dict| — a sibling fork that
+    *      appended MORE keys than this dictionary is caught here;
+    *  (2) `ids_match`: every non-empty sketch carries exactly ONE
+    *      lineage id and it is this dictionary's — independent or
+    *      rebuilt dictionaries are caught here.
+    * Returns a 1-row report `(n_keys, max_code_seen, codes_in_range,
+    * n_sketch_ids, ids_match, ok)`; empty/unset sketches audit clean
+    * (they are the merge identity). Scale shape: one sketch-table
+    * aggregate over two per-row scalars + one dictionary-cardinality
+    * aggregate, crossJoined 1-row × 1-row.
+    *
+    * RESIDUAL blind spot, narrowed but not closed: a sibling whose
+    * appended codes all stay BELOW |dict| aliases silently — that case
+    * is undetectable from (id, code range) alone. Keep one stored
+    * lineage per key universe; run this audit before merging a stored
+    * tier with sketches coded by a dictionary you did not extend
+    * yourself. */
+  def auditCodedTier(dict: DataFrame, sketches: DataFrame,
+      sketchCol: String): DataFrame = {
+    require(dict.columns.contains(IdCol),
+      s"auditCodedTier: dictionary carries no $IdCol identity column - " +
+        "build it with Dictionary.encode")
+    val CB = graft.functions.CodedBitmap
+    val skStats = sketches.agg(
+      max(CB.bitmap_max_code_coded(col(sketchCol))).as("max_code_seen"),
+      countDistinct(CB.bitmap_dict_id_coded(col(sketchCol))).as("n_sketch_ids"),
+      max(CB.bitmap_dict_id_coded(col(sketchCol))).as("__sk_id"))
+    val dictStats = dict.agg(
+      count(lit(1)).as("n_keys"),
+      max(col(IdCol).cast("long")).as("__dict_id"))
+    dictStats.crossJoin(broadcast(skStats))
+      .select(
+        col("n_keys"), col("max_code_seen"),
+        coalesce(col("max_code_seen") < col("n_keys"), lit(true))
+          .as("codes_in_range"),
+        col("n_sketch_ids"),
+        (col("n_sketch_ids") === 0L ||
+          (col("n_sketch_ids") === 1L &&
+            coalesce(col("__sk_id") === col("__dict_id"), lit(false))))
+          .as("ids_match"))
+      .withColumn("ok", col("codes_in_range") && col("ids_match"))
   }
 }

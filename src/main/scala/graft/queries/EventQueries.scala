@@ -1682,6 +1682,14 @@ object EventQueries {
       : (org.apache.spark.sql.DataFrame, Long) = {
     import s.implicits._
     import graft.streaming.Streams
+    // the watermark sentinels appended below are shaped (user_id, ts,
+    // value) — a differently-shaped `ev` would append schema-mismatched
+    // parquet into the replay dir and fail obscurely mid-drain, so the
+    // contract is asserted here with a clear message (review-caught r12)
+    require(ev.columns.toSeq == Seq("user_id", "ts", "value"),
+      "runDailyStreamGate: staged events must be exactly (user_id, ts, " +
+        s"value) - the sentinel rows share the file-replay dir - got " +
+        s"[${ev.columns.mkString(", ")}]")
     val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
     val off = Streams.stageWithEpochShift(ev, "ts", tmp,
       granularitySeconds = 86400L)
@@ -1966,6 +1974,193 @@ object EventQueries {
       |           THEN cents END) AS p95_cents,
       |  TRUE AS bytes_equal
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** E25: STREAMING KMV-TIER PARITY — the SAMPLE leg's lambda
+    * equivalence through the generic producer
+    * ([[graft.streaming.Streams.dailyKmvSketchStream]]): per-day
+    * bottom-32 KMV sketches over user-id STRINGS flush when the
+    * watermark passes the day, `bytes_equal` oracle-pinned TRUE
+    * against a batch `kmv_sketch(cast(user_id as string), 32)`
+    * backfill (bottom-k of a union of bottom-k's = bottom-k of the
+    * union, and the (hash, key)-ordered serialization is canonical, so
+    * micro-batch arrival and state round-trips are invisible). The
+    * streamed bytes are READ back with `kmv_estimate` and the oracle
+    * replays the pinned estimate rule EXACTLY (the md5-prefix hash and
+    * the (k−1)·2^60/h_k HUGEINT arithmetic, the an43 SQL) — both
+    * regimes exercised across days as per-day distinct counts cross
+    * k = 32. e19/e21 harness: file replay, day-granularity epoch
+    * shift, far-future sentinels, memory sink. */
+  val e25StreamKmvParity: Q = (s, dir) => {
+    import s.implicits._
+    val K = graft.functions.Kmv
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull &&
+        $"user_id" >= 0L) // negative ids are the e-family's sentinel space
+      .select($"user_id", $"ts", $"value")
+    val (table, offDays) = runDailyStreamGate(s, ev, "graft-e25", "e25_sketches")(
+      graft.streaming.Streams.dailyKmvSketchStream(_, k = 32))
+    val streamed = table.select(($"day" - offDays).as("day"), $"sketch")
+    val batch = ev
+      .withColumn("us", expr("unix_micros(ts)"))
+      .groupBy((($"us" - pmod($"us", lit(dayUs))) / lit(dayUs))
+        .cast("long").as("day"))
+      .agg(K.kmv_sketch($"user_id".cast("string"), 32).as("bsk"),
+        countDistinct($"user_id").as("n_exact"))
+    streamed.join(batch, "day")
+      .select(
+        expr("date_add(DATE '1970-01-01', CAST(day AS INT))").as("day"),
+        $"n_exact",
+        K.kmv_estimate($"sketch").as("est_users"), // read the STREAMED bytes
+        ($"sketch" === $"bsk").as("bytes_equal"))
+      .filter($"n_exact" > 0)
+      .orderBy($"day")
+  }
+
+  val e25StreamKmvParitySql: String =
+    """WITH u AS (
+      |  SELECT DISTINCT date_trunc('day', ts)::DATE AS day,
+      |    CAST(user_id AS VARCHAR) AS k
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+      |    AND user_id >= 0),
+      |r AS (
+      |  SELECT day, k, ('0x' || substr(md5(k), 1, 15))::BIGINT AS h,
+      |    row_number() OVER (PARTITION BY day
+      |      ORDER BY ('0x' || substr(md5(k), 1, 15))::BIGINT, k) AS rn,
+      |    count(*) OVER (PARTITION BY day) AS nd
+      |  FROM u)
+      |SELECT day, max(nd) AS n_exact,
+      |  CAST(CASE WHEN max(nd) < 32 THEN max(nd)
+      |    ELSE (31::HUGEINT * 1152921504606846976::HUGEINT)
+      |         // greatest(max(CASE WHEN rn = 32 THEN h END), 1) END
+      |    AS BIGINT) AS est_users,
+      |  TRUE AS bytes_equal
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** E26: STREAMING CMS-TIER PARITY — the FREQUENCY leg's lambda
+    * equivalence, the last sketch family without a streaming producer
+    * (r12 verdict #2, closed): per-day count-min cells over user-id
+    * STRINGS ([[graft.streaming.Streams.dailyCmsSketchStream]]) flush
+    * when the watermark passes the day, `bytes_equal` oracle-pinned
+    * TRUE against a batch `cms_sketch(cast(user_id as string))`
+    * backfill (cell addition is order-independent, the dense/sparse
+    * serialization rule a pure function of the cell vector). The
+    * streamed bytes are READ back per day with `cms_est` probing the
+    * day's MINIMUM user id (a deterministic key both engines derive),
+    * and the oracle rebuilds the day's cells with the an44 md5-probe
+    * SQL and replays the min-of-d-cells estimate EXACTLY —
+    * `lower_bounded` is computed and the CMS guarantee makes it TRUE.
+    * e19/e21 harness throughout. */
+  val e26StreamCmsParity: Q = (s, dir) => {
+    import s.implicits._
+    val C = graft.functions.Cms
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull &&
+        $"user_id" >= 0L) // negative ids are the e-family's sentinel space
+      .select($"user_id", $"ts", $"value")
+    val (table, offDays) = runDailyStreamGate(s, ev, "graft-e26", "e26_sketches")(
+      graft.streaming.Streams.dailyCmsSketchStream(_))
+    val streamed = table.select(($"day" - offDays).as("day"), $"sketch")
+    val byDay = ev
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("day", (($"us" - pmod($"us", lit(dayUs))) / lit(dayUs))
+        .cast("long"))
+    val batch = byDay.groupBy($"day")
+      .agg(C.cms_sketch($"user_id".cast("string")).as("bsk"),
+        min($"user_id").as("mu"))
+    // exact row count of the probed (day, min-user) pair — the anchor
+    // the oracle replays; day count is tiny, so the join broadcasts
+    val tru = byDay.join(broadcast(batch.select($"day", $"mu")), "day")
+      .filter($"user_id" === $"mu")
+      .groupBy($"day").agg(count(lit(1)).as("n_true"))
+    streamed.join(batch, "day").join(tru, "day")
+      .select(
+        expr("date_add(DATE '1970-01-01', CAST(day AS INT))").as("day"),
+        $"n_true",
+        C.cms_est($"sketch", $"mu".cast("string")).as("est"), // STREAMED bytes
+        ($"sketch" === $"bsk").as("bytes_equal"))
+      .select($"day", $"n_true", $"est", ($"est" >= $"n_true").as("lower_bounded"),
+        $"bytes_equal")
+      .orderBy($"day")
+  }
+
+  val e26StreamCmsParitySql: String =
+    """WITH e AS (
+      |  SELECT date_trunc('day', ts)::DATE AS day, user_id,
+      |    CAST(user_id AS VARCHAR) AS k
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+      |    AND user_id >= 0),
+      |kc AS (SELECT day, k, count(*) AS n FROM e GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT day, t.j,
+      |    ('0x' || substr(md5('cms:' || t.j::VARCHAR || ':' || k), 1, 8))::BIGINT % 2048 AS pos,
+      |    CAST(sum(n) AS BIGINT) AS cell
+      |  FROM kc, range(4) t(j) GROUP BY 1, 2, 3),
+      |probe AS (SELECT day, min(user_id) AS mu FROM e GROUP BY 1),
+      |tru AS (
+      |  SELECT e.day, CAST(count(*) AS BIGINT) AS n_true
+      |  FROM e JOIN probe p ON e.day = p.day AND e.user_id = p.mu
+      |  GROUP BY 1),
+      |est AS (
+      |  SELECT p.day, min(c.cell) AS est
+      |  FROM probe p, range(4) t(j)
+      |  JOIN cells c ON c.day = p.day AND c.j = t.j AND c.pos =
+      |    ('0x' || substr(md5('cms:' || t.j::VARCHAR || ':' || CAST(p.mu AS VARCHAR)), 1, 8))::BIGINT % 2048
+      |  GROUP BY 1)
+      |SELECT t.day, t.n_true, est.est, est.est >= t.n_true AS lower_bounded,
+      |  TRUE AS bytes_equal
+      |FROM tru t JOIN est ON est.day = t.day
+      |ORDER BY 1""".stripMargin
+
+  /** AN51: day-over-day CHURN from the CODED sketch table — the an46
+    * set-difference question asked of a STRING key domain (props),
+    * which the plain bitmap cannot key: props are dictionary-encoded
+    * once ([[graft.operators.Dictionary.encode]]), per-day coded
+    * sketches built with `bitmap_sketch_coded` (lineage id in the
+    * bytes), and `n_new` / `n_churned` are per-row
+    * `bitmap_andnot_count_coded` arithmetic off the |days|-sized coded
+    * sketch relation — lineage reconciled fail-loud at every read, so
+    * a rebuilt-dictionary mistake throws instead of mis-counting
+    * (r12 verdict #6: the coded tier previously answered merge/AND
+    * only). The oracle computes both differences from first principles
+    * over the distinct (day, props) activity, so equality proves the
+    * coded ANDNOT identity end-to-end. */
+  val an51CodedChurn: Q = (s, dir) => {
+    import s.implicits._
+    val CB = graft.functions.CodedBitmap
+    val D = graft.operators.Dictionary
+    val base = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"props".isNotNull)
+      .select(to_date($"ts").as("day"), $"props")
+    val (coded, _) = D.encode(base, "props", "code")
+    val sk = coded.groupBy($"day")
+      .agg(CB.bitmap_sketch_coded($"code", col(D.IdCol)).as("sk"))
+    val nxt = sk.select(date_sub($"day", 1).as("day"), $"sk".as("sk_next"))
+    sk.join(nxt, "day")
+      .select($"day",
+        CB.bitmap_andnot_count_coded($"sk_next", $"sk").as("n_new"),
+        CB.bitmap_andnot_count_coded($"sk", $"sk_next").as("n_churned"))
+      .orderBy($"day")
+  }
+
+  val an51CodedChurnSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT date_trunc('day', ts)::DATE AS day, props
+      |  FROM events WHERE ts IS NOT NULL AND props IS NOT NULL),
+      |d AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY day),
+      |r AS (SELECT a1.day, CAST(count(*) AS BIGINT) AS n_retained
+      |      FROM a a1 JOIN a a2
+      |        ON a2.props = a1.props AND a2.day = a1.day + 1
+      |      GROUP BY a1.day)
+      |SELECT d.day,
+      |  d2.n - CAST(coalesce(r.n_retained, 0) AS BIGINT) AS n_new,
+      |  d.n - CAST(coalesce(r.n_retained, 0) AS BIGINT) AS n_churned
+      |FROM d JOIN d d2 ON d2.day = d.day + 1
+      |LEFT JOIN r ON r.day = d.day
+      |ORDER BY d.day""".stripMargin
 
   /** SK3: HOT/COLD SPLIT join ([[graft.operators.Skew.hotColdJoin]])
     * — the third skew weapon next to sk1's salted agg and sk2's
@@ -2496,6 +2691,9 @@ object EventQueries {
     "e22_stream_dds_parity" -> e22StreamDdsParity,
     "e23_stream_hll_parity" -> e23StreamHllParity,
     "e24_stream_vhist_parity" -> e24StreamVhistParity,
+    "e25_stream_kmv_parity" -> e25StreamKmvParity,
+    "e26_stream_cms_parity" -> e26StreamCmsParity,
+    "an51_coded_churn" -> an51CodedChurn,
     "e20_stream_semi_join" -> e20StreamSemiJoin,
     "e7_stream_static" -> e7StreamStatic,
     "e14_stream_merge_sink" -> e14StreamMergeSink,
@@ -2548,6 +2746,9 @@ object EventQueries {
     "e22_stream_dds_parity" -> e22StreamDdsParitySql,
     "e23_stream_hll_parity" -> e23StreamHllParitySql,
     "e24_stream_vhist_parity" -> e24StreamVhistParitySql,
+    "e25_stream_kmv_parity" -> e25StreamKmvParitySql,
+    "e26_stream_cms_parity" -> e26StreamCmsParitySql,
+    "an51_coded_churn" -> an51CodedChurnSql,
     "e20_stream_semi_join" -> e20StreamSemiJoinSql,
     "e14_stream_merge_sink" -> e14StreamMergeSinkSql,
     "u9_time_travel" -> u9TimeTravelSql,

@@ -34,7 +34,8 @@ object Streams {
     "e16_stream_full_outer_join", "e17_stream_sliding",
     "e19_stream_daily_distinct", "e20_stream_semi_join",
     "e21_stream_sketch_parity", "e22_stream_dds_parity",
-    "e23_stream_hll_parity", "e24_stream_vhist_parity")
+    "e23_stream_hll_parity", "e24_stream_vhist_parity",
+    "e25_stream_kmv_parity", "e26_stream_cms_parity")
 
   /** Exactly-once incremental article ingest: JSONL landing dir →
     * stream with the explicit article schema. */
@@ -380,6 +381,38 @@ object Streams {
         math.floor(e.value * 100.0).toLong, 1L),
       graft.functions.Vhist.serialize,
       graft.functions.Vhist.deserialize)
+
+  /** Bottom-k SAMPLE tier: per-day [[graft.functions.Kmv]] sketches
+    * over user-id STRINGS (the KMV key contract — the hash must see
+    * the exact bytes the oracle hashes) — bytes ≡ batch
+    * `kmv_sketch(cast(user_id as string), k)` (gate e25). The bounded
+    * bottom-k insert keeps per-open-day state at ≤ k entries, and the
+    * canonical (hash, key)-ordered serialization makes micro-batch
+    * arrival order and state round-trips invisible. */
+  def dailyKmvSketchStream(events: Dataset[Event], k: Int = 32,
+      watermarkDelay: String = "30 minutes"): Dataset[DaySketch] =
+    dailyTierStream[graft.functions.Kmv.State](events, watermarkDelay,
+      () => new graft.functions.Kmv.State(k),
+      (s, e) => s.addKey(
+        org.apache.spark.unsafe.types.UTF8String.fromString(e.user_id.toString)),
+      graft.functions.Kmv.serialize,
+      graft.functions.Kmv.deserialize)
+
+  /** FREQUENCY tier: per-day [[graft.functions.Cms]] count-min cells
+    * over user-id STRINGS — bytes ≡ batch
+    * `cms_sketch(cast(user_id as string))` (gate e26). Fixed d × w
+    * cell state per open day; cell-wise count addition is
+    * order-independent and the dense/sparse serialization rule is a
+    * pure function of the cell vector, so streamed bytes equal the
+    * batch backfill's. */
+  def dailyCmsSketchStream(events: Dataset[Event],
+      watermarkDelay: String = "30 minutes"): Dataset[DaySketch] =
+    dailyTierStream[Array[Long]](events, watermarkDelay,
+      () => graft.functions.Cms.newCells(),
+      (c, e) => graft.functions.Cms.update(c,
+        org.apache.spark.unsafe.types.UTF8String.fromString(e.user_id.toString)),
+      graft.functions.Cms.serialize,
+      graft.functions.Cms.deserialize)
 
   /** Relative-error quantile tier: per-day [[graft.functions.Dds]]
     * over event values at the pinned alpha — bytes ≡ batch

@@ -173,5 +173,59 @@ class CodedBitmapSpec extends AnyFunSuite {
       "SELECT bitmap_and_count_coded(t.sk2, t.sk2) FROM (SELECT " +
         "bitmap_merge_sketch_coded(sk) AS sk2 FROM coded_sk) t")
       .head().getLong(0) === 2L)
+    // r13 additions: set difference + the audit readers, from SQL
+    assert(spark.sql(
+      "SELECT bitmap_andnot_count_coded(sk, sk) FROM coded_sk")
+      .head().getLong(0) === 0L)
+    assert(spark.sql("SELECT bitmap_max_code_coded(sk) FROM coded_sk")
+      .head().getLong(0) === 2L)
+    assert(spark.sql("SELECT bitmap_dict_id_coded(sk) FROM coded_sk")
+      .head().getLong(0) === 10L)
+  }
+
+  test("bitmap_andnot_count_coded: exact asymmetric difference, lineage-checked, null-propagating") {
+    import spark.implicits._
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L), ("b", 9L))
+      .toDF("g", "code").withColumn("dict_id", lit(77L))
+    val sks = sketchOf(rows.groupBy($"g")
+      .agg(CB.bitmap_sketch_coded($"code", $"dict_id").as("sk")))
+    // {1,2,3} \ {2,9} = 2; {2,9} \ {1,2,3} = 1
+    assert(CodedBitmap.andNotCount(sks("a"), sks("b")) === 2L)
+    assert(CodedBitmap.andNotCount(sks("b"), sks("a")) === 1L)
+    // Column form agrees with the static helper (codegen path)
+    val viaCol = Seq((sks("a"), sks("b"))).toDF("x", "y")
+      .select(CB.bitmap_andnot_count_coded($"x", $"y")).head().getLong(0)
+    assert(viaCol === 2L)
+    // null side → null out (outer-join friendly)
+    assert(Seq((sks("a"), Option.empty[Array[Byte]])).toDF("x", "y")
+      .select(CB.bitmap_andnot_count_coded($"x", $"y")).head().isNullAt(0))
+    // different lineages fail loudly, same as the AND scalar
+    val other = sketchOf(rows.withColumn("dict_id", lit(78L)).groupBy($"g")
+      .agg(CB.bitmap_sketch_coded($"code", $"dict_id").as("sk")))
+    val e = intercept[IllegalArgumentException] {
+      CodedBitmap.andNotCount(sks("a"), other("a"))
+    }
+    assert(e.getMessage.contains("different dictionaries"))
+  }
+
+  test("coded readers: max_code and dict_id off the bytes; null on the empty sentinel") {
+    import spark.implicits._
+    val rows = Seq(("a", 5L), ("a", 900000L), ("a", 12L))
+      .toDF("g", "code").withColumn("dict_id", lit(11L))
+    val sk = sketchOf(rows.groupBy($"g")
+      .agg(CB.bitmap_sketch_coded($"code", $"dict_id").as("sk")))("a")
+    assert(CodedBitmap.maxCode(sk) === java.lang.Long.valueOf(900000L))
+    assert(CodedBitmap.dictId(sk) === java.lang.Long.valueOf(11L))
+    // Column forms agree (codegen path)
+    val r = Seq(Tuple1(sk)).toDF("sk")
+      .select(CB.bitmap_max_code_coded($"sk").as("m"),
+        CB.bitmap_dict_id_coded($"sk").as("id")).head()
+    assert(r.getLong(0) === 900000L && r.getLong(1) === 11L)
+    // the unset-empty sentinel reads as (null, null)
+    val empty = new Bitmap64().serializeTagged(null)
+    val rn = Seq(Tuple1(empty)).toDF("sk")
+      .select(CB.bitmap_max_code_coded($"sk").as("m"),
+        CB.bitmap_dict_id_coded($"sk").as("id")).head()
+    assert(rn.isNullAt(0) && rn.isNullAt(1))
   }
 }

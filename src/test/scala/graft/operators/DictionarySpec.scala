@@ -185,4 +185,52 @@ class DictionarySpec extends AnyFunSuite {
     val (coded, dict) = Dictionary.encodeIncremental(ok, batch, "k", "code")
     assert(coded.count() === 1L && dict.count() === 3L)
   }
+
+  test("auditCodedTier: clean lineage passes; sibling forks and independent dictionaries are caught") {
+    import spark.implicits._
+    val CB = graft.functions.CodedBitmap
+    val b1 = Seq("m", "c", "x", "f").toDF("k").withColumn("g", lit("a"))
+    val (coded1, dict1) = Dictionary.encode(b1, "k", "code")
+    val stored = coded1.groupBy($"g")
+      .agg(CB.bitmap_sketch_coded($"code", col(Dictionary.IdCol)).as("sk"))
+
+    // 1) the HONEST lineage: sketches coded by dict1 audit clean
+    val clean = Dictionary.auditCodedTier(dict1, stored, "sk").head()
+    assert(clean.getAs[Boolean]("codes_in_range") &&
+      clean.getAs[Boolean]("ids_match") && clean.getAs[Boolean]("ok"))
+
+    // 2) the SIBLING FORK the dict_id tag cannot see at merge time:
+    //    extension A appends one key, extension B (the fork) appends
+    //    two MORE; sketches coded through B carry codes past |A|,
+    //    share A's dict_id, and would merge silently - the audit's
+    //    range check catches them against A
+    val (_, dictA) = Dictionary.encodeIncremental(dict1, Seq("zz").toDF("k"), "k", "code")
+    val forkBatch = Seq("zz", "aa", "bb").toDF("k").withColumn("g", lit("a"))
+    val (codedB, dictB) = Dictionary.encodeIncremental(dict1, forkBatch, "k", "code")
+    val storedB = codedB.groupBy($"g")
+      .agg(CB.bitmap_sketch_coded($"code", col(Dictionary.IdCol)).as("sk"))
+    // same lineage id on both siblings - the merge-time guard is blind
+    assert(dictA.select(col(Dictionary.IdCol)).head().getLong(0) ===
+      dictB.select(col(Dictionary.IdCol)).head().getLong(0))
+    val fork = Dictionary.auditCodedTier(dictA, storedB, "sk").head()
+    assert(!fork.getAs[Boolean]("codes_in_range"),
+      "sibling fork's out-of-range codes were not caught")
+    assert(!fork.getAs[Boolean]("ok"))
+    // B's own sketches against B's own dictionary stay clean
+    assert(Dictionary.auditCodedTier(dictB, storedB, "sk")
+      .head().getAs[Boolean]("ok"))
+
+    // 3) an INDEPENDENT dictionary (different key set, different id):
+    //    range may pass but the lineage id mismatch is caught
+    val (_, dictOther) = Dictionary.encode(
+      Seq("p", "q", "r", "s", "t", "u", "v", "w").toDF("k"), "k", "code")
+    val other = Dictionary.auditCodedTier(dictOther, stored, "sk").head()
+    assert(!other.getAs[Boolean]("ids_match") && !other.getAs[Boolean]("ok"))
+
+    // 4) an empty / unset-sentinel sketch table audits clean (the
+    //    merge identity)
+    val emptyTier = stored.filter(lit(false))
+    val empty = Dictionary.auditCodedTier(dict1, emptyTier, "sk").head()
+    assert(empty.getAs[Boolean]("ok") && empty.getAs[Long]("n_sketch_ids") === 0L)
+  }
 }
