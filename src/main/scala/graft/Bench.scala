@@ -74,7 +74,10 @@ object Bench {
     // generations -> stored coded tier -> lineage-checked read), the
     // multi-key CMS probe (one decode for the top-20 key array), and
     // the KMV k-way union/overlap off the sketch-array row
-    "an48_coded_dict_merge", "an49_cms_probe_multi", "an50_kmv_kway")
+    "an48_coded_dict_merge", "an49_cms_probe_multi", "an50_kmv_kway",
+    // r13: coded-tier surface parity — day-over-day churn over CODED
+    // (string-keyed) sketches via bitmap_andnot_count_coded
+    "an51_coded_churn")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —
@@ -119,6 +122,42 @@ object Bench {
     val med = times.sorted.apply(times.size / 2)
     if (med <= 0) 0.0 else (times.max - times.min) / med
   }
+
+  /** CALIBRATION-RELATIVE budgets for the queries measured to be
+    * environment-sensitive (r13, verdict #1 — the SCALING.md r12 drift
+    * diagnosis, previously prose-only, baked into the instrument):
+    * c4/t19/t38 drifted 20–40% across rounds while the r10-close
+    * BINARY re-run reproduced the "drifted" values — the machine
+    * moved, not the code. Absolute seconds therefore cannot judge
+    * these queries on a contended host; `median ÷ calib_sec` can
+    * (both numerator and denominator scale with effective cpu speed).
+    * Bars are the r12 isolated-run measurements at calib 0.80
+    * (c4 7.8×, t19 3.6×, t38 3.0×) plus ~20% headroom. sf0.1 ONLY —
+    * the ratio is scale-dependent, and sf0.1 is the SF the graded
+    * artifact runs at. */
+  val calibBudgets: Map[String, Double] = Map(
+    "c4_curation_funnel" -> 9.5,
+    "t19_bigram_lm" -> 4.5,
+    "t38_gopher_repetition" -> 4.0)
+
+  /** Per-query budget verdict: Some(median/calib ≤ budget) for
+    * budgeted queries, None otherwise. A failed median (−1) is a
+    * budget violation, never a vacuous pass. Pure — BenchSpec pins
+    * it. */
+  private[graft] def budgetOk(name: String, medianSec: Double,
+      calibSec: Double): Option[Boolean] =
+    calibBudgets.get(name).map(b =>
+      medianSec >= 0.0 && calibSec > 0.0 && medianSec / calibSec <= b)
+
+  /** Escalation rule (r13): an UNSETTLED median measured while the
+    * hypervisor was visibly stealing cycles is contamination, not
+    * signal — worth one full re-sample (fresh reps out-vote the stolen
+    * ones) before stamping `valid: false`. A clean-steal unsettled
+    * median is NOT retried: it failed on merit. Pure — BenchSpec pins
+    * it. */
+  private[graft] def shouldRetry(valid: Boolean, queryStealPct: Double,
+      stealLimit: Double): Boolean =
+    !valid && queryStealPct > stealLimit
 
   /** The sampling loop, factored out so the escalation/flagging policy
     * is unit-testable with synthetic timings (no Spark): batch queries
@@ -257,15 +296,28 @@ object Bench {
       var failed =
         try { force(SparkEntry.queries(name)(spark, sfDir)); false }
         catch { case _: Throwable => true }
-      val times =
-        if (failed) Vector.empty[Double]
-        else try {
+      def sample(): Vector[Double] =
+        try {
           collectTimes(() => {
             val t0 = System.nanoTime()
             force(SparkEntry.queries(name)(spark, sfDir))
             (System.nanoTime() - t0) / 1e9
           }, isStream, reps, maxReps, minSampleSecs, spreadLimit)
         } catch { case _: Throwable => failed = true; Vector.empty[Double] }
+      var qTicks = cpuTicks()
+      var times = if (failed) Vector.empty[Double] else sample()
+      def settled = failed ||
+        (times.nonEmpty && (isStream || relSpread(times) <= spreadLimit))
+      // steal-aware escalation (r13): an unsettled median measured
+      // under detectable hypervisor steal gets ONE full fresh
+      // re-sample before being stamped invalid — [[shouldRetry]]
+      if (!settled && shouldRetry(valid = false,
+          stealPct(qTicks, cpuTicks()), stealLimit)) {
+        System.err.println(
+          s"[bench] $name unsettled under steal - re-sampling once")
+        qTicks = cpuTicks()
+        times = sample()
+      }
       val median =
         if (failed) -1.0 // any failed rep poisons the query
         else times.sorted.apply(times.size / 2)
@@ -308,9 +360,32 @@ object Bench {
       Double.box(stealPct(runTicks0, cpuTicks())))
     def f3(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    // calibration reference for the relative stamps: the mean of the
+    // bracketing probes — a host that degrades mid-run lands between
+    // them, and both probes are already in the artifact for a reader
+    // who wants either bound
+    val calibEnd = calibrate()
+    val calibRef = (calib0 + calibEnd) / 2.0
+    // per-query calib_rel (median ÷ calib): the host-speed-normalized
+    // number a tail-reader can compare ACROSS machines/rounds even
+    // when absolute seconds are inflated (r13, verdict #1); budget_ok
+    // stamps the pinned calibration-relative budgets for the known
+    // environment-sensitive queries — only meaningful at the graded
+    // sf0.1, so the stamps are emitted only there
+    val cjson = results.map { case (k, v, _, _) =>
+      "\"" + k + "\":" + (if (v < 0 || calibRef <= 0) "-1" else
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v / calibRef)))
+    }.mkString("{", ",", "}")
+    val isGradedSf = sfDir.endsWith("sf0.1")
+    val bjson = results.flatMap { case (k, v, _, _) =>
+      if (!isGradedSf) None
+      else budgetOk(k, v, calibRef).map(ok => "\"" + k + "\":" + ok)
+    }.mkString("{", ",", "}")
+    val budjson = calibBudgets.toSeq.sortBy(_._1)
+      .map { case (k, b) => "\"" + k + "\":" + b }.mkString("{", ",", "}")
     // "forcing" stamp: r5 switched count() -> noop write, which makes
     // medians comparable only within runs carrying the same stamp
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","streaming_fixed_sec":$streamingFixed,"grand_total_sec":$grandTotal,"queries":$qjson,"spread":$sjson,"valid":$vjson,"spread_ok":$spreadOk,"spread_limit":$spreadLimit,"errors":$errors,"reps":$reps,"forcing":"noop_write","loadavg":"$load","loadavg_start":"$startLoad","busy_start":$busyStart,"steal_pct_run":$runSteal,"calib_sec_start":${f3(calib0)},"calib_sec_end":${f3(calibrate())},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","streaming_fixed_sec":$streamingFixed,"grand_total_sec":$grandTotal,"queries":$qjson,"spread":$sjson,"valid":$vjson,"calib_rel":$cjson,"budget_ok":$bjson,"budgets":$budjson,"spread_ok":$spreadOk,"spread_limit":$spreadLimit,"errors":$errors,"reps":$reps,"forcing":"noop_write","loadavg":"$load","loadavg_start":"$startLoad","busy_start":$busyStart,"steal_pct_run":$runSteal,"calib_sec_start":${f3(calib0)},"calib_sec_end":${f3(calibEnd)},"sf":"$sfDir"}"""
     println(json)
     // ALSO write the artifact to a file: BENCH_r09's per-query medians
     // were lost forever to a console-tail truncation — the artifact

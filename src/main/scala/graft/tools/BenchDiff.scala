@@ -29,7 +29,9 @@ object BenchDiff {
       valid: Map[String, Boolean],
       spreadOk: Boolean,
       stealPct: Double,
-      totalSec: Double)
+      totalSec: Double,
+      calibRel: Map[String, Double] = Map.empty,
+      budgetOk: Map[String, Boolean] = Map.empty)
 
   private def num(v: JValue): Option[Double] = v match {
     case JDouble(d) => Some(d)
@@ -53,7 +55,9 @@ object BenchDiff {
         case _ => true // pre-r11 artifacts carry no stamp: trust, but say so
       },
       stealPct = num(j \ "steal_pct_run").getOrElse(0.0),
-      totalSec = num(j \ "value").getOrElse(0.0))
+      totalSec = num(j \ "value").getOrElse(0.0),
+      calibRel = objOf("calib_rel").flatMap { case (k, v) => num(v).map(k -> _) },
+      budgetOk = objOf("budget_ok").collect { case (k, JBool(b)) => k -> b })
   }
 
   /** Report lines for (old, new) at `thresholdPct`. Pure — specs pin
@@ -73,23 +77,48 @@ object BenchDiff {
     val removed = (oldRun.queries.keySet -- newRun.queries.keySet).toSeq.sorted
     if (added.nonEmpty) out += s"[benchdiff] added (no baseline): ${added.mkString(", ")}"
     if (removed.nonEmpty) out += s"[benchdiff] removed: ${removed.mkString(", ")}"
-    val rows = shared.toSeq.flatMap { q =>
+    // sorted: report line order must be deterministic (hash-set order
+    // is not), and EVERY skip is reported — a zero/garbage baseline
+    // hides a real regression in the new run, so it gets the same
+    // contamination-reporting treatment as valid=false (review-caught
+    // r12)
+    val rows = shared.toSeq.sorted.flatMap { q =>
       val bothValid =
         oldRun.valid.getOrElse(q, true) && newRun.valid.getOrElse(q, true)
       val o = oldRun.queries(q)
       val n = newRun.queries(q)
       if (!bothValid) {
+        // the r13 budget stamp is the trust signal that survives an
+        // inflated host: an unsettled absolute median whose
+        // calibration-relative budget still passed is NOT a regression
+        val budgetNote = newRun.budgetOk.get(q) match {
+          case Some(true) =>
+            "; NEW budget_ok=true (calibration-relative, within its pinned budget)"
+          case Some(false) =>
+            "; NEW budget_ok=FALSE (over its pinned calibration-relative budget)"
+          case None => ""
+        }
         out += f"[benchdiff] skipped $q: valid=false in ${
-          if (!oldRun.valid.getOrElse(q, true)) "OLD" else "NEW"} (median never settled)"
+          if (!oldRun.valid.getOrElse(q, true)) "OLD" else "NEW"} (median never settled)$budgetNote"
         None
-      } else if (o <= 0.0) None
-      else Some((q, o, n, (n - o) / o * 100.0))
+      } else if (o <= 0.0) {
+        out += s"[benchdiff] skipped $q: non-positive old median ($o)"
+        None
+      } else Some((q, o, n, (n - o) / o * 100.0))
     }
     val flagged = rows.filter { case (_, _, _, d) => math.abs(d) > thresholdPct }
       .sortBy { case (_, _, _, d) => -math.abs(d) }
     flagged.foreach { case (q, o, n, d) =>
       val kind = if (d > 0) "REGRESSION" else "improvement"
       out += f"[benchdiff] $kind%-11s $q%-28s $o%7.2f s -> $n%7.2f s  (${d}%+6.1f%%)"
+    }
+    // budget verdicts stand on their own (calibration-relative, so
+    // meaningful even when every absolute median above is inflated)
+    newRun.budgetOk.toSeq.sorted.foreach { case (q, ok) =>
+      if (!ok) {
+        val rel = newRun.calibRel.get(q).map(r => f" (calib_rel $r%.2f)").getOrElse("")
+        out += s"[benchdiff] BUDGET VIOLATION $q: over its pinned calibration-relative budget in NEW run$rel"
+      }
     }
     val okCount = rows.size - flagged.size
     out += f"[benchdiff] compared ${rows.size} settled queries, $okCount within ±$thresholdPct%.0f%%, " +

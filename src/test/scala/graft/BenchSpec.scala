@@ -63,4 +63,28 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.relSpread(Vector(1.0, 2.0, 5.0)) === 2.0)
     assert(Bench.relSpread(Vector(0.0)) === 0.0) // median 0 -> guarded
   }
+
+  test("budgetOk: calibration-relative verdicts for the pinned environment-sensitive queries") {
+    // c4's pinned budget is 9.5 × calib: at calib 0.80, 6.32 s = 7.9× passes
+    assert(Bench.budgetOk("c4_curation_funnel", 6.32, 0.80) === Some(true))
+    // the SAME wall seconds on a 2×-slower host (calib 1.60) still pass —
+    // that is the whole point: the ratio survives host inflation
+    assert(Bench.budgetOk("c4_curation_funnel", 12.64, 1.60) === Some(true))
+    // a real regression (over budget at a healthy calib) is flagged
+    assert(Bench.budgetOk("c4_curation_funnel", 8.5, 0.80) === Some(false))
+    // a failed median (-1) is a violation, never a vacuous pass
+    assert(Bench.budgetOk("t19_bigram_lm", -1.0, 0.80) === Some(false))
+    // a garbage calibration cannot fake a pass
+    assert(Bench.budgetOk("t19_bigram_lm", 1.0, 0.0) === Some(false))
+    // non-budgeted queries carry no stamp
+    assert(Bench.budgetOk("q1_agg", 1.0, 0.80) === None)
+  }
+
+  test("shouldRetry: unsettled-under-steal gets one re-sample; clean failures and settled medians do not") {
+    assert(Bench.shouldRetry(valid = false, queryStealPct = 8.0, stealLimit = 5.0))
+    assert(!Bench.shouldRetry(valid = false, queryStealPct = 0.4, stealLimit = 5.0),
+      "an unsettled median under a QUIET hypervisor failed on merit - no retry")
+    assert(!Bench.shouldRetry(valid = true, queryStealPct = 50.0, stealLimit = 5.0),
+      "a settled median needs no retry regardless of steal")
+  }
 }

@@ -62,4 +62,48 @@ class BenchDiffSpec extends AnyFunSuite {
       l.contains("REGRESSION") && l.contains("c4_curation_funnel")),
       s"expected the known c4 drift to be flagged:\n${lines.mkString("\n")}")
   }
+
+  test("budget stamps: skipped-but-within-budget is trusted, violations are reported, baselines without them parse") {
+    def withBudgets(queries: Map[String, Double], valid: Map[String, Boolean],
+        budgetOk: Map[String, Boolean], calibRel: Map[String, Double]): String = {
+      val qs = queries.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val vs = valid.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val bs = budgetOk.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val cs = calibRel.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      s"""{"value":${queries.values.sum},"queries":{$qs},"valid":{$vs},
+         |"budget_ok":{$bs},"calib_rel":{$cs},"spread_ok":true,
+         |"steal_pct_run":0.1}""".stripMargin
+    }
+    val oldRun = BenchDiff.parseRun(withBudgets(
+      Map("c4" -> 6.3, "t19" -> 3.0), Map.empty, Map.empty, Map.empty))
+    // NEW run on a loaded host: c4's absolute median never settled but
+    // its calibration-relative budget PASSED; t19 genuinely violated
+    val newRun = BenchDiff.parseRun(withBudgets(
+      Map("c4" -> 14.0, "t19" -> 9.0),
+      valid = Map("c4" -> false),
+      budgetOk = Map("c4" -> true, "t19" -> false),
+      calibRel = Map("c4" -> 8.1, "t19" -> 6.2)))
+    val lines = BenchDiff.diff(oldRun, newRun, 20.0)
+    // the skipped line carries the trust signal a tail-reader needs
+    assert(lines.exists(l => l.contains("skipped c4") &&
+      l.contains("budget_ok=true")), lines.mkString("\n"))
+    // the violation stands on its own calibration-relative evidence
+    assert(lines.exists(l => l.contains("BUDGET VIOLATION t19") &&
+      l.contains("6.2")), lines.mkString("\n"))
+    // a pre-r13 baseline with no budget fields parses with empty maps
+    assert(oldRun.budgetOk.isEmpty && oldRun.calibRel.isEmpty)
+  }
+
+  test("non-positive old medians are skipped LOUDLY and line order is deterministic") {
+    val oldRun = BenchDiff.parseRun(
+      """{"value":1.0,"queries":{"q_zero":0.0,"q_ok":1.0}}""")
+    val newRun = BenchDiff.parseRun(
+      """{"value":9.0,"queries":{"q_zero":5.0,"q_ok":1.0}}""")
+    val lines = BenchDiff.diff(oldRun, newRun, 20.0)
+    // a zero/garbage baseline must not silently hide the new median
+    assert(lines.exists(l => l.contains("skipped q_zero") &&
+      l.contains("non-positive")), lines.mkString("\n"))
+    // deterministic output: two runs of the same diff are identical
+    assert(lines === BenchDiff.diff(oldRun, newRun, 20.0))
+  }
 }
