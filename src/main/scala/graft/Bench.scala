@@ -138,7 +138,17 @@ object Bench {
   val calibBudgets: Map[String, Double] = Map(
     "c4_curation_funnel" -> 9.5,
     "t19_bigram_lm" -> 4.5,
-    "t38_gopher_repetition" -> 4.0)
+    "t38_gopher_repetition" -> 4.0,
+    // streaming-fixed watch items (r13, verdict #3): the r11-close
+    // BINARY re-run today measures the same e13/e17 as HEAD (9.7 s /
+    // 3.7 s vs 9.6 s / 3.7 s — SCALING.md r13), so the r12 artifact's
+    // 15.9 s / 5.2 s was drain-timing environment, not code. Single-rep
+    // trigger/drain latency varies ~2.5× between CLEAN runs (it does
+    // not scale with cpu speed alone), so these bars are deliberately
+    // wide: they catch STRUCTURAL regressions (an extra drain pass,
+    // a second sentinel round ≈ 2×), not host noise.
+    "e13_stream_outer_join" -> 24.0,
+    "e17_stream_sliding" -> 8.0)
 
   /** Per-query budget verdict: Some(median/calib ≤ budget) for
     * budgeted queries, None otherwise. A failed median (−1) is a

@@ -78,6 +78,13 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.budgetOk("t19_bigram_lm", 1.0, 0.0) === Some(false))
     // non-budgeted queries carry no stamp
     assert(Bench.budgetOk("q1_agg", 1.0, 0.80) === None)
+    // the r13 streaming watch items carry deliberately-wide bars: a
+    // structural regression (an extra drain pass ~2x) is caught, the
+    // measured clean-run swing (e13 7-20x calib, SCALING.md r13) is not
+    assert(Bench.budgetOk("e13_stream_outer_join", 15.9, 0.80) === Some(true))
+    assert(Bench.budgetOk("e13_stream_outer_join", 40.0, 0.80) === Some(false))
+    assert(Bench.budgetOk("e17_stream_sliding", 5.2, 0.80) === Some(true))
+    assert(Bench.budgetOk("e17_stream_sliding", 13.0, 0.80) === Some(false))
   }
 
   test("shouldRetry: unsettled-under-steal gets one re-sample; clean failures and settled medians do not") {
