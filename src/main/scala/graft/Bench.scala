@@ -76,8 +76,9 @@ object Bench {
     // the KMV k-way union/overlap off the sketch-array row
     "an48_coded_dict_merge", "an49_cms_probe_multi", "an50_kmv_kway",
     // r13: coded-tier surface parity — day-over-day churn over CODED
-    // (string-keyed) sketches via bitmap_andnot_count_coded
-    "an51_coded_churn")
+    // (string-keyed) sketches via bitmap_andnot_count_coded — and the
+    // dict_audit report over an honest lineage (per-row byte readers)
+    "an51_coded_churn", "an52_dict_audit")
 
   /** EVERY gate query that executes a REAL Structured Streaming run
     * per rep (staging write + stream drain + watermark sentinels) —

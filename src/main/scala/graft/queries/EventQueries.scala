@@ -2162,6 +2162,38 @@ object EventQueries {
       |LEFT JOIN r ON r.day = d.day
       |ORDER BY d.day""".stripMargin
 
+  /** AN52: the DICT_AUDIT report, oracle-pinned — the r13 sibling-fork
+    * tool ([[graft.operators.Dictionary.auditCodedTier]]) run over an
+    * HONEST lineage so its every output is deterministic and
+    * SQL-derivable: per-type coded sketches over ALL coded facts mean
+    * the max set code is exactly |dict| − 1 (codes are dense), exactly
+    * one lineage id appears, and every verdict column is TRUE. The
+    * fork-catching negative cases cannot appear in a gate query
+    * (they THROW or report false by design) and are spec-pinned in
+    * DictionarySpec instead; this gate keeps the audit's happy-path
+    * arithmetic honest round over round. */
+  val an52DictAudit: Q = (s, dir) => {
+    import s.implicits._
+    val CB = graft.functions.CodedBitmap
+    val D = graft.operators.Dictionary
+    val base = Tables.load(s, dir, "events")
+      .filter($"props".isNotNull)
+      .select($"event_type", $"props")
+    val (coded, dict) = D.encode(base, "props", "code")
+    val sk = coded.groupBy($"event_type")
+      .agg(CB.bitmap_sketch_coded($"code", col(D.IdCol)).as("sk"))
+    D.auditCodedTier(dict, sk, "sk")
+  }
+
+  val an52DictAuditSql: String =
+    """SELECT count(DISTINCT props) AS n_keys,
+      |  count(DISTINCT props) - 1 AS max_code_seen,
+      |  TRUE AS codes_in_range,
+      |  CAST(1 AS BIGINT) AS n_sketch_ids,
+      |  TRUE AS ids_match,
+      |  TRUE AS ok
+      |FROM events WHERE props IS NOT NULL""".stripMargin
+
   /** SK3: HOT/COLD SPLIT join ([[graft.operators.Skew.hotColdJoin]])
     * — the third skew weapon next to sk1's salted agg and sk2's
     * replicated salted join: a synthetic 70%-hot key (user_id % 10 < 7
@@ -2694,6 +2726,7 @@ object EventQueries {
     "e25_stream_kmv_parity" -> e25StreamKmvParity,
     "e26_stream_cms_parity" -> e26StreamCmsParity,
     "an51_coded_churn" -> an51CodedChurn,
+    "an52_dict_audit" -> an52DictAudit,
     "e20_stream_semi_join" -> e20StreamSemiJoin,
     "e7_stream_static" -> e7StreamStatic,
     "e14_stream_merge_sink" -> e14StreamMergeSink,
@@ -2749,6 +2782,7 @@ object EventQueries {
     "e25_stream_kmv_parity" -> e25StreamKmvParitySql,
     "e26_stream_cms_parity" -> e26StreamCmsParitySql,
     "an51_coded_churn" -> an51CodedChurnSql,
+    "an52_dict_audit" -> an52DictAuditSql,
     "e20_stream_semi_join" -> e20StreamSemiJoinSql,
     "e14_stream_merge_sink" -> e14StreamMergeSinkSql,
     "u9_time_travel" -> u9TimeTravelSql,

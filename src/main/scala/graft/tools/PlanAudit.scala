@@ -86,7 +86,8 @@ object PlanAudit {
     "an44_cms_rollup" -> "one-row corpus-sketch merge (|sources| fixed-size 64 KiB sketches funnel to one row)",
     "an49_cms_probe_multi" -> "an44's one-row corpus-sketch merge + the one-row top-20 key-array collect (both bounded by construction)",
     "an50_kmv_kway" -> "one-row |types| sketch-array collect (key-cardinality, fixed-k sketches — never data-sized)",
-    "an51_coded_churn" -> "inherits an37's Dictionary.encode shapes: globalRowNumber offsets window over the DISTINCT props set + the one-row dict_id identity scalar")
+    "an51_coded_churn" -> "inherits an37's Dictionary.encode shapes: globalRowNumber offsets window over the DISTINCT props set + the one-row dict_id identity scalar",
+    "an52_dict_audit" -> "auditCodedTier = two one-row aggregates (dictionary stats + sketch-table stats over per-row byte readers) + an37's encode shapes")
 
   /** BroadcastNestedLoopJoin sites where the broadcast side is bounded
     * by construction (one-row scalars, fixed query fan-outs, k
@@ -128,7 +129,8 @@ object PlanAudit {
     "an44_cms_rollup" -> "one-row broadcast corpus-sketch crossJoin against the exact top-20 keys",
     "an47_kmv_jaccard" -> "inequality self-join of the |event-types|-row sketch relation (key-cardinality, never data-sized)",
     "an49_cms_probe_multi" -> "one-row broadcast crossJoins: the corpus sketch against the one-row top-20 key array, then the bounded top-20 join",
-    "an51_coded_churn" -> "inherits an37's one-row broadcast dict_id identity scalar (Dictionary.encode attaches the lineage id)")
+    "an51_coded_churn" -> "inherits an37's one-row broadcast dict_id identity scalar (Dictionary.encode attaches the lineage id)",
+    "an52_dict_audit" -> "auditCodedTier's 1-row x 1-row broadcast crossJoin (dictionary stats x sketch stats) + an37's identity scalar")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
