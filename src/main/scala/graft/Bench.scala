@@ -132,14 +132,20 @@ object Bench {
     * moved, not the code. Absolute seconds therefore cannot judge
     * these queries on a contended host; `median ÷ calib_sec` can
     * (both numerator and denominator scale with effective cpu speed).
-    * Bars are the r12 isolated-run measurements at calib 0.80
-    * (c4 7.8×, t19 3.6×, t38 3.0×) plus ~20% headroom. sf0.1 ONLY —
-    * the ratio is scale-dependent, and sf0.1 is the SF the graded
-    * artifact runs at. */
+    * Bars start from the r12 isolated-run measurements at calib 0.80
+    * (c4 7.8×, t19 3.6×, t38 3.0×) widened ~50%: the normalization is
+    * imperfect under MULTI-CORE hypervisor steal — the single-thread
+    * calibration probe under-measures the slowdown of 32-thread Spark
+    * stages (measured r13: a 22.6%-steal run read c4 at 10.3× vs its
+    * clean ~8×, a 1.25× skew) — and the stamps must agree between a
+    * clean run and a contended one to be the contended-host trust
+    * signal. A STRUCTURAL regression (an extra pass ≈ 2×) still blows
+    * through every bar. sf0.1 ONLY — the ratio is scale-dependent, and
+    * sf0.1 is the SF the graded artifact runs at. */
   val calibBudgets: Map[String, Double] = Map(
-    "c4_curation_funnel" -> 9.5,
-    "t19_bigram_lm" -> 4.5,
-    "t38_gopher_repetition" -> 4.0,
+    "c4_curation_funnel" -> 12.0,
+    "t19_bigram_lm" -> 6.0,
+    "t38_gopher_repetition" -> 5.0,
     // streaming-fixed watch items (r13, verdict #3): the r11-close
     // BINARY re-run today measures the same e13/e17 as HEAD (9.7 s /
     // 3.7 s vs 9.6 s / 3.7 s — SCALING.md r13), so the r12 artifact's

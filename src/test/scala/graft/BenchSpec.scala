@@ -65,13 +65,17 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("budgetOk: calibration-relative verdicts for the pinned environment-sensitive queries") {
-    // c4's pinned budget is 9.5 × calib: at calib 0.80, 6.32 s = 7.9× passes
+    // c4's pinned budget is 12 × calib (clean ~8×, widened for the
+    // measured multi-core-steal skew): at calib 0.80, 6.32 s = 7.9× passes
     assert(Bench.budgetOk("c4_curation_funnel", 6.32, 0.80) === Some(true))
     // the SAME wall seconds on a 2×-slower host (calib 1.60) still pass —
     // that is the whole point: the ratio survives host inflation
     assert(Bench.budgetOk("c4_curation_funnel", 12.64, 1.60) === Some(true))
-    // a real regression (over budget at a healthy calib) is flagged
-    assert(Bench.budgetOk("c4_curation_funnel", 8.5, 0.80) === Some(false))
+    // a 22.6%-steal run's measured skew (10.3×) stays INSIDE the bar —
+    // clean and contended runs must agree for the stamp to be a signal
+    assert(Bench.budgetOk("c4_curation_funnel", 9.14, 0.885) === Some(true))
+    // a structural regression (~2× = 16×+ calib) is flagged
+    assert(Bench.budgetOk("c4_curation_funnel", 13.0, 0.80) === Some(false))
     // a failed median (-1) is a violation, never a vacuous pass
     assert(Bench.budgetOk("t19_bigram_lm", -1.0, 0.80) === Some(false))
     // a garbage calibration cannot fake a pass
