@@ -59,10 +59,14 @@ object CodedBitmap {
           "rebuilding or mixing dictionaries")
     }
 
-  private[functions] def serializeBuf(b: CodedBm): Array[Byte] =
+  // private[graft] (not [functions]): the streaming coded tier
+  // (Streams.dailyCodedSketchStream, gate e27) keeps its state in this
+  // exact wire format so a checkpoint and a stored sketch column share
+  // one validation path — same rule as every other leg's serialize.
+  private[graft] def serializeBuf(b: CodedBm): Array[Byte] =
     b.bm.serializeTagged(b.id)
 
-  private[functions] def deserializeBuf(bytes: Array[Byte]): CodedBm = {
+  private[graft] def deserializeBuf(bytes: Array[Byte]): CodedBm = {
     val (id, bm) = Bitmap64.deserializeTagged(bytes)
     new CodedBm(id, bm)
   }

@@ -2115,6 +2115,72 @@ object EventQueries {
       |FROM tru t JOIN est ON est.day = t.day
       |ORDER BY 1""".stripMargin
 
+  /** E27: STREAMING CODED-TIER PARITY — the lambda equivalence for
+    * the DICTIONARY-CODED bitmap leg (the an48/an51/an52 family),
+    * completing streaming parity across all seven tier producers:
+    * the stream ([[graft.streaming.Streams.dailyCodedSketchStream]])
+    * codes each event by a STREAM-STATIC broadcast join against the
+    * one dictionary [[graft.operators.Dictionary.encode]] built
+    * (fail-loud LEFT join — an un-dictionaried key raises instead of
+    * silently vanishing), keeps per-day [[graft.functions.Bitmap64]]
+    * state over the CODES, and flushes each day's V2-tagged bytes —
+    * the dictionary's lineage id riding IN the streamed bytes exactly
+    * as in the stored tier. `bytes_equal` is oracle-pinned TRUE
+    * against a batch `bitmap_sketch_coded(code, dict_id)` backfill
+    * over the same facts coded by the same relation (canonical
+    * container serialization + same codes + same id ⇒ byte
+    * identity), `distinct_users` is read off the STREAMED bytes with
+    * the lineage-checked `bitmap_and_count_coded`, and `id_ok` pins
+    * that the id survived the stream (read back with
+    * `bitmap_dict_id_coded`). A live coded sketch table and its batch
+    * backfill therefore merge with full lineage protection — the
+    * an48 guarantee, now with no batch/stream seam. e19/e21 harness
+    * throughout. */
+  val e27StreamCodedParity: Q = (s, dir) => {
+    import s.implicits._
+    val CB = graft.functions.CodedBitmap
+    val D = graft.operators.Dictionary
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.load(s, dir, "events")
+      .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull &&
+        $"user_id" >= 0L) // negative ids are the e-family's sentinel space
+      .select($"user_id", $"ts", $"value")
+    // ONE dictionary codes both engines; its identity scalar is the
+    // only driver materialization (1 row, the an48 class) and doubles
+    // as a mixed-lineage audit.
+    val (coded, dict) = D.encode(
+      ev.withColumn("k", $"user_id".cast("string")), "k", "code")
+    val ids = dict.select(col(D.IdCol)).distinct().as[Long].collect()
+    require(ids.length == 1,
+      s"e27: dictionary carries ${ids.length} lineage ids - corrupt build")
+    val dictId = ids.head
+    val (table, offDays) = runDailyStreamGate(s, ev, "graft-e27", "e27_sketches")(
+      graft.streaming.Streams.dailyCodedSketchStream(_, dict, "k", "code", dictId))
+    val streamed = table.select(($"day" - offDays).as("day"), $"sketch")
+    val batch = coded
+      .withColumn("us", expr("unix_micros(ts)"))
+      .groupBy((($"us" - pmod($"us", lit(dayUs))) / lit(dayUs))
+        .cast("long").as("day"))
+      .agg(CB.bitmap_sketch_coded($"code", col(D.IdCol)).as("bsk"))
+    streamed.join(batch, "day")
+      .select(
+        expr("date_add(DATE '1970-01-01', CAST(day AS INT))").as("day"),
+        CB.bitmap_and_count_coded($"sketch", $"sketch").as("distinct_users"),
+        ($"sketch" === $"bsk").as("bytes_equal"),
+        (CB.bitmap_dict_id_coded($"sketch") === lit(dictId)).as("id_ok"))
+      .filter($"distinct_users" > 0)
+      .orderBy($"day")
+  }
+
+  val e27StreamCodedParitySql: String =
+    """SELECT date_trunc('day', ts)::DATE AS day,
+      |  count(DISTINCT user_id) AS distinct_users,
+      |  TRUE AS bytes_equal, TRUE AS id_ok
+      |FROM events
+      |WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+      |  AND user_id >= 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** AN51: day-over-day CHURN from the CODED sketch table — the an46
     * set-difference question asked of a STRING key domain (props),
     * which the plain bitmap cannot key: props are dictionary-encoded
@@ -2725,6 +2791,7 @@ object EventQueries {
     "e24_stream_vhist_parity" -> e24StreamVhistParity,
     "e25_stream_kmv_parity" -> e25StreamKmvParity,
     "e26_stream_cms_parity" -> e26StreamCmsParity,
+    "e27_stream_coded_parity" -> e27StreamCodedParity,
     "an51_coded_churn" -> an51CodedChurn,
     "an52_dict_audit" -> an52DictAudit,
     "e20_stream_semi_join" -> e20StreamSemiJoin,
@@ -2781,6 +2848,7 @@ object EventQueries {
     "e24_stream_vhist_parity" -> e24StreamVhistParitySql,
     "e25_stream_kmv_parity" -> e25StreamKmvParitySql,
     "e26_stream_cms_parity" -> e26StreamCmsParitySql,
+    "e27_stream_coded_parity" -> e27StreamCodedParitySql,
     "an51_coded_churn" -> an51CodedChurnSql,
     "an52_dict_audit" -> an52DictAuditSql,
     "e20_stream_semi_join" -> e20StreamSemiJoinSql,

@@ -35,7 +35,8 @@ object Streams {
     "e19_stream_daily_distinct", "e20_stream_semi_join",
     "e21_stream_sketch_parity", "e22_stream_dds_parity",
     "e23_stream_hll_parity", "e24_stream_vhist_parity",
-    "e25_stream_kmv_parity", "e26_stream_cms_parity")
+    "e25_stream_kmv_parity", "e26_stream_cms_parity",
+    "e27_stream_coded_parity")
 
   /** Exactly-once incremental article ingest: JSONL landing dir →
     * stream with the explicit article schema. */
@@ -413,6 +414,57 @@ object Streams {
         org.apache.spark.unsafe.types.UTF8String.fromString(e.user_id.toString)),
       graft.functions.Cms.serialize,
       graft.functions.Cms.deserialize)
+
+  /** CODED exact-distinct tier: per-day dictionary-coded
+    * [[graft.functions.Bitmap64]] sketches with the dictionary's
+    * lineage id IN the bytes (the V2 tagged wire format) — bytes ≡
+    * batch `bitmap_sketch_coded(code, dict_id)` over the same facts
+    * coded by the SAME dictionary (gate e27). The dictionary arrives
+    * as the relation [[graft.operators.Dictionary.encode]] returns
+    * (`keyCol`, `codeCol`, dict_id) and is applied as a STREAM-STATIC
+    * broadcast join per micro-batch — no driver collect, so the
+    * static side stays an executor relation at any size Spark can
+    * broadcast (and the r13 dictionary persist makes the per-batch
+    * re-read a cache hit). Extending the key universe composes by
+    * restart: stop, [[graft.operators.Dictionary.encodeIncremental]]
+    * the lineage, resume — old codes frozen, id preserved, stored
+    * days still merge.
+    *
+    * FAIL-LOUD on un-coded keys: an inner join would silently DROP a
+    * streamed key absent from the dictionary (an undercount with no
+    * error anywhere), so the join is LEFT and a missing code raises
+    * with the extend-the-lineage message instead. Watermark sentinels
+    * (user_id < 0, the e-family contract) pass through uncoded. */
+  def dailyCodedSketchStream(events: Dataset[Event], dict: DataFrame,
+      keyCol: String, codeCol: String, dictId: Long,
+      watermarkDelay: String = "30 minutes"): Dataset[DaySketch] = {
+    import events.sparkSession.implicits._
+    val d = broadcast(dict.select(col(keyCol).as("__k"),
+      col(codeCol).cast("long").as("__code")))
+    val coded = events.toDF()
+      .join(d, col("user_id").cast("string") === col("__k"), "left")
+      .select(
+        when(col("user_id") < 0L, col("user_id"))
+          .when(col("__code").isNotNull, col("__code"))
+          .otherwise(raise_error(concat(
+            lit("dailyCodedSketchStream: streamed key "),
+            col("user_id").cast("string"),
+            lit(" is not in the dictionary - extend the lineage with " +
+              "Dictionary.encodeIncremental and restart the producer")))
+            .cast("long"))
+          .as("user_id"),
+        col("ts"), col("value"))
+      .as[Event]
+    // full-path lambdas, never eta-expanded refs off a local alias: an
+    // alias val is CAPTURED by the closure and the module object is not
+    // serializable; a static module call inside the body is
+    dailyTierStream[graft.functions.CodedBitmap.CodedBm](coded, watermarkDelay,
+      () => new graft.functions.CodedBitmap.CodedBm(
+        java.lang.Long.valueOf(dictId), new graft.functions.Bitmap64()),
+      (s, e) => s.bm.add(e.user_id),
+      b => graft.functions.CodedBitmap.serializeBuf(b),
+      bytes => graft.functions.CodedBitmap.deserializeBuf(bytes))
+  }
 
   /** Relative-error quantile tier: per-day [[graft.functions.Dds]]
     * over event values at the pinned alpha — bytes ≡ batch

@@ -810,6 +810,68 @@ class StreamsSpec extends AnyFunSuite {
     assert(est7 >= 3L) // >= by the CMS one-sided guarantee; exact in the e26 gate
   }
 
+  test("daily CODED tier stream: tagged bytes identical to the batch coded tier; un-coded key fails loud (r13 e27)") {
+    // the seventh and last tier producer: dictionary codes ride a
+    // stream-static join, the lineage id rides IN the flushed bytes,
+    // and a streamed key outside the dictionary must RAISE (an inner
+    // join would silently undercount instead)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val CB = graft.functions.CodedBitmap
+    val D = graft.operators.Dictionary
+    val day = 86400000L
+    def ts(d: Long, h: Long) = new Timestamp(d * day + h * 3600000L)
+    val (_, dict) = D.encode(Seq("7", "901", "2").toDF("k"), "k", "code")
+    val dictId = dict.select(col(D.IdCol)).distinct().as[Long].head()
+    val src = MemoryStream[Streams.Event]
+    val q = Streams.dailyCodedSketchStream(src.toDS(), dict, "k", "code",
+      dictId, "30 minutes").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("daily_coded").start()
+    src.addData(Streams.Event(7L, ts(10, 1), 0.0),
+      Streams.Event(901L, ts(10, 2), 0.0))
+    q.processAllAvailable()
+    src.addData(Streams.Event(7L, ts(10, 3), 0.0), // dup across batches
+      Streams.Event(2L, ts(10, 4), 0.0))
+    q.processAllAvailable()
+    src.addData(Streams.Event(-1L, ts(1000, 0), 0.0)) // sentinel: uncoded
+    q.processAllAvailable()
+    src.addData(Streams.Event(-1L, ts(1000, 1), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("daily_coded")
+      .filter($"day" === 10L).head().getAs[Array[Byte]]("sketch")
+    val batch = Seq(7L, 901L, 7L, 2L).toDF("user_id")
+      .withColumn("k", $"user_id".cast("string")).join(dict, "k")
+      .agg(CB.bitmap_sketch_coded($"code", col(D.IdCol)))
+      .head().getAs[Array[Byte]](0)
+    assert(streamed.toSeq === batch.toSeq,
+      "streamed coded bytes differ from the batch coded tier")
+    // the id survived the stream and the bytes answer lineage-checked reads
+    val row = Seq(Tuple1(streamed)).toDF("sk")
+      .select(CB.bitmap_and_count_coded($"sk", $"sk"),
+        CB.bitmap_dict_id_coded($"sk")).head()
+    assert(row.getLong(0) === 3L)
+    assert(row.getLong(1) === dictId)
+    // fail-loud: a key the dictionary never saw kills the query with
+    // the extend-the-lineage message, never a silent drop
+    val srcBad = MemoryStream[Streams.Event]
+    val qBad = Streams.dailyCodedSketchStream(srcBad.toDS(), dict, "k", "code",
+      dictId, "30 minutes").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("daily_coded_bad").start()
+    srcBad.addData(Streams.Event(999L, ts(10, 1), 0.0))
+    val ex = intercept[Exception] { qBad.processAllAvailable() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("not in the dictionary")),
+      s"expected the un-coded-key message in: ${causes(ex).map(_.getMessage)}")
+    qBad.stop()
+  }
+
   test("CHAOS: daily-tier parity holds on a deliberately contended host (r13 verdict 7a)") {
     // the e-family is the one gate surface whose execution interleaves
     // with wall-clock (micro-batch drains, state round-trips) - this
