@@ -37,8 +37,12 @@ object Profile {
     args.foreach { name =>
       (1 to 6).foreach { i =>
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, sfDir).count()
-        println(f"$name rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+        // noop-sink forcing, as in Bench (guide §1.4): count() lets the
+        // optimizer prune the operator under test, so the stage trace
+        // would profile a different (smaller) plan than the bench times
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"$name rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     }
     spark.stop()

@@ -87,9 +87,10 @@ object Corpus {
     * stream: duplicate-token fraction and most-frequent-bigram
     * fraction, both in integer basis points (never a rounded float
     * quotient — engine round() modes diverge at ties, integer floor
-    * division cannot). The shape is one explode + two per-doc
-    * aggregations merged by a broadcast-free equi-join on doc_id:
-    * linear in corpus tokens, partitioned by doc_id — the 100 TB form.
+    * division cannot). Shape: per-row word stats + one bigram explode
+    * with a two-level per-doc argmax aggregation, merged by an
+    * equi-join on doc_id: linear in corpus tokens, partitioned by
+    * doc_id — the 100 TB form (reworked r13, see the body comment).
     *
     * Output per doc: n_words, n_distinct, dup_bp (fraction of tokens
     * that repeat an earlier token, = (n-distinct)/n), top_bigram (the
@@ -97,26 +98,33 @@ object Corpus {
     * top_bp (= top_n/(n_words-1)); docs with < 2 words yield no row.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
-      .filter(col("word") =!= "")
+    // r13 rework: n_words / n_distinct are pure per-row array
+    // expressions (size / array_distinct — no explode, no countDistinct
+    // Expand, fused into the scan); bigrams come from a per-row
+    // adjacent-pair transform of the SAME filtered token array (the
+    // hashedLinearScores construction — the old posexplode + per-doc
+    // lead() window paid a corpus-wide shuffle+sort just to pair
+    // neighbours), and the most-frequent bigram is a (doc, bigram)
+    // count + per-doc min(struct(−cnt, bigram)) argmax aggregate (ties
+    // = lexicographically first; no row_number window — the second
+    // exchange moves one row per doc).
+    val wf = filter(split(col(textCol), " "), x => x =!= "")
+    val base = docs.select(col(idCol).as("doc_id"), wf.as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        col("w"))
 
-    val wordStats = words.groupBy("doc_id").agg(
-      count(lit(1)).as("n_words"),
-      countDistinct(col("word")).as("n_distinct"))
+    val wordStats = base.select(col("doc_id"), col("n_words"), col("n_distinct"))
 
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bigrams = words
-      .withColumn("nxt", lead(col("word"), 1).over(byDoc))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("word"), col("nxt")).as("bigram"))
-
-    val topBigram = bigrams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("bigram").asc)))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("bigram").as("top_bigram"), col("cnt").as("top_n"))
+    val topBigram = base
+      .filter(col("n_words") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+        .as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("bigram").as("bg"))).as("m"))
+      .select(col("doc_id"), col("m.bg").as("top_bigram"), (-col("m.nc")).as("top_n"))
 
     // `div` = exact integer division (Spark `/` on longs is DOUBLE
     // division — a rounded-quotient hazard the oracle can't replay)
@@ -246,26 +254,33 @@ object Corpus {
       .select(col("doc_id"), col("total_chars"),
         (col("p0") + 1).cast("long").as("pos"), col("gram"))
 
-    // most frequent n-gram per doc (ties lexicographic) → char share
+    // most frequent n-gram per doc (ties lexicographic) → char share.
+    // r13 rework: the per-doc argmax is a second AGGREGATE —
+    // min(struct(−cnt, gram)) is exactly (cnt desc, gram asc) — not a
+    // row_number window: the (doc, gram) counts partial-aggregate
+    // map-side and the second exchange moves one row per doc, where
+    // the window form re-shuffled and per-doc SORTED the full count
+    // relation to rank it.
     def topShare(n: Int) = grams(n)
       .groupBy(col("doc_id"), col("total_chars"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
-        .orderBy(col("cnt").desc, col("gram").asc)))
-      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"), col("total_chars"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("gram"))).as("m"))
       .select(col("doc_id"), least(lit(10000L), expr(
-        s"(cnt * (length(gram) - ${n - 1}) * 10000) div total_chars"))
+        s"((-m.nc) * (length(m.gram) - ${n - 1}) * 10000) div total_chars"))
         .as(s"top${n}gram_bp"))
 
     // char share of positions covered by in-doc duplicated n-grams:
-    // per-doc window counts, hits-only ≤n× fan-out, covered-position
-    // union, char weights looked up in the doc's own word array
+    // duplicate test = COUNT OVER the (doc, gram-hash) window (ONE
+    // shuffle of the gram relation — the r13 t20/t28 rework; the old
+    // groupBy + join-back shuffled it twice), hits-only ≤n× fan-out,
+    // covered-position union, char weights looked up in the doc's own
+    // word array
     def dupShare(n: Int) = {
       val wp = grams(n).select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
-      val dup = wp.groupBy(col("doc_id"), col("h"))
-        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
-        .select(col("doc_id"), col("h"))
-      wp.join(dup, Seq("doc_id", "h"))
+      wp.withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"), col("h"))))
+        .filter(col("cnt") >= 2)
         .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${n - 1})")).as("p"))
         .distinct()
         .groupBy(col("doc_id")).agg(collect_set(col("p")).as(s"cov$n"))
@@ -339,36 +354,39 @@ object Corpus {
     * contamination, d1–d14 cut duplicates, t39 tells you how much
     * TRULY new text a batch added.
     *
-    * Scale shape: one corpus-linear explode through [[wordNgrams]]
-    * (fingerprinted to md5 so hot grams shuffle fixed-width keys), one
-    * map-side-combined gram-keyed count, one hash join back, one
-    * doc-keyed aggregate — t17's inverted-index shape with a count==1
-    * filter. Docs with fewer than n words emit (0, 0, 0) — no grams,
-    * nothing to judge. Integer basis points, floor division.
+    * Scale shape (r13 rework — one corpus-sized shuffle, down from
+    * three): a count-1 gram occurs in exactly ONE document, so its
+    * owner rides the gram-keyed count aggregate as `min(doc_id)` and
+    * the corpus-sized join back to the instance relation (plus the
+    * materialization it required) disappears — per-doc novel counts
+    * come from a second, novel-grams-sized aggregate over the count
+    * relation itself. `n_ngrams` is pure per-row arithmetic
+    * (`max(0, n_words − n + 1)` — [[wordNgrams]]' window count)
+    * fused into the scan, never an explode. Docs with fewer than n
+    * words emit (0, 0, 0) — no grams, nothing to judge. Integer basis
+    * points, floor division.
     *
     * Output: (doc_id, n_ngrams, n_novel, novelty_bp). */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-    val wp = base
-      .select(col("doc_id"),
-        explode(wordNgrams(coalesce(col("__text"), lit("")), n)).as("g"))
+    val w = filter(split(coalesce(col(textCol), lit("")), " "), x => x =!= "")
+    val base = docs.select(col(idCol).as("doc_id"),
+      when(size(w) >= n, (size(w) - (n - 1)).cast("long")).otherwise(0L)
+        .as("n_ngrams"))
+    val novel = docs
+      .select(col(idCol).as("doc_id"),
+        explode(wordNgrams(coalesce(col(textCol), lit("")), n)).as("g"))
       .select(col("doc_id"), md5(col("g")).as("h"))
-      // two consumers (corpus counts + the join back): the exactSpans
-      // one-materialization convention
-      .localCheckpoint()
-    val counts = wp.groupBy(col("h")).agg(count(lit(1)).as("c"))
-    val perDoc = wp.join(counts, "h")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_ngrams"),
-        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_novel"))
-    base.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("doc_id"))
+      .filter(col("c") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    base.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        when(coalesce(col("n_ngrams"), lit(0L)) > 0,
-          expr("(n_novel * 10000) div n_ngrams")).otherwise(0L)
-          .cast("long").as("novelty_bp"))
+        when(col("n_ngrams") > 0,
+          expr("(coalesce(n_novel, CAST(0 AS BIGINT)) * 10000) div n_ngrams"))
+          .otherwise(0L).cast("long").as("novelty_bp"))
   }
 
   // ---- URL canonicalization (provenance-level dedup) ----------------
@@ -565,12 +583,16 @@ object Corpus {
     * positions are merged into maximal spans with a per-doc
     * gaps-and-islands pass.
     *
-    * Scale shape: one window explode (corpus-linear), one map-side-
-    * combined fingerprint count on bounded keys, one hash semi-join
-    * back, and windows partitioned BY doc_id for the merge — no
-    * corpus-sized unpartitioned window, no driver materialization.
-    * All arithmetic is integer positions; md5 fingerprints group
-    * identically on any engine.
+    * Scale shape (r13 rework): one window explode (corpus-linear),
+    * then the duplicate test is a COUNT OVER the fingerprint-keyed
+    * window — one shuffle of the window relation, where the previous
+    * groupBy + semi-join-back shape shuffled it twice and had to
+    * materialize it (two consumers). A hot fingerprint (corpus-wide
+    * boilerplate) groups on one reducer either way — the t22
+    * keeper-window discipline. The span merge stays partitioned BY
+    * doc_id — no corpus-sized unpartitioned window, no driver
+    * materialization. All arithmetic is integer positions; md5
+    * fingerprints group identically on any engine.
     *
     * Output: (doc_id, span_start, span_end, n_windows) — 1-based
     * inclusive word indexes of each maximal repeated span, ordered. */
@@ -584,12 +606,9 @@ object Corpus {
           s"i -> struct(CAST(i AS BIGINT) AS pos, md5(concat_ws(' ', slice(w, i, $k))) AS h))"))
         .as("x"))
       .select(col("doc_id"), col("x.pos").as("pos"), col("x.h").as("h"))
-      // two consumers (fingerprint counts + the hit join): materialize
-      // the windowed explode once — same rationale as bigramLmScores
-      .localCheckpoint()
-    val rep = wp.groupBy("h").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("h")
-    val hits = wp.join(rep, "h").select("doc_id", "pos")
+    val hits = wp
+      .withColumn("nh", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("nh") >= 2).select("doc_id", "pos")
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       // islands: a window starts a new span when it does not overlap
@@ -691,11 +710,15 @@ object Corpus {
     * of keeping candidate pairs LINEAR in duplication (each occurrence
     * pairs only with its window's keeper, never all-pairs).
     *
-    * Scale shape: one window explode (corpus-linear, one pass), one
-    * map-side-combined keeper min on the window hash, one hash join
-    * back, and the island merge windowed by (doc, src_doc, alignment)
-    * — no corpus-sized unpartitioned window, no quadratic pair
-    * emission (N occurrences of hot boilerplate → N−1 keeper pairs).
+    * Scale shape (r13 rework): one window explode (corpus-linear, one
+    * pass), then keeper discovery is MIN/COUNT OVER the hash-keyed
+    * window — one shuffle of the window relation, where the previous
+    * groupBy + join-back shape shuffled it twice and materialized it
+    * (two consumers); the island merge stays windowed by (doc,
+    * src_doc, alignment). No corpus-sized unpartitioned window, no
+    * quadratic pair emission (N occurrences of hot boilerplate → N−1
+    * keeper pairs; the hot hash buffers one reducer's group either
+    * way — the t22 keeper-window discipline).
     *
     * The keeper total order is min over a (doc_id, pos) STRUCT, so the
     * id keeps its OWN type: string-keyed corpora (every real web
@@ -720,20 +743,17 @@ object Corpus {
           s"i -> struct(CAST(i AS BIGINT) AS pos, md5(concat_ws(' ', slice(w, i, $k))) AS h))"))
         .as("x"))
       .select(col("doc_id"), col("x.pos").as("pos"), col("x.h").as("h"))
-      // two consumers (keeper min + the pair join): one materialization
-      .localCheckpoint()
-    val keepers = wp.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("kmin"),
-        count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .select(col("h"), col("kmin.doc_id").as("src_doc"),
-        col("kmin.pos").as("kpos"))
-    val pairs = wp.join(keepers, "h")
+    val byHash = Window.partitionBy(col("h"))
+    val pairs = wp
+      .withColumn("kmin", min(struct(col("doc_id"), col("pos"))).over(byHash))
+      .withColumn("nh", count(lit(1)).over(byHash))
+      .filter(col("nh") >= 2)
       // null-safe: the keeper row itself is excluded, every other
       // occurrence pairs with it
-      .filter(!(col("doc_id") <=> col("src_doc") && col("pos") <=> col("kpos")))
-      .select(col("doc_id"), col("pos"), col("src_doc"),
-        (col("pos") - col("kpos")).as("delta"))
+      .filter(!(col("doc_id") <=> col("kmin.doc_id") &&
+        col("pos") <=> col("kmin.pos")))
+      .select(col("doc_id"), col("pos"), col("kmin.doc_id").as("src_doc"),
+        (col("pos") - col("kmin.pos")).as("delta"))
     val byAlign = Window
       .partitionBy(col("doc_id"), col("src_doc"), col("delta"))
       .orderBy(col("pos"))
@@ -780,13 +800,14 @@ object Corpus {
     * empty-filtered [[wordNgrams]] stream (t30's), so null/empty text
     * and sub-k documents pass through unharmed.
     *
-    * Scale shape: one window explode (corpus-linear), one
-    * map-side-combined keeper min on the window hash, one hash join
-    * back (both relations key-partitioned on h — nothing assumes
-    * either side fits anywhere), a hits-sized coverage aggregate, and
-    * a left join back to the base — the duplicate-free majority never
-    * sheds a word row into a shuffle. No corpus-sized unpartitioned
-    * window, no driver materialization.
+    * Scale shape (r13 rework): one window explode (corpus-linear),
+    * then keeper discovery is MIN/COUNT OVER the hash-keyed window —
+    * one shuffle of the window relation, where the previous groupBy +
+    * join-back shape shuffled it twice and materialized it (two
+    * consumers; the t28 rework, same hot-hash trade) — a hits-sized
+    * coverage aggregate, and a left join back to the base — the
+    * duplicate-free majority never sheds a word row into a shuffle.
+    * No corpus-sized unpartitioned window, no driver materialization.
     *
     * Output: (doc_id, total_words, removed_words, cleaned_text), one
     * row per input document. */
@@ -800,23 +821,20 @@ object Corpus {
         posexplode(wordNgrams(col("__text"), k)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         md5(col("g")).as("h"))
-      // two consumers (keeper min + the hit join): one materialization
-      .localCheckpoint()
-    val keepers = wp.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("kmin"),
-        count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .select(col("h"), col("kmin.doc_id").as("kdoc"),
-        col("kmin.pos").as("kpos"))
     // every occurrence of a duplicated window, keeper rows flagged:
     // excised positions = non-keeper cover MINUS keeper cover, so the
     // first occurrence of every duplicated window survives excision
     // even when a non-keeper window overlaps it (periodic text, or a
     // cross-hash overlap). Both collect_sets dedup map-side; the
     // conditional collect ignores the null branch.
-    val covSets = wp.join(keepers, "h")
+    val byHash = Window.partitionBy(col("h"))
+    val covSets = wp
+      .withColumn("kmin", min(struct(col("doc_id"), col("pos"))).over(byHash))
+      .withColumn("nh", count(lit(1)).over(byHash))
+      .filter(col("nh") >= 2)
       .select(col("doc_id"),
-        (col("doc_id") <=> col("kdoc") && col("pos") <=> col("kpos")).as("is_k"),
+        (col("doc_id") <=> col("kmin.doc_id") &&
+          col("pos") <=> col("kmin.pos")).as("is_k"),
         explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
       .groupBy(col("doc_id"))
       .agg(array_except(

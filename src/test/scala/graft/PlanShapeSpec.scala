@@ -149,13 +149,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).isEmpty, s"extra shuffles in s18:\n$p")
   }
 
-  test("t28's keeper aggregation combines map-side and its island window is partitioned") {
+  test("t28: keeper discovery is ONE hash-keyed window; island window doc-partitioned") {
+    // r13 shape: the keeper min/count ride a single window partitioned
+    // by the fingerprint (one shuffle of the window relation — the old
+    // groupBy + join-back shape shuffled it twice and materialized it)
     val p = sparkPlan("t28_exact_spans").toString
-    assert(p.contains("partial_min"), s"keeper min not map-side combined:\n$p")
+    assert(p.contains("windowspecdefinition(h#"),
+      s"keeper window not partitioned by the hash key:\n$p")
     // the keeper total order is the type-preserving (doc_id, pos)
     // STRUCT — a rework must not silently reintroduce the retired
     // doc_id*100000+pos long encoding (string-id corruption, overflow)
-    assert(p.contains("min(struct(doc_id"),
+    assert(p.contains("struct(doc_id"),
       s"keeper not the struct total order:\n$p")
     assert(p.contains("windowspecdefinition(doc_id"),
       s"island window not partitioned by doc:\n$p")
@@ -181,14 +185,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"coverage fan-out shape changed in t30:\n$p")
   }
 
-  test("t31 excision: struct keeper combines map-side; pass-through project; no window") {
+  test("t31 excision: ONE hash-keyed keeper window; struct total order; pass-through project") {
+    // r13 shape: same keeper-window rework as t28 — one shuffle of the
+    // window relation instead of groupBy + join-back + checkpoint
     val p = sparkPlan("t31_excise_duplicates").toString
-    assert(p.contains("partial_min"), s"keeper min not map-side combined:\n$p")
-    assert(p.contains("min(struct(doc_id"),
+    assert(p.contains("windowspecdefinition(h#"),
+      s"keeper window not partitioned by the hash key:\n$p")
+    assert(p.contains("struct(doc_id"),
       s"keeper not the struct total order:\n$p")
     assert(p.contains("THEN __text"),
       s"clean-doc pass-through projection gone from t31:\n$p")
-    assert(!p.contains("Window"), s"unexpected window in t31:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair blowup in t31:\n$p")
   }

@@ -277,15 +277,22 @@ class SegmentDedupSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(("w-10", 30L, 0L, a), ("w-2", 30L, 30L, "")))
   }
 
-  test("t31: clean and sub-k docs pass through untouched; no window node in the plan") {
+  test("t31: clean and sub-k docs pass through untouched; one hash-keyed window") {
     val out = runExcise(Seq((1L, "only seven words here nothing repeats once"),
       (2L, "tiny")))
     assert(out(0) === ((1L, 7L, 0L, "only seven words here nothing repeats once")))
     assert(out(1) === ((2L, 1L, 0L, "tiny")))
     val df = Corpus.exciseExactDuplicates(
       Seq((1L, words("a", 12))).toDF("doc_id", "text"), "doc_id", "text")
-    // coverage is sets + array filters — no window function anywhere
-    assert(!df.queryExecution.optimizedPlan.toString.contains("Window"))
+    // r13 shape: keeper discovery is ONE min/count window over the
+    // hash key (one shuffle of the window relation, in place of the
+    // old groupBy + join-back pair); no doc-spanning or unpartitioned
+    // window anywhere
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.split("Window \\[").length - 1 === 1,
+      s"expected exactly one Window node:\n$plan")
+    assert(plan.contains("windowspecdefinition(h#") ||
+      plan.contains("], [h#"), s"window must partition on the hash key:\n$plan")
   }
 
   // ---- content-defined chunking (t34) --------------------------------
