@@ -29,7 +29,17 @@ object Clustering {
     graft.functions.DotProduct.dot_product(a, b)
 
   /** Nearest-centroid assignment. `points`: (vec_id, v); `cents`:
-    * (cid, cv). Output: (vec_id, v, cid, score), one row per point. */
+    * (cid, cv). Output: (vec_id, v, cid, score), one row per point.
+    *
+    * The argmin is an AGGREGATE — `min(struct(score, cid))` is exactly
+    * the old `row_number() OVER (ORDER BY score, cid) = 1` (r13): the
+    * k-way candidate fan-out partial-aggregates back to one row per
+    * point BEFORE the exchange, so the shuffle moves |points| rows
+    * instead of k·|points| (the struct buffer plans a sort-based
+    * aggregate, but a partial sort-agg over the fan-out costs what the
+    * window's partition sort cost — and the window form only sorted
+    * AFTER shuffling all k candidates). `first(v)` is deterministic
+    * here — v is constant within a vec_id group. */
   def assign(points: DataFrame, cents: DataFrame): DataFrame =
     points.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("cid"),
@@ -40,9 +50,10 @@ object Clustering {
         // value; ordering unaffected (-0.0 and 0.0 compare equal).
         (round(dot(col("cv"), col("cv")) - lit(2) * dot(col("v"), col("cv")), 6)
           + lit(0.0)).as("score"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("score").asc, col("cid").asc)))
-      .filter(col("rn") === 1).drop("rn")
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("score"), col("cid"))).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("m.cid").as("cid"),
+        col("m.score").as("score"))
 
   /** DECIMAL-exact elementwise means of the assigned points, rounded
     * to 6, as (cid, cv). Clusters that lost every point drop out —

@@ -119,7 +119,16 @@ object Quantize {
   /** Train one codebook per subspace: (sub, cid, cv) with cv of
     * length dim/m. m full passes over the points (one Lloyd per
     * subspace); at scale, train on a sample and encode the corpus —
-    * encode is the only part that must see every row. */
+    * encode is the only part that must see every row.
+    *
+    * The returned table is `localCheckpoint`ed (r13): it is m·k rows —
+    * the trained artifact, bounded by construction — but its PLAN
+    * embeds m full Lloyd trainings, and every downstream consumer
+    * (the m encode fan-outs, the per-query LUT) re-ran all of them per
+    * broadcast build (measured: n11's steady-state was dominated by
+    * ~8 single-task ~1 s broadcast-future stages = 4 codebooks × 2
+    * consumers). Materializing the 32 rows runs each training exactly
+    * once and keeps the consumer plans shallow. */
   def pqCodebooks(points: DataFrame, m: Int, dim: Int, k: Int,
       iters: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
@@ -129,7 +138,7 @@ object Quantize {
         slice(col("v"), s * subDim + 1, subDim).as("v"))
       Clustering.lloydCentroids(points.sparkSession, sub, k, iters)
         .select(lit(s).as("sub"), col("cid"), col("cv"))
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_)).localCheckpoint()
   }
 
   /** Encode every vector as its per-subspace nearest-centroid id, in

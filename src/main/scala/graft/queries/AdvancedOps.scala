@@ -678,7 +678,12 @@ object AdvancedOps {
     val slotv = ev.groupBy($"user_id", $"slot")
       .agg(max(struct($"tus", $"event_id", $"vc")).as("w"))
       .select($"user_id", $"slot", $"w.vc".as("vc"))
-    val grid = ev.groupBy($"user_id")
+    // the grid bounds derive from SLOTV, not from a second corpus-sized
+    // aggregate over ev (r13): min/max slot over the per-(user, slot)
+    // relation equals min/max over the events, the input is already
+    // hash-partitioned on user_id from slotv's exchange, and the
+    // events table is scanned once instead of twice
+    val grid = slotv.groupBy($"user_id")
       .agg(min($"slot").as("lo"), max($"slot").as("hi"))
       .select($"user_id", explode(sequence($"lo", $"hi")).as("slot"))
     val w = Window.partitionBy($"user_id").orderBy($"slot")
@@ -741,7 +746,12 @@ object AdvancedOps {
     val slotv = ev.groupBy($"user_id", $"slot")
       .agg(max(struct($"tus", $"event_id", $"vc")).as("w"))
       .select($"user_id", $"slot", $"w.vc".as("vc"))
-    val grid = ev.groupBy($"user_id")
+    // the grid bounds derive from SLOTV, not from a second corpus-sized
+    // aggregate over ev (r13): min/max slot over the per-(user, slot)
+    // relation equals min/max over the events, the input is already
+    // hash-partitioned on user_id from slotv's exchange, and the
+    // events table is scanned once instead of twice
+    val grid = slotv.groupBy($"user_id")
       .agg(min($"slot").as("lo"), max($"slot").as("hi"))
       .select($"user_id", explode(sequence($"lo", $"hi")).as("slot"))
     val back = Window.partitionBy($"user_id").orderBy($"slot")
