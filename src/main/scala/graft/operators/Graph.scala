@@ -114,7 +114,12 @@ object Graph {
   def kHopReach(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"kHopReach: maxHops must be >= 0, got $maxHops")
     val ed = edges.repartition(col("src")).cache()
+    // checkpoint the seed distances (|seeds| rows — bounded): the dist
+    // lineage references them once per hop branch, and when the caller
+    // derives seeds from the same expensive edge build (an30), the
+    // un-materialized form re-ran that build inside the loop (r13)
     var dist = seeds.select(col("node"), lit(0L).as("dist")).distinct()
+      .localCheckpoint()
     (1 to maxHops).foreach { h =>
       val frontier = dist.filter(col("dist") === (h - 1))
         .select(col("node").as("src"))
@@ -209,6 +214,15 @@ object Graph {
     var r = 0
     var done = false
     while (!done && r < maxRounds) {
+      // ONE alternation per checkpoint: stacking two alternations per
+      // barrier (the dupClusters double-propagation trick) was
+      // measured 2× SLOWER here (r13: 4.5 → 9.3 s median at sf0.1) —
+      // each star operator references its input relation several
+      // times (e ∪ swap, nb ⋈ m), so un-materialized composition
+      // multiplies subplan evaluation roughly 4× per extra layer,
+      // which costs far more than the barrier it saves. Propagation
+      // (dupClusters) composes linearly and wins from the trick;
+      // contraction does not.
       e = smallStar(largeStar(e)).repartition(nParts, col("a")).localCheckpoint()
       val fp = fingerprint(e)
       done = fp._1 == prev._1 && fp._2 == prev._2

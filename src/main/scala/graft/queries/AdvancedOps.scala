@@ -93,7 +93,13 @@ object AdvancedOps {
     val e0 = o.join(l, $"o_orderkey" === $"l_orderkey")
       .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       .distinct()
+    // ONE edge build (r13): seeds and kHopReach's cached edge relation
+    // both read this materialization — un-checkpointed, the
+    // orders ⋈ lineitem + distinct build ran once for the seed job and
+    // again for the edge-cache population (two ~15 s-of-task-time
+    // stage groups per run in the Profile trace)
     val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint(false)
     val seeds = edges.filter($"src".isin(2, 4, 6))
       .select($"src".as("node")).distinct()
     Graph.kHopReach(edges, seeds, maxHops = 3)

@@ -360,12 +360,16 @@ object EventQueries {
     val ev = Tables.load(s, dir, "events")
       .select($"event_id", $"user_id", $"ts", $"event_type")
     val base = java.nio.file.Files.createTempDirectory("graft-e6")
-    val cDir = base.resolve("clicks").toString
-    val pDir = base.resolve("purchases").toString
-    ev.filter($"event_type" === "click").drop("event_type")
-      .write.mode("overwrite").parquet(cDir)
-    ev.filter($"event_type" === "purchase").drop("event_type")
-      .write.mode("overwrite").parquet(pDir)
+    // one staging pass for both sides (r13 — the runAttributionStream
+    // partitionBy discipline; the partition column stays out of the
+    // data files, so the staged schema is unchanged)
+    val stagedDir = base.resolve("staged").toString
+    ev.filter($"event_type".isin("click", "purchase"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(stagedDir)
+    val cDir = s"$stagedDir/event_type=click"
+    val pDir = s"$stagedDir/event_type=purchase"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pDir))
     val sch = ev.drop("event_type").schema
     val joined = Streams.attributionJoin(
       s.readStream.schema(sch).parquet(cDir),
@@ -2315,12 +2319,20 @@ object EventQueries {
     val ev = Tables.load(s, dir, "events")
       .select($"event_id", $"user_id", $"ts", $"event_type")
     val base = java.nio.file.Files.createTempDirectory(s"graft-$queryName")
-    val cDir = base.resolve("clicks").toString
-    val pDir = base.resolve("purchases").toString
-    ev.filter($"event_type" === "click").drop("event_type")
-      .write.mode("overwrite").parquet(cDir)
-    ev.filter($"event_type" === "purchase").drop("event_type")
-      .write.mode("overwrite").parquet(pDir)
+    // ONE staging pass (r13): both sides come out of a single
+    // partitionBy write (the partition column stays out of the data
+    // files, so the staged schema is unchanged) — the previous
+    // two filtered writes scanned the events table twice
+    val stagedDir = base.resolve("staged").toString
+    ev.filter($"event_type".isin("click", "purchase"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(stagedDir)
+    val cDir = s"$stagedDir/event_type=click"
+    val pDir = s"$stagedDir/event_type=purchase"
+    // a side with zero staged rows writes no partition directory; the
+    // stream reader needs the path to exist (the sentinel rows append
+    // into it later either way)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pDir))
     val sch = ev.drop("event_type").schema
     val joined =
       if (joinType == "leftSemi")
