@@ -37,4 +37,23 @@ object Tables {
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
+
+  /** [[load]] + an immediate round-robin repartition to the session's
+    * shuffle parallelism — for queries whose per-row map work
+    * (tokenize + window-hash explodes, per-pair vector math) dominates
+    * the scan. The testdata tables are ONE parquet file with ONE row
+    * group, and a parquet row group is the atomic read unit, so every
+    * scan is a single task — and whole-stage codegen fuses all
+    * downstream per-row expressions into that stage: the guide-§2.5
+    * "unsplittable input" shape, measured as ~2 s of one-core CPU
+    * inside t30 while 31 cores idled. The repartition moves the raw
+    * column bytes once (cheap — these are the narrow projected
+    * columns) so the expensive map work runs at full parallelism.
+    * Parallelism comes from spark.sql.shuffle.partitions — never a
+    * constant — so the shape adapts to the session. At cluster scale
+    * with many-file inputs, keep plain [[load]] for scan-parallel
+    * sources; this helper is for inputs that do not split. */
+  def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    load(spark, sfDir, name).repartition(
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
 }

@@ -349,7 +349,7 @@ object CurationQueries {
     * fan-out, and the ordered reassembly. */
   val t30DecontaminateSpans: Q = (s, dir) => {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
     val bench = docs.filter($"doc_id" % 211 === 5)
     val snip = bench.filter($"doc_id" === 5)
       .select(array_join(
@@ -600,7 +600,7 @@ object CurationQueries {
     import s.implicits._
     val tailA = " the quick brown fox jumps over lazy dogs"
     val tailB = " pack my box with five dozen liquor jugs"
-    val injected = Tables.load(s, dir, "documents")
+    val injected = Tables.loadSpread(s, dir, "documents")
       .select($"doc_id", concat($"text",
         when($"doc_id" % 7 === 0, lit(tailA)).otherwise(lit("")),
         when($"doc_id" % 3 === 1, lit(tailB)).otherwise(lit(""))).as("text"))
@@ -1149,7 +1149,7 @@ object CurationQueries {
     * ulp; final mean divided in double from the exact decimal sum. */
   val t19BigramLm: Q = (s, dir) => {
     import s.implicits._
-    Corpus.bigramLmScores(Tables.load(s, dir, "documents"), "doc_id", "text")
+    Corpus.bigramLmScores(Tables.loadSpread(s, dir, "documents"), "doc_id", "text")
       .orderBy($"doc_id")
   }
 
