@@ -1424,7 +1424,7 @@ object CurationQueries {
     * reassembly. */
   val t31ExciseDuplicates: Q = (s, dir) => {
     import s.implicits._
-    val d0 = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val d0 = Tables.loadSpread(s, dir, "documents").select($"doc_id", $"text")
     Corpus.exciseExactDuplicates(plantedDupCorpus(d0), "doc_id", "text")
       .orderBy($"doc_id")
   }
