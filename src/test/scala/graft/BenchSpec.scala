@@ -83,10 +83,12 @@ class BenchSpec extends AnyFunSuite {
     // non-budgeted queries carry no stamp
     assert(Bench.budgetOk("q1_agg", 1.0, 0.80) === None)
     // the r13 streaming watch items carry deliberately-wide bars: a
-    // structural regression (an extra drain pass ~2x) is caught, the
-    // measured clean-run swing (e13 7-20x calib, SCALING.md r13) is not
-    assert(Bench.budgetOk("e13_stream_outer_join", 15.9, 0.80) === Some(true))
-    assert(Bench.budgetOk("e13_stream_outer_join", 40.0, 0.80) === Some(false))
+    // structural regression (an extra drain pass ~2x over the worst
+    // clean observation) is caught, the measured clean-run swing
+    // (e13 12-30x calib across quiet hosts, SCALING.md r13 +
+    // OPTIMIZATION_r13.md) is not
+    assert(Bench.budgetOk("e13_stream_outer_join", 26.3, 0.874) === Some(true))
+    assert(Bench.budgetOk("e13_stream_outer_join", 55.0, 0.80) === Some(false))
     assert(Bench.budgetOk("e17_stream_sliding", 5.2, 0.80) === Some(true))
     assert(Bench.budgetOk("e17_stream_sliding", 13.0, 0.80) === Some(false))
   }
